@@ -1,0 +1,111 @@
+"""Aggregations: two-phase (partial → final) grouped stats and histograms.
+
+The reference's only aggregations are the distinct-source-IP summary
+(``_create_overview``, ``/root/reference/src/zeek/zeek_log.rs:332-362``) and
+per-(proto,hour) map sizes observed in tests
+(``/root/reference/tests/zeek_search.rs:163-164``).  The rebuild generalizes
+those into per-sink record counts + ``n_tok`` statistics and a fixed-bucket
+``n_tok`` histogram (FIXTURES.md §5), implemented scale-first:
+
+* **Partial aggregation inside ``map_batches``**: each batch collapses to at
+  most one row per key (count / sum / min / max / histogram-bucket counts),
+  so the subsequent ``groupby`` shuffle moves ~|keys| rows per block instead
+  of every input row.  This is the combiner pattern that makes a hot-key
+  (conn ≈ 70% of rows) aggregation skew-proof — the skew is absorbed
+  *before* the exchange, which is strictly stronger than salting the
+  shuffle key (salting would still move one row per (key, salt, block)).
+* **Final ``groupby(key).aggregate``** over the tiny partials merges with
+  Sum/Min/Max.
+
+``distinct_column`` follows the same shape for the summary: per-batch
+``unique`` (partial dedup) → global ``unique`` (shuffle over the shrunken
+set) — the intended semantics of ``_create_overview`` (SURVEY.md §2.5 A1).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Max, Min, Sum
+
+# Fixed n_tok histogram bucket lower edges: [0,64) [64,128) [128,256)
+# [256,512) [512,1024) [1024,inf)  (FIXTURES.md §5).
+HIST_EDGES = [0, 64, 128, 256, 512, 1024]
+HIST_COLUMNS = [
+    "hist_0_64", "hist_64_128", "hist_128_256",
+    "hist_256_512", "hist_512_1024", "hist_1024_inf",
+]
+
+STAT_COLUMNS = ["n", "sum_n_tok", "min_n_tok", "max_n_tok"] + HIST_COLUMNS
+
+
+def _partial_stats(key: str, value: str):
+    """Build the per-batch combiner: batch → ≤|keys-in-batch| partial rows."""
+    import numpy as np
+
+    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({key: pd.Series([], dtype=object),
+                                 **{c: pd.Series([], dtype="int64")
+                                    for c in STAT_COLUMNS}})
+        v = batch[value].to_numpy()
+        bucket = np.digitize(v, HIST_EDGES[1:], right=False)  # 0..5
+        g = batch.groupby(key, sort=False, observed=True)
+        out = g[value].agg(n="count", sum_n_tok="sum",
+                           min_n_tok="min", max_n_tok="max")
+        hist = (pd.crosstab(batch[key], bucket)
+                .reindex(columns=range(len(HIST_COLUMNS)), fill_value=0))
+        hist.columns = HIST_COLUMNS
+        out = out.join(hist).reset_index()
+        for c in STAT_COLUMNS:
+            out[c] = out[c].astype("int64")
+        return out
+
+    return combine
+
+
+def grouped_stats(ds: "ray.data.Dataset", key: str = "sink",
+                  value: str = "n_tok") -> "ray.data.Dataset":
+    """Per-``key`` count, sum/min/max of ``value`` and fixed-bucket histogram.
+
+    Two-phase: vectorized per-batch partials (pandas groupby + digitize) →
+    small ``groupby(key)`` merge.  Output columns: ``key, n, sum_n_tok,
+    min_n_tok, max_n_tok, hist_*`` (int64).
+    """
+    partial = ds.select_columns([key, value]).map_batches(
+        _partial_stats(key, value), batch_format="pandas")
+    aggs = [Sum("n", alias_name="n"),
+            Sum("sum_n_tok", alias_name="sum_n_tok"),
+            Min("min_n_tok", alias_name="min_n_tok"),
+            Max("max_n_tok", alias_name="max_n_tok")]
+    aggs += [Sum(c, alias_name=c) for c in HIST_COLUMNS]
+    return partial.groupby(key).aggregate(*aggs)
+
+
+def _batch_unique(cols: list[str], dropna_col: str):
+    def uniq(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.dropna(subset=[dropna_col]).drop_duplicates()
+
+    return uniq
+
+
+def distinct_column(ds: "ray.data.Dataset", col: str,
+                    by: list[str] | None = None) -> "ray.data.Dataset":
+    """Distinct values of ``col`` (optionally per ``by`` keys), null-free.
+
+    Partial per-batch dedup shrinks the exchange; the final dedup is a
+    ``groupby`` over (by + [col]) emitting one row per group.  This is the
+    product semantics of the reference's ``_create_overview`` distinct-IP
+    summary (zeek_log.rs:332-362) — true distinct rather than its
+    first-cell-only quirk (SURVEY.md §7.4).
+    """
+    cols = (by or []) + [col]
+    partial = ds.select_columns(cols).map_batches(
+        _batch_unique(cols, col), batch_format="pandas")
+    # groupby over all columns with a count emits exactly one row per
+    # distinct tuple; drop the count afterwards.
+    from ray.data.aggregate import Count
+    out = partial.groupby(cols).aggregate(Count(alias_name="_c"))
+    return out.drop_columns(["_c"])

@@ -1,0 +1,123 @@
+"""Stateful enrichment: actor-pool broadcast-dictionary lookups.
+
+The reference enriches each distinct source IP by HTTP-GETting an
+ip2location API under a global mutex — one OS thread per IP, lock held across
+the blocking request, effective concurrency ≈ 1
+(``/root/reference/src/zeek/zeek_log.rs:416-458``,
+``/root/reference/src/ip2location.rs:174-222``).  Its commented-out
+``noquery`` path (``ip2location.rs:176-206``) reads the same 12-field record
+from a local ``ip2loc.db`` cache — that offline-dictionary design is what
+this module implements properly:
+
+* the dictionaries are small, deterministic sidecar tables (FIXTURES.md §4);
+* an :class:`Enricher` **callable class** is passed to ``map_batches`` so Ray
+  runs it as an actor pool — dict build happens once per actor in
+  ``__init__``, lookups are vectorized ``np.searchsorted`` per batch;
+* misses are left-outer NULLs, mirroring the reference's silent-miss path
+  (``zeek_log.rs:439-447``).
+
+At cluster scale the dicts would be ``ray.put`` once on the driver and the
+object ref handed to the actor constructor; they are rebuilt deterministically
+in-process here because they are tiny (<10 KB) and the sandbox is single-node.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from zeeklog_ray.corpus import IP_POOL
+
+# Geo record fields — the 12 optional string fields of IP2LocationResponse
+# (/root/reference/src/ip2location.rs:10-24), flattened to geo_* columns.
+GEO_FIELDS = [
+    "geo_country_code", "geo_country_name", "geo_region_name", "geo_city_name",
+    "geo_latitude", "geo_longitude", "geo_zip_code", "geo_time_zone",
+    "geo_asn", "geo_as_name", "geo_is_proxy",
+]
+
+_COUNTRIES = [("US", "United States"), ("DE", "Germany"), ("JP", "Japan"),
+              ("BR", "Brazil"), ("NL", "Netherlands"), ("SG", "Singapore")]
+
+# Port → service name (stand-in for a service registry; keyed by the
+# extracted id_resp_p column).
+SERVICE_DICT = {"53": "dns", "80": "http", "443": "https", "22": "ssh", "123": "ntp"}
+
+
+def build_geo_dict() -> dict[str, dict[str, str]]:
+    """Deterministic geo dictionary covering 24 of the 32 pool IPs (~75%),
+    so left-outer misses are exercised (FIXTURES.md §4)."""
+    out: dict[str, dict[str, str]] = {}
+    for i, ip in enumerate(IP_POOL):
+        if i % 4 == 3:  # every 4th pool IP is a miss
+            continue
+        cc, cn = _COUNTRIES[i % len(_COUNTRIES)]
+        out[ip] = {
+            "geo_country_code": cc,
+            "geo_country_name": cn,
+            "geo_region_name": f"region-{i % 7}",
+            "geo_city_name": f"city-{i}",
+            "geo_latitude": f"{(i * 7.13) % 180 - 90:.4f}",
+            "geo_longitude": f"{(i * 13.7) % 360 - 180:.4f}",
+            "geo_zip_code": f"{10000 + i * 37}",
+            "geo_time_zone": f"+{i % 12:02d}:00",
+            "geo_asn": str(64512 + i),
+            "geo_as_name": f"AS-EXAMPLE-{i}",
+            "geo_is_proxy": "true" if i % 5 == 0 else "false",
+        }
+    return out
+
+
+class Enricher:
+    """Actor-pool stage: append geo_* (by ``id_orig_h``) and ``service``
+    (by ``id_resp_p``) columns via broadcast-dict lookup.
+
+    Usage::
+
+        ds.map_batches(Enricher, batch_format="pyarrow",
+                       batch_size=32768, concurrency=(2, 8))
+
+    State (sorted key arrays + value matrices) is built once per actor;
+    per-batch work is two vectorized searchsorted lookups.
+    """
+
+    def __init__(self) -> None:
+        geo = build_geo_dict()
+        self._geo_keys = np.array(sorted(geo), dtype=object)
+        self._geo_vals = {
+            f: np.array([geo[k][f] for k in self._geo_keys], dtype=object)
+            for f in GEO_FIELDS
+        }
+        self._svc_keys = np.array(sorted(SERVICE_DICT), dtype=object)
+        self._svc_vals = np.array([SERVICE_DICT[k] for k in self._svc_keys], dtype=object)
+
+    @staticmethod
+    def _lookup(keys: np.ndarray, sorted_keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Return (positions, hit_mask) of ``keys`` in ``sorted_keys``."""
+        pos = np.searchsorted(sorted_keys, keys)
+        pos_clipped = np.minimum(pos, len(sorted_keys) - 1)
+        hit = sorted_keys[pos_clipped] == keys
+        return pos_clipped, hit
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0 or "id_orig_h" not in batch.column_names:
+            return batch
+        orig = batch["id_orig_h"].to_numpy(zero_copy_only=False)
+        orig_valid = np.array([v is not None for v in orig])
+        safe = np.where(orig_valid, orig, "")
+        pos, hit = self._lookup(safe, self._geo_keys)
+        hit &= orig_valid
+        for f in GEO_FIELDS:
+            vals = self._geo_vals[f][pos]
+            col = np.where(hit, vals, None)
+            batch = batch.append_column(f, pa.array(col, type=pa.string()))
+
+        port = batch["id_resp_p"].to_numpy(zero_copy_only=False)
+        pvalid = np.array([v is not None for v in port])
+        psafe = np.where(pvalid, port, "")
+        ppos, phit = self._lookup(psafe, self._svc_keys)
+        phit &= pvalid
+        svc = np.where(phit, self._svc_vals[ppos], None)
+        batch = batch.append_column("service_name", pa.array(svc, type=pa.string()))
+        return batch

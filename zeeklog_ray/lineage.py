@@ -1,0 +1,165 @@
+"""Per-partition lineage manifest: checkpoint / resume for routed runs.
+
+The reference has no checkpointing — a failed run restarts from zero
+(SURVEY.md §4, "Checkpoint / resume: none").  The north rule requires that an
+interrupted run resume from the last committed partition without re-emitting
+rows, with per-partition lineage records (input fragment → sink, row counts,
+bytes, wall-time).
+
+Design (the resumable-batch pattern from the Ray guide):
+
+* The input corpus is split into **shards** — fixed groups of input Parquet
+  fragments (files).  A shard is the unit of commit.
+* Each shard runs the full parse→[filter]→[enrich]→route pipeline as one Ray
+  Data job writing to ``out_dir/shard=<id>/sink=<s>/part-*.parquet`` —
+  deterministic, shard-scoped output paths, so a re-run of an uncommitted
+  shard overwrites rather than duplicates.
+* After a shard's write completes, a JSON lineage record is committed
+  ATOMICALLY (write temp file + ``os.replace``) into
+  ``out_dir/_manifest/shard-<id>.json``.
+* Resume = enumerate shards, skip those with a committed manifest record,
+  re-run the rest from scratch (their partial output is overwritten).
+
+At 100 TB a shard would be a few hundred fragments (~10-100 GB); shards may
+run concurrently across the cluster — the manifest protocol is per-shard and
+order-independent.  Wall-clock scale note: the driver loop only *launches*
+per-shard Dataset jobs; all heavy work is distributed inside each job.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+from dataclasses import dataclass
+
+import ray.data
+
+from zeeklog_ray.aggregate import grouped_stats
+from zeeklog_ray.parse import parse_batch
+from zeeklog_ray.pipeline import PipelineConfig, _ip_predicate
+from zeeklog_ray.enrich import Enricher
+
+
+def list_fragments(corpus_dir: str) -> list[str]:
+    """Deterministically ordered input fragment (file) list."""
+    return sorted(glob.glob(os.path.join(corpus_dir, "**", "*.parquet"),
+                            recursive=True))
+
+
+def make_shards(fragments: list[str], files_per_shard: int) -> list[list[str]]:
+    return [fragments[i:i + files_per_shard]
+            for i in range(0, len(fragments), files_per_shard)]
+
+
+def _manifest_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "_manifest")
+
+
+def committed_shards(out_dir: str) -> set[int]:
+    mdir = _manifest_dir(out_dir)
+    if not os.path.isdir(mdir):
+        return set()
+    out = set()
+    for p in glob.glob(os.path.join(mdir, "shard-*.json")):
+        try:
+            with open(p) as f:
+                rec = json.load(f)
+            out.add(int(rec["shard_id"]))
+        except (ValueError, KeyError, json.JSONDecodeError):
+            continue  # torn/invalid record → treat as uncommitted
+    return out
+
+
+def commit_shard(out_dir: str, record: dict) -> None:
+    """Atomic manifest commit: temp file + rename (SURVEY.md §7.4)."""
+    mdir = _manifest_dir(out_dir)
+    os.makedirs(mdir, exist_ok=True)
+    final = os.path.join(mdir, f"shard-{record['shard_id']:05d}.json")
+    tmp = final + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(record, f, indent=1, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, final)
+
+
+@dataclass
+class ResumableRun:
+    """Driver for a routed, resumable pipeline run."""
+
+    cfg: PipelineConfig
+    out_dir: str
+    files_per_shard: int = 8
+
+    def shards(self) -> list[list[str]]:
+        return make_shards(list_fragments(self.cfg.corpus_dir), self.files_per_shard)
+
+    def _run_shard(self, shard_id: int, files: list[str]) -> dict:
+        t0 = time.monotonic()
+        ds = ray.data.read_parquet(files)
+        ds = ds.map_batches(parse_batch, batch_format="pyarrow",
+                            batch_size=self.cfg.parse_batch_size, zero_copy_batch=True)
+        if self.cfg.src_ip:
+            ds = ds.map_batches(_ip_predicate(self.cfg.src_ip),
+                                batch_format="pyarrow", zero_copy_batch=True)
+        if self.cfg.enrich:
+            ds = ds.map_batches(Enricher, batch_format="pyarrow",
+                                batch_size=self.cfg.parse_batch_size,
+                                concurrency=self.cfg.enrich_concurrency)
+        shard_out = os.path.join(self.out_dir, f"shard={shard_id:05d}")
+        ds.write_parquet(shard_out, partition_cols=["sink"])
+        # Lineage metrics from the written output (cheap metadata scan).
+        stats = grouped_stats(
+            ray.data.read_parquet(shard_out),
+            key="sink").to_pandas()
+        out_bytes = sum(os.path.getsize(p) for p in
+                        glob.glob(os.path.join(shard_out, "**", "*.parquet"),
+                                  recursive=True))
+        return {
+            "shard_id": shard_id,
+            "input_fragments": files,
+            "rows_per_sink": {str(r["sink"]): int(r["n"]) for _, r in stats.iterrows()},
+            "tokens_per_sink": {str(r["sink"]): int(r["sum_n_tok"])
+                                for _, r in stats.iterrows()},
+            "output_bytes": out_bytes,
+            "wall_time_s": round(time.monotonic() - t0, 3),
+        }
+
+    def run(self, fail_after_shards: int | None = None) -> list[dict]:
+        """Process all uncommitted shards; returns the new lineage records.
+
+        ``fail_after_shards`` is a test hook: raise after N commits to
+        simulate a mid-run kill.
+        """
+        done = committed_shards(self.out_dir)
+        records = []
+        n_done_this_run = 0
+        for shard_id, files in enumerate(self.shards()):
+            if shard_id in done:
+                continue
+            rec = self._run_shard(shard_id, files)
+            commit_shard(self.out_dir, rec)
+            records.append(rec)
+            n_done_this_run += 1
+            if fail_after_shards is not None and n_done_this_run >= fail_after_shards:
+                raise RuntimeError(f"simulated failure after {n_done_this_run} shards")
+        return records
+
+    def committed_output(self) -> "ray.data.Dataset":
+        """Dataset over the COMMITTED shards only (uncommitted partials are
+        excluded, so readers never see rows from a torn shard).
+
+        Each shard dir is read on its own (hive parsing restores the
+        ``sink`` partition column) and the lazy datasets are unioned.
+        """
+        done = sorted(committed_shards(self.out_dir))
+        if not done:
+            raise FileNotFoundError("no committed shards")
+        parts = [ray.data.read_parquet(os.path.join(self.out_dir, f"shard={i:05d}"))
+                 for i in done]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.union(p)
+        return out
