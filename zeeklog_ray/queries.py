@@ -1,0 +1,391 @@
+"""Query registry: every implemented operator/pipeline as ``name →
+callable(sf_dir)``, with a matching DuckDB oracle SQL where the semantics are
+SQL-expressible (driver contract in ``__ray_entry__.py``).
+
+Two families:
+
+* ``zeek_*`` — the flagship parse→enrich→route→aggregate pipeline over the
+  deterministic tokenized corpus (generated per sf on first use, cached under
+  /tmp).  The token codec is not SQL-expressible, so these are rows-only
+  checks for the driver; their strong correctness gate is the pytest suite
+  (golden expectations computed with pandas/pyarrow on the same seed).
+* relational/analytics queries over the driver's testdata tables
+  (documents / events / lineitem / orders / …) — each with exact oracle SQL.
+  Float policy: sums are integer-exact (cents), divisions happen on exact
+  integer sums, similarity scores are floored at 1e-4 on DOUBLE math — see
+  ``relational.py``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from zeeklog_ray.aggregate import HIST_COLUMNS, HIST_EDGES, distinct_column, grouped_stats
+from zeeklog_ray.corpus import GOLDEN_IP_0702_ONLY, corpus_for_sf_dir
+from zeeklog_ray.pipeline import PipelineConfig, build_dataset
+from zeeklog_ray.relational import (
+    broadcast_merge,
+    grouped_sum,
+    hash_join,
+    read_table,
+    small_table,
+    top_k,
+)
+
+def _round_half_away(x: "pd.Series | np.ndarray") -> np.ndarray:
+    """Round half away from zero to int64 — DuckDB's ROUND semantics.
+
+    numpy/pandas ``.round()`` is half-to-even, which diverges from the
+    oracle on exact .5 products (e.g. price*(1-discount)*100); this keeps
+    cent conversions bit-identical to ``CAST(ROUND(x) AS BIGINT)``.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype("int64")
+
+
+# --------------------------------------------------------------------------
+# zeek_* — flagship pipeline queries (rows-only driver checks; pytest is the
+# strong gate).  Each takes sf_dir and maps it to a matching-scale corpus.
+# --------------------------------------------------------------------------
+
+
+def zeek_sink_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Flagship: parse → route → per-sink counts + n_tok stats + histogram."""
+    corpus = corpus_for_sf_dir(sf_dir)
+    return grouped_stats(build_dataset(PipelineConfig(corpus_dir=corpus)), key="sink")
+
+
+def zeek_enriched_sink_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Same with the enrichment actor pool in the path (exercises ST1/J1)."""
+    corpus = corpus_for_sf_dir(sf_dir)
+    ds = build_dataset(PipelineConfig(corpus_dir=corpus, enrich=True))
+    return grouped_stats(ds, key="sink")
+
+
+def zeek_distinct_orig_h(sf_dir: str) -> "ray.data.Dataset":
+    """The _create_overview summary: distinct source addresses
+    (zeek_log.rs:332-362, product semantics)."""
+    corpus = corpus_for_sf_dir(sf_dir)
+    return distinct_column(build_dataset(PipelineConfig(corpus_dir=corpus)), "id_orig_h")
+
+
+def zeek_golden_ip_filter(sf_dir: str) -> pd.DataFrame:
+    """Plan-4 ip filter on both golden dates; returns (date, n_rows) — the
+    present/absent behavior of tests/zeek_search.rs:189-216."""
+    corpus = corpus_for_sf_dir(sf_dir)
+    rows = []
+    for date in ("2024-07-02", "2024-07-03"):
+        n = build_dataset(PipelineConfig(corpus_dir=corpus, start_date=date,
+                                         src_ip=GOLDEN_IP_0702_ONLY)).count()
+        rows.append({"date": date, "n_rows": n})
+    return pd.DataFrame(rows)
+
+
+def zeek_plan_matrix(sf_dir: str) -> pd.DataFrame:
+    """Row counts for all 8 (src_ip, source, end_date) plan combinations —
+    the full matrix of ZeekSearchParams::check (zeek_search_params.rs:38-57)."""
+    corpus = corpus_for_sf_dir(sf_dir)
+    ip, src, end = "10.2.17.31", "dns", "2024-07-03"
+    rows = []
+    for plan_ip in (None, ip):
+        for plan_src in (None, src):
+            for plan_end in (None, end):
+                cfg = PipelineConfig(corpus_dir=corpus, start_date="2024-07-02",
+                                     end_date=plan_end, src_ip=plan_ip,
+                                     source=plan_src)
+                rows.append({"plan": cfg.plan(), "n_rows": build_dataset(cfg).count()})
+    return pd.DataFrame(rows).sort_values("plan").reset_index(drop=True)
+
+
+def zeek_geo_summary(sf_dir: str) -> "ray.data.Dataset":
+    """Distinct origin address + geo enrichment columns — the reference's
+    summary map with IP2Location fields (zeek_log.rs:33-38, 416-458)."""
+    corpus = corpus_for_sf_dir(sf_dir)
+    ds = build_dataset(PipelineConfig(corpus_dir=corpus, enrich=True))
+    return distinct_column(ds, "geo_country_code", by=["id_orig_h"])
+
+
+# --------------------------------------------------------------------------
+# Relational / analytics queries over the driver testdata (oracle-checked)
+# --------------------------------------------------------------------------
+
+
+def docs_by_source(sf_dir: str) -> "ray.data.Dataset":
+    """Per-source document stats — the per-route aggregate shape (A3)."""
+    ds = read_table(sf_dir, "documents", columns=["source", "n_chars"])
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    return ds.groupby("source").aggregate(
+        Count(alias_name="n"), Sum("n_chars", alias_name="sum_chars"),
+        Min("n_chars", alias_name="min_chars"), Max("n_chars", alias_name="max_chars"))
+
+
+def docs_lang_stats(sf_dir: str) -> "ray.data.Dataset":
+    ds = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
+    return grouped_sum(ds, ["lang"], sums={"n_chars": "sum_chars"}, count_as="n")
+
+
+def events_hourly(sf_dir: str) -> "ray.data.Dataset":
+    """Tumbling 1-hour window per event type (streaming-shaped workload
+    mapped to groupby — SURVEY.md §2.9: pre-materialized tumbling windows)."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["hour"] = batch["ts"].dt.strftime("%Y-%m-%d %H:00:00")
+        batch["value_cents"] = _round_half_away(batch["value"] * 100)
+        return batch[["event_type", "hour", "value_cents"]]
+
+    prepped = ds.map_batches(prep, batch_format="pandas")
+    return grouped_sum(prepped, ["event_type", "hour"],
+                       sums={"value_cents": "sum_value_cents"}, count_as="n")
+
+
+def lineitem_pricing(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q1-shaped pricing summary; integer-cent exact sums."""
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_linestatus", "l_quantity",
+                             "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch["l_shipdate"] <= pd.Timestamp("1998-09-02")]
+        out = pd.DataFrame({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "qty": _round_half_away(batch["l_quantity"]),
+            "base_cents": _round_half_away(batch["l_extendedprice"] * 100),
+            "disc_cents": _round_half_away(batch["l_extendedprice"]
+                                          * (1 - batch["l_discount"]) * 100),
+        })
+        return out
+
+    prepped = ds.map_batches(prep, batch_format="pandas")
+    return grouped_sum(prepped, ["l_returnflag", "l_linestatus"],
+                       sums={"qty": "sum_qty", "base_cents": "sum_base_cents",
+                             "disc_cents": "sum_disc_cents"}, count_as="n")
+
+
+def top_customers(sf_dir: str) -> "ray.data.Dataset":
+    """Top-10 customers by total order value (grouped sum → sort+limit)."""
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["total_cents"] = _round_half_away(batch["o_totalprice"] * 100)
+        return batch[["o_custkey", "total_cents"]]
+
+    summed = grouped_sum(ds.map_batches(prep, batch_format="pandas"),
+                         ["o_custkey"], sums={"total_cents": "total_cents"})
+    return top_k(summed, by=["total_cents", "o_custkey"],
+                 descending=[True, False], k=10)
+
+
+def customers_by_region(sf_dir: str) -> "ray.data.Dataset":
+    """customer ⨝ nation ⨝ region via BROADCAST join (dims are tiny —
+    the small-side-broadcast rule, never a shuffle join)."""
+    nation = small_table(sf_dir, "nation", columns=["n_nationkey", "n_regionkey"])
+    region = small_table(sf_dir, "region", columns=["r_regionkey", "r_name"])
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    dim = dim.rename(columns={"n_nationkey": "c_nationkey"})[["c_nationkey", "r_name"]]
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    joined = broadcast_merge(cust, dim, on="c_nationkey")
+    return grouped_sum(joined, ["r_name"], count_as="n")
+
+
+def order_priority_items(sf_dir: str) -> "ray.data.Dataset":
+    """orders ⨝ lineitem — both sides large → partitioned hash join
+    (Dataset.join), then grouped aggregate."""
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    items = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["qty"] = _round_half_away(batch["l_quantity"])
+        return batch[["l_orderkey", "qty"]]
+
+    items = items.map_batches(prep, batch_format="pandas")
+    joined = hash_join(orders, items, on="o_orderkey", right_on="l_orderkey",
+                       num_partitions=16)
+    return grouped_sum(joined, ["o_orderpriority"], sums={"qty": "sum_qty"},
+                       count_as="n_items")
+
+
+def distinct_event_types(sf_dir: str) -> "ray.data.Dataset":
+    ds = read_table(sf_dir, "events", columns=["event_type"])
+    return distinct_column(ds, "event_type")
+
+
+def exact_dedup_docs(sf_dir: str) -> "ray.data.Dataset":
+    """Exact dedup by content: hash(text) partition → first (min doc_id) per
+    group + duplicate count.  The digest (vectorized 64-bit content hash)
+    stands in for the full text in the shuffle, so only (digest, doc_id)
+    pairs move — not document bodies."""
+    from ray.data.aggregate import Count, Min
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def digest(batch: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(batch["text"], index=False)
+        return pd.DataFrame({"digest": h.astype("uint64"),
+                             "doc_id": batch["doc_id"]})
+
+    hashed = ds.map_batches(digest, batch_format="pandas")
+    out = hashed.groupby("digest").aggregate(Min("doc_id", alias_name="doc_id"),
+                                             Count(alias_name="n_dups"))
+    return out.drop_columns(["digest"])
+
+
+def doc_word_counts(sf_dir: str) -> "ray.data.Dataset":
+    """Token counting (whitespace tokens) per document — text-analysis op."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def count(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": batch["doc_id"],
+                             "n_words": batch["text"].str.count(r"\S+").astype("int64")})
+
+    return ds.map_batches(count, batch_format="pandas")
+
+
+def chars_histogram(sf_dir: str) -> "ray.data.Dataset":
+    """Fixed-bucket histogram of document lengths (same buckets as the
+    flagship n_tok histogram)."""
+    ds = read_table(sf_dir, "documents", columns=["n_chars"])
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        b = np.digitize(batch["n_chars"], HIST_EDGES[1:])
+        return pd.DataFrame({"bucket": pd.Series(b).map(dict(enumerate(HIST_COLUMNS)))})
+
+    return grouped_sum(ds.map_batches(bucketize, batch_format="pandas"),
+                       ["bucket"], count_as="n")
+
+
+_SIM_RNG_SEED = 7
+_SIM_DIM = 64
+
+
+def _query_vector() -> np.ndarray:
+    return np.round(np.random.default_rng(_SIM_RNG_SEED).normal(0, 1, _SIM_DIM), 4)
+
+
+def similarity_topk(sf_dir: str) -> "ray.data.Dataset":
+    """Brute-force cosine top-10 over the embedding column: per-batch numpy
+    matmul against the (broadcast) query vector + per-batch partial top-k,
+    then a tiny global sort.  Scores floored at 1e-4 (integer ``score_e4``)
+    in DOUBLE math so the oracle comparison is float-robust."""
+    q = _query_vector()
+    qn = q / np.linalg.norm(q)
+    k = 10
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        emb = batch["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        mat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        mat = mat.reshape(len(batch), -1)
+        norms = np.linalg.norm(mat, axis=1)
+        sims = (mat @ qn) / np.where(norms == 0, 1, norms)
+        e4 = np.floor(sims * 10_000).astype(np.int64)
+        top = np.argsort(-e4, kind="stable")[:k]  # partial top-k per batch
+        return pa.table({
+            "vec_id": pa.array(np.asarray(batch["vec_id"])[top]),
+            "score_e4": pa.array(e4[top]),
+        })
+
+    scored = ds.map_batches(score, batch_format="pyarrow", batch_size=8192)
+    return top_k(scored, by=["score_e4", "vec_id"], descending=[True, False], k=k)
+
+
+# --------------------------------------------------------------------------
+# Registry + oracle SQL
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[str], Any]] = {
+    # flagship pipeline (rows-only driver checks; pytest is the strong gate)
+    "zeek_sink_stats": zeek_sink_stats,
+    "zeek_enriched_sink_stats": zeek_enriched_sink_stats,
+    "zeek_distinct_orig_h": zeek_distinct_orig_h,
+    "zeek_golden_ip_filter": zeek_golden_ip_filter,
+    "zeek_plan_matrix": zeek_plan_matrix,
+    "zeek_geo_summary": zeek_geo_summary,
+    # oracle-checked relational/analytics operators
+    "docs_by_source": docs_by_source,
+    "docs_lang_stats": docs_lang_stats,
+    "events_hourly": events_hourly,
+    "lineitem_pricing": lineitem_pricing,
+    "top_customers": top_customers,
+    "customers_by_region": customers_by_region,
+    "order_priority_items": order_priority_items,
+    "distinct_event_types": distinct_event_types,
+    "exact_dedup_docs": exact_dedup_docs,
+    "doc_word_counts": doc_word_counts,
+    "chars_histogram": chars_histogram,
+    "similarity_topk": similarity_topk,
+}
+
+_HIST_CASE = ("CASE WHEN n_chars < 64 THEN 'hist_0_64' "
+              "WHEN n_chars < 128 THEN 'hist_64_128' "
+              "WHEN n_chars < 256 THEN 'hist_128_256' "
+              "WHEN n_chars < 512 THEN 'hist_256_512' "
+              "WHEN n_chars < 1024 THEN 'hist_512_1024' "
+              "ELSE 'hist_1024_inf' END")
+
+
+def _sim_vector_sql() -> str:
+    return "CAST([" + ", ".join(f"{v:.4f}" for v in _query_vector()) + "] AS DOUBLE[])"
+
+
+ORACLE_SQL: dict[str, str] = {
+    "docs_by_source": (
+        "SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars, "
+        "MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars "
+        "FROM documents GROUP BY source"),
+    "docs_lang_stats": (
+        "SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars "
+        "FROM documents GROUP BY lang"),
+    "events_hourly": (
+        "SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00')"
+        " AS hour, COUNT(*) AS n, "
+        "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents "
+        "FROM events GROUP BY 1, 2"),
+    "lineitem_pricing": (
+        "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
+        "CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty, "
+        "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents, "
+        "CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) "
+        "AS sum_disc_cents FROM lineitem "
+        "WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+        "GROUP BY l_returnflag, l_linestatus"),
+    "top_customers": (
+        "SELECT o_custkey, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+        "AS total_cents FROM orders GROUP BY o_custkey "
+        "ORDER BY total_cents DESC, o_custkey LIMIT 10"),
+    "customers_by_region": (
+        "SELECT r_name, COUNT(*) AS n FROM customer "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"),
+    "order_priority_items": (
+        "SELECT o_orderpriority, COUNT(*) AS n_items, "
+        "CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty "
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+        "GROUP BY o_orderpriority"),
+    "distinct_event_types": "SELECT DISTINCT event_type FROM events",
+    "exact_dedup_docs": (
+        "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups "
+        "FROM documents GROUP BY text"),
+    "doc_word_counts": (
+        "SELECT doc_id, LENGTH(LIST_FILTER(STRING_SPLIT(text, ' '), "
+        "x -> x <> '')) AS n_words FROM documents"),
+    "chars_histogram": (
+        f"SELECT {_HIST_CASE} AS bucket, COUNT(*) AS n "
+        "FROM documents GROUP BY 1"),
+    "similarity_topk": (
+        "SELECT vec_id, CAST(FLOOR(list_cosine_similarity("
+        f"CAST(embedding AS DOUBLE[]), {_sim_vector_sql()}) * 10000) AS BIGINT)"
+        " AS score_e4 FROM embeddings "
+        "ORDER BY score_e4 DESC, vec_id LIMIT 10"),
+}

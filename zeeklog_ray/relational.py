@@ -1,0 +1,119 @@
+"""Generic relational building blocks on Ray Data, scale-first.
+
+These are the engine's reusable operators beyond the Zeek pipeline itself:
+broadcast hash joins for small dimension tables (the shape of the reference's
+only join, the ip2location lookup — SURVEY.md §2.4 J1), partitioned hash
+joins for fact⨝fact, grouped integer-exact aggregation, and top-k.
+
+Float policy for oracle-checked results: money/value columns are converted to
+integer cents (``round(x * 100) → int64``) BEFORE summing, so aggregates are
+exact integers and immune to floating-point summation-order differences
+between Ray and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def read_table(sf_dir: str, name: str,
+               columns: list[str] | None = None) -> "ray.data.Dataset":
+    """Column-pruned Parquet read of one testdata table."""
+    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def small_table(sf_dir: str, name: str,
+                columns: list[str] | None = None) -> pd.DataFrame:
+    """Driver-side load of a SMALL dimension table (region/nation/…).
+
+    At cluster scale the result is ``ray.put`` once and read inside tasks;
+    never use for fact tables.
+    """
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{sf_dir}/{name}.parquet", columns=columns).to_pandas()
+
+
+def broadcast_merge(ds: "ray.data.Dataset", small: pd.DataFrame, on: str | list[str],
+                    how: str = "inner") -> "ray.data.Dataset":
+    """Broadcast hash join: ``ray.put`` the small side once, pandas-merge
+    inside each ``map_batches`` task — no shuffle of the big side.
+
+    The Ray analog of the reference's dict-lookup enrichment join
+    (zeek_log.rs:436-447) generalized to any small dimension table.
+    """
+    ref = ray.put(small)
+
+    def merge(batch: pd.DataFrame) -> pd.DataFrame:
+        sm = ray.get(ref)  # zero-copy from local object store after 1st fetch
+        return batch.merge(sm, on=on, how=how)
+
+    return ds.map_batches(merge, batch_format="pandas")
+
+
+def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
+              on: str, right_on: str | None = None,
+              num_partitions: int = 32) -> "ray.data.Dataset":
+    """Partitioned hash join for two large sides (``Dataset.join``).
+
+    Both sides shuffle on the key; ``num_partitions`` should scale with
+    cluster size (≈ 2–4 × total CPUs at scale).
+    """
+    return left.join(right, join_type="inner", num_partitions=num_partitions,
+                     on=(on,), right_on=(right_on or on,))
+
+
+def to_cents(batch: pa.Table, cols: dict[str, str]) -> pa.Table:
+    """Append integer-cent columns: for each src→dst, dst = round(src*100)."""
+    import pyarrow.compute as pc
+
+    for src, dst in cols.items():
+        cents = pc.round(pc.multiply(batch[src], pa.scalar(100.0)))
+        batch = batch.append_column(dst, pc.cast(cents, pa.int64()))
+    return batch
+
+
+def grouped_sum(ds: "ray.data.Dataset", keys: Sequence[str],
+                sums: dict[str, str] | None = None,
+                count_as: str | None = None) -> "ray.data.Dataset":
+    """Two-phase grouped sum/count: per-batch pandas partials → small
+    groupby merge (the combiner pattern — aggregate.py docstring)."""
+    from ray.data.aggregate import Sum
+
+    keys = list(keys)
+    sums = sums or {}
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(keys, sort=False, observed=True, dropna=False)
+        out = pd.DataFrame(index=g.size().index)
+        if count_as:
+            out[count_as] = g.size()
+        for src, dst in sums.items():
+            out[dst] = g[src].sum()
+        return out.reset_index()
+
+    cols = keys + [c for c in ([count_as] if count_as else [])] + list(sums)
+    partial_ds = ds.select_columns(list(dict.fromkeys(keys + list(sums)))).map_batches(
+        partial, batch_format="pandas")
+    aggs = []
+    if count_as:
+        aggs.append(Sum(count_as, alias_name=count_as))
+    aggs += [Sum(dst, alias_name=dst) for dst in sums.values()]
+    return partial_ds.groupby(keys).aggregate(*aggs)
+
+
+def top_k(ds: "ray.data.Dataset", by: list[str], descending: list[bool],
+          k: int) -> "ray.data.Dataset":
+    """Global top-k: sort (range-partitioned shuffle) + limit.
+
+    For very large inputs, pre-reduce with a per-batch partial top-k before
+    the sort when the key cardinality is high.
+    """
+    return ds.sort(by, descending=descending).limit(k)
