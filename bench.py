@@ -26,6 +26,13 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
+# --scaling uses a larger corpus (cached one-time generation) so the timed
+# region is dominated by distributed work, not per-run fixed costs (actor
+# startup, pipeline spin-up) — the sandbox stand-in for cluster-scale input.
+SCALING_ROWS = int(os.environ.get("ZEEKLOG_SCALING_ROWS", "8000000"))
+_BENCH_ROWS_ENV = "ZEEKLOG_BENCH_ROWS"          # override corpus size
+_FLAGSHIP_ONLY_ENV = "ZEEKLOG_BENCH_ONLY_FLAGSHIP"
+
 # Queries timed beyond the flagship (a representative slice of the registry).
 BENCH_QUERIES = [
     "zeek_sink_stats",
@@ -45,10 +52,13 @@ def _sf_tag(sf_dir: str) -> str:
 def run_bench() -> dict:
     import ray
 
-    from zeeklog_ray.corpus import corpus_for_sf_dir
+    from zeeklog_ray.corpus import corpus_for_sf_dir, generate_corpus
 
     # Corpus generation + page-cache warmup happen OUTSIDE the timed region.
-    corpus = corpus_for_sf_dir(SF_DIR)
+    if os.environ.get(_BENCH_ROWS_ENV):
+        corpus = generate_corpus(int(os.environ[_BENCH_ROWS_ENV]))
+    else:
+        corpus = corpus_for_sf_dir(SF_DIR)
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              logging_level="ERROR")
@@ -56,26 +66,26 @@ def run_bench() -> dict:
 
     DataContext.get_current().enable_progress_bars = False
 
-    from zeeklog_ray.aggregate import grouped_stats
-    from zeeklog_ray.pipeline import PipelineConfig, build_dataset, route_to_sinks
+    from zeeklog_ray.pipeline import PipelineConfig, build_dataset
     from zeeklog_ray import queries as Q
 
     # untimed warm read (page cache + Ray worker start)
     build_dataset(PipelineConfig(corpus_dir=corpus)).count()
 
     # ---- headline: full parse → enrich → route(write) → aggregate ----
+    # (fused file-granular flagship — see zeeklog_ray/flagship.py)
+    from zeeklog_ray.flagship import run_flagship
+
     out_dir = f"/tmp/zeeklog_bench/routed-{NUM_CPUS}"
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.monotonic()
-    ds = build_dataset(PipelineConfig(corpus_dir=corpus, enrich=True))
-    route_to_sinks(ds, out_dir)
-    stats = grouped_stats(ray.data.read_parquet(out_dir), key="sink").to_pandas()
+    stats = run_flagship(PipelineConfig(corpus_dir=corpus, enrich=True), out_dir)
     headline = time.monotonic() - t0
     n_seq = int(stats["n"].sum())
     n_tok = int(stats["sum_n_tok"].sum())
 
     timings: dict[str, float] = {"flagship_parse_enrich_route_aggregate": round(headline, 3)}
-    for name in BENCH_QUERIES:
+    for name in ([] if os.environ.get(_FLAGSHIP_ONLY_ENV) else BENCH_QUERIES):
         fn = Q.QUERIES[name]
         t0 = time.monotonic()
         res = fn(SF_DIR)
@@ -98,9 +108,10 @@ def run_bench() -> dict:
     }
 
 
-def run_scaling(lo: int = 8, hi: int = 32) -> dict:
+def run_scaling(lo: int = 2, hi: int = 8) -> dict:
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   **{_BENCH_ROWS_ENV: str(SCALING_ROWS), _FLAGSHIP_ONLY_ENV: "1"})
         out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
                              capture_output=True, text=True, check=True,
                              cwd=os.path.dirname(os.path.abspath(__file__))).stdout

@@ -113,11 +113,16 @@ def make_corpus_frame(n_rows: int, seed: int = DEFAULT_SEED) -> pd.DataFrame:
     uid_num = rng.integers(0, 2**36, n)
 
     s = pd.Series  # shorthand
+
+    def fmt(pattern: str, arr: np.ndarray) -> pd.Series:
+        # vectorized printf-style formatting (np.char.mod) → object Series
+        return s(np.char.mod(pattern, arr).astype(object))
+
     cols = {
-        "ts": s([f"{v:.6f}" for v in ts], dtype=object),
-        "uid": s([f"C{v:09x}" for v in uid_num], dtype=object),
+        "ts": fmt("%.6f", ts),
+        "uid": "C" + fmt("%09x", uid_num),
         "id_orig_h": s(orig_h),
-        "id_orig_p": s(rng.integers(1024, 65536, n).astype(str), dtype=object),
+        "id_orig_p": fmt("%d", rng.integers(1024, 65536, n)),
         "id_resp_h": s(resp_h),
         "id_resp_p": s(_choice(rng, _RESP_PORTS, n)),
     }
@@ -131,18 +136,18 @@ def make_corpus_frame(n_rows: int, seed: int = DEFAULT_SEED) -> pd.DataFrame:
     # branch-free).
     conn_tail = s(_choice(rng, _PROTOS, n)).str.cat(
         [s(_choice(rng, _SERVICES, n)),
-         s([f"{v:.4f}" for v in rng.uniform(0, 300, n)], dtype=object),
-         s(rng.integers(0, 1_000_000, n).astype(str), dtype=object)],
+         fmt("%.4f", rng.uniform(0, 300, n)),
+         fmt("%d", rng.integers(0, 1_000_000, n))],
         sep=SEPARATOR)
-    dns_tail = s([f"host{v}.example.com" for v in rng.integers(0, 500, n)], dtype=object).str.cat(
+    dns_tail = fmt("host%d.example.com", rng.integers(0, 500, n)).str.cat(
         [s(_choice(rng, _QTYPES, n)), s(_choice(rng, _RCODES, n))], sep=SEPARATOR)
     http_tail = s(_choice(rng, _METHODS, n)).str.cat(
-        [s([f"site{v}.example.com" for v in rng.integers(0, 200, n)], dtype=object),
-         s([f"/path/{v}" for v in rng.integers(0, 10_000, n)], dtype=object),
+        [fmt("site%d.example.com", rng.integers(0, 200, n)),
+         fmt("/path/%d", rng.integers(0, 10_000, n)),
          s(_choice(rng, _STATUS, n)), s(_choice(rng, _AGENTS, n))], sep=SEPARATOR)
     weird_tail = s(_choice(rng, _WEIRD_NAMES, n)).str.cat(
         [s(np.where(rng.random(n) < 0.5, "T", "F"))], sep=SEPARATOR)
-    bogus_tail = s([f"junk{v}" for v in rng.integers(0, 100, n)], dtype=object)
+    bogus_tail = fmt("junk%d", rng.integers(0, 100, n))
 
     tail = s(np.empty(n, dtype=object))
     src_s = s(source)
@@ -154,8 +159,8 @@ def make_corpus_frame(n_rows: int, seed: int = DEFAULT_SEED) -> pd.DataFrame:
     lines = common.str.cat(tail, sep=SEPARATOR)
     tokens = lines.str.encode("utf-8")
     n_tok = tokens.str.len().astype("int32")
-    doc_id = s([f"d-{d}-{sn}-{i:08d}" for i, (d, sn) in enumerate(zip(date, source))],
-               dtype=object)
+    doc_id = ("d-" + s(date) + "-" + s(source) + "-"
+              + fmt("%08d", np.arange(n, dtype=np.int64)))
 
     return pd.DataFrame({
         "doc_id": doc_id, "tokens": tokens, "n_tok": n_tok,
@@ -187,7 +192,7 @@ def frame_to_table(df: pd.DataFrame, with_date: bool = False) -> pa.Table:
 
 
 def generate_corpus(n_rows: int, seed: int = DEFAULT_SEED,
-                    rows_per_file: int = 25_000) -> str:
+                    rows_per_file: int | None = None) -> str:
     """Generate (or reuse) the hive-partitioned corpus; returns its directory.
 
     Output layout: ``<cache>/n{n_rows}-seed{seed}/date=YYYY-MM-DD/part-*.parquet``
@@ -196,7 +201,11 @@ def generate_corpus(n_rows: int, seed: int = DEFAULT_SEED,
     reuse; concurrent generators race benignly (build to a temp dir, atomic
     rename, loser discards).
     """
-    out_dir = os.path.join(_CACHE_ROOT, f"v2-n{n_rows}-seed{seed}")
+    if rows_per_file is None:
+        # ≥24 fragments for parallel reads on small corpora, ≤100k rows per
+        # fragment (the unit of file-granular dispatch + resume)
+        rows_per_file = max(25_000, min(100_000, n_rows // 24))
+    out_dir = os.path.join(_CACHE_ROOT, f"v4-n{n_rows}-seed{seed}-rpf{rows_per_file}")
     if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
         return out_dir
 
@@ -214,7 +223,7 @@ def generate_corpus(n_rows: int, seed: int = DEFAULT_SEED,
                 # explicit-path reads keep the column without hive parsing.
                 table = frame_to_table(chunk, with_date=True)
                 pq.write_table(table, os.path.join(pdir, f"part-{fi:05d}.parquet"),
-                               row_group_size=8192)
+                               row_group_size=32_768)
         with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
             f.write("ok\n")
         try:

@@ -23,7 +23,6 @@ in-process here because they are tiny (<10 KB) and the sandbox is single-node.
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 
 from zeeklog_ray.corpus import IP_POOL
@@ -82,42 +81,34 @@ class Enricher:
     """
 
     def __init__(self) -> None:
+        import pyarrow.compute as pc  # noqa: F401 — ensure kernels loaded once
+
         geo = build_geo_dict()
-        self._geo_keys = np.array(sorted(geo), dtype=object)
+        keys = sorted(geo)
+        self._geo_keys = pa.array(keys, type=pa.string())
         self._geo_vals = {
-            f: np.array([geo[k][f] for k in self._geo_keys], dtype=object)
+            f: pa.array([geo[k][f] for k in keys], type=pa.string())
             for f in GEO_FIELDS
         }
-        self._svc_keys = np.array(sorted(SERVICE_DICT), dtype=object)
-        self._svc_vals = np.array([SERVICE_DICT[k] for k in self._svc_keys], dtype=object)
-
-    @staticmethod
-    def _lookup(keys: np.ndarray, sorted_keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """Return (positions, hit_mask) of ``keys`` in ``sorted_keys``."""
-        pos = np.searchsorted(sorted_keys, keys)
-        pos_clipped = np.minimum(pos, len(sorted_keys) - 1)
-        hit = sorted_keys[pos_clipped] == keys
-        return pos_clipped, hit
+        svc_keys = sorted(SERVICE_DICT)
+        self._svc_keys = pa.array(svc_keys, type=pa.string())
+        self._svc_vals = pa.array([SERVICE_DICT[k] for k in svc_keys],
+                                  type=pa.string())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        n = len(batch)
-        if n == 0 or "id_orig_h" not in batch.column_names:
-            return batch
-        orig = batch["id_orig_h"].to_numpy(zero_copy_only=False)
-        orig_valid = np.array([v is not None for v in orig])
-        safe = np.where(orig_valid, orig, "")
-        pos, hit = self._lookup(safe, self._geo_keys)
-        hit &= orig_valid
-        for f in GEO_FIELDS:
-            vals = self._geo_vals[f][pos]
-            col = np.where(hit, vals, None)
-            batch = batch.append_column(f, pa.array(col, type=pa.string()))
+        import pyarrow.compute as pc
 
-        port = batch["id_resp_p"].to_numpy(zero_copy_only=False)
-        pvalid = np.array([v is not None for v in port])
-        psafe = np.where(pvalid, port, "")
-        ppos, phit = self._lookup(psafe, self._svc_keys)
-        phit &= pvalid
-        svc = np.where(phit, self._svc_vals[ppos], None)
-        batch = batch.append_column("service_name", pa.array(svc, type=pa.string()))
+        if len(batch) == 0 or "id_orig_h" not in batch.column_names:
+            return batch
+        # index_in → null index on miss; take propagates null → left-outer
+        # semantics entirely in Arrow kernels (no Python per-row work).
+        gidx = pc.index_in(batch["id_orig_h"], value_set=self._geo_keys)
+        if isinstance(gidx, pa.ChunkedArray):
+            gidx = gidx.combine_chunks()
+        for f in GEO_FIELDS:
+            batch = batch.append_column(f, self._geo_vals[f].take(gidx))
+        sidx = pc.index_in(batch["id_resp_p"], value_set=self._svc_keys)
+        if isinstance(sidx, pa.ChunkedArray):
+            sidx = sidx.combine_chunks()
+        batch = batch.append_column("service_name", self._svc_vals.take(sidx))
         return batch

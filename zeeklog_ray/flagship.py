@@ -1,0 +1,155 @@
+"""Fused flagship stage: parse → enrich → routed write → partial stats in
+ONE actor-pool ``map_batches`` pass.
+
+The composable path (``build_dataset`` → ``route_to_sinks`` →
+``grouped_stats``) moves the full decoded table through the object store at
+every stage boundary and runs two executions (write, then aggregate).  On a
+single node that inter-stage traffic — not CPU — caps scaling.  This fused
+stage is the classic "map task writes its partition of a partitioned table"
+design: each batch is parsed, enriched, appended to the task's per-sink
+Parquet files, and reduced to a tiny per-sink stats row; only the partial
+stats rows (a few hundred bytes per batch) leave the stage.  The final merge
+is a tiny ``groupby``.
+
+The streaming executor still pipelines read → fused stage with backpressure;
+at cluster scale the same stage shape holds (writers stream to the shared
+filesystem / object storage from every node, nothing is collected centrally).
+
+Output layout matches :func:`zeeklog_ray.pipeline.route_to_sinks`:
+``out_dir/sink=<s>/part-*.parquet`` with the same 37-column schema (tokens
+passthrough intact).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data
+from ray.data.aggregate import Max, Min, Sum
+
+from zeeklog_ray.aggregate import HIST_COLUMNS, _partial_stats, coalesce_partials
+from zeeklog_ray.enrich import Enricher
+from zeeklog_ray.parse import parse_batch
+from zeeklog_ray.pipeline import PipelineConfig, _ip_predicate, read_corpus
+
+
+class FusedRouteWriter:
+    """Actor: parse+enrich a batch, write it to per-sink Parquet, return the
+    batch's partial sink stats.  Enrichment dicts load once per actor."""
+
+    def __init__(self, out_dir: str, src_ip: str | None = None,
+                 enrich: bool = True) -> None:
+        self.out_dir = out_dir
+        self.enricher = Enricher() if enrich else None
+        self.ip_pred = _ip_predicate(src_ip) if src_ip else None
+        self.combine = _partial_stats("sink", "n_tok")
+        self.actor_id = uuid.uuid4().hex[:12]
+        self.seq = 0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = parse_batch(batch)
+        if self.ip_pred is not None:
+            t = self.ip_pred(t)
+        if self.enricher is not None:
+            t = self.enricher(t)
+        if len(t):
+            sinks = t["sink"]
+            if isinstance(sinks, pa.ChunkedArray):
+                sinks = sinks.combine_chunks()
+            for sink in pc.unique(sinks).to_pylist():
+                sub = t.filter(pc.equal(sinks, sink)).drop_columns(["sink"])
+                d = os.path.join(self.out_dir, f"sink={sink}")
+                os.makedirs(d, exist_ok=True)
+                pq.write_table(sub, os.path.join(
+                    d, f"part-{self.actor_id}-{self.seq:05d}.parquet"))
+            self.seq += 1
+        # parse_batch always appends 'sink', so this is valid for empty t too
+        return self.combine(t.select(["sink", "n_tok"]))
+
+
+class FileRouteWorker(FusedRouteWriter):
+    """Actor: consume INPUT FRAGMENT PATHS; for each file do
+    read → parse → enrich → routed write → partial stats, entirely inside
+    the actor.
+
+    Why file-granular: the tokens column decode costs about as much CPU as
+    parse+enrich+write combined, so any static split of CPUs between a read
+    stage and a process stage leaves one side starved (measured: 3 of 8
+    cores busy).  Feeding paths makes every actor do read+process
+    end-to-end — no large block ever crosses the object store, CPUs stay
+    balanced at any cluster size, and retries/lineage stay file-granular.
+    This is the map-partition pattern for partitioned-table ETL; Ray Data
+    still provides scheduling, backpressure and actor-pool state.
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # batch: path rows
+        outs = []
+        for path in batch["path"].to_pylist():
+            t = pq.read_table(path, use_threads=False)
+            outs.append(super().__call__(t))
+        return pa.concat_tables(outs)
+
+
+# Per-worker-process singleton cache for task-based dispatch: task workers
+# are PRESTARTED by ray.init, so running the file worker as a plain function
+# with module-cached state skips actor-process spawn entirely (2-5 s for a
+# 32-actor pool) while keeping the amortize-state-per-process property of an
+# actor.  The actor-pool form (FileRouteWorker as a class) remains the shape
+# to use when per-worker state is heavy (models, large dicts).
+_WORKER_CACHE: dict = {}
+
+
+def _file_route_task(batch: pa.Table, *, out_dir: str, src_ip: str | None,
+                     enrich: bool) -> pa.Table:
+    key = (out_dir, src_ip, enrich)
+    w = _WORKER_CACHE.get(key)
+    if w is None:
+        w = _WORKER_CACHE[key] = FileRouteWorker(out_dir=out_dir, src_ip=src_ip,
+                                                 enrich=enrich)
+    return w(batch)
+
+
+def run_flagship(cfg: PipelineConfig, out_dir: str,
+                 concurrency: tuple[int, int] | None = None):
+    """One-pass flagship: returns the per-sink stats DataFrame after writing
+    the routed Parquet output under ``out_dir``.
+
+    Input fragments are dispatched as paths (see :class:`FileRouteWorker`);
+    the only shuffle is the tiny partial-stats merge."""
+    import functools
+
+    import ray
+    from zeeklog_ray.pipeline import _date_dirs
+
+    files = _date_dirs(cfg)
+    # one block per fragment path → one map task per fragment (full width;
+    # without this from_items packs paths into few blocks and parallelism
+    # collapses to the block count)
+    paths = ray.data.from_items([{"path": f} for f in files],
+                                override_num_blocks=len(files))
+    kwargs = {"out_dir": out_dir, "src_ip": cfg.src_ip, "enrich": cfg.enrich}
+    if concurrency is not None:  # explicit pool → actor-pool dispatch
+        partial = paths.map_batches(
+            FileRouteWorker, batch_format="pyarrow", batch_size=1,
+            concurrency=concurrency, fn_constructor_kwargs=kwargs)
+    else:  # default: task dispatch on prestarted workers, state module-cached
+        partial = paths.map_batches(
+            functools.partial(_file_route_task, **kwargs),
+            batch_format="pyarrow", batch_size=1)
+    # Final merge on the DRIVER: the combiner emits ≤|sinks| rows per
+    # fragment, so the collected partials are tiny (|fragments| × |sinks|).
+    # Keeping the merge out of the streaming plan matters: a groupby in the
+    # same plan makes the executor reserve CPU budget for the shuffle
+    # operators and halves the map stage's parallelism (measured 3 of 8
+    # cores busy with the in-plan groupby vs 8 of 8 map-only).
+    pdf = partial.to_pandas()
+    g = pdf.groupby("sink")
+    out = g.agg(n=("n", "sum"), sum_n_tok=("sum_n_tok", "sum"),
+                min_n_tok=("min_n_tok", "min"), max_n_tok=("max_n_tok", "max"),
+                **{c: (c, "sum") for c in HIST_COLUMNS})
+    return out.reset_index()

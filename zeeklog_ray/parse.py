@@ -58,62 +58,63 @@ def tokens_to_strings(tokens: pa.ChunkedArray | pa.Array) -> pa.Array:
     )
 
 
-def _extract_for_source(sub: pa.Table, parts: pa.Array, source: str) -> pa.Table:
-    """Zip one source group's split lines with its registry field list,
-    emitting the unified extracted-column schema (missing fields → null)."""
-    n = len(sub)
-    fields = SOURCE_FIELDS.get(source)
-    out_cols: dict[str, pa.Array] = {}
-    if fields is None:  # unknown source → quarantine, nothing extracted
-        for name in EXTRACTED_COLUMNS:
-            out_cols[name] = pa.nulls(n, type=pa.string())
-        sink = UNKNOWN_SINK
-    else:
-        for i, name in enumerate(fields):
-            # Null-padded positional access: rows whose line has fewer than
-            # i+1 fields yield NULL (vs the reference's silent zip-truncate,
-            # zeek_log.rs:181-188 — see module docstring).
-            out_cols[name] = pc.list_flatten(
-                pc.list_slice(parts, i, i + 1, return_fixed_size_list=True))
-        for name in EXTRACTED_COLUMNS:
-            if name not in out_cols:
-                out_cols[name] = pa.nulls(n, type=pa.string())
-        sink = source
-    arrays = [sub[c] for c in sub.column_names]
-    names = list(sub.column_names)
-    for name in EXTRACTED_COLUMNS:
-        names.append(name)
-        arrays.append(out_cols[name])
-    names.append("sink")
-    arrays.append(pa.array([sink] * n, type=pa.string()))
-    return pa.table(dict(zip(names, arrays)))
+# field name → list of (source, position) claims, precomputed once at import.
+_FIELD_CLAIMS: dict[str, list[tuple[str, int]]] = {}
+for _src in KNOWN_SOURCES:
+    for _i, _f in enumerate(SOURCE_FIELDS[_src]):
+        _FIELD_CLAIMS.setdefault(_f, []).append((_src, _i))
+_MAX_POS = max(len(f) for f in SOURCE_FIELDS.values())
+_KNOWN_SET = pa.array(list(KNOWN_SOURCES), type=pa.string())
 
 
 def parse_batch(batch: pa.Table) -> pa.Table:
-    """map_batches body: decode + split + per-source positional extraction.
+    """map_batches body: decode + split + positional extraction, zero row
+    movement.
 
-    Input columns: at least (doc_id, tokens, n_tok, source); all input
-    columns pass through unchanged, extracted string columns and ``sink``
-    are appended.  Rows of a batch may mix sources; each source group is
-    extracted with its own field list and the groups are concatenated
-    (row order within a batch is not significant — set semantics,
-    SURVEY.md §7.3).
+    Instead of materializing per-source sub-tables (which would copy the
+    large ``tokens`` column once per source group), the split positions
+    0.._MAX_POS are extracted ONCE over the whole batch and each output
+    column is a masked select: ``field = position_j where source == s else
+    null``.  Every kernel is a full-batch Arrow op; row order is preserved;
+    all input columns (including ``tokens``) pass through untouched.
+
+    Unknown sources get all-null extracted fields and ``sink='none'``
+    (quarantine — ZeekProtocol::NONE, zeek_log_proto.rs:40-74).
     """
-    if len(batch) == 0:
-        return _extract_for_source(batch, pa.array([], type=pa.list_(pa.string())), "conn")
+    n = len(batch)
+    source = batch["source"]
+    if isinstance(source, pa.ChunkedArray):
+        source = source.combine_chunks()
+    src_lower = pc.utf8_lower(source)
+    known = pc.is_in(src_lower, value_set=_KNOWN_SET)
+    sink = pc.if_else(known, src_lower, pa.scalar(UNKNOWN_SINK, pa.string()))
+
+    if n == 0:
+        out = batch
+        for name in EXTRACTED_COLUMNS:
+            out = out.append_column(name, pa.nulls(0, type=pa.string()))
+        return out.append_column("sink", pa.array([], type=pa.string()))
+
     lines = tokens_to_strings(batch["tokens"])
     parts = pc.split_pattern(lines, SEPARATOR)
+    # Null-padded positional access for every position once per batch
+    # (rows with fewer fields yield NULL — vs the reference's silent
+    # zip-truncate, zeek_log.rs:181-188).
+    pos = [pc.list_flatten(pc.list_slice(parts, i, i + 1,
+                                         return_fixed_size_list=True))
+           for i in range(_MAX_POS)]
 
-    source = batch["source"]
-    distinct = pc.unique(source.combine_chunks()
-                         if isinstance(source, pa.ChunkedArray) else source).to_pylist()
-    pieces = []
-    for src in distinct:
-        mask = pc.equal(source, src)
-        idx = pc.indices_nonzero(mask)
-        sub = batch.take(idx)
-        sub_parts = parts.take(idx)
-        key = src.lower()
-        pieces.append(_extract_for_source(sub, sub_parts,
-                                          key if key in KNOWN_SOURCES else src))
-    return pa.concat_tables(pieces)
+    null_str = pa.scalar(None, pa.string())
+    out = batch
+    for name in EXTRACTED_COLUMNS:
+        claims = _FIELD_CLAIMS[name]
+        positions = {p for _, p in claims}
+        if len(positions) == 1 and len(claims) == len(KNOWN_SOURCES):
+            # common field (same position in every source): one masked select
+            col = pc.if_else(known, pos[claims[0][1]], null_str)
+        else:
+            col = pa.nulls(n, type=pa.string())
+            for src, p in claims:
+                col = pc.if_else(pc.equal(src_lower, src), pos[p], col)
+        out = out.append_column(name, col)
+    return out.append_column("sink", sink)

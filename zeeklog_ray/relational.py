@@ -55,7 +55,7 @@ def broadcast_merge(ds: "ray.data.Dataset", small: pd.DataFrame, on: str | list[
         sm = ray.get(ref)  # zero-copy from local object store after 1st fetch
         return batch.merge(sm, on=on, how=how)
 
-    return ds.map_batches(merge, batch_format="pandas")
+    return ds.map_batches(merge, batch_format="pandas", batch_size=None)
 
 
 def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
@@ -99,9 +99,11 @@ def grouped_sum(ds: "ray.data.Dataset", keys: Sequence[str],
             out[dst] = g[src].sum()
         return out.reset_index()
 
-    cols = keys + [c for c in ([count_as] if count_as else [])] + list(sums)
+    from zeeklog_ray.aggregate import coalesce_partials
+
     partial_ds = ds.select_columns(list(dict.fromkeys(keys + list(sums)))).map_batches(
-        partial, batch_format="pandas")
+        partial, batch_format="pandas", batch_size=None)
+    partial_ds = coalesce_partials(partial_ds)
     aggs = []
     if count_as:
         aggs.append(Sum(count_as, alias_name=count_as))
