@@ -1,0 +1,104 @@
+"""Dedup family tests: shingles, MinHash+LSH, SimHash, Jaccard verify,
+first-wins, embedding cosine pairs."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from zeeklog_ray.ops.dedup import (
+    _shingle_hashes,
+    embedding_cosine_pairs,
+    first_wins,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard,
+    simhash_signatures,
+)
+
+BASE = ("the quick brown fox jumps over the lazy dog while the "
+        "sun sets slowly behind the distant purple mountains today")
+NEAR = BASE.replace("lazy", "sleepy")          # one-word edit → near-dup
+FAR = ("completely different content about database engines and "
+       "vectorized execution with arrow columnar batches and shuffles")
+
+
+@pytest.fixture()
+def docs(ray_session):
+    df = pd.DataFrame({"doc_id": [1, 2, 3, 4],
+                       "text": [BASE, NEAR, FAR, BASE]})
+    return ray.data.from_pandas(df), df
+
+
+def test_shingle_hashes_counts():
+    texts = pd.Series([BASE, "tiny", ""])
+    h, offsets = _shingle_hashes(texts, k=5)
+    exp = [max(0, len(t.encode()) - 4) for t in texts]
+    assert np.diff(offsets).tolist() == exp
+    assert len(h) == sum(exp)
+
+
+def test_minhash_identical_docs_equal_signatures(docs):
+    ds, _ = docs
+    sig = minhash_signatures(ds, num_perm=16).to_pandas().set_index("doc_id")
+    assert sig.loc[1].equals(sig.loc[4])       # identical text
+    sim12 = (sig.loc[1] == sig.loc[2]).mean()  # near-dup: most mins agree
+    sim13 = (sig.loc[1] == sig.loc[3]).mean()  # unrelated: few agree
+    assert sim12 > 0.5 > sim13
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    ds, _ = docs
+    pairs = minhash_lsh_pairs(ds, num_perm=32, bands=16).to_pandas()
+    got = {tuple(sorted(p)) for p in zip(pairs["doc_a"], pairs["doc_b"])}
+    assert (1, 4) in got                       # exact dup always collides
+    assert (1, 2) in got or (2, 4) in got      # near-dup found
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_ngram_jaccard_verify():
+    j = ngram_jaccard(pd.Series([BASE, BASE]), pd.Series([NEAR, FAR]), k=5)
+    assert j[0] > 0.6          # near-dup verified similar
+    assert j[1] < 0.1          # unrelated verified dissimilar
+
+
+def test_simhash_hamming(docs):
+    ds, _ = docs
+    sh = simhash_signatures(ds).to_pandas().set_index("doc_id")["simhash"]
+
+    def ham(a, b):
+        return bin(np.uint64(a) ^ np.uint64(b)).count("1")
+
+    assert ham(sh.loc[1], sh.loc[4]) == 0
+    assert ham(sh.loc[1], sh.loc[2]) < ham(sh.loc[1], sh.loc[3])
+    assert ham(sh.loc[1], sh.loc[2]) <= 12
+
+
+def test_first_wins(ray_session):
+    df = pd.DataFrame({"ip": ["a", "a", "b", "b", "c"],
+                       "date": ["2024-07-03", "2024-07-02", "2024-07-02",
+                                "2024-07-04", "2024-07-04"]})
+    out = first_wins(ray.data.from_pandas(df), key="ip", order_col="date") \
+        .to_pandas().set_index("ip")["date"]
+    assert out.to_dict() == {"a": "2024-07-02", "b": "2024-07-02",
+                             "c": "2024-07-04"}
+
+
+def test_embedding_cosine_pairs(ray_session):
+    rng = np.random.default_rng(3)
+    v = rng.normal(0, 1, (6, 8))
+    v[1] = v[0] + rng.normal(0, 0.01, 8)       # planted near-dup of 0
+    df = pd.DataFrame({"vec_id": range(6),
+                       "embedding": [row.astype("float32") for row in v],
+                       "label": [0, 0, 0, 1, 1, 1]})
+    out = embedding_cosine_pairs(ray.data.from_pandas(df), threshold_e4=9500,
+                                 block_col="label").to_pandas()
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    assert (0, 1) in pairs
+    # cross-label pairs are never emitted (blocking)
+    assert all(a // 3 == b // 3 for a, b in pairs)
+    # score matches a direct numpy computation
+    row = out[(out["id_a"] == 0) & (out["id_b"] == 1)].iloc[0]
+    m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    assert row["cos_e4"] == int(np.floor((m[0] @ m[1]) * 10000))

@@ -1,0 +1,84 @@
+"""Text-analysis operator tests (quality, lang-id, tokens, fingerprints)."""
+
+import re
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from zeeklog_ray.ops.text import (
+    _BPE_RE,
+    LangId,
+    fingerprints,
+    lang_id,
+    quality_metrics,
+    token_counts,
+)
+
+
+@pytest.fixture()
+def docs_ds(ray_session):
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "the cat and the dog sat in a box",
+            "der hund und die katze ist ein tier mit fell",
+            "le chat est dans la maison pour le jour",
+            "x" * 3,  # shorter than fingerprint k
+        ],
+    })
+    return ray.data.from_pandas(df), df
+
+
+def test_quality_metrics(docs_ds):
+    ds, df = docs_ds
+    out = ds.pipe(quality_metrics) if hasattr(ds, "pipe") else quality_metrics(ds)
+    got = out.to_pandas().set_index("doc_id")
+    t = df.loc[0, "text"]
+    row = got.loc[1]
+    n_words = len([w for w in t.split(" ") if w])
+    assert row["n_chars"] == len(t)
+    assert row["n_words"] == n_words
+    nonspace = len(t.replace(" ", ""))
+    assert row["avg_word_len_e4"] == int(np.floor(nonspace * 10000 / n_words))
+    stop = sum(1 for w in t.split(" ")
+               if w in {"the", "and", "of", "a", "to", "in", "is", "it", "that", "for"})
+    assert row["stopword_ratio_e4"] == int(np.floor(stop * 10000 / n_words))
+    assert (got["punct_ratio_e4"] >= 0).all()
+
+
+def test_lang_id_heuristic(docs_ds):
+    ds, _ = docs_ds
+    got = lang_id(ds).to_pandas().set_index("doc_id")["lang_pred"]
+    assert got.loc[1] == "en"
+    assert got.loc[2] == "de"
+    assert got.loc[3] == "fr"
+    assert got.loc[4] == "unknown"
+
+
+def test_lang_id_unit_no_ray():
+    li = LangId()
+    out = li(pd.DataFrame({"doc_id": [1], "text": ["el gato es un animal de la casa"]}))
+    assert out["lang_pred"].iloc[0] == "es"
+
+
+def test_token_counts(docs_ds):
+    ds, df = docs_ds
+    got = token_counts(ds).to_pandas().set_index("doc_id")
+    for _, r in df.iterrows():
+        assert got.loc[r["doc_id"], "n_bpe_tokens"] == len(re.findall(_BPE_RE, r["text"]))
+
+
+def test_fingerprints_deterministic(docs_ds, ray_session):
+    ds, df = docs_ds
+    a = fingerprints(ds).to_pandas().set_index("doc_id")["fingerprint"]
+    b = fingerprints(ray.data.from_pandas(df)).to_pandas().set_index("doc_id")["fingerprint"]
+    assert a.to_dict() == b.to_dict()
+    # identical text → identical fingerprint; distinct texts differ
+    dup = pd.DataFrame({"doc_id": [10, 11], "text": [df.loc[0, "text"]] * 2})
+    fp = fingerprints(ray.data.from_pandas(dup)).to_pandas()["fingerprint"]
+    assert fp.iloc[0] == fp.iloc[1]
+    assert a.loc[1] != a.loc[2]
+    # shorter than k → sentinel 0
+    assert a.loc[4] == 0

@@ -25,6 +25,7 @@ from __future__ import annotations
 import os
 import uuid
 
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -148,6 +149,9 @@ def run_flagship(cfg: PipelineConfig, out_dir: str,
     # operators and halves the map stage's parallelism (measured 3 of 8
     # cores busy with the in-plan groupby vs 8 of 8 map-only).
     pdf = partial.to_pandas()
+    stat_cols = ["n", "sum_n_tok", "min_n_tok", "max_n_tok"] + HIST_COLUMNS
+    if pdf.empty:  # e.g. a filter matched nothing — keep the schema
+        return pd.DataFrame(columns=["sink"] + stat_cols)
     g = pdf.groupby("sink")
     out = g.agg(n=("n", "sum"), sum_n_tok=("sum_n_tok", "sum"),
                 min_n_tok=("min_n_tok", "min"), max_n_tok=("max_n_tok", "max"),

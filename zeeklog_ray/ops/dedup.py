@@ -1,0 +1,215 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Shared scale pattern: per-batch vectorized signature computation inside
+``map_batches`` → shuffle only SIGNATURES (never document bodies) → groupby
+on the blocking key → candidate pairs → cheap verification.  All hashing is
+seed-fixed and process-independent so signatures computed on different nodes
+agree.
+
+The generalization of the reference's only dedup — the multi-day
+first-wins merge on IP keys (``/root/reference/src/main.rs:320-330``) —
+is :func:`first_wins`; the content-based family below is what a 10^12-row
+training corpus additionally needs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+from ray.data.aggregate import Count, Min
+
+from zeeklog_ray.ops.text import rolling_kgram_hashes
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _shingle_hashes(texts: pd.Series, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """All k-byte shingle hashes per text, vectorized; returns (hashes,
+    offsets) where text i owns hashes[offsets[i]:offsets[i+1]]."""
+    enc = texts.str.encode("utf-8")
+    lengths = enc.str.len().to_numpy()
+    data = np.frombuffer(b"".join(enc.to_numpy()), dtype=np.uint8)
+    bounds = np.zeros(len(texts) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=bounds[1:])
+    win = rolling_kgram_hashes(data, k)
+    # window at global pos p belongs to doc i and is valid iff it does not
+    # cross the doc boundary; build the valid mask with two scatter-adds
+    # (no per-doc loop)
+    starts = bounds[:-1]
+    ends = np.maximum(bounds[1:] - (k - 1), starts)
+    offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+    np.cumsum(ends - starts, out=offsets[1:])
+    if not len(win):
+        return np.zeros(0, dtype=np.uint64), offsets
+    delta = np.zeros(len(win) + 1, dtype=np.int64)
+    np.add.at(delta, np.minimum(starts, len(win)), 1)
+    np.add.at(delta, np.minimum(ends, len(win)), -1)
+    mask = np.cumsum(delta[:-1]) > 0
+    return win[mask], offsets
+
+
+def _minhash_params(num_perm: int, seed: int = 12345):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, num_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def minhash_signatures(ds: "ray.data.Dataset", text_col: str = "text",
+                       num_perm: int = 64, k: int = 5) -> "ray.data.Dataset":
+    """Per-doc MinHash signature over byte k-shingles (num_perm universal
+    hashes h(x) = (a·x + b) mod p, min per permutation).  Vectorized:
+    one (windows × num_perm) matmul-style broadcast per batch."""
+    a, b = _minhash_params(num_perm)
+
+    def sig(batch: pd.DataFrame) -> pd.DataFrame:
+        hashes, offsets = _shingle_hashes(batch[text_col], k)
+        n = len(batch)
+        out = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+        if len(hashes):
+            # permute in uint64 wraparound space (cheap, uniform enough),
+            # then reduceat-min per doc per permutation
+            for j in range(num_perm):
+                hj = hashes * a[j] + b[j]
+                counts = np.diff(offsets)
+                ok = counts > 0
+                if ok.any():
+                    out[ok, j] = np.minimum.reduceat(
+                        hj, offsets[:-1][ok])
+        cols = {"doc_id": batch["doc_id"]}
+        for j in range(num_perm):
+            cols[f"mh_{j}"] = out[:, j].astype(np.int64)
+        return pd.DataFrame(cols)
+
+    return ds.map_batches(sig, batch_format="pandas", batch_size=None)
+
+
+def minhash_lsh_pairs(ds: "ray.data.Dataset", text_col: str = "text",
+                      num_perm: int = 64, bands: int = 16,
+                      k: int = 5) -> "ray.data.Dataset":
+    """MinHash+LSH near-dup candidate pairs: signature → band hashes →
+    ``groupby(band, band_hash)`` (the only shuffle, signatures only) →
+    pairs within buckets.
+
+    Returns (doc_a, doc_b) candidate pairs (doc_a < doc_b, distinct).
+    Verify with :func:`ngram_jaccard_verify` on the candidates.
+    """
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(ds, text_col, num_perm, k)
+
+    def band_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        mh = batch[[f"mh_{j}" for j in range(num_perm)]].to_numpy(np.uint64)
+        outs = []
+        for bi in range(bands):
+            seg = mh[:, bi * rows_per_band:(bi + 1) * rows_per_band]
+            # mix the band's rows into one bucket hash
+            h = np.zeros(len(batch), dtype=np.uint64)
+            for c in range(rows_per_band):
+                h = h * np.uint64(1_000_003) + seg[:, c]
+            outs.append(pd.DataFrame({"band": bi, "bucket": h.astype(np.int64),
+                                      "doc_id": batch["doc_id"]}))
+        return pd.concat(outs, ignore_index=True)
+
+    banded = sigs.map_batches(band_rows, batch_format="pandas", batch_size=None)
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(group["doc_id"].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+
+    cand = banded.groupby(["band", "bucket"]).map_groups(
+        pairs, batch_format="pandas")
+    # distinct pairs (a doc pair can collide in several bands)
+    out = cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="_n"))
+    return out.drop_columns(["_n"])
+
+
+def ngram_jaccard(texts_a: pd.Series, texts_b: pd.Series, k: int = 5) -> np.ndarray:
+    """Exact byte-k-gram Jaccard similarity for aligned pairs (verification
+    step for LSH candidates)."""
+    out = np.zeros(len(texts_a))
+    for i, (x, y) in enumerate(zip(texts_a, texts_b)):
+        xb, yb = x.encode(), y.encode()
+        sx = {xb[j:j + k] for j in range(max(0, len(xb) - k + 1))}
+        sy = {yb[j:j + k] for j in range(max(0, len(yb) - k + 1))}
+        u = len(sx | sy)
+        out[i] = len(sx & sy) / u if u else 0.0
+    return out
+
+
+def simhash_signatures(ds: "ray.data.Dataset", text_col: str = "text",
+                       k: int = 5) -> "ray.data.Dataset":
+    """64-bit SimHash per document over byte k-shingles: each shingle hash
+    votes ±1 on each bit; sign of the vote sum is the bit.  Vectorized via
+    per-bit popcount-style accumulation with ``np.add.reduceat``."""
+
+    def sig(batch: pd.DataFrame) -> pd.DataFrame:
+        hashes, offsets = _shingle_hashes(batch[text_col], k)
+        n = len(batch)
+        out = np.zeros(n, dtype=np.uint64)
+        if len(hashes):
+            counts = np.diff(offsets)
+            ok = counts > 0
+            for bit in range(64):
+                votes = ((hashes >> np.uint64(bit)) & np.uint64(1)).astype(np.int64)
+                votes = 2 * votes - 1
+                sums = np.zeros(n, dtype=np.int64)
+                sums[ok] = np.add.reduceat(votes, offsets[:-1][ok])
+                out |= (sums > 0).astype(np.uint64) << np.uint64(bit)
+        return pd.DataFrame({"doc_id": batch["doc_id"],
+                             "simhash": out.astype(np.int64)})
+
+    return ds.map_batches(sig, batch_format="pandas", batch_size=None)
+
+
+def first_wins(ds: "ray.data.Dataset", key: str, order_col: str) -> "ray.data.Dataset":
+    """Exact first-wins dedup on ``key``: keep the row with the smallest
+    ``order_col`` per key — the reference's multi-day merge semantics
+    (main.rs:320-330: insert only if key absent, days scanned in order)
+    expressed as a hash-partitioned groupby."""
+    def first(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(order_col).head(1)
+
+    return ds.groupby(key).map_groups(first, batch_format="pandas")
+
+
+def embedding_cosine_pairs(ds: "ray.data.Dataset", threshold_e4: int,
+                           block_col: str | None = None,
+                           vec_col: str = "embedding",
+                           id_col: str = "vec_id") -> "ray.data.Dataset":
+    """Embedding near-duplicate pairs: cosine ≥ threshold (1e-4 fixed point).
+
+    Blocked all-pairs: rows are grouped by ``block_col`` (a clustering /
+    LSH bucket column; REQUIRED at scale — the unblocked variant is O(n²)
+    and only acceptable for small n) and each block computes a normalized
+    matmul.  Scores floored at 1e-4 in float64 for oracle robustness.
+    """
+
+    def block_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = group[id_col].to_numpy()
+        mat = np.stack(group[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / np.where(norms == 0, 1, norms)
+        sims = mat @ mat.T
+        e4 = np.floor(sims * 10_000).astype(np.int64)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = e4[ia, ib] >= threshold_e4
+        a, b = ids[ia[keep]], ids[ib[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"id_a": lo, "id_b": hi,
+                             "cos_e4": e4[ia, ib][keep]})
+
+    if block_col is None:
+        def tag(batch: pd.DataFrame) -> pd.DataFrame:
+            batch["_block"] = 0
+            return batch
+
+        ds = ds.map_batches(tag, batch_format="pandas", batch_size=None)
+        block_col = "_block"
+    out = ds.groupby(block_col).map_groups(block_pairs, batch_format="pandas")
+    return out

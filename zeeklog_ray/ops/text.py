@@ -1,0 +1,178 @@
+"""Text-analysis operators over a document table (vectorized map_batches).
+
+Operators a large-scale training-data pipeline needs on every document:
+language ID (character n-gram heuristic), quality scoring (length /
+punctuation / stopword ratios), token counting (whitespace + BPE-ish regex),
+and document fingerprinting (rolling hash).  All per-row work is pandas/numpy
+vectorized; stateful pieces (compiled regexes, n-gram profiles) live in
+callable classes so Ray runs them as actor pools with one-time setup.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+STOPWORDS = {
+    "en": {"the", "and", "of", "a", "to", "in", "is", "it", "that", "for"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "von"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "de", "pour", "dans"},
+    "es": {"el", "la", "los", "y", "es", "un", "una", "de", "por", "para"},
+}
+
+# Integer 1e-4 fixed-point ratios (floor) keep outputs float-free so oracle
+# comparisons are exact (same policy as relational.py).
+_E4 = 10_000
+
+
+def _floor_e4(num: pd.Series, den: pd.Series) -> pd.Series:
+    den = den.replace(0, 1)
+    return np.floor(num * _E4 / den).astype("int64")
+
+
+def quality_metrics(ds: "ray.data.Dataset", text_col: str = "text",
+                    id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Per-document quality features: word count, average word length,
+    punctuation ratio, English-stopword ratio (all int64 / 1e-4 fixed point).
+
+    Every feature is expressible in SQL (string_split + list_filter), so the
+    whole operator is oracle-checked.
+    """
+    en_stop = sorted(STOPWORDS["en"])
+
+    def feats(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch[text_col]
+        n_chars = text.str.len().astype("int64")
+        n_words = text.str.count(r"\S+").astype("int64")
+        n_nonspace = (n_chars - text.str.count(" ")).astype("int64")
+        n_punct = text.str.count(r"[^\w\s]").astype("int64")
+        words = text.str.split(" ")
+        n_stop = words.map(lambda ws: sum(1 for w in ws if w in en_stop)
+                           if isinstance(ws, list) else 0).astype("int64")
+        return pd.DataFrame({
+            id_col: batch[id_col],
+            "n_chars": n_chars,
+            "n_words": n_words,
+            "avg_word_len_e4": _floor_e4(n_nonspace, n_words),
+            "punct_ratio_e4": _floor_e4(n_punct, n_chars),
+            "stopword_ratio_e4": _floor_e4(n_stop, n_words),
+        })
+
+    return ds.map_batches(feats, batch_format="pandas", batch_size=None)
+
+
+class LangId:
+    """Language-ID heuristic: score each language by stopword hit-rate over
+    the document's words; emit the argmax (ties → alphabetical first).
+
+    Callable class → actor pool; the per-language word sets are built once
+    per actor (the reference's ST3 compiled-table pattern,
+    /root/reference/src/zeek/zeek_log.rs:82-95 — state built once, applied
+    per record).
+    """
+
+    def __init__(self) -> None:
+        self.langs = sorted(STOPWORDS)
+        self.sets = {k: frozenset(v) for k, v in STOPWORDS.items()}
+        self.word_re = re.compile(r"[a-zA-Zäöüßéèàùâêîôûñ]+")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"].str.lower().str.findall(self.word_re)
+
+        def best(words: list[str]) -> str:
+            if not words:
+                return "unknown"
+            scores = {k: sum(1 for w in words if w in s)
+                      for k, s in self.sets.items()}
+            top = max(scores.values())
+            if top == 0:
+                return "unknown"
+            return min(k for k, v in scores.items() if v == top)
+
+        out = batch[["doc_id"]].copy()
+        out["lang_pred"] = texts.map(best)
+        return out
+
+
+def lang_id(ds: "ray.data.Dataset", concurrency=(1, 4)) -> "ray.data.Dataset":
+    return ds.map_batches(LangId, batch_format="pandas", batch_size=None,
+                          concurrency=concurrency)
+
+
+_BPE_RE = r"[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]"
+
+
+def token_counts(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """BPE-ish token counting: words, digit runs (≤3), punctuation marks —
+    the pre-tokenizer split of GPT-style BPE (regexp count, vectorized)."""
+
+    def count(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "n_bpe_tokens": batch["text"].str.count(_BPE_RE).astype("int64"),
+        })
+
+    return ds.map_batches(count, batch_format="pandas", batch_size=None)
+
+
+_FP_BASE = 1_000_003
+_FP_MOD = (1 << 61) - 1
+
+
+def rolling_kgram_hashes(data: np.ndarray, k: int = 8) -> np.ndarray:
+    """Vectorized polynomial rolling hash of every k-byte window of ``data``
+    (uint8) — k shift-and-add passes over the whole array, no per-row loop.
+    Arithmetic in uint64 (mod 2^64), deterministic everywhere."""
+    v = data.astype(np.uint64)
+    n = len(v) - k + 1
+    if n <= 0:
+        return np.zeros(0, dtype=np.uint64)
+    h = np.zeros(n, dtype=np.uint64)
+    base = np.uint64(_FP_BASE)
+    for j in range(k):
+        h = h * base + v[j:j + n]
+    return h
+
+
+def fingerprints(ds: "ray.data.Dataset", text_col: str = "text",
+                 k: int = 8) -> "ray.data.Dataset":
+    """Rolling-hash document fingerprint: min k-gram hash per document
+    (winnowing-style), int64.
+
+    Deterministic across processes (fixed base, uint64 arithmetic, no
+    PYTHONHASHSEED dependence) so fingerprints computed on different nodes
+    agree — the property distributed dedup relies on.  Fully vectorized:
+    one concatenated byte array per batch, k shift-and-add passes, then a
+    per-document min over window slices via ``np.minimum.reduceat``.
+    """
+
+    def fp(batch: pd.DataFrame) -> pd.DataFrame:
+        enc = batch[text_col].str.encode("utf-8")
+        lengths = enc.str.len().to_numpy()
+        data = np.frombuffer(b"".join(enc.to_numpy()), dtype=np.uint8)
+        offsets = np.zeros(len(batch) + 1, dtype=np.int64)
+        np.cumsum(lengths, out=offsets[1:])
+        win = rolling_kgram_hashes(data, k)
+        out = np.zeros(len(batch), dtype=np.uint64)
+        # valid windows for doc i: [offsets[i], offsets[i+1]-k]; docs
+        # shorter than k get fingerprint 0
+        starts = offsets[:-1]
+        ends = offsets[1:] - (k - 1)
+        ok = ends > starts
+        if ok.any() and len(win):
+            # reduceat over [start_i, start_{i+1}) would include cross-doc
+            # windows; mask those to MAX so the per-doc min ignores them
+            valid = np.zeros(len(win) + 1, dtype=np.int64)
+            np.add.at(valid, np.minimum(starts[ok], len(win)), 1)
+            np.add.at(valid, np.minimum(ends[ok], len(win)), -1)
+            mask = np.cumsum(valid[:-1]) > 0
+            win_masked = np.where(mask, win, np.uint64(0xFFFFFFFFFFFFFFFF))
+            out[ok] = np.minimum.reduceat(win_masked, starts[ok])
+        return pd.DataFrame({"doc_id": batch["doc_id"],
+                             "fingerprint": out.astype(np.int64)})
+
+    return ds.map_batches(fp, batch_format="pandas", batch_size=None)

@@ -301,6 +301,134 @@ def similarity_topk(sf_dir: str) -> "ray.data.Dataset":
 
 
 # --------------------------------------------------------------------------
+# Extended ops: dedup / similarity / text analysis / sessionization
+# --------------------------------------------------------------------------
+
+
+def doc_quality(sf_dir: str) -> "ray.data.Dataset":
+    """Quality scoring per document (ops/text.py) — int fixed-point ratios."""
+    from zeeklog_ray.ops.text import quality_metrics
+
+    return quality_metrics(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def doc_token_bpe(sf_dir: str) -> "ray.data.Dataset":
+    """BPE-ish token counting (ops/text.py)."""
+    from zeeklog_ray.ops.text import token_counts
+
+    return token_counts(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def doc_lang_id(sf_dir: str) -> "ray.data.Dataset":
+    """Language-ID heuristic (actor pool); accuracy asserted in pytest."""
+    from zeeklog_ray.ops.text import lang_id
+
+    return lang_id(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def doc_fingerprints(sf_dir: str) -> "ray.data.Dataset":
+    """Rolling-hash document fingerprints (ops/text.py)."""
+    from zeeklog_ray.ops.text import fingerprints
+
+    return fingerprints(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def minhash_dedup_pairs(sf_dir: str) -> "ray.data.Dataset":
+    """MinHash+LSH near-duplicate candidate pairs (ops/dedup.py)."""
+    from zeeklog_ray.ops.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(read_table(sf_dir, "documents",
+                                        columns=["doc_id", "text"]))
+
+
+def doc_simhash(sf_dir: str) -> "ray.data.Dataset":
+    """64-bit SimHash signatures (ops/dedup.py)."""
+    from zeeklog_ray.ops.dedup import simhash_signatures
+
+    return simhash_signatures(read_table(sf_dir, "documents",
+                                         columns=["doc_id", "text"]))
+
+
+_NEAR_DUP_THRESHOLD_E4 = 3500
+
+
+def embedding_near_dups(sf_dir: str) -> "ray.data.Dataset":
+    """Embedding-cosine near-dup pairs within label blocks (ops/dedup.py)."""
+    from zeeklog_ray.ops.dedup import embedding_cosine_pairs
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    return embedding_cosine_pairs(ds, _NEAR_DUP_THRESHOLD_E4, block_col="label")
+
+
+def event_sessions(sf_dir: str) -> "ray.data.Dataset":
+    """Gap sessionization (30 min) per user (ops/sessionize.py)."""
+    from zeeklog_ray.ops.sessionize import session_counts
+
+    return session_counts(read_table(sf_dir, "events", columns=["user_id", "ts"]))
+
+
+def purchase_prior_view(sf_dir: str) -> pd.DataFrame:
+    """As-of join: for each purchase event, the value (cents) of the same
+    user's latest prior view event (ops/sessionize.py)."""
+    from zeeklog_ray.ops.sessionize import asof_join
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "event_type", "ts", "value"])
+
+    def prep(kind):
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch[batch["event_type"] == kind].copy()
+            batch["value_cents"] = _round_half_away(batch["value"] * 100)
+            cols = ["event_id", "user_id", "ts"] if kind == "purchase" else \
+                ["user_id", "ts", "value_cents"]
+            return batch[cols]
+
+        return f
+
+    left = ev.map_batches(prep("purchase"), batch_format="pandas", batch_size=None)
+    right = ev.map_batches(prep("view"), batch_format="pandas", batch_size=None)
+    joined = asof_join(left, right, key="user_id", ts="ts",
+                       right_cols=["value_cents"]).to_pandas()
+    out = joined.dropna(subset=["value_cents"])  # inner as-of semantics
+    return pd.DataFrame({"event_id": out["event_id"].astype("int64"),
+                         "user_id": out["user_id"].astype("int64"),
+                         "prior_view_cents": out["value_cents"].astype("int64")})
+
+
+def ann_lsh_topk(sf_dir: str) -> pd.DataFrame:
+    """LSH-bucketed approximate nearest neighbors (ops/similarity.py);
+    recall vs brute force asserted in pytest."""
+    from zeeklog_ray.ops.similarity import lsh_bucketed_topk
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return lsh_bucketed_topk(ds, _query_vector(), k=10)
+
+
+def media_features(sf_dir: str) -> "ray.data.Dataset":
+    """Multimodal plumbing: deterministic fake media corpus → actor-pool
+    feature extraction (ops/multimodal.py; decode stubbed, Ray side real)."""
+    import ray.data as rd
+
+    from zeeklog_ray.ops.multimodal import extract_features, synth_media_table
+
+    n = 500 if "0.001" in sf_dir else 2000
+    ds = rd.from_arrow(synth_media_table(n))
+    return extract_features(ds).drop_columns(["features"])
+
+
+def zeek_multiday_first_wins(sf_dir: str) -> "ray.data.Dataset":
+    """Reference E2 semantics (main.rs:301-334): per-day summaries unioned
+    over the date range, first-wins dedup per source address (ops/dedup.py
+    first_wins on the earliest date)."""
+    from zeeklog_ray.ops.dedup import first_wins
+
+    corpus = corpus_for_sf_dir(sf_dir)
+    per_day = distinct_column(
+        build_dataset(PipelineConfig(corpus_dir=corpus)), "id_orig_h", by=["date"])
+    return first_wins(per_day, key="id_orig_h", order_col="date")
+
+
+# --------------------------------------------------------------------------
 # Registry + oracle SQL
 # --------------------------------------------------------------------------
 
@@ -325,6 +453,19 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_word_counts": doc_word_counts,
     "chars_histogram": chars_histogram,
     "similarity_topk": similarity_topk,
+    # extended ops (dedup / similarity / text / temporal / multimodal)
+    "doc_quality": doc_quality,
+    "doc_token_bpe": doc_token_bpe,
+    "doc_lang_id": doc_lang_id,
+    "doc_fingerprints": doc_fingerprints,
+    "minhash_dedup_pairs": minhash_dedup_pairs,
+    "doc_simhash": doc_simhash,
+    "embedding_near_dups": embedding_near_dups,
+    "event_sessions": event_sessions,
+    "purchase_prior_view": purchase_prior_view,
+    "ann_lsh_topk": ann_lsh_topk,
+    "media_features": media_features,
+    "zeek_multiday_first_wins": zeek_multiday_first_wins,
 }
 
 _HIST_CASE = ("CASE WHEN n_chars < 64 THEN 'hist_0_64' "
@@ -388,4 +529,41 @@ ORACLE_SQL: dict[str, str] = {
         f"CAST(embedding AS DOUBLE[]), {_sim_vector_sql()}) * 10000) AS BIGINT)"
         " AS score_e4 FROM embeddings "
         "ORDER BY score_e4 DESC, vec_id LIMIT 10"),
+    "doc_quality": (
+        "SELECT doc_id, n_chars, n_words, "
+        "CAST(FLOOR(n_nonspace * 10000.0 / CASE WHEN n_words = 0 THEN 1 ELSE n_words END) AS BIGINT) AS avg_word_len_e4, "
+        "CAST(FLOOR(n_punct * 10000.0 / CASE WHEN n_chars = 0 THEN 1 ELSE n_chars END) AS BIGINT) AS punct_ratio_e4, "
+        "CAST(FLOOR(n_stop * 10000.0 / CASE WHEN n_words = 0 THEN 1 ELSE n_words END) AS BIGINT) AS stopword_ratio_e4 "
+        "FROM (SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars, "
+        "CAST(LENGTH(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')) AS BIGINT) AS n_words, "
+        "CAST(LENGTH(REPLACE(text, ' ', '')) AS BIGINT) AS n_nonspace, "
+        "CAST(LENGTH(REGEXP_REPLACE(text, '[\\w\\s]', '', 'g')) AS BIGINT) AS n_punct, "
+        "CAST(LENGTH(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x IN "
+        "('a','and','for','in','is','it','of','that','the','to'))) AS BIGINT) AS n_stop "
+        "FROM documents)"),
+    "doc_token_bpe": (
+        "SELECT doc_id, CAST(LENGTH(REGEXP_EXTRACT_ALL(text, "
+        "'[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens "
+        "FROM documents"),
+    "embedding_near_dups": (
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        "CAST(FLOOR(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[])) * 10000) AS BIGINT) AS cos_e4 "
+        "FROM embeddings a JOIN embeddings b "
+        "ON a.label = b.label AND a.vec_id < b.vec_id "
+        "WHERE CAST(FLOOR(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[])) * 10000) AS BIGINT) >= 3500"),
+    "event_sessions": (
+        "SELECT user_id, CAST(1 + SUM(CASE WHEN prev_ts IS NOT NULL AND "
+        "ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_sessions, CAST(COUNT(*) AS BIGINT) AS n_events "
+        "FROM (SELECT user_id, ts, LAG(ts) OVER "
+        "(PARTITION BY user_id ORDER BY ts) AS prev_ts FROM events) "
+        "GROUP BY user_id"),
+    "purchase_prior_view": (
+        "SELECT l.event_id, l.user_id, "
+        "CAST(ROUND(r.value * 100) AS BIGINT) AS prior_view_cents "
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') l "
+        "ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') r "
+        "ON l.user_id = r.user_id AND l.ts >= r.ts"),
 }
