@@ -1,0 +1,86 @@
+"""Faithful-mode helpers + CLI end-to-end."""
+
+import json
+import subprocess
+import sys
+
+import pandas as pd
+import pytest
+
+from zeeklog_ray.compat import (
+    date_range,
+    expand_path,
+    faithful_cell_scan,
+    parse_date,
+    parse_ip,
+    prune_empty,
+)
+from zeeklog_ray.corpus import GOLDEN_IP_0702_ONLY
+from zeeklog_ray.pipeline import PipelineConfig, build_dataset
+
+
+def test_faithful_cell_scan_golden_parity(corpus_dir):
+    """Mirror of tests/zeek_search.rs:189-216 at the cell level: the golden
+    IP yields non-empty per-field match counts on 2024-07-02 and an empty
+    structure on 2024-07-03."""
+    present = faithful_cell_scan(
+        build_dataset(PipelineConfig(corpus_dir=corpus_dir,
+                                     start_date="2024-07-02")),
+        GOLDEN_IP_0702_ONLY)
+    absent = faithful_cell_scan(
+        build_dataset(PipelineConfig(corpus_dir=corpus_dir,
+                                     start_date="2024-07-03")),
+        GOLDEN_IP_0702_ONLY)
+    assert len(present) > 0 and len(absent) == 0
+    # cells live only in address fields
+    assert set(present["field"]) <= {"id_orig_h", "id_resp_h"}
+
+
+def test_prune_empty():
+    df = pd.DataFrame({"a": [1, None], "b": [None, None], "c": ["x", None]})
+    out = prune_empty(df)
+    assert list(out.columns) == ["a", "c"]
+    assert len(out) == 1
+
+
+def test_path_and_input_parsers():
+    import os
+
+    assert expand_path("~/x").startswith(os.environ.get("HOME", "/"))
+    assert parse_ip("10.0.0.1") == "10.0.0.1"
+    with pytest.raises(ValueError):
+        parse_ip("999.1.2.3")
+    assert parse_date("2024-07-02").day == 2
+    with pytest.raises(ValueError):
+        parse_date("07/02/2024")
+    assert date_range("2024-07-02", "2024-07-04") == [
+        "2024-07-02", "2024-07-03", "2024-07-04"]
+    with pytest.raises(ValueError):
+        date_range("2024-07-04", "2024-07-02")
+
+
+def test_cli_end_to_end(corpus_dir, tmp_path):
+    """Run the CLI as a subprocess (its own Ray session) — the ray-job
+    surface."""
+    out = tmp_path / "routed"
+    ipdb = tmp_path / "ip.db"
+    res = subprocess.run(
+        [sys.executable, "-m", "zeeklog_ray.cli", "--corpus", corpus_dir,
+         "--out", str(out), "--enrich", "--num-cpus", "4",
+         "--ip-db", str(ipdb)],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300)
+    assert res.returncode == 0, res.stderr[-2000:]
+    report = json.loads(res.stdout.strip().splitlines()[-1])
+    assert report["mode"] == "flagship"
+    assert report["rows_per_sink"]["conn"] > 0
+    assert report["ip_db"]["n_ips"] == 32
+    assert len(ipdb.read_text().strip().splitlines()) == 32
+    assert (out / "sink=conn").exists()
+
+
+def test_cli_invalid_ip(tmp_path, corpus_dir):
+    res = subprocess.run(
+        [sys.executable, "-m", "zeeklog_ray.cli", "--corpus", corpus_dir,
+         "--out", str(tmp_path / "o"), "--src-ip", "not-an-ip"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120)
+    assert res.returncode != 0

@@ -122,12 +122,19 @@ def run_flagship(cfg: PipelineConfig, out_dir: str,
 
     Input fragments are dispatched as paths (see :class:`FileRouteWorker`);
     the only shuffle is the tiny partial-stats merge."""
+    from zeeklog_ray.pipeline import _date_dirs
+
+    return run_files(cfg, _date_dirs(cfg), out_dir, concurrency)
+
+
+def run_files(cfg: PipelineConfig, files: list[str], out_dir: str,
+              concurrency: tuple[int, int] | None = None):
+    """Fused flagship over an explicit fragment list (the unit the lineage
+    shards use)."""
     import functools
 
     import ray
-    from zeeklog_ray.pipeline import _date_dirs
 
-    files = _date_dirs(cfg)
     # one block per fragment path → one map task per fragment (full width;
     # without this from_items packs paths into few blocks and parallelism
     # collapses to the block count)

@@ -36,10 +36,7 @@ from dataclasses import dataclass
 
 import ray.data
 
-from zeeklog_ray.aggregate import grouped_stats
-from zeeklog_ray.parse import parse_batch
-from zeeklog_ray.pipeline import PipelineConfig, _ip_predicate
-from zeeklog_ray.enrich import Enricher
+from zeeklog_ray.pipeline import PipelineConfig
 
 
 def list_fragments(corpus_dir: str) -> list[str]:
@@ -97,23 +94,23 @@ class ResumableRun:
         return make_shards(list_fragments(self.cfg.corpus_dir), self.files_per_shard)
 
     def _run_shard(self, shard_id: int, files: list[str]) -> dict:
+        """Process one shard with the fused file-granular flagship stage
+        (read+parse+[filter]+[enrich]+routed write inside each map task —
+        zeeklog_ray/flagship.py); the per-sink stats come back as the map
+        output, so lineage metrics cost nothing extra."""
+        import shutil
+
+        from zeeklog_ray.flagship import run_files
+        from zeeklog_ray.pipeline import PipelineConfig
+
         t0 = time.monotonic()
-        ds = ray.data.read_parquet(files)
-        ds = ds.map_batches(parse_batch, batch_format="pyarrow",
-                            batch_size=self.cfg.parse_batch_size, zero_copy_batch=True)
-        if self.cfg.src_ip:
-            ds = ds.map_batches(_ip_predicate(self.cfg.src_ip),
-                                batch_format="pyarrow", zero_copy_batch=True)
-        if self.cfg.enrich:
-            ds = ds.map_batches(Enricher, batch_format="pyarrow",
-                                batch_size=self.cfg.parse_batch_size,
-                                concurrency=self.cfg.enrich_concurrency)
         shard_out = os.path.join(self.out_dir, f"shard={shard_id:05d}")
-        ds.write_parquet(shard_out, partition_cols=["sink"])
-        # Lineage metrics from the written output (cheap metadata scan).
-        stats = grouped_stats(
-            ray.data.read_parquet(shard_out),
-            key="sink").to_pandas()
+        # an uncommitted partial from a previous crashed run is overwritten
+        shutil.rmtree(shard_out, ignore_errors=True)
+        shard_cfg = PipelineConfig(
+            corpus_dir=self.cfg.corpus_dir, src_ip=self.cfg.src_ip,
+            enrich=self.cfg.enrich)
+        stats = run_files(shard_cfg, files, shard_out)
         out_bytes = sum(os.path.getsize(p) for p in
                         glob.glob(os.path.join(shard_out, "**", "*.parquet"),
                                   recursive=True))
