@@ -103,6 +103,9 @@ def _date_dirs(cfg: PipelineConfig) -> list[str]:
     def files(d: str) -> list[str]:
         return sorted(glob.glob(os.path.join(d, "*.parquet")))
 
+    if not os.path.isdir(cfg.corpus_dir):
+        # reference: missing base/date dir → SearchInvalidStartDate
+        raise SearchInvalidStartDate(f"corpus dir not found: {cfg.corpus_dir!r}")
     all_dirs = sorted(glob.glob(os.path.join(cfg.corpus_dir, "date=*")))
     if not all_dirs:  # unpartitioned corpus — read as-is
         return [cfg.corpus_dir]
