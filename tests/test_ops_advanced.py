@@ -1,0 +1,91 @@
+"""Connected components, HLL sketch, salted groupby, streaming windows,
+IVF ANN."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from zeeklog_ray.aggregate import salted_groupby_sum
+from zeeklog_ray.ops.graph import connected_components, dedup_keep_canonical
+from zeeklog_ray.ops.sketch import approx_distinct
+from zeeklog_ray.ops.streaming import sliding_window_counts
+
+
+@pytest.mark.parametrize("threshold", [100_000, 0])
+def test_connected_components(ray_session, threshold):
+    """threshold=100k → driver union-find path; 0 → distributed min-label
+    propagation path.  Same answer from both."""
+    # components: {1,2,3,9} via chain, {5,6}, {7,8}
+    pairs = pd.DataFrame({"doc_a": [1, 2, 3, 5, 7],
+                          "doc_b": [2, 3, 9, 6, 8]})
+    out = connected_components(ray.data.from_pandas(pairs),
+                               small_edge_threshold=threshold).to_pandas() \
+        .set_index("node")["component"]
+    assert out.loc[[1, 2, 3, 9]].tolist() == [1, 1, 1, 1]
+    assert out.loc[[5, 6]].tolist() == [5, 5]
+    assert out.loc[[7, 8]].tolist() == [7, 7]
+
+
+def test_dedup_keep_canonical(ray_session):
+    pairs = pd.DataFrame({"doc_a": [10, 11], "doc_b": [11, 12]})
+    drop = dedup_keep_canonical(ray.data.from_pandas(pairs))
+    assert set(drop["node"]) == {11, 12}
+    assert set(drop["component"]) == {10}
+
+
+def test_hll_approx_distinct(ray_session):
+    n, dups = 20_000, 3
+    df = pd.DataFrame({"k": [f"user-{i % (n // dups)}" for i in range(n)]})
+    ds = ray.data.from_pandas(df).repartition(8)
+    est = approx_distinct(ds, "k")
+    exact = n // dups
+    assert abs(est - exact) / exact < 0.05    # HLL p=12 → ~1.6% typical
+
+
+def test_hll_small_range(ray_session):
+    ds = ray.data.from_pandas(pd.DataFrame({"k": list("abcde") * 10}))
+    assert approx_distinct(ds, "k") == 5      # linear-counting regime exact
+
+
+def test_salted_groupby_sum(ray_session):
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame({"key": rng.choice(["hot", "cold"], 5000, p=[0.95, 0.05]),
+                       "v": rng.integers(0, 100, 5000)})
+    got = salted_groupby_sum(ray.data.from_pandas(df).repartition(4),
+                             "key", "v").to_pandas().set_index("key")["sum_v"]
+    exp = df.groupby("key")["v"].sum()
+    assert got.to_dict() == exp.to_dict()
+
+
+def test_sliding_window_counts(ray_session):
+    ts = pd.to_datetime(["2024-01-01 10:00", "2024-01-01 10:20",
+                         "2024-01-01 10:50", "2024-01-01 12:00",
+                         "2024-01-01 10:10"])
+    df = pd.DataFrame({"user_id": ["a", "a", "a", "a", "b"],
+                       "ts": ts, "value": [1.0, 2.0, 3.0, 4.0, 9.0]})
+    out = sliding_window_counts(ray.data.from_pandas(df), window_seconds=3600,
+                                num_buckets=2)
+    a = out[out["user_id"] == "a"].sort_values("ts")
+    # 1h trailing window: 10:00→1; 10:20→2; 10:50→3; 12:00→only itself
+    assert a["w_count"].tolist() == [1, 2, 3, 1]
+    assert a["w_sum"].tolist() == [1.0, 3.0, 6.0, 4.0]
+    b = out[out["user_id"] == "b"]
+    assert b["w_count"].tolist() == [1] and b["w_sum"].tolist() == [9.0]
+
+
+def test_ivf_topk_recall(ray_session):
+    from zeeklog_ray.ops.similarity import brute_force_topk, ivf_topk
+
+    rng = np.random.default_rng(21)
+    # clustered data so IVF's coarse quantizer has structure to find
+    centers = rng.normal(0, 1, (8, 16)) * 3
+    m = np.repeat(centers, 50, axis=0) + rng.normal(0, 0.3, (400, 16))
+    df = pd.DataFrame({"vec_id": np.arange(400, dtype="int64"),
+                       "embedding": [r.astype("float32") for r in m]})
+    ds = ray.data.from_pandas(df).repartition(4)
+    q = centers[3] + rng.normal(0, 0.3, 16)
+    exact = brute_force_topk(ds, q, k=10)
+    approx = ivf_topk(ds, q, k=10, n_clusters=8, nprobe=2)
+    recall = len(set(approx["vec_id"]) & set(exact["vec_id"])) / 10
+    assert recall >= 0.8      # clustered data → coarse quantizer is accurate

@@ -129,6 +129,35 @@ def grouped_stats(ds: "ray.data.Dataset", key: str = "sink",
     return partial.groupby(key).aggregate(*aggs)
 
 
+def salted_groupby_sum(ds: "ray.data.Dataset", key: str, value: str,
+                       salt_buckets: int = 16) -> "ray.data.Dataset":
+    """Explicit salted two-phase grouped sum: ``groupby((key, salt))`` partial
+    → ``groupby(key)`` final, with ``salt = hash(row) % K``.
+
+    This is the classic hot-key mitigation (SURVEY.md §4): a skewed key
+    (conn ≈ 70% of rows) would land on one reducer in a naive
+    ``groupby(key)``; salting splits it across K reducers.  Prefer
+    :func:`grouped_stats` / ``grouped_sum`` (map-side combiners) when the
+    aggregate is algebraic — they absorb skew before ANY shuffle; use
+    salting when the per-group state is too large to combine map-side
+    (e.g. exact distinct counts or holistic aggregates per key).
+    """
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def add_salt(batch: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(batch[value], index=False).to_numpy()
+        batch = batch[[key, value]].copy()
+        batch["_salt"] = (h % np.uint64(salt_buckets)).astype("int64")
+        return batch
+
+    salted = ds.map_batches(add_salt, batch_format="pandas", batch_size=None)
+    phase1 = salted.groupby([key, "_salt"]).aggregate(
+        Sum(value, alias_name="_psum"))
+    return coalesce_partials(phase1).groupby(key).aggregate(
+        Sum("_psum", alias_name=f"sum_{value}"))
+
+
 def _batch_unique(cols: list[str], dropna_col: str):
     def uniq(batch: pd.DataFrame) -> pd.DataFrame:
         return batch.dropna(subset=[dropna_col]).drop_duplicates()

@@ -125,3 +125,53 @@ def lsh_bucketed_topk(ds: "ray.data.Dataset", query: np.ndarray, k: int = 10,
     filtered = tagged.map_batches(in_probe, batch_format="pyarrow",
                                   batch_size=None)
     return brute_force_topk(filtered, q, k, vec_col, id_col)
+
+
+def ivf_build_centroids(ds: "ray.data.Dataset", n_clusters: int = 16,
+                        sample_n: int = 4096, iters: int = 8,
+                        vec_col: str = "embedding",
+                        seed: int = 42) -> np.ndarray:
+    """IVF coarse quantizer: k-means on a DRIVER-SIDE SAMPLE (Lloyd, numpy),
+    then one distributed assignment pass.  Sampling keeps the driver work
+    O(sample × clusters); at 100 TB the sample is a ``random_sample`` read,
+    never the full corpus."""
+    sample = ds.limit(sample_n).to_pandas()
+    m = np.stack(list(sample[vec_col].to_numpy())).astype(np.float64)
+    m = _normalize(m)
+    rng = np.random.default_rng(seed)
+    cents = m[rng.choice(len(m), size=min(n_clusters, len(m)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(m @ cents.T, axis=1)
+        for c in range(len(cents)):
+            mask = assign == c
+            if mask.any():
+                v = m[mask].mean(axis=0)
+                cents[c] = v / (np.linalg.norm(v) or 1)
+    return cents
+
+
+def ivf_topk(ds: "ray.data.Dataset", query: np.ndarray, k: int = 10,
+             n_clusters: int = 16, nprobe: int = 4,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             seed: int = 42) -> pd.DataFrame:
+    """IVF approximate top-k: assign every vector to its nearest centroid
+    (one vectorized pass, centroids broadcast), search only the ``nprobe``
+    centroids closest to the query.  At scale the assignment column is
+    precomputed and the table hash-partitioned by it."""
+    cents = ivf_build_centroids(ds, n_clusters, seed=seed)
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1)
+    probe = set(np.argsort(-(cents @ qn))[:nprobe].tolist())
+    probe_arr = pa.array(sorted(probe), pa.int64())
+
+    import pyarrow.compute as pc
+
+    def assign_and_filter(batch: pa.Table) -> pa.Table:
+        mat = _normalize(_matrix(batch[vec_col]))
+        a = np.argmax(mat @ cents.T, axis=1).astype(np.int64)
+        t = batch.append_column("ivf_cluster", pa.array(a, pa.int64()))
+        return t.filter(pc.is_in(t["ivf_cluster"], value_set=probe_arr))
+
+    filtered = ds.map_batches(assign_and_filter, batch_format="pyarrow",
+                              batch_size=None)
+    return brute_force_topk(filtered, q, k, vec_col, id_col)

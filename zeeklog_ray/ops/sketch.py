@@ -1,0 +1,70 @@
+"""Mergeable sketches: HyperLogLog approximate distinct count.
+
+The scale pattern for sketch aggregation (Ray guide): each batch emits ONE
+serialized sketch; a tiny second stage merges them (sketches are designed to
+be mergeable, so the exchange is |batches| × sketch_size bytes regardless of
+input size).  A 2^12-register HLL is 4 KB and estimates distinct counts
+within ~1.6% — the right tool for "distinct doc_ids / users / IPs" over
+10^12 rows where exact distinct would shuffle every key.
+
+Vectorized: register index = top p bits of a 64-bit hash; rank = position of
+the first set bit of the rest (computed with log2 on the masked value).
+Deterministic across processes (pandas hash with fixed key).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+P = 12                      # 2^12 = 4096 registers
+M = 1 << P
+_ALPHA = 0.7213 / (1 + 1.079 / M)   # bias constant for m >= 128
+
+
+def _hash64(s: pd.Series) -> np.ndarray:
+    return pd.util.hash_pandas_object(s, index=False).to_numpy(dtype=np.uint64)
+
+
+def _sketch_of(values: np.ndarray) -> np.ndarray:
+    """uint8[M] register array from 64-bit hashes."""
+    regs = np.zeros(M, dtype=np.uint8)
+    if not len(values):
+        return regs
+    idx = (values >> np.uint64(64 - P)).astype(np.int64)
+    rest = values << np.uint64(P)  # top (64-P) significant bits remain
+    # rank = leading zeros of `rest` + 1, capped at 64-P+1; log2 trick on
+    # the float mantissa is exact for the leading-bit position
+    rank = np.where(
+        rest == 0, np.uint8(64 - P + 1),
+        (64 - np.floor(np.log2(rest.astype(np.float64) + 0.5)) )
+        .astype(np.uint8))
+    np.maximum.at(regs, idx, rank.astype(np.uint8))
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Standard HLL estimator with small-range (linear counting) correction."""
+    est = _ALPHA * M * M / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int(np.sum(regs == 0))
+    if est <= 2.5 * M and zeros:
+        est = M * np.log(M / zeros)
+    return float(est)
+
+
+def approx_distinct(ds: "ray.data.Dataset", col: str) -> int:
+    """Approximate COUNT(DISTINCT col): per-batch HLL sketch → merge
+    (elementwise max) → estimate.  One 4 KB row per batch crosses the wire."""
+
+    def sketch(batch: pd.DataFrame) -> pd.DataFrame:
+        regs = _sketch_of(_hash64(batch[col].dropna()))
+        return pd.DataFrame({"sketch": [regs.tobytes()]})
+
+    parts = ds.select_columns([col]).map_batches(
+        sketch, batch_format="pandas", batch_size=None).to_pandas()
+    merged = np.zeros(M, dtype=np.uint8)
+    for b in parts["sketch"]:
+        merged = np.maximum(merged, np.frombuffer(b, dtype=np.uint8))
+    return round(hll_estimate(merged))

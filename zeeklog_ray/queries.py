@@ -428,6 +428,65 @@ def zeek_multiday_first_wins(sf_dir: str) -> "ray.data.Dataset":
     return first_wins(per_day, key="id_orig_h", order_col="date")
 
 
+def near_dup_components(sf_dir: str) -> "ray.data.Dataset":
+    """MinHash-LSH candidate pairs resolved into duplicate groups via
+    distributed min-label propagation (ops/graph.py)."""
+    from zeeklog_ray.ops.dedup import minhash_lsh_pairs
+    from zeeklog_ray.ops.graph import connected_components
+
+    pairs = minhash_lsh_pairs(read_table(sf_dir, "documents",
+                                         columns=["doc_id", "text"]))
+    return connected_components(pairs)
+
+
+def approx_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """HyperLogLog approximate distinct user count over events
+    (ops/sketch.py); accuracy asserted in pytest, rows-only here (approx
+    results cannot hash-match an exact oracle)."""
+    from zeeklog_ray.ops.sketch import approx_distinct
+
+    est = approx_distinct(read_table(sf_dir, "events", columns=["user_id"]),
+                          "user_id")
+    return pd.DataFrame({"n_users_approx": [est]})
+
+
+def salted_events_sum(sf_dir: str) -> "ray.data.Dataset":
+    """Explicit salted two-phase grouped sum (hot-key mitigation,
+    aggregate.salted_groupby_sum) — exact result, oracle-checked."""
+    from zeeklog_ray.aggregate import salted_groupby_sum
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": batch["event_type"],
+                             "value_cents": _round_half_away(batch["value"] * 100)})
+
+    return salted_groupby_sum(ev.map_batches(prep, batch_format="pandas",
+                                             batch_size=None),
+                              "event_type", "value_cents")
+
+
+def event_sliding_windows(sf_dir: str) -> pd.DataFrame:
+    """Per-event trailing-1h window aggregates via stateful bucket actors
+    (ops/streaming.py — the raw-actor exception); verified in pytest."""
+    from zeeklog_ray.ops.streaming import sliding_window_counts
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "value"]) \
+        .limit(2000)  # bounded driver-side stream for the registry entry
+    out = sliding_window_counts(ev, window_seconds=3600, num_buckets=4)
+    out["w_sum"] = _round_half_away(out["w_sum"] * 100)
+    return out.rename(columns={"w_sum": "w_sum_cents"})
+
+
+def ivf_ann_topk(sf_dir: str) -> pd.DataFrame:
+    """IVF (coarse-quantizer) approximate nearest neighbors
+    (ops/similarity.py); recall asserted in pytest."""
+    from zeeklog_ray.ops.similarity import ivf_topk
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ivf_topk(ds, _query_vector(), k=10, n_clusters=8, nprobe=3)
+
+
 # --------------------------------------------------------------------------
 # Registry + oracle SQL
 # --------------------------------------------------------------------------
@@ -466,6 +525,11 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "ann_lsh_topk": ann_lsh_topk,
     "media_features": media_features,
     "zeek_multiday_first_wins": zeek_multiday_first_wins,
+    "near_dup_components": near_dup_components,
+    "approx_distinct_users": approx_distinct_users,
+    "salted_events_sum": salted_events_sum,
+    "event_sliding_windows": event_sliding_windows,
+    "ivf_ann_topk": ivf_ann_topk,
 }
 
 _HIST_CASE = ("CASE WHEN n_chars < 64 THEN 'hist_0_64' "
@@ -566,4 +630,7 @@ ORACLE_SQL: dict[str, str] = {
         "FROM (SELECT * FROM events WHERE event_type = 'purchase') l "
         "ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') r "
         "ON l.user_id = r.user_id AND l.ts >= r.ts"),
+    "salted_events_sum": (
+        "SELECT event_type, CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) "
+        "AS BIGINT) AS sum_value_cents FROM events GROUP BY event_type"),
 }

@@ -58,15 +58,29 @@ def broadcast_merge(ds: "ray.data.Dataset", small: pd.DataFrame, on: str | list[
     return ds.map_batches(merge, batch_format="pandas", batch_size=None)
 
 
+def default_join_partitions(requested: int | None = None) -> int:
+    """Join/shuffle partition count bounded by cluster CPUs: the hash
+    aggregators are actors, and more partitions than CPUs can DEADLOCK a
+    small cluster (measured: num_partitions=16 on 4 CPUs hangs)."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # noqa: BLE001
+        cpus = 8
+    cap = max(2, cpus)
+    return min(requested, cap) if requested else cap
+
+
 def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
               on: str, right_on: str | None = None,
-              num_partitions: int = 32) -> "ray.data.Dataset":
+              num_partitions: int | None = None) -> "ray.data.Dataset":
     """Partitioned hash join for two large sides (``Dataset.join``).
 
-    Both sides shuffle on the key; ``num_partitions`` should scale with
-    cluster size (≈ 2–4 × total CPUs at scale).
+    Both sides shuffle on the key; at multi-node scale pass ``num_partitions``
+    ≈ 2–4 × total CPUs — locally it is capped at the CPU count (see
+    :func:`default_join_partitions`).
     """
-    return left.join(right, join_type="inner", num_partitions=num_partitions,
+    return left.join(right, join_type="inner",
+                     num_partitions=default_join_partitions(num_partitions),
                      on=(on,), right_on=(right_on or on,))
 
 
