@@ -31,12 +31,11 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray.data
-from ray.data.aggregate import Max, Min, Sum
 
-from zeeklog_ray.aggregate import HIST_COLUMNS, _partial_stats, coalesce_partials
+from zeeklog_ray.aggregate import HIST_COLUMNS, _partial_stats
 from zeeklog_ray.enrich import Enricher
 from zeeklog_ray.parse import parse_batch
-from zeeklog_ray.pipeline import PipelineConfig, _ip_predicate, read_corpus
+from zeeklog_ray.pipeline import PipelineConfig, _ip_predicate
 
 
 class FusedRouteWriter:

@@ -487,6 +487,57 @@ def ivf_ann_topk(sf_dir: str) -> pd.DataFrame:
     return ivf_topk(ds, _query_vector(), k=10, n_clusters=8, nprobe=3)
 
 
+def event_props_extract(sf_dir: str) -> "ray.data.Dataset":
+    """JSON property extraction from the events props column — the live
+    realization of the reference's naive JSON→record parser (F10,
+    ip2location.rs:138-167), done vectorized (regex extract) instead of
+    split-on-comma."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "props"])
+
+    def extract(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch["props"].str.extract(r'"k":\s*(-?\d+)')[0]
+        return pd.DataFrame({"event_id": batch["event_id"],
+                             "k": k.astype("int64")})
+
+    return ds.map_batches(extract, batch_format="pandas", batch_size=None)
+
+
+def building_segment_orders(sf_dir: str) -> "ray.data.Dataset":
+    """Broadcast SEMI join: orders whose customer is in the BUILDING market
+    segment — key set broadcast, filtered inside map_batches (no shuffle;
+    the guide's semi-join pattern)."""
+    keys = set(small_table(sf_dir, "customer",
+                           columns=["c_custkey", "c_mktsegment"])
+               .query("c_mktsegment == 'BUILDING'")["c_custkey"])
+    import ray as _ray
+
+    ref = _ray.put(keys)
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def semi(batch: pd.DataFrame) -> pd.DataFrame:
+        ks = _ray.get(ref)
+        return batch[batch["o_custkey"].isin(ks)]
+
+    return ds.map_batches(semi, batch_format="pandas", batch_size=None)
+
+
+def customers_without_orders(sf_dir: str) -> "ray.data.Dataset":
+    """Broadcast ANTI join: customers with no 1-URGENT orders — complement
+    key set filtered inside map_batches, no shuffle."""
+    o = small_table(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+    keys = set(o.loc[o["o_orderpriority"] == "1-URGENT", "o_custkey"])
+    import ray as _ray
+
+    ref = _ray.put(keys)
+    ds = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def anti(batch: pd.DataFrame) -> pd.DataFrame:
+        ks = _ray.get(ref)
+        return batch[~batch["c_custkey"].isin(ks)]
+
+    return ds.map_batches(anti, batch_format="pandas", batch_size=None)
+
+
 # --------------------------------------------------------------------------
 # Registry + oracle SQL
 # --------------------------------------------------------------------------
@@ -530,6 +581,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "salted_events_sum": salted_events_sum,
     "event_sliding_windows": event_sliding_windows,
     "ivf_ann_topk": ivf_ann_topk,
+    "event_props_extract": event_props_extract,
+    "building_segment_orders": building_segment_orders,
+    "customers_without_orders": customers_without_orders,
 }
 
 _HIST_CASE = ("CASE WHEN n_chars < 64 THEN 'hist_0_64' "
@@ -633,4 +687,15 @@ ORACLE_SQL: dict[str, str] = {
     "salted_events_sum": (
         "SELECT event_type, CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) "
         "AS BIGINT) AS sum_value_cents FROM events GROUP BY event_type"),
+    "event_props_extract": (
+        "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k "
+        "FROM events"),
+    "building_segment_orders": (
+        "SELECT o_orderkey, o_custkey FROM orders "
+        "WHERE o_custkey IN (SELECT c_custkey FROM customer "
+        "WHERE c_mktsegment = 'BUILDING')"),
+    "customers_without_orders": (
+        "SELECT c_custkey, c_name FROM customer "
+        "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders "
+        "WHERE o_orderpriority = '1-URGENT')"),
 }
