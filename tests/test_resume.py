@@ -54,3 +54,13 @@ def test_rerun_after_completion_is_noop(corpus_dir, tmp_path):
     assert first
     again = rr.run()
     assert again == []
+
+
+def test_committed_stats(corpus_dir, corpus_frame, tmp_path):
+    out = str(tmp_path / "routed")
+    rr = ResumableRun(PipelineConfig(corpus_dir=corpus_dir), out, files_per_shard=2)
+    rr.run()
+    stats = rr.committed_stats()
+    assert stats["committed_shards"] == len(rr.shards())
+    assert sum(stats["rows_per_sink"].values()) == len(corpus_frame)
+    assert stats["output_bytes"] > 0 and stats["total_shard_wall_s"] > 0

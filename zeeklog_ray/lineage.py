@@ -144,6 +144,29 @@ class ResumableRun:
                 raise RuntimeError(f"simulated failure after {n_done_this_run} shards")
         return records
 
+    def committed_stats(self) -> dict:
+        """Aggregate lineage metrics across committed shards — the run's
+        progress/throughput report without touching row data."""
+        rows: dict[str, int] = {}
+        toks: dict[str, int] = {}
+        total_bytes = 0
+        wall = 0.0
+        n = 0
+        mdir = _manifest_dir(self.out_dir)
+        for p in glob.glob(os.path.join(mdir, "shard-*.json")):
+            with open(p) as f:
+                rec = json.load(f)
+            for s, v in rec["rows_per_sink"].items():
+                rows[s] = rows.get(s, 0) + v
+            for s, v in rec["tokens_per_sink"].items():
+                toks[s] = toks.get(s, 0) + v
+            total_bytes += rec["output_bytes"]
+            wall += rec["wall_time_s"]
+            n += 1
+        return {"committed_shards": n, "rows_per_sink": rows,
+                "tokens_per_sink": toks, "output_bytes": total_bytes,
+                "total_shard_wall_s": round(wall, 3)}
+
     def committed_output(self) -> "ray.data.Dataset":
         """Dataset over the COMMITTED shards only (uncommitted partials are
         excluded, so readers never see rows from a torn shard).

@@ -538,6 +538,44 @@ def customers_without_orders(sf_dir: str) -> "ray.data.Dataset":
     return ds.map_batches(anti, batch_format="pandas", batch_size=None)
 
 
+def docs_sample_mod(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic 5% sample: keep doc_id ≡ 3 (mod 20).  Hash/modulo
+    sampling is the reproducible, partition-independent sampling scheme a
+    training pipeline needs (same rows selected on any cluster layout);
+    ``Dataset.random_sample`` exists for the non-reproducible case."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+
+    def keep(batch: _pa.Table) -> _pa.Table:
+        mod = _pc.subtract(batch["doc_id"],
+                           _pc.multiply(_pc.divide(batch["doc_id"], 20), 20))
+        return batch.filter(_pc.equal(mod, 3))
+
+    return ds.map_batches(keep, batch_format="pyarrow", batch_size=None)
+
+
+def top_orders_per_customer(sf_dir: str) -> "ray.data.Dataset":
+    """Per-group top-N (window-rank shape): each customer's 2 highest-value
+    orders — ``groupby(key).map_groups`` with an in-group sort, the pattern
+    for any windowed rank over a co-partitioned key."""
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderkey",
+                                               "o_totalprice"])
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["total_cents"] = _round_half_away(batch["o_totalprice"] * 100)
+        return batch[["o_custkey", "o_orderkey", "total_cents"]]
+
+    prepped = ds.map_batches(prep, batch_format="pandas", batch_size=None)
+
+    def top2(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(["total_cents", "o_orderkey"],
+                                 ascending=[False, True]).head(2)
+
+    return prepped.groupby("o_custkey").map_groups(top2, batch_format="pandas")
+
+
 # --------------------------------------------------------------------------
 # Registry + oracle SQL
 # --------------------------------------------------------------------------
@@ -584,6 +622,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "event_props_extract": event_props_extract,
     "building_segment_orders": building_segment_orders,
     "customers_without_orders": customers_without_orders,
+    "docs_sample_mod": docs_sample_mod,
+    "top_orders_per_customer": top_orders_per_customer,
 }
 
 _HIST_CASE = ("CASE WHEN n_chars < 64 THEN 'hist_0_64' "
@@ -698,4 +738,13 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT c_custkey, c_name FROM customer "
         "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders "
         "WHERE o_orderpriority = '1-URGENT')"),
+    "docs_sample_mod": (
+        "SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 20 = 3"),
+    "top_orders_per_customer": (
+        "SELECT o_custkey, o_orderkey, total_cents FROM ("
+        "SELECT o_custkey, o_orderkey, "
+        "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents, "
+        "ROW_NUMBER() OVER (PARTITION BY o_custkey "
+        "ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT) DESC, o_orderkey) "
+        "AS rn FROM orders) WHERE rn <= 2"),
 }
