@@ -42,6 +42,9 @@ BENCH_QUERIES = [
     "order_priority_items",
     "exact_dedup_docs",
     "similarity_topk",
+    "doc_quality",
+    "minhash_dedup_pairs",
+    "salted_events_sum",
 ]
 
 

@@ -19,7 +19,7 @@ import numpy as np
 import pandas as pd
 
 import ray.data
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Count
 
 from zeeklog_ray.ops.text import rolling_kgram_hashes
 

@@ -23,7 +23,6 @@ import hashlib
 import json
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray.data
