@@ -49,3 +49,35 @@ def test_flagship_ip_filter(corpus_dir):
                              src_ip=GOLDEN_IP_0702_ONLY, enrich=False)
         stats = run_flagship(cfg, out)
         assert len(stats) == 0 or stats["n"].sum() == 0
+
+
+def test_flagship_source_filter(corpus_dir, corpus_frame, tmp_path):
+    """--source must filter in the fused path too (regression: it was
+    silently dropped)."""
+    out = str(tmp_path / "routed")
+    stats = run_flagship(PipelineConfig(corpus_dir=corpus_dir, source="dNs"),
+                         out)
+    assert stats["sink"].tolist() == ["dns"]
+    exp = (corpus_frame["source"] == "dns").sum()
+    assert int(stats["n"].iloc[0]) == exp
+    dirs = {os.path.basename(d) for d in glob.glob(os.path.join(out, "sink=*"))}
+    assert dirs == {"sink=dns"}
+
+
+def test_flagship_rerun_no_duplicates(corpus_dir, corpus_frame, tmp_path):
+    """Re-running into the same out_dir must REPLACE, not accumulate
+    (regression: uuid-named files duplicated rows)."""
+    out = str(tmp_path / "routed")
+    run_flagship(PipelineConfig(corpus_dir=corpus_dir), out)
+    run_flagship(PipelineConfig(corpus_dir=corpus_dir), out)
+    back = ray.data.read_parquet(out)
+    assert back.count() == len(corpus_frame)
+
+
+def test_flagship_deterministic_filenames(corpus_dir, tmp_path):
+    out = str(tmp_path / "routed")
+    run_flagship(PipelineConfig(corpus_dir=corpus_dir), out)
+    files = sorted(os.path.basename(p) for p in
+                   glob.glob(os.path.join(out, "sink=conn", "*.parquet")))
+    # fragment-derived names (date + part stem), not uuids
+    assert all(f.startswith("part-date=") for f in files), files[:3]

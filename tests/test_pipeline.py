@@ -130,3 +130,12 @@ def test_enrichment_columns(corpus_dir, oracle):
             assert cc is None or (isinstance(cc, float) and np.isnan(cc))
     svc = merged["service_name"].dropna().unique()
     assert set(svc) <= set(SERVICE_DICT.values())
+
+
+def test_end_date_only_plan(corpus_dir, oracle):
+    """Plan 1 (end_date without start_date): everything up to and including
+    end_date (regression: it silently became a full scan)."""
+    n = build_dataset(PipelineConfig(corpus_dir=corpus_dir,
+                                     end_date="2024-07-03")).count()
+    exp = oracle[oracle["date"] <= "2024-07-03"]
+    assert n == len(exp)

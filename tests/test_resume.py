@@ -64,3 +64,15 @@ def test_committed_stats(corpus_dir, corpus_frame, tmp_path):
     assert stats["committed_shards"] == len(rr.shards())
     assert sum(stats["rows_per_sink"].values()) == len(corpus_frame)
     assert stats["output_bytes"] > 0 and stats["total_shard_wall_s"] > 0
+
+
+def test_resume_honors_date_range(corpus_dir, corpus_frame, tmp_path):
+    """Regression: ResumableRun sharded the whole corpus regardless of the
+    configured date range."""
+    out = str(tmp_path / "routed")
+    cfg = PipelineConfig(corpus_dir=corpus_dir, start_date="2024-07-02")
+    rr = ResumableRun(cfg, out, files_per_shard=2)
+    rr.run()
+    back = rr.committed_output().to_pandas()
+    exp = corpus_frame[corpus_frame["date"] == "2024-07-02"]
+    assert set(back["doc_id"]) == set(exp["doc_id"])

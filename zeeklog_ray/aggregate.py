@@ -49,13 +49,9 @@ def coalesce_partials(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     (measured: 520 rows in 200 blocks → 8 s at 2 CPUs; after repartition →
     0.5 s).  A narrow ``repartition`` (no shuffle of content, just block
     packing) to ~CPU-count blocks fixes the granularity."""
-    try:
-        import ray
+    from zeeklog_ray.cluster import cluster_cpus
 
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:  # noqa: BLE001
-        cpus = 8
-    return ds.repartition(max(2, cpus // 2))
+    return ds.repartition(max(2, cluster_cpus() // 2))
 
 
 def _partial_stats(key: str, value: str):
@@ -146,9 +142,11 @@ def salted_groupby_sum(ds: "ray.data.Dataset", key: str, value: str,
     from ray.data.aggregate import Sum
 
     def add_salt(batch: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_pandas_object(batch[value], index=False).to_numpy()
         batch = batch[[key, value]].copy()
-        batch["_salt"] = (h % np.uint64(salt_buckets)).astype("int64")
+        # salt by ROW POSITION — perfectly balanced regardless of the value
+        # distribution (a value-derived salt degenerates to one bucket when
+        # the hot key's values are constant, defeating the mitigation)
+        batch["_salt"] = (np.arange(len(batch)) % salt_buckets).astype("int64")
         return batch
 
     salted = ds.map_batches(add_salt, batch_format="pandas", batch_size=None)

@@ -43,16 +43,21 @@ class FusedRouteWriter:
     batch's partial sink stats.  Enrichment dicts load once per actor."""
 
     def __init__(self, out_dir: str, src_ip: str | None = None,
-                 enrich: bool = True) -> None:
+                 enrich: bool = True, source: str | None = None) -> None:
+        from zeeklog_ray.sources import normalize_source
+
         self.out_dir = out_dir
         self.enricher = Enricher() if enrich else None
         self.ip_pred = _ip_predicate(src_ip) if src_ip else None
+        self.source = normalize_source(source) if source else None
         self.combine = _partial_stats("sink", "n_tok")
         self.actor_id = uuid.uuid4().hex[:12]
         self.seq = 0
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def __call__(self, batch: pa.Table, name_hint: str | None = None) -> pa.Table:
         t = parse_batch(batch)
+        if self.source is not None:  # plan bit 2: source/proto filter
+            t = t.filter(pc.equal(t["sink"], self.source))
         if self.ip_pred is not None:
             t = self.ip_pred(t)
         if self.enricher is not None:
@@ -61,12 +66,15 @@ class FusedRouteWriter:
             sinks = t["sink"]
             if isinstance(sinks, pa.ChunkedArray):
                 sinks = sinks.combine_chunks()
+            # name_hint (fragment-derived) makes output paths DETERMINISTIC:
+            # a retried task overwrites its failed attempt's files instead of
+            # duplicating rows under a fresh uuid
+            stem = name_hint or f"{self.actor_id}-{self.seq:05d}"
             for sink in pc.unique(sinks).to_pylist():
                 sub = t.filter(pc.equal(sinks, sink)).drop_columns(["sink"])
                 d = os.path.join(self.out_dir, f"sink={sink}")
                 os.makedirs(d, exist_ok=True)
-                pq.write_table(sub, os.path.join(
-                    d, f"part-{self.actor_id}-{self.seq:05d}.parquet"))
+                pq.write_table(sub, os.path.join(d, f"part-{stem}.parquet"))
             self.seq += 1
         # parse_batch always appends 'sink', so this is valid for empty t too
         return self.combine(t.select(["sink", "n_tok"]))
@@ -91,7 +99,10 @@ class FileRouteWorker(FusedRouteWriter):
         outs = []
         for path in batch["path"].to_pylist():
             t = pq.read_table(path, use_threads=False)
-            outs.append(super().__call__(t))
+            # deterministic per-fragment output name: <date-dir>-<file-stem>
+            hint = (os.path.basename(os.path.dirname(path)) + "-"
+                    + os.path.splitext(os.path.basename(path))[0])
+            outs.append(super().__call__(t, name_hint=hint))
         return pa.concat_tables(outs)
 
 
@@ -105,12 +116,12 @@ _WORKER_CACHE: dict = {}
 
 
 def _file_route_task(batch: pa.Table, *, out_dir: str, src_ip: str | None,
-                     enrich: bool) -> pa.Table:
-    key = (out_dir, src_ip, enrich)
+                     enrich: bool, source: str | None = None) -> pa.Table:
+    key = (out_dir, src_ip, enrich, source)
     w = _WORKER_CACHE.get(key)
     if w is None:
         w = _WORKER_CACHE[key] = FileRouteWorker(out_dir=out_dir, src_ip=src_ip,
-                                                 enrich=enrich)
+                                                 enrich=enrich, source=source)
     return w(batch)
 
 
@@ -120,9 +131,15 @@ def run_flagship(cfg: PipelineConfig, out_dir: str,
     the routed Parquet output under ``out_dir``.
 
     Input fragments are dispatched as paths (see :class:`FileRouteWorker`);
-    the only shuffle is the tiny partial-stats merge."""
+    the only shuffle is the tiny partial-stats merge.  ``out_dir`` is
+    REPLACED (removed first) so repeated runs never accumulate stale
+    part-files next to fresh ones."""
+    import shutil
+
     from zeeklog_ray.pipeline import _date_dirs
 
+    cfg.validate()
+    shutil.rmtree(out_dir, ignore_errors=True)
     return run_files(cfg, _date_dirs(cfg), out_dir, concurrency)
 
 
@@ -139,7 +156,8 @@ def run_files(cfg: PipelineConfig, files: list[str], out_dir: str,
     # collapses to the block count)
     paths = ray.data.from_items([{"path": f} for f in files],
                                 override_num_blocks=len(files))
-    kwargs = {"out_dir": out_dir, "src_ip": cfg.src_ip, "enrich": cfg.enrich}
+    kwargs = {"out_dir": out_dir, "src_ip": cfg.src_ip, "enrich": cfg.enrich,
+              "source": cfg.source}
     if concurrency is not None:  # explicit pool → actor-pool dispatch
         partial = paths.map_batches(
             FileRouteWorker, batch_format="pyarrow", batch_size=1,

@@ -91,7 +91,11 @@ class ResumableRun:
     files_per_shard: int = 8
 
     def shards(self) -> list[list[str]]:
-        return make_shards(list_fragments(self.cfg.corpus_dir), self.files_per_shard)
+        """Shard the fragments SELECTED BY THE CONFIG (date-range pruning
+        included), not the whole corpus."""
+        from zeeklog_ray.pipeline import _date_dirs
+
+        return make_shards(_date_dirs(self.cfg), self.files_per_shard)
 
     def _run_shard(self, shard_id: int, files: list[str]) -> dict:
         """Process one shard with the fused file-granular flagship stage
@@ -109,7 +113,7 @@ class ResumableRun:
         shutil.rmtree(shard_out, ignore_errors=True)
         shard_cfg = PipelineConfig(
             corpus_dir=self.cfg.corpus_dir, src_ip=self.cfg.src_ip,
-            enrich=self.cfg.enrich)
+            source=self.cfg.source, enrich=self.cfg.enrich)
         stats = run_files(shard_cfg, files, shard_out)
         out_bytes = sum(os.path.getsize(p) for p in
                         glob.glob(os.path.join(shard_out, "**", "*.parquet"),

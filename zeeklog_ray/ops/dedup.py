@@ -72,13 +72,13 @@ def minhash_signatures(ds: "ray.data.Dataset", text_col: str = "text",
         if len(hashes):
             # permute in uint64 wraparound space (cheap, uniform enough),
             # then reduceat-min per doc per permutation
-            for j in range(num_perm):
-                hj = hashes * a[j] + b[j]
-                counts = np.diff(offsets)
-                ok = counts > 0
-                if ok.any():
-                    out[ok, j] = np.minimum.reduceat(
-                        hj, offsets[:-1][ok])
+            counts = np.diff(offsets)
+            ok = counts > 0
+            idx = offsets[:-1][ok]
+            if ok.any():
+                for j in range(num_perm):
+                    hj = hashes * a[j] + b[j]
+                    out[ok, j] = np.minimum.reduceat(hj, idx)
         cols = {"doc_id": batch["doc_id"]}
         for j in range(num_perm):
             cols[f"mh_{j}"] = out[:, j].astype(np.int64)

@@ -45,7 +45,7 @@ def _driver_union_find(edges: pd.DataFrame) -> "ray.data.Dataset":
     return ray.data.from_pandas(out.sort_values("node").reset_index(drop=True))
 
 
-def connected_components(pairs: "ray.data.Dataset", max_rounds: int = 10,
+def connected_components(pairs: "ray.data.Dataset", max_rounds: int = 30,
                          a_col: str = "doc_a", b_col: str = "doc_b",
                          num_partitions: int | None = None,
                          small_edge_threshold: int = 100_000) -> "ray.data.Dataset":
@@ -102,6 +102,10 @@ def connected_components(pairs: "ray.data.Dataset", max_rounds: int = 10,
         if cur == prev:
             break
         prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds "
+            "(component diameter exceeds max_rounds); raise max_rounds")
     return labels.map_batches(
         lambda df: df.rename(columns={"label": "component"}),
         batch_format="pandas", batch_size=None)

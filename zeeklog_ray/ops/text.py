@@ -47,9 +47,14 @@ def quality_metrics(ds: "ray.data.Dataset", text_col: str = "text",
     def feats(batch: pd.DataFrame) -> pd.DataFrame:
         text = batch[text_col]
         n_chars = text.str.len().astype("int64")
-        n_words = text.str.count(r"\S+").astype("int64")
+        # words = space-separated non-empty tokens, matching the oracle's
+        # STRING_SPLIT(text, ' ') exactly (NOT regex \S+, which differs on
+        # tab/newline whitespace)
+        n_words = text.str.count(r"[^ ]+").astype("int64")
         n_nonspace = (n_chars - text.str.count(" ")).astype("int64")
-        n_punct = text.str.count(r"[^\w\s]").astype("int64")
+        # (?a) → ASCII word/space classes, matching DuckDB RE2 semantics on
+        # non-ASCII letters
+        n_punct = text.str.count(r"(?a)[^\w\s]").astype("int64")
         words = text.str.split(" ")
         n_stop = words.map(lambda ws: sum(1 for w in ws if w in en_stop)
                            if isinstance(ws, list) else 0).astype("int64")

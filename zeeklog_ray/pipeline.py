@@ -110,6 +110,10 @@ def _date_dirs(cfg: PipelineConfig) -> list[str]:
     if not all_dirs:  # unpartitioned corpus — read as-is
         return [cfg.corpus_dir]
     if not cfg.start_date:
+        if cfg.end_date:  # plan 1: everything up to and including end_date
+            return [f for d in all_dirs
+                    if os.path.basename(d).removeprefix("date=") <= cfg.end_date
+                    for f in files(d)]
         return [f for d in all_dirs for f in files(d)]
     dates = {os.path.basename(d).removeprefix("date="): d for d in all_dirs}
     if cfg.start_date not in dates:
@@ -168,12 +172,9 @@ def _default_pool_size() -> tuple[int, int]:
     read stage needs — on tiny clusters a min of 2 starves the reader and
     stalls the pipeline), max ≈ 3/4 of CPUs but always leaving at least one
     CPU for the read/write stages."""
-    try:
-        import ray
+    from zeeklog_ray.cluster import cluster_cpus
 
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:  # noqa: BLE001 — Ray not initialised yet
-        cpus = 8
+    cpus = cluster_cpus()
     return (1, max(1, min(cpus - 1, (cpus * 3) // 4)))
 
 

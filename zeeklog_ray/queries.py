@@ -245,7 +245,7 @@ def doc_word_counts(sf_dir: str) -> "ray.data.Dataset":
 
     def count(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"doc_id": batch["doc_id"],
-                             "n_words": batch["text"].str.count(r"\S+").astype("int64")})
+                             "n_words": batch["text"].str.count(r"[^ ]+").astype("int64")})
 
     return ds.map_batches(count, batch_format="pandas", batch_size=None)
 

@@ -61,11 +61,9 @@ def default_join_partitions(requested: int | None = None) -> int:
     """Join/shuffle partition count bounded by cluster CPUs: the hash
     aggregators are actors, and more partitions than CPUs can DEADLOCK a
     small cluster (measured: num_partitions=16 on 4 CPUs hangs)."""
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:  # noqa: BLE001
-        cpus = 8
-    cap = max(2, cpus)
+    from zeeklog_ray.cluster import cluster_cpus
+
+    cap = max(2, cluster_cpus())
     return min(requested, cap) if requested else cap
 
 
