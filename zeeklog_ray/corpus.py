@@ -247,3 +247,64 @@ def corpus_for_sf_dir(sf_dir: str, seed: int = DEFAULT_SEED) -> str:
         except ValueError:
             n_rows = 60_000
     return generate_corpus(n_rows, seed)
+
+
+# ---------------------------------------------------------------------------
+# Synthetic DOCUMENT corpus (for dedup/text ops at scale): word-soup texts
+# with planted near-duplicates at a controlled rate.
+# ---------------------------------------------------------------------------
+
+_DOC_VOCAB = [f"w{i:03d}" for i in range(600)]
+
+
+def make_documents_frame(n_docs: int, seed: int = DEFAULT_SEED,
+                         dup_rate: float = 0.05,
+                         words_per_doc: int = 60) -> pd.DataFrame:
+    """Deterministic document table (doc_id:int64, text, is_dup_of:int64).
+
+    ``dup_rate`` of the docs are near-duplicates of an earlier doc (one word
+    substituted), recorded in ``is_dup_of`` (-1 otherwise) so dedup recall
+    is measurable exactly.
+    """
+    rng = np.random.default_rng(seed)
+    vocab = np.asarray(_DOC_VOCAB, dtype=object)
+    words = vocab[rng.integers(0, len(vocab), (n_docs, words_per_doc))]
+    texts = np.array([" ".join(row) for row in words], dtype=object)
+    is_dup = np.full(n_docs, -1, dtype=np.int64)
+    dup_idx = np.flatnonzero(rng.random(n_docs) < dup_rate)
+    dup_idx = dup_idx[dup_idx > 0]
+    src = rng.integers(0, np.maximum(dup_idx, 1))
+    for i, s in zip(dup_idx, src):
+        w = texts[s].split(" ")
+        w[int(rng.integers(0, len(w)))] = str(vocab[rng.integers(0, len(vocab))])
+        texts[i] = " ".join(w)
+        is_dup[i] = s
+    return pd.DataFrame({"doc_id": np.arange(n_docs, dtype=np.int64),
+                         "text": texts, "is_dup_of": is_dup})
+
+
+def generate_documents(n_docs: int, seed: int = DEFAULT_SEED,
+                       rows_per_file: int = 25_000) -> str:
+    """Cached parquet corpus of synthetic documents (multiple fragments)."""
+    out_dir = os.path.join(_CACHE_ROOT, f"docs-v1-n{n_docs}-seed{seed}")
+    if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+        return out_dir
+    df = make_documents_frame(n_docs, seed)
+    os.makedirs(_CACHE_ROOT, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix="docs-", dir=_CACHE_ROOT)
+    try:
+        for fi, start in enumerate(range(0, len(df), rows_per_file)):
+            chunk = pa.Table.from_pandas(df.iloc[start:start + rows_per_file],
+                                         preserve_index=False)
+            pq.write_table(chunk, os.path.join(tmp, f"part-{fi:05d}.parquet"),
+                           row_group_size=8192)
+        with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+            f.write("ok\n")
+        try:
+            os.rename(tmp, out_dir)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    return out_dir
