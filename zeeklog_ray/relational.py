@@ -94,10 +94,17 @@ def to_cents(batch: pa.Table, cols: dict[str, str]) -> pa.Table:
 def grouped_sum(ds: "ray.data.Dataset", keys: Sequence[str],
                 sums: dict[str, str] | None = None,
                 count_as: str | None = None) -> "ray.data.Dataset":
-    """Two-phase grouped sum/count: per-batch pandas partials → small
-    groupby merge (the combiner pattern — aggregate.py docstring)."""
-    from ray.data.aggregate import Sum
+    """Grouped sum/count as a vectorized TREE-COMBINE: per-batch pandas
+    partials → coalesce → per-block combine → single-block final combine.
 
+    Why not ``Dataset.groupby().aggregate`` for the merge: Ray's sort-based
+    grouped aggregation costs ~2.7 ms of Python per GROUP (measured: 15k
+    distinct keys over 60k partial rows took 40 s); the pandas combine is
+    C-level per block.  Assumes the final aggregated result (one row per
+    distinct key tuple) fits one block — true for report-shaped aggregates;
+    for very high-cardinality keys use ``Dataset.groupby`` directly and
+    accept the per-group cost, or shard by key-hash first.
+    """
     keys = list(keys)
     sums = sums or {}
 
@@ -110,23 +117,33 @@ def grouped_sum(ds: "ray.data.Dataset", keys: Sequence[str],
             out[dst] = g[src].sum()
         return out.reset_index()
 
+    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(keys, sort=False, observed=True, dropna=False)
+        return g.sum().reset_index()
+
     from zeeklog_ray.aggregate import coalesce_partials
 
     partial_ds = ds.select_columns(list(dict.fromkeys(keys + list(sums)))).map_batches(
         partial, batch_format="pandas", batch_size=None)
-    partial_ds = coalesce_partials(partial_ds)
-    aggs = []
-    if count_as:
-        aggs.append(Sum(count_as, alias_name=count_as))
-    aggs += [Sum(dst, alias_name=dst) for dst in sums.values()]
-    return partial_ds.groupby(keys).aggregate(*aggs)
+    mid = coalesce_partials(partial_ds).map_batches(
+        combine, batch_format="pandas", batch_size=None)
+    return mid.repartition(1).map_batches(combine, batch_format="pandas",
+                                          batch_size=None)
 
 
 def top_k(ds: "ray.data.Dataset", by: list[str], descending: list[bool],
           k: int) -> "ray.data.Dataset":
-    """Global top-k: sort (range-partitioned shuffle) + limit.
+    """Global top-k: per-batch partial top-k → coalesce → sort + limit.
 
-    For very large inputs, pre-reduce with a per-batch partial top-k before
-    the sort when the key cardinality is high.
+    The partial pass bounds the sort input at |blocks| × k rows, and the
+    coalesce avoids the tiny-block sort-shuffle pathology (a range sort of
+    15k rows across hundreds of near-empty blocks measured 37 s; with the
+    partial+coalesce it is sub-second).
     """
-    return ds.sort(by, descending=descending).limit(k)
+    from zeeklog_ray.aggregate import coalesce_partials
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(by, ascending=[not d for d in descending]).head(k)
+
+    pruned = ds.map_batches(partial, batch_format="pandas", batch_size=None)
+    return coalesce_partials(pruned).sort(by, descending=descending).limit(k)
