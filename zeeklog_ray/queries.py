@@ -576,6 +576,73 @@ def top_orders_per_customer(sf_dir: str) -> "ray.data.Dataset":
     return prepped.groupby("o_custkey").map_groups(top2, batch_format="pandas")
 
 
+def building_revenue_q3(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q3-shaped: top-10 orders by revenue for BUILDING-segment
+    customers — broadcast semi-filter (customer keys) + partitioned hash
+    join (orders ⨝ lineitem) + grouped sum + top-k, the full relational
+    stack in one pipeline."""
+    import ray as _ray
+
+    keys = set(small_table(sf_dir, "customer",
+                           columns=["c_custkey", "c_mktsegment"])
+               .query("c_mktsegment == 'BUILDING'")["c_custkey"])
+    ref = _ray.put(keys)
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey",
+                                                   "o_orderdate"])
+
+    def semi(batch: pd.DataFrame) -> pd.DataFrame:
+        ks = _ray.get(ref)
+        batch = batch[batch["o_custkey"].isin(ks)]
+        return batch[["o_orderkey"]]
+
+    orders = orders.map_batches(semi, batch_format="pandas", batch_size=None)
+    items = read_table(sf_dir, "lineitem",
+                       columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": batch["l_orderkey"],
+            "rev_cents": _round_half_away(
+                batch["l_extendedprice"] * (1 - batch["l_discount"]) * 100)})
+
+    items = items.map_batches(rev, batch_format="pandas", batch_size=None)
+    joined = hash_join(orders, items, on="o_orderkey", right_on="l_orderkey")
+    summed = grouped_sum(joined, ["o_orderkey"], sums={"rev_cents": "revenue_cents"})
+    return top_k(summed, by=["revenue_cents", "o_orderkey"],
+                 descending=[True, False], k=10)
+
+
+def nation_order_counts_left(sf_dir: str) -> "ray.data.Dataset":
+    """LEFT OUTER hash join: every nation with its customer-order count,
+    including nations whose customers placed no orders (NULL-extended side
+    counted as zero)."""
+    nation = small_table(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    cust = small_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    cust_ds = ray.data.from_pandas(dim[["c_custkey", "n_name"]])
+    orders = read_table(sf_dir, "orders", columns=["o_custkey"])
+
+    def mark(batch: pd.DataFrame) -> pd.DataFrame:
+        # the join coalesces the key columns away, so a marker column is the
+        # way to tell matched rows from NULL-extended ones
+        batch["_order_marker"] = 1
+        return batch
+
+    orders = orders.map_batches(mark, batch_format="pandas", batch_size=None)
+    joined = cust_ds.join(orders, join_type="left_outer",
+                          num_partitions=8,
+                          on=("c_custkey",), right_on=("o_custkey",))
+
+    def count_orders(batch: pd.DataFrame) -> pd.DataFrame:
+        # NULL-extended rows (no orders) contribute 0
+        batch["has_order"] = batch["_order_marker"].notna().astype("int64")
+        return batch[["n_name", "has_order"]]
+
+    prepped = joined.map_batches(count_orders, batch_format="pandas",
+                                 batch_size=None)
+    return grouped_sum(prepped, ["n_name"], sums={"has_order": "n_orders"})
+
+
 # --------------------------------------------------------------------------
 # Registry + oracle SQL
 # --------------------------------------------------------------------------
@@ -624,6 +691,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "customers_without_orders": customers_without_orders,
     "docs_sample_mod": docs_sample_mod,
     "top_orders_per_customer": top_orders_per_customer,
+    "building_revenue_q3": building_revenue_q3,
+    "nation_order_counts_left": nation_order_counts_left,
 }
 
 _HIST_CASE = ("CASE WHEN n_chars < 64 THEN 'hist_0_64' "
@@ -747,4 +816,15 @@ ORACLE_SQL: dict[str, str] = {
         "ROW_NUMBER() OVER (PARTITION BY o_custkey "
         "ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT) DESC, o_orderkey) "
         "AS rn FROM orders) WHERE rn <= 2"),
+    "building_revenue_q3": (
+        "SELECT o_orderkey, CAST(SUM(CAST(ROUND(l_extendedprice * "
+        "(1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents "
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+        "WHERE o_custkey IN (SELECT c_custkey FROM customer "
+        "WHERE c_mktsegment = 'BUILDING') "
+        "GROUP BY o_orderkey ORDER BY revenue_cents DESC, o_orderkey LIMIT 10"),
+    "nation_order_counts_left": (
+        "SELECT n_name, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders "
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+        "LEFT JOIN orders ON o_custkey = c_custkey GROUP BY n_name"),
 }
