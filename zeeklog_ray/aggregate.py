@@ -67,12 +67,21 @@ def _partial_stats(key: str, value: str):
     edges = np.asarray(HIST_EDGES[1:])
 
     def combine(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # null key or null value rows would corrupt the dictionary codes /
+        # bincount weights (null index → garbage int64 after the numpy
+        # cast); drop them up front — grouped_stats is a public API beyond
+        # the never-null flagship path.
+        if len(batch):
+            valid = pc.and_kleene(pc.is_valid(batch[key]),
+                                  pc.is_valid(batch[value]))
+            if not pc.all(valid).as_py():
+                batch = batch.filter(valid)
         if len(batch) == 0:
             return pa.table({key: pa.array([], type=pa.string()),
                              **{c: pa.array([], type=pa.int64())
                                 for c in STAT_COLUMNS}})
-        import pyarrow.compute as pc
-
         enc = batch[key]
         if isinstance(enc, pa.ChunkedArray):
             enc = enc.combine_chunks()

@@ -23,7 +23,6 @@ passthrough intact).
 from __future__ import annotations
 
 import os
-import uuid
 
 import pandas as pd
 import pyarrow as pa
@@ -51,8 +50,6 @@ class FusedRouteWriter:
         self.ip_pred = _ip_predicate(src_ip) if src_ip else None
         self.source = normalize_source(source) if source else None
         self.combine = _partial_stats("sink", "n_tok")
-        self.actor_id = uuid.uuid4().hex[:12]
-        self.seq = 0
 
     def __call__(self, batch: pa.Table, name_hint: str | None = None) -> pa.Table:
         t = parse_batch(batch)
@@ -68,14 +65,18 @@ class FusedRouteWriter:
                 sinks = sinks.combine_chunks()
             # name_hint (fragment-derived) makes output paths DETERMINISTIC:
             # a retried task overwrites its failed attempt's files instead of
-            # duplicating rows under a fresh uuid
-            stem = name_hint or f"{self.actor_id}-{self.seq:05d}"
+            # duplicating rows.  It is REQUIRED — a uuid/sequence fallback
+            # would silently duplicate rows on Ray task retry.
+            if name_hint is None:
+                raise ValueError(
+                    "FusedRouteWriter needs a deterministic name_hint (derive "
+                    "it from the input fragment path, as FileRouteWorker does)"
+                )
             for sink in pc.unique(sinks).to_pylist():
                 sub = t.filter(pc.equal(sinks, sink)).drop_columns(["sink"])
                 d = os.path.join(self.out_dir, f"sink={sink}")
                 os.makedirs(d, exist_ok=True)
-                pq.write_table(sub, os.path.join(d, f"part-{stem}.parquet"))
-            self.seq += 1
+                pq.write_table(sub, os.path.join(d, f"part-{name_hint}.parquet"))
         # parse_batch always appends 'sink', so this is valid for empty t too
         return self.combine(t.select(["sink", "n_tok"]))
 

@@ -54,19 +54,24 @@ def _manifest_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "_manifest")
 
 
-def committed_shards(out_dir: str) -> set[int]:
+def committed_records(out_dir: str) -> dict[int, dict]:
+    """shard_id → committed manifest record (torn/invalid files skipped)."""
     mdir = _manifest_dir(out_dir)
     if not os.path.isdir(mdir):
-        return set()
-    out = set()
+        return {}
+    out: dict[int, dict] = {}
     for p in glob.glob(os.path.join(mdir, "shard-*.json")):
         try:
             with open(p) as f:
                 rec = json.load(f)
-            out.add(int(rec["shard_id"]))
+            out[int(rec["shard_id"])] = rec
         except (ValueError, KeyError, json.JSONDecodeError):
             continue  # torn/invalid record → treat as uncommitted
     return out
+
+
+def committed_shards(out_dir: str) -> set[int]:
+    return set(committed_records(out_dir))
 
 
 def commit_shard(out_dir: str, record: dict) -> None:
@@ -134,10 +139,35 @@ class ResumableRun:
         ``fail_after_shards`` is a test hook: raise after N commits to
         simulate a mid-run kill.
         """
-        done = committed_shards(self.out_dir)
+        import shutil
+
+        shards = self.shards()
+        done = committed_records(self.out_dir)
+        # A record commits a specific FILE LIST, not just a positional shard
+        # id: if the corpus gained/lost fragments or files_per_shard changed
+        # between the interrupted run and this resume, shard ids silently
+        # remap to different file sets — skipping on id alone would drop
+        # inputs and re-emit others.  Reconcile the whole manifest first:
+        # any record whose id is out of range or whose input_fragments don't
+        # match the current shard's files is STALE — drop its record AND its
+        # output dir (before re-running, so a crash mid-shard can't leave a
+        # record claiming the now-wrong output is committed).
+        for sid, rec in sorted(done.items()):
+            if sid < len(shards) and rec.get("input_fragments") == shards[sid]:
+                continue
+            try:
+                os.remove(os.path.join(_manifest_dir(self.out_dir),
+                                       f"shard-{sid:05d}.json"))
+            except FileNotFoundError:
+                pass
+            shutil.rmtree(os.path.join(self.out_dir, f"shard={sid:05d}"),
+                          ignore_errors=True)
+            del_rec = done.pop(sid, None)
+            assert del_rec is not None
+
         records = []
         n_done_this_run = 0
-        for shard_id, files in enumerate(self.shards()):
+        for shard_id, files in enumerate(shards):
             if shard_id in done:
                 continue
             rec = self._run_shard(shard_id, files)

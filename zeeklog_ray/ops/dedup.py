@@ -89,7 +89,7 @@ def minhash_signatures(ds: "ray.data.Dataset", text_col: str = "text",
 
 def minhash_lsh_pairs(ds: "ray.data.Dataset", text_col: str = "text",
                       num_perm: int = 64, bands: int = 8,
-                      k: int = 5) -> "ray.data.Dataset":
+                      k: int = 5, max_bucket: int = 512) -> "ray.data.Dataset":
     """MinHash+LSH near-dup candidate pairs: signature → band hashes →
     self-join on the band bucket (the only shuffle, signatures only) →
     ordered distinct pairs.
@@ -98,11 +98,21 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", text_col: str = "text",
     — the near-duplicate regime; widen bands for a looser similarity
     threshold (the candidate count grows as collisions^2 per bucket).
 
+    ``max_bucket`` guards the quadratic blow-up: a degenerate bucket of m
+    colliding signatures emits m² join rows, so one bucket of 10^6
+    identical documents would produce 10^12 pairs.  Buckets larger than
+    the cap are EXCLUDED from the self-join (their membership is near-
+    certainly an exact-duplicate cluster — run exact dedup first, which
+    collapses them without pair enumeration).  The signatures dataset is
+    materialized so the count pass and the join pass don't recompute the
+    shingle hashing; at 100 TB the signatures would be persisted to
+    Parquet instead.
+
     Returns (doc_a, doc_b) candidate pairs (doc_a < doc_b, distinct).
-    Verify with :func:`ngram_jaccard_verify` on the candidates.
+    Verify with :func:`ngram_jaccard` on the candidates.
     """
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(ds, text_col, num_perm, k)
+    sigs = minhash_signatures(ds, text_col, num_perm, k).materialize()
 
     def band_rows(batch: pd.DataFrame) -> pd.DataFrame:
         mh = batch[[f"mh_{j}" for j in range(num_perm)]].to_numpy(np.uint64)
@@ -118,6 +128,28 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", text_col: str = "text",
         return pd.concat(outs, ignore_index=True)
 
     banded = sigs.map_batches(band_rows, batch_format="pandas", batch_size=None)
+
+    # Oversized-bucket guard: count members per (band,bucket) — only the
+    # tiny (band,bucket,count) partials shuffle — and broadcast the set of
+    # buckets over the cap so the join inputs filter them out.
+    counts = banded.groupby(["band", "bucket"]).aggregate(Count(alias_name="m"))
+    big = counts.filter(expr=f"m > {int(max_bucket)}").to_pandas()
+    big_set = (set() if big.empty else
+               set(zip(big["band"].astype(int), big["bucket"].astype(int))))
+    if big_set:
+        import ray as _ray
+
+        big_ref = _ray.put(big_set)
+
+        def drop_big(batch: pd.DataFrame) -> pd.DataFrame:
+            bs = _ray.get(big_ref)
+            keys = list(zip(batch["band"].astype(int), batch["bucket"].astype(int)))
+            keep = np.fromiter((kv not in bs for kv in keys), dtype=bool,
+                               count=len(batch))
+            return batch[keep]
+
+        banded = banded.map_batches(drop_big, batch_format="pandas",
+                                    batch_size=None)
 
     # Bucket-pair generation as a SELF-JOIN on the (band, bucket) composite
     # key: per-group map_groups paid Python overhead for thousands of tiny
@@ -154,7 +186,13 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", text_col: str = "text",
 
 def ngram_jaccard(texts_a: pd.Series, texts_b: pd.Series, k: int = 5) -> np.ndarray:
     """Exact byte-k-gram Jaccard similarity for aligned pairs (verification
-    step for LSH candidates)."""
+    step for LSH candidates).
+
+    Bound: per-pair Python set work is acceptable ONLY because the input is
+    the LSH candidate list (|pairs| ≈ |near-dups|, already capped by
+    ``max_bucket`` in :func:`minhash_lsh_pairs`), never the raw corpus —
+    cost is O(|candidates| × doc_len), independent of corpus size.
+    """
     out = np.zeros(len(texts_a))
     for i, (x, y) in enumerate(zip(texts_a, texts_b)):
         xb, yb = x.encode(), y.encode()
@@ -204,16 +242,31 @@ def first_wins(ds: "ray.data.Dataset", key: str, order_col: str) -> "ray.data.Da
 def embedding_cosine_pairs(ds: "ray.data.Dataset", threshold_e4: int,
                            block_col: str | None = None,
                            vec_col: str = "embedding",
-                           id_col: str = "vec_id") -> "ray.data.Dataset":
+                           id_col: str = "vec_id",
+                           max_block_rows: int = 20_000) -> "ray.data.Dataset":
     """Embedding near-duplicate pairs: cosine ≥ threshold (1e-4 fixed point).
 
     Blocked all-pairs: rows are grouped by ``block_col`` (a clustering /
-    LSH bucket column; REQUIRED at scale — the unblocked variant is O(n²)
-    and only acceptable for small n) and each block computes a normalized
-    matmul.  Scores floored at 1e-4 in float64 for oracle robustness.
+    LSH bucket column; REQUIRED at scale) and each block computes a
+    normalized matmul.  Scores floored at 1e-4 in float64 for oracle
+    robustness.
+
+    ``max_block_rows`` is the O(n²) landmine guard: a block of m rows costs
+    m² similarity entries, so an unblocked input (``block_col=None`` puts
+    EVERYTHING in one block) or a degenerate block past the cap RAISES
+    instead of silently going quadratic — pass a real blocking column
+    (:func:`zeeklog_ray.ops.similarity.lsh_bucket_column` provides one) or
+    raise the cap deliberately for a known-small input.
     """
 
     def block_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) > max_block_rows:
+            bval = group[block_col].iloc[0] if block_col in group else "?"
+            raise ValueError(
+                f"embedding_cosine_pairs: block {bval!r} has {len(group)} rows "
+                f"(> max_block_rows={max_block_rows}); all-pairs would be "
+                f"O(n²) — supply a finer block_col (e.g. an LSH bucket) or "
+                f"raise max_block_rows explicitly for a known-small input")
         ids = group[id_col].to_numpy()
         mat = np.stack(group[vec_col].to_numpy()).astype(np.float64)
         norms = np.linalg.norm(mat, axis=1, keepdims=True)

@@ -131,15 +131,36 @@ def ivf_build_centroids(ds: "ray.data.Dataset", n_clusters: int = 16,
                         sample_n: int = 4096, iters: int = 8,
                         vec_col: str = "embedding",
                         seed: int = 42) -> np.ndarray:
-    """IVF coarse quantizer: k-means on a DRIVER-SIDE SAMPLE (Lloyd, numpy),
-    then one distributed assignment pass.  Sampling keeps the driver work
-    O(sample × clusters); at 100 TB the sample is a ``random_sample`` read,
-    never the full corpus."""
-    sample = ds.limit(sample_n).to_pandas()
+    """IVF coarse quantizer: k-means on a DRIVER-SIDE RANDOM SAMPLE (Lloyd,
+    numpy), then one distributed assignment pass.  Sampling keeps the
+    driver work O(sample × clusters).
+
+    The sample is ``Dataset.random_sample`` (bernoulli over every block),
+    NOT ``limit`` — limit takes the first blocks, which biases the
+    centroids badly when the corpus is sorted or partitioned by cluster.
+    """
+    total = max(1, ds.count())  # parquet metadata count — no data scan
+    frac = min(1.0, 1.25 * sample_n / total)
+    sample = ds.random_sample(frac, seed=seed).to_pandas()
+    if len(sample) > sample_n:
+        keep = np.random.default_rng(seed).choice(len(sample), sample_n,
+                                                  replace=False)
+        sample = sample.iloc[np.sort(keep)]
     m = np.stack(list(sample[vec_col].to_numpy())).astype(np.float64)
     m = _normalize(m)
     rng = np.random.default_rng(seed)
-    cents = m[rng.choice(len(m), size=min(n_clusters, len(m)), replace=False)]
+    # farthest-point (maxmin) init: uniform-random init frequently lands two
+    # seeds in one true cluster and leaves another uncovered; greedy maxmin
+    # guarantees well-separated clusters each get a seed
+    k = min(n_clusters, len(m))
+    first = int(rng.integers(0, len(m)))
+    chosen = [first]
+    best = m @ m[first]            # max cosine to the chosen set
+    for _ in range(1, k):
+        nxt = int(np.argmin(best))
+        chosen.append(nxt)
+        best = np.maximum(best, m @ m[nxt])
+    cents = m[chosen].copy()
     for _ in range(iters):
         assign = np.argmax(m @ cents.T, axis=1)
         for c in range(len(cents)):

@@ -221,22 +221,30 @@ def distinct_event_types(sf_dir: str) -> "ray.data.Dataset":
 
 def exact_dedup_docs(sf_dir: str) -> "ray.data.Dataset":
     """Exact dedup by content: hash(text) partition → first (min doc_id) per
-    group + duplicate count.  The digest (vectorized 64-bit content hash)
-    stands in for the full text in the shuffle, so only (digest, doc_id)
-    pairs move — not document bodies."""
+    group + duplicate count.  The digest stands in for the full text in the
+    shuffle, so only (digest, doc_id) pairs move — not document bodies.
+
+    The group key is a 128-bit digest (two independent 64-bit hashes): a
+    single 64-bit key has a birthday-collision probability that grows
+    quadratically with corpus size and would merge distinct documents at
+    the 10^12-row design scale; at 128 bits the collision odds stay
+    negligible (~n²/2^129)."""
     from ray.data.aggregate import Count, Min
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def digest(batch: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_pandas_object(batch["text"], index=False)
-        return pd.DataFrame({"digest": h.astype("uint64"),
+        h1 = pd.util.hash_pandas_object(batch["text"], index=False)
+        h2 = pd.util.hash_pandas_object(batch["text"], index=False,
+                                        hash_key="zeeklog-dedup-02")
+        return pd.DataFrame({"digest": h1.astype("uint64"),
+                             "digest2": h2.astype("uint64"),
                              "doc_id": batch["doc_id"]})
 
     hashed = ds.map_batches(digest, batch_format="pandas", batch_size=None)
-    out = hashed.groupby("digest").aggregate(Min("doc_id", alias_name="doc_id"),
-                                             Count(alias_name="n_dups"))
-    return out.drop_columns(["digest"])
+    out = hashed.groupby(["digest", "digest2"]).aggregate(
+        Min("doc_id", alias_name="doc_id"), Count(alias_name="n_dups"))
+    return out.drop_columns(["digest", "digest2"])
 
 
 def doc_word_counts(sf_dir: str) -> "ray.data.Dataset":
@@ -629,8 +637,12 @@ def nation_order_counts_left(sf_dir: str) -> "ray.data.Dataset":
         return batch
 
     orders = orders.map_batches(mark, batch_format="pandas", batch_size=None)
+    from zeeklog_ray.relational import default_join_partitions
+
+    # partitions capped to cluster CPUs — a literal count larger than the
+    # cluster deadlocks small clusters (measured, relational.py:60-67)
     joined = cust_ds.join(orders, join_type="left_outer",
-                          num_partitions=8,
+                          num_partitions=default_join_partitions(None),
                           on=("c_custkey",), right_on=("o_custkey",))
 
     def count_orders(batch: pd.DataFrame) -> pd.DataFrame:
