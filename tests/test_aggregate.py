@@ -6,7 +6,7 @@ import pytest
 
 from zeeklog_ray.aggregate import HIST_COLUMNS, HIST_EDGES, distinct_column, grouped_stats
 from zeeklog_ray.pipeline import PipelineConfig, build_dataset
-from zeeklog_ray.sources import SOURCE_FIELDS
+from zeeklog_ray.sources import CONN_PREFIXED, SOURCE_FIELDS
 
 
 @pytest.fixture(scope="module")
@@ -38,14 +38,16 @@ def test_grouped_stats_matches_pandas(parsed, corpus_frame):
 
 def test_distinct_column(parsed, corpus_frame):
     got = set(distinct_column(parsed, "id_orig_h").to_pandas()["id_orig_h"])
-    df = corpus_frame[corpus_frame["source"].isin(SOURCE_FIELDS)]
+    # only connection-prefixed sources carry id_orig_h (ts-prefixed
+    # host/file logs have it null, and nulls are dropped)
+    df = corpus_frame[corpus_frame["source"].isin(CONN_PREFIXED)]
     exp = set(df["tokens"].map(lambda b: b.decode().split("\t")[2]).unique())
     assert got == exp
 
 
 def test_distinct_column_by_key(parsed, corpus_frame):
     got = distinct_column(parsed, "id_orig_h", by=["sink"]).to_pandas()
-    df = corpus_frame[corpus_frame["source"].isin(SOURCE_FIELDS)].copy()
+    df = corpus_frame[corpus_frame["source"].isin(CONN_PREFIXED)].copy()
     df["ip"] = df["tokens"].map(lambda b: b.decode().split("\t")[2])
     exp = df.groupby("source")["ip"].nunique()
     gotn = got.groupby("sink")["id_orig_h"].nunique()

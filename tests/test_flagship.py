@@ -25,9 +25,14 @@ def test_flagship_matches_composable(corpus_dir, tmp_path):
 def test_flagship_output_layout_and_tokens(corpus_dir, corpus_frame, tmp_path):
     out = str(tmp_path / "routed")
     run_flagship(PipelineConfig(corpus_dir=corpus_dir, enrich=True), out)
+    from zeeklog_ray.sources import SOURCE_FIELDS
+
     sinks = {os.path.basename(d).removeprefix("sink=")
              for d in glob.glob(os.path.join(out, "sink=*"))}
-    assert sinks == {"conn", "dns", "http", "weird", "none"}
+    exp_sinks = set(corpus_frame["source"].where(
+        corpus_frame["source"].isin(SOURCE_FIELDS), "none").unique())
+    assert sinks == exp_sinks            # all 28 protocol sinks + quarantine
+    assert len(sinks) == 29
     back = ray.data.read_parquet(out).to_pandas()
     assert set(back["doc_id"]) == set(corpus_frame["doc_id"])
     # exact token-array equality per doc_id through the fused path

@@ -79,7 +79,70 @@ def test_tokens_passthrough_unchanged():
     assert got == want  # exact token-array equality per doc_id
 
 
-def test_all_registry_sources_have_common_prefix():
+# The reference's full protocol enum (zeek_log_proto.rs:7-35 / its
+# name codec at :40-74) — registry parity is checked against this list.
+REFERENCE_PROTOCOLS = {
+    "conn", "dns", "http", "files", "ftp", "ssl", "x509", "smtp", "snmp",
+    "ssh", "pe", "dhcp", "ntp", "smb", "irc", "rdp", "ldap", "quic",
+    "traceroute", "tunnel", "dpd", "known", "software", "weird", "notice",
+    "capture_loss", "reporter", "sip",
+}
+
+
+def test_registry_matches_reference_protocols():
+    assert set(SOURCE_FIELDS) == REFERENCE_PROTOCOLS
+    assert len(SOURCE_FIELDS) == 28
+
+
+def test_registry_prefixes():
+    from zeeklog_ray.sources import CONN_PREFIXED
+
     for src, fields in SOURCE_FIELDS.items():
-        assert fields[:6] == ["ts", "uid", "id_orig_h", "id_orig_p",
-                              "id_resp_h", "id_resp_p"], src
+        if src in CONN_PREFIXED:
+            assert fields[:6] == ["ts", "uid", "id_orig_h", "id_orig_p",
+                                  "id_resp_h", "id_resp_p"], src
+        else:
+            # host/file-oriented logs are ts-prefixed like real Zeek
+            assert fields[0] == "ts" and "uid" not in fields, src
+
+
+def test_ts_prefixed_source_parses():
+    """files.log has no connection 6-tuple — its fields land at their own
+    positions and the id_* columns stay null."""
+    files_line = "\t".join(["1719878402.0", "F00000abcd", "1.2.3.4", "9.8.7.6",
+                            "text/plain", "a" * 32, "b" * 40, "c" * 64, "12345"])
+    t = _tok_table([("f", "files", files_line), ("a", "conn", CONN_LINE)])
+    out = parse_batch(t).to_pandas().set_index("doc_id")
+    f = out.loc["f"]
+    assert f["ts"] == "1719878402.0" and f["fuid"] == "F00000abcd"
+    assert f["tx_hosts"] == "1.2.3.4" and f["mime_type"] == "text/plain"
+    assert f["total_bytes"] == "12345" and f["sink"] == "files"
+    assert f["uid"] is None and f["id_orig_h"] is None
+    # conn row untouched by the wider registry
+    assert out.loc["a", "proto"] == "tcp" and out.loc["a", "fuid"] is None
+
+
+def test_mixed_28_source_batch_roundtrip():
+    """One synthetic row per registry source: every sink routes, every
+    source's own fields extract at the right positions."""
+    from zeeklog_ray.corpus import TAIL_SPECS
+    import numpy as np
+
+    rows = []
+    for src in sorted(SOURCE_FIELDS):
+        rng = np.random.default_rng(1)
+        tail = [str(g(rng, 1)[0]) for g in TAIL_SPECS[src]]
+        prefix = (["1719878400.0", "Cxyz", "10.0.0.1", "1234", "10.0.0.2", "80"]
+                  if SOURCE_FIELDS[src][1:6] == ["uid", "id_orig_h",
+                                                 "id_orig_p", "id_resp_h",
+                                                 "id_resp_p"]
+                  else ["1719878400.0"])
+        rows.append((src, src, "\t".join(prefix + tail)))
+    out = parse_batch(_tok_table(rows)).to_pandas().set_index("doc_id")
+    assert set(out["sink"]) == set(SOURCE_FIELDS)
+    for src in SOURCE_FIELDS:
+        row = out.loc[src]
+        line = dict(rows=[r for r in rows if r[0] == src])["rows"][0][2]
+        cells = line.split("\t")
+        for pos, field in enumerate(SOURCE_FIELDS[src]):
+            assert row[field] == cells[pos], (src, field)

@@ -12,7 +12,7 @@ from zeeklog_ray.pipeline import (
     build_dataset,
     route_to_sinks,
 )
-from zeeklog_ray.sources import SOURCE_FIELDS
+from zeeklog_ray.sources import CONN_PREFIXED, SOURCE_FIELDS
 
 
 def _oracle(corpus_frame: pd.DataFrame) -> pd.DataFrame:
@@ -21,7 +21,10 @@ def _oracle(corpus_frame: pd.DataFrame) -> pd.DataFrame:
     parts = df["tokens"].map(lambda b: b.decode().split("\t"))
     df["id_orig_h"] = [p[2] if len(p) > 2 else None for p in parts]
     df["id_resp_h"] = [p[4] if len(p) > 4 else None for p in parts]
-    df.loc[df["sink"] == "none", ["id_orig_h", "id_resp_h"]] = None
+    # only connection-prefixed sources carry the id 4-tuple; ts-prefixed
+    # host/file logs (files/x509/…) and unknown sources have it null
+    no_ids = ~df["source"].isin(CONN_PREFIXED)
+    df.loc[no_ids, ["id_orig_h", "id_resp_h"]] = None
     return df
 
 

@@ -27,20 +27,29 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import zlib
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from zeeklog_ray.sources import SEPARATOR
+from zeeklog_ray.sources import CONN_PREFIXED, KNOWN_SOURCES, SEPARATOR
 
 DATES = ("2024-07-02", "2024-07-03", "2024-07-04")
 _DATE_EPOCH = {"2024-07-02": 1719878400, "2024-07-03": 1719964800, "2024-07-04": 1720051200}
 
 # Source mix, intentionally skewed (conn-heavy) to exercise salted
-# aggregation (FIXTURES.md §1).
-SOURCE_MIX = [("conn", 0.70), ("dns", 0.15), ("http", 0.10), ("weird", 0.049), ("bogus", 0.001)]
+# aggregation (FIXTURES.md §1); every one of the 28 registry protocols is
+# present so the router exercises all sinks, plus 'bogus' → quarantine.
+_HEAD_MIX = [("conn", 0.62), ("dns", 0.10), ("http", 0.07), ("weird", 0.03),
+             ("bogus", 0.001)]
+_TAIL_SOURCES = tuple(s for s in KNOWN_SOURCES
+                      if s not in ("conn", "dns", "http", "weird"))
+SOURCE_MIX = _HEAD_MIX + [
+    (s, (1.0 - sum(p for _, p in _HEAD_MIX)) / len(_TAIL_SOURCES))
+    for s in _TAIL_SOURCES
+]
 
 GOLDEN_IP_0702_ONLY = "43.134.231.178"  # present only on 2024-07-02
 GOLDEN_IP_0702 = "91.92.245.221"        # present on 2024-07-02
@@ -61,6 +70,110 @@ _STATUS = ["200", "301", "404", "500"]
 _AGENTS = ["Mozilla/5.0 (X11; Linux x86_64)", "curl/8.0.1", "python-requests/2.31", "-"]
 _WEIRD_NAMES = ["bad_TCP_checksum", "dns_unmatched_reply", "active_connection_reuse",
                 "possible_split_routing", "data_before_established"]
+
+
+# ---------------------------------------------------------------------------
+# Per-source tail-field generators: the values AFTER the prefix (connection
+# 6-tuple for CONN_PREFIXED sources, bare ts otherwise).  Each generator is
+# (rng, n) -> object ndarray of strings; every source draws from its OWN
+# seeded rng so the sequence is deterministic in (n_rows, seed) and the work
+# is proportional to that source's row count.
+# ---------------------------------------------------------------------------
+
+
+def _ch(pool: list[str]):
+    return lambda rng, n: np.asarray(pool, dtype=object)[rng.integers(0, len(pool), n)]
+
+
+def _fi(pattern: str, lo: int, hi: int):
+    return lambda rng, n: np.char.mod(pattern, rng.integers(lo, hi, n)).astype(object)
+
+
+def _ff(pattern: str, lo: float, hi: float):
+    return lambda rng, n: np.char.mod(pattern, rng.uniform(lo, hi, n)).astype(object)
+
+
+def _tf():
+    return lambda rng, n: np.where(rng.random(n) < 0.5, "T", "F").astype(object)
+
+
+def _ip():
+    """Address drawn from the shared 32-IP pool (host/file logs)."""
+    return lambda rng, n: np.asarray(IP_POOL, dtype=object)[rng.integers(2, 32, n)]
+
+
+TAIL_SPECS: dict[str, list] = {
+    "conn": [_ch(_PROTOS), _ch(_SERVICES), _ff("%.4f", 0, 300),
+             _fi("%d", 0, 1_000_000)],
+    "dns": [_fi("host%d.example.com", 0, 500), _ch(_QTYPES), _ch(_RCODES)],
+    "http": [_ch(_METHODS), _fi("site%d.example.com", 0, 200),
+             _fi("/path/%d", 0, 10_000), _ch(_STATUS), _ch(_AGENTS)],
+    "weird": [_ch(_WEIRD_NAMES), _tf()],
+    "ssl": [_ch(["TLSv12", "TLSv13", "TLSv10"]),
+            _ch(["TLS_AES_128_GCM_SHA256", "TLS_AES_256_GCM_SHA384",
+                 "TLS_CHACHA20_POLY1305_SHA256"]),
+            _fi("site%d.example.com", 0, 200), _tf()],
+    "ssh": [_ch(["2"]), _tf(), _fi("SSH-2.0-OpenSSH_%d.4", 7, 10),
+            _ch(["SSH-2.0-OpenSSH_8.9", "SSH-2.0-dropbear_2022.83"])],
+    "ftp": [_ch(["anonymous", "ftp", "admin"]),
+            _ch(["RETR", "STOR", "LIST", "PASV"]), _fi("/file/%d", 0, 5000),
+            _ch(["226", "230", "550", "331"])],
+    "smtp": [_fi("user%d@example.com", 0, 400), _fi("user%d@example.org", 0, 400),
+             _fi("subject %d", 0, 10_000)],
+    "dhcp": [_fi("00:16:3e:5e:00:%02x", 0, 256), _fi("host%d", 0, 500),
+             _fi("192.168.100.%d", 1, 255), _fi("%d", 600, 86400)],
+    "ntp": [_ch(["3", "4"]), _ch(["1", "2", "3", "4", "5"]),
+            _ch(["1", "2", "3"])],
+    "smb": [_ch(["TREE_CONNECT", "READ", "WRITE", "CLOSE"]),
+            _fi("\\\\server%d\\share", 0, 50), _ch(["IPC", "DISK"])],
+    "irc": [_fi("nick%d", 0, 300), _fi("user%d", 0, 300),
+            _ch(["JOIN", "PRIVMSG", "NICK", "PART"])],
+    "rdp": [_fi("mstshash=user%d", 0, 300), _ch(["success", "failure"]),
+            _ch(["HYBRID", "RDP", "SSL"])],
+    "ldap": [_fi("%d", 1, 100_000), _ch(["bind", "search", "modify", "unbind"]),
+             _ch(["success", "invalidCredentials", "noSuchObject"])],
+    "quic": [_ch(["1", "draft-29"]), _fi("site%d.example.com", 0, 200),
+             _fi("F%09x", 0, 2**36)],
+    "tunnel": [_ch(["Tunnel::GRE", "Tunnel::IP", "Tunnel::AYIYA"]),
+               _ch(["DISCOVER", "CLOSE"])],
+    "dpd": [_ch(_PROTOS), _ch(["HTTP", "SSL", "SSH", "DNS"]),
+            _fi("invalid header at byte %d", 0, 1500)],
+    "snmp": [_ff("%.4f", 0, 60), _ch(["1", "2c", "3"]),
+             _ch(["public", "private"])],
+    "sip": [_ch(["INVITE", "REGISTER", "OPTIONS", "BYE"]),
+            _fi("sip:user%d@example.com", 0, 300),
+            _fi("<sip:user%d@example.org>", 0, 300),
+            _ch(["200", "180", "404", "486"])],
+    "notice": [_ch(["Scan::Port_Scan", "SSL::Invalid_Server_Cert",
+                    "Weird::Activity"]), _fi("notice message %d", 0, 10_000),
+               _ch(["Notice::ACTION_LOG", "Notice::ACTION_EMAIL"])],
+    # ts-prefixed host/file logs (address fields draw from the shared IP
+    # pool, excluding the golden IPs so their date invariants stay exact)
+    "files": [_fi("F%09x", 0, 2**36), _ip(), _ip(),
+              _ch(["text/plain", "application/json", "image/png",
+                   "application/octet-stream"]),
+              _fi("%032x", 0, 2**63), _fi("%040x", 0, 2**63),
+              _fi("%064x", 0, 2**63), _fi("%d", 0, 10_000_000)],
+    "x509": [_fi("%064x", 0, 2**63), _ch(["3"]),
+             _fi("CN=site%d.example.com", 0, 200),
+             _ch(["CN=Example CA", "CN=Other CA"])],
+    "pe": [_fi("F%09x", 0, 2**36), _ch(["AMD64", "I386"]),
+           _ch(["Windows 10", "Windows 7"]),
+           _ch(["WINDOWS_GUI", "WINDOWS_CUI"])],
+    "known": [_ip(), _ch(_RESP_PORTS), _ch(["dns", "http", "ssl", "ssh"])],
+    "software": [_ip(), _ch(["HTTP::BROWSER", "HTTP::SERVER", "SSH::CLIENT"]),
+                 _ch(["Firefox", "Chrome", "OpenSSH", "nginx"]),
+                 _fi("%d.0", 1, 130)],
+    "capture_loss": [_ff("%.6f", 0, 900), _ch(["zeek", "worker-1", "worker-2"]),
+                     _fi("%d", 0, 100), _fi("%d", 100, 100_000),
+                     _ff("%.3f", 0, 5)],
+    "reporter": [_ch(["Reporter::INFO", "Reporter::WARNING", "Reporter::ERROR"]),
+                 _fi("reporter message %d", 0, 10_000),
+                 _fi("/opt/zeek/share/zeek/base/misc-%d.zeek", 0, 40)],
+    "traceroute": [_ip(), _ip(), _ch(_PROTOS + ["icmp"])],
+    # unknown source → quarantined by the router; payload is still a line
+    "bogus": [_fi("junk%d", 0, 100)],
+}
 
 # Rows per scale factor, mirroring the driver testdata's lineitem scale
 # (TESTDATA.md): sf0.001 ≈ 6k, sf0.01 ≈ 60k, sf0.1 ≈ 600k.
@@ -131,32 +244,29 @@ def make_corpus_frame(n_rows: int, seed: int = DEFAULT_SEED) -> pd.DataFrame:
         sep=SEPARATOR,
     )
 
-    # Per-source trailing fields (all rows get a draw; only the matching
-    # source's tail is used — keeps the draw sequence deterministic and
-    # branch-free).
-    conn_tail = s(_choice(rng, _PROTOS, n)).str.cat(
-        [s(_choice(rng, _SERVICES, n)),
-         fmt("%.4f", rng.uniform(0, 300, n)),
-         fmt("%d", rng.integers(0, 1_000_000, n))],
-        sep=SEPARATOR)
-    dns_tail = fmt("host%d.example.com", rng.integers(0, 500, n)).str.cat(
-        [s(_choice(rng, _QTYPES, n)), s(_choice(rng, _RCODES, n))], sep=SEPARATOR)
-    http_tail = s(_choice(rng, _METHODS, n)).str.cat(
-        [fmt("site%d.example.com", rng.integers(0, 200, n)),
-         fmt("/path/%d", rng.integers(0, 10_000, n)),
-         s(_choice(rng, _STATUS, n)), s(_choice(rng, _AGENTS, n))], sep=SEPARATOR)
-    weird_tail = s(_choice(rng, _WEIRD_NAMES, n)).str.cat(
-        [s(np.where(rng.random(n) < 0.5, "T", "F"))], sep=SEPARATOR)
-    bogus_tail = fmt("junk%d", rng.integers(0, 100, n))
-
-    tail = s(np.empty(n, dtype=object))
+    # Per-source trailing fields: each source draws its tail values from its
+    # OWN seeded rng over just its rows (deterministic in (n_rows, seed),
+    # work proportional to the source's row count even with 29 sources).
     src_s = s(source)
-    for name, t in (("conn", conn_tail), ("dns", dns_tail), ("http", http_tail),
-                    ("weird", weird_tail), ("bogus", bogus_tail)):
-        m = (src_s == name).to_numpy()
-        tail[m] = t[m]
+    common_np = common.to_numpy()
+    ts_np = cols["ts"].to_numpy()
+    lines_np = np.empty(n, dtype=object)
+    for name, _p in SOURCE_MIX:
+        m = (source == name)
+        n_s = int(m.sum())
+        if n_s == 0:
+            continue
+        rng_s = np.random.default_rng([seed, zlib.crc32(name.encode())])
+        parts = [s(g(rng_s, n_s)) for g in TAIL_SPECS[name]]
+        tail = parts[0] if len(parts) == 1 else parts[0].str.cat(
+            parts[1:], sep=SEPARATOR)
+        # connection-oriented sources (and bogus) carry the 6-tuple prefix;
+        # host/file logs are ts-prefixed like their real Zeek counterparts
+        prefix = common_np[m] if (name in CONN_PREFIXED or name == "bogus") \
+            else ts_np[m]
+        lines_np[m] = s(prefix).str.cat(tail, sep=SEPARATOR).to_numpy()
 
-    lines = common.str.cat(tail, sep=SEPARATOR)
+    lines = s(lines_np)
     tokens = lines.str.encode("utf-8")
     n_tok = tokens.str.len().astype("int32")
     doc_id = ("d-" + s(date) + "-" + s(source) + "-"
@@ -202,10 +312,11 @@ def generate_corpus(n_rows: int, seed: int = DEFAULT_SEED,
     rename, loser discards).
     """
     if rows_per_file is None:
-        # ≥24 fragments for parallel reads on small corpora, ≤100k rows per
-        # fragment (the unit of file-granular dispatch + resume)
-        rows_per_file = max(25_000, min(100_000, n_rows // 24))
-    out_dir = os.path.join(_CACHE_ROOT, f"v4-n{n_rows}-seed{seed}-rpf{rows_per_file}")
+        # ≥32 fragments for parallel reads on small corpora (one wave on a
+        # 32-CPU node), ≤100k rows per fragment (the unit of file-granular
+        # dispatch + resume)
+        rows_per_file = max(12_500, min(100_000, n_rows // 32))
+    out_dir = os.path.join(_CACHE_ROOT, f"v5-n{n_rows}-seed{seed}-rpf{rows_per_file}")
     if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
         return out_dir
 

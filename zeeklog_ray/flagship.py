@@ -37,6 +37,12 @@ from zeeklog_ray.parse import parse_batch
 from zeeklog_ray.pipeline import PipelineConfig, _ip_predicate
 
 
+# Columns worth parquet min/max stats in routed output (predicate-pushdown
+# candidates); stats on the other ~80 wide-registry columns are overhead.
+_STATS_COLUMNS = ["ts", "uid", "doc_id", "n_tok",
+                  "id_orig_h", "id_orig_p", "id_resp_h", "id_resp_p"]
+
+
 class FusedRouteWriter:
     """Actor: parse+enrich a batch, write it to per-sink Parquet, return the
     batch's partial sink stats.  Enrichment dicts load once per actor."""
@@ -76,7 +82,13 @@ class FusedRouteWriter:
                 sub = t.filter(pc.equal(sinks, sink)).drop_columns(["sink"])
                 d = os.path.join(self.out_dir, f"sink={sink}")
                 os.makedirs(d, exist_ok=True)
-                pq.write_table(sub, os.path.join(d, f"part-{name_hint}.parquet"))
+                # dictionary encoding costs ~25% of the routed write on the
+                # wide (28-source) schema and buys little on these short
+                # string columns; keep min/max stats only for the columns a
+                # downstream filter would actually push down on
+                pq.write_table(sub, os.path.join(d, f"part-{name_hint}.parquet"),
+                               use_dictionary=False,
+                               write_statistics=_STATS_COLUMNS)
         # parse_batch always appends 'sink', so this is valid for empty t too
         return self.combine(t.select(["sink", "n_tok"]))
 

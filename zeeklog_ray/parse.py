@@ -58,13 +58,31 @@ def tokens_to_strings(tokens: pa.ChunkedArray | pa.Array) -> pa.Array:
     )
 
 
-# field name → list of (source, position) claims, precomputed once at import.
-_FIELD_CLAIMS: dict[str, list[tuple[str, int]]] = {}
+# field name → {position → tuple(sources claiming the field there)},
+# precomputed once at import.  Grouping claims by position lets one
+# ``is_in`` mask serve every source that puts the field at that position
+# (e.g. ``uid`` at position 1 for all 20 connection-prefixed sources is ONE
+# kernel call, not 20), keeping the per-batch kernel count ≈ the number of
+# distinct output columns even with the full 28-protocol registry.
+_FIELD_POS_SOURCES: dict[str, dict[int, tuple[str, ...]]] = {}
 for _src in KNOWN_SOURCES:
     for _i, _f in enumerate(SOURCE_FIELDS[_src]):
-        _FIELD_CLAIMS.setdefault(_f, []).append((_src, _i))
+        _FIELD_POS_SOURCES.setdefault(_f, {}).setdefault(_i, ())
+for _src in KNOWN_SOURCES:
+    for _i, _f in enumerate(SOURCE_FIELDS[_src]):
+        _FIELD_POS_SOURCES[_f][_i] = _FIELD_POS_SOURCES[_f][_i] + (_src,)
 _MAX_POS = max(len(f) for f in SOURCE_FIELDS.values())
 _KNOWN_SET = pa.array(list(KNOWN_SOURCES), type=pa.string())
+_N_KNOWN = len(KNOWN_SOURCES)
+# source-set cache for is_in value sets (avoid rebuilding Arrow arrays per batch)
+_SRCSET_CACHE: dict[tuple[str, ...], pa.Array] = {}
+
+
+def _srcset(sources: tuple[str, ...]) -> pa.Array:
+    arr = _SRCSET_CACHE.get(sources)
+    if arr is None:
+        arr = _SRCSET_CACHE[sources] = pa.array(list(sources), type=pa.string())
+    return arr
 
 
 def parse_batch(batch: pa.Table) -> pa.Table:
@@ -97,24 +115,43 @@ def parse_batch(batch: pa.Table) -> pa.Table:
 
     lines = tokens_to_strings(batch["tokens"])
     parts = pc.split_pattern(lines, SEPARATOR)
-    # Null-padded positional access for every position once per batch
+
+    # Only the sources actually PRESENT in this batch matter: claims from
+    # absent sources are skipped, so a conn/dns-dominated batch pays ~15
+    # column kernels, not the full registry's worth.
+    present = set(pc.unique(src_lower).to_pylist()) & set(KNOWN_SOURCES)
+
+    # Null-padded positional access, computed lazily per needed position
     # (rows with fewer fields yield NULL — vs the reference's silent
     # zip-truncate, zeek_log.rs:181-188).
-    pos = [pc.list_flatten(pc.list_slice(parts, i, i + 1,
-                                         return_fixed_size_list=True))
-           for i in range(_MAX_POS)]
+    pos_cache: dict[int, pa.Array] = {}
+
+    def pos(i: int) -> pa.Array:
+        col = pos_cache.get(i)
+        if col is None:
+            col = pos_cache[i] = pc.list_flatten(
+                pc.list_slice(parts, i, i + 1, return_fixed_size_list=True))
+        return col
 
     null_str = pa.scalar(None, pa.string())
+    nulls = pa.nulls(n, type=pa.string())
     out = batch
     for name in EXTRACTED_COLUMNS:
-        claims = _FIELD_CLAIMS[name]
-        positions = {p for _, p in claims}
-        if len(positions) == 1 and len(claims) == len(KNOWN_SOURCES):
-            # common field (same position in every source): one masked select
-            col = pc.if_else(known, pos[claims[0][1]], null_str)
+        groups = [(p, tuple(s for s in srcs if s in present))
+                  for p, srcs in _FIELD_POS_SOURCES[name].items()]
+        groups = [(p, srcs) for p, srcs in groups if srcs]
+        if not groups:
+            col = nulls
+        elif (len(groups) == 1
+              and len(_FIELD_POS_SOURCES[name][groups[0][0]]) == _N_KNOWN):
+            # claimed by EVERY source at one position (ts): the known mask
+            # already is the claim mask
+            col = pc.if_else(known, pos(groups[0][0]), null_str)
         else:
-            col = pa.nulls(n, type=pa.string())
-            for src, p in claims:
-                col = pc.if_else(pc.equal(src_lower, src), pos[p], col)
+            col = nulls
+            for p, srcs in groups:
+                mask = (pc.equal(src_lower, srcs[0]) if len(srcs) == 1
+                        else pc.is_in(src_lower, value_set=_srcset(srcs)))
+                col = pc.if_else(mask, pos(p), col)
         out = out.append_column(name, col)
     return out.append_column("sink", sink)
