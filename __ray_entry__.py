@@ -7,10 +7,13 @@ the library) calls ``ray.init`` / ``ray.shutdown``.
   sf0.001-scale corpus; returns the per-sink stats Dataset.
 * ``queries()`` — one entry per implemented operator/pipeline
   (registry: ``zeeklog_ray/queries.py``; inventory: SURVEY.md §2).
-* ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query;
-  ``zeek_*`` pipeline queries are omitted (the token codec is not
-  SQL-expressible) and get the driver's rows-only check — their strong gate
-  is the pytest suite.
+* ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query,
+  INCLUDING the ``zeek_*`` flagship pipeline: the token codec decodes in SQL
+  via ``array_to_string(list_transform(tokens, x -> chr(x)), '')`` +
+  ``string_split(line, chr(9))`` over the corpus Parquet, so parse → route →
+  filter → aggregate is fully oracle-checked.  Only genuinely
+  non-SQL-expressible ops (wraparound-hash signatures, approximate
+  sketches/ANN, stubbed media decode) keep the rows-only check.
 """
 
 from __future__ import annotations
@@ -33,6 +36,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from zeeklog_ray.queries import ORACLE_SQL
+    from zeeklog_ray.queries import ORACLE_SQL, ensure_oracle_corpus
 
+    # the zeek_* oracles read the tokenized corpus by path — make sure it
+    # exists even if the driver runs the SQL before the Ray queries
+    ensure_oracle_corpus()
     return dict(ORACLE_SQL)

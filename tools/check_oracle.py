@@ -53,6 +53,13 @@ def main(sf_dir: str) -> int:
     import __ray_entry__ as entrymod
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    # re-target the zeek_* oracles at THIS sf dir's corpus (the driver runs
+    # at sf0.01; locally we check other scales too)
+    from zeeklog_ray.corpus import corpus_for_sf_dir
+    from zeeklog_ray.queries import build_oracle_sql
+
+    corpus_for_sf_dir(sf_dir)
+    oracles = build_oracle_sql(sf_dir)
     failures = 0
     for name, fn in qs.items():
         t0 = time.monotonic()

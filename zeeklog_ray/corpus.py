@@ -301,6 +301,35 @@ def frame_to_table(df: pd.DataFrame, with_date: bool = False) -> pa.Table:
     return pa.table(cols)
 
 
+def _default_rows_per_file(n_rows: int) -> int:
+    # ≥32 fragments for parallel reads on small corpora (one wave on a
+    # 32-CPU node), ≤100k rows per fragment (the unit of file-granular
+    # dispatch + resume)
+    return max(12_500, min(100_000, n_rows // 32))
+
+
+def _corpus_dir_for(n_rows: int, seed: int, rows_per_file: int) -> str:
+    return os.path.join(_CACHE_ROOT, f"v5-n{n_rows}-seed{seed}-rpf{rows_per_file}")
+
+
+def _sf_n_rows(sf_dir: str) -> int:
+    tag = os.path.basename(os.path.normpath(sf_dir)).removeprefix("sf")
+    n_rows = SF_ROWS.get(tag)
+    if n_rows is None:
+        try:
+            n_rows = max(1000, int(float(tag) * 6_000_000))
+        except ValueError:
+            n_rows = 60_000
+    return n_rows
+
+
+def corpus_path_for_sf_dir(sf_dir: str, seed: int = DEFAULT_SEED) -> str:
+    """The corpus directory an sf dir maps to, WITHOUT generating it —
+    used to embed the path in oracle SQL at import time."""
+    n = _sf_n_rows(sf_dir)
+    return _corpus_dir_for(n, seed, _default_rows_per_file(n))
+
+
 def generate_corpus(n_rows: int, seed: int = DEFAULT_SEED,
                     rows_per_file: int | None = None) -> str:
     """Generate (or reuse) the hive-partitioned corpus; returns its directory.
@@ -312,11 +341,8 @@ def generate_corpus(n_rows: int, seed: int = DEFAULT_SEED,
     rename, loser discards).
     """
     if rows_per_file is None:
-        # ≥32 fragments for parallel reads on small corpora (one wave on a
-        # 32-CPU node), ≤100k rows per fragment (the unit of file-granular
-        # dispatch + resume)
-        rows_per_file = max(12_500, min(100_000, n_rows // 32))
-    out_dir = os.path.join(_CACHE_ROOT, f"v5-n{n_rows}-seed{seed}-rpf{rows_per_file}")
+        rows_per_file = _default_rows_per_file(n_rows)
+    out_dir = _corpus_dir_for(n_rows, seed, rows_per_file)
     if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
         return out_dir
 
@@ -350,14 +376,7 @@ def generate_corpus(n_rows: int, seed: int = DEFAULT_SEED,
 def corpus_for_sf_dir(sf_dir: str, seed: int = DEFAULT_SEED) -> str:
     """Map a driver sf dir (e.g. /root/testdata/sf0.01) to a corpus dir of
     matching scale, generating it on first use."""
-    tag = os.path.basename(os.path.normpath(sf_dir)).removeprefix("sf")
-    n_rows = SF_ROWS.get(tag)
-    if n_rows is None:
-        try:
-            n_rows = max(1000, int(float(tag) * 6_000_000))
-        except ValueError:
-            n_rows = 60_000
-    return generate_corpus(n_rows, seed)
+    return generate_corpus(_sf_n_rows(sf_dir), seed)
 
 
 # ---------------------------------------------------------------------------

@@ -6,9 +6,10 @@ Two families:
 
 * ``zeek_*`` — the flagship parse→enrich→route→aggregate pipeline over the
   deterministic tokenized corpus (generated per sf on first use, cached under
-  /tmp).  The token codec is not SQL-expressible, so these are rows-only
-  checks for the driver; their strong correctness gate is the pytest suite
-  (golden expectations computed with pandas/pyarrow on the same seed).
+  /tmp).  Fully oracle-checked: DuckDB decodes the token payload with
+  ``array_to_string(list_transform(tokens, x -> chr(x)), '')`` and splits on
+  ``chr(9)``, replicating parse → route → filter → aggregate in SQL
+  (see ``_zeek_oracle_sql``).
 * relational/analytics queries over the driver's testdata tables
   (documents / events / lineitem / orders / …) — each with exact oracle SQL.
   Float policy: sums are integer-exact (cents), divisions happen on exact
@@ -715,6 +716,106 @@ _HIST_CASE = ("CASE WHEN n_chars < 64 THEN 'hist_0_64' "
               "ELSE 'hist_1024_inf' END")
 
 
+# --------------------------------------------------------------------------
+# zeek_* oracle SQL: DuckDB CAN decode the token payload —
+#   array_to_string(list_transform(tokens, x -> chr(x)), '')  → the TSV line
+#   string_split(line, chr(9))                                → the cells
+# so the whole parse→route→aggregate pipeline is SQL-expressible and the
+# flagship queries get the driver's full rows+schema+hash gate.
+# --------------------------------------------------------------------------
+
+# The driver registers its oracle views over sf0.01 and runs both sides at
+# that scale; the zeek corpus is addressed by absolute path inside the SQL.
+DRIVER_SF_DIR = "/root/testdata/sf0.01"
+
+
+def _sql_strings(names) -> str:
+    return "(" + ", ".join(f"'{n}'" for n in names) + ")"
+
+
+def _zeek_oracle_sql(sf_dir: str) -> dict[str, str]:
+    """Oracle SQL for the flagship queries over the tokenized corpus that
+    ``corpus_for_sf_dir(sf_dir)`` resolves to (path computed WITHOUT
+    generating; generation happens when the queries run / via
+    ``ensure_oracle_corpus``)."""
+    from zeeklog_ray.corpus import corpus_path_for_sf_dir
+    from zeeklog_ray.enrich import build_geo_dict
+    from zeeklog_ray.sources import CONN_PREFIXED, KNOWN_SOURCES
+
+    corpus_glob = f"{corpus_path_for_sf_dir(sf_dir)}/date=*/part-*.parquet"
+    known = _sql_strings(KNOWN_SOURCES)
+    connp = _sql_strings(CONN_PREFIXED)
+    # decoded view: p = the TSV cells of the token payload (1-indexed);
+    # id.orig_h = p[3], id.resp_h = p[5] for connection-prefixed sources
+    z = ("WITH z AS (SELECT date, source, lower(source) AS src, n_tok, "
+         "string_split(array_to_string(list_transform(tokens, x -> chr(x)), "
+         "''), chr(9)) AS p "
+         f"FROM read_parquet('{corpus_glob}')) ")
+    sink = (f"CASE WHEN lower(source) IN {known} "
+            "THEN lower(source) ELSE 'none' END")
+    hist = " ".join(
+        f"CAST(SUM(CASE WHEN n_tok >= {lo} AND n_tok < {hi} THEN 1 ELSE 0 "
+        f"END) AS BIGINT) AS {col},"
+        for col, lo, hi in (("hist_0_64", 0, 64), ("hist_64_128", 64, 128),
+                            ("hist_128_256", 128, 256),
+                            ("hist_256_512", 256, 512),
+                            ("hist_512_1024", 512, 1024),
+                            ("hist_1024_inf", 1024, 1 << 62)))
+    sink_stats = (
+        f"SELECT {sink} AS sink, COUNT(*) AS n, "
+        "CAST(SUM(n_tok) AS BIGINT) AS sum_n_tok, "
+        "CAST(MIN(n_tok) AS BIGINT) AS min_n_tok, "
+        "CAST(MAX(n_tok) AS BIGINT) AS max_n_tok, "
+        + hist.rstrip(",")
+        + f" FROM read_parquet('{corpus_glob}') GROUP BY 1")
+
+    ip = "10.2.17.31"
+    ip_cond = f"src IN {connp} AND (p[3] = '{{ip}}' OR p[5] = '{{ip}}')"
+    golden = GOLDEN_IP_0702_ONLY
+    geo = build_geo_dict()
+    geo_values = ", ".join(
+        f"('{k}', '{v['geo_country_code']}')" for k, v in sorted(geo.items()))
+
+    return {
+        "zeek_sink_stats": sink_stats,
+        # enrichment appends columns but never rows — identical aggregate
+        "zeek_enriched_sink_stats": sink_stats,
+        "zeek_distinct_orig_h": (
+            z + f"SELECT DISTINCT p[3] AS id_orig_h FROM z WHERE src IN {connp}"),
+        "zeek_golden_ip_filter": (
+            z + "SELECT d.date, CAST(COALESCE(m.n, 0) AS BIGINT) AS n_rows "
+            "FROM (VALUES ('2024-07-02'), ('2024-07-03')) AS d(date) "
+            "LEFT JOIN (SELECT date, COUNT(*) AS n FROM z WHERE "
+            + ip_cond.format(ip=golden) + " GROUP BY date) m ON d.date = m.date"),
+        "zeek_plan_matrix": (
+            z + "SELECT * FROM ("
+            "SELECT 0 AS plan, COUNT(*) AS n_rows FROM z WHERE date = '2024-07-02' "
+            "UNION ALL SELECT 1, COUNT(*) FROM z WHERE date BETWEEN '2024-07-02' AND '2024-07-03' "
+            "UNION ALL SELECT 2, COUNT(*) FROM z WHERE date = '2024-07-02' AND source = 'dns' "
+            "UNION ALL SELECT 3, COUNT(*) FROM z WHERE date BETWEEN '2024-07-02' AND '2024-07-03' AND source = 'dns' "
+            f"UNION ALL SELECT 4, COUNT(*) FROM z WHERE date = '2024-07-02' AND {ip_cond.format(ip=ip)} "
+            f"UNION ALL SELECT 5, COUNT(*) FROM z WHERE date BETWEEN '2024-07-02' AND '2024-07-03' AND {ip_cond.format(ip=ip)} "
+            f"UNION ALL SELECT 6, COUNT(*) FROM z WHERE date = '2024-07-02' AND source = 'dns' AND {ip_cond.format(ip=ip)} "
+            f"UNION ALL SELECT 7, COUNT(*) FROM z WHERE date BETWEEN '2024-07-02' AND '2024-07-03' AND source = 'dns' AND {ip_cond.format(ip=ip)}"
+            ") ORDER BY plan"),
+        "zeek_geo_summary": (
+            z + "SELECT DISTINCT p[3] AS id_orig_h, g.cc AS geo_country_code "
+            f"FROM z JOIN (VALUES {geo_values}) AS g(ip, cc) ON p[3] = g.ip "
+            f"WHERE src IN {connp}"),
+        "zeek_multiday_first_wins": (
+            z + "SELECT MIN(date) AS date, id_orig_h FROM "
+            "(SELECT DISTINCT date, p[3] AS id_orig_h FROM z "
+            f"WHERE src IN {connp}) GROUP BY id_orig_h"),
+    }
+
+
+def ensure_oracle_corpus(sf_dir: str = DRIVER_SF_DIR) -> None:
+    """Generate (or reuse) the corpus the zeek oracle SQL reads — called by
+    ``__ray_entry__.oracle_sql()`` so the SQL's read_parquet target exists
+    even if the driver runs the oracle before the Ray query."""
+    corpus_for_sf_dir(sf_dir)
+
+
 def _sim_vector_sql() -> str:
     return "CAST([" + ", ".join(f"{v:.4f}" for v in _query_vector()) + "] AS DOUBLE[])"
 
@@ -840,3 +941,16 @@ ORACLE_SQL: dict[str, str] = {
         "FROM customer JOIN nation ON c_nationkey = n_nationkey "
         "LEFT JOIN orders ON o_custkey = c_custkey GROUP BY n_name"),
 }
+
+# The flagship zeek_* oracles read the tokenized corpus by absolute path at
+# the driver's comparison scale (sf0.01).
+ORACLE_SQL.update(_zeek_oracle_sql(DRIVER_SF_DIR))
+
+
+def build_oracle_sql(sf_dir: str = DRIVER_SF_DIR) -> dict[str, str]:
+    """ORACLE_SQL with the zeek_* entries re-targeted at ``sf_dir``'s corpus
+    (for local gate replicas like tools/check_oracle.py that run at other
+    scales)."""
+    out = dict(ORACLE_SQL)
+    out.update(_zeek_oracle_sql(sf_dir))
+    return out
