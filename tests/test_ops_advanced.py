@@ -89,3 +89,34 @@ def test_ivf_topk_recall(ray_session):
     approx = ivf_topk(ds, q, k=10, n_clusters=8, nprobe=2)
     recall = len(set(approx["vec_id"]) & set(exact["vec_id"])) / 10
     assert recall >= 0.8      # clustered data → coarse quantizer is accurate
+
+
+def test_trailing_windows_matches_bruteforce(ray_session):
+    """Vectorized map_groups trailing windows == O(n^2) reference, RANGE
+    semantics (equal-ts peers included)."""
+    from zeeklog_ray.ops.streaming import trailing_windows
+
+    rng = np.random.default_rng(17)
+    n = 400
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        rng.integers(0, 4 * 3600, n), unit="s")
+    df = pd.DataFrame({"user_id": rng.integers(0, 5, n),
+                       "ts": ts, "value": rng.integers(0, 100, n).astype("int64")})
+    # plant an exact-duplicate timestamp pair to pin peer semantics
+    df.loc[1, ["user_id", "ts"]] = [df.loc[0, "user_id"], df.loc[0, "ts"]]
+
+    got = trailing_windows(ray.data.from_pandas(df.sample(frac=1, random_state=3)
+                                                .reset_index(drop=True)),
+                           window_seconds=3600).to_pandas()
+    got = got.sort_values(["user_id", "ts", "w_count"]).reset_index(drop=True)
+
+    rows = []
+    w = pd.Timedelta(seconds=3600)
+    for _, r in df.iterrows():
+        m = df[(df["user_id"] == r["user_id"]) & (df["ts"] <= r["ts"])
+               & (df["ts"] >= r["ts"] - w)]
+        rows.append((r["user_id"], r["ts"], len(m), m["value"].sum()))
+    exp = pd.DataFrame(rows, columns=["user_id", "ts", "w_count", "w_sum"]) \
+        .sort_values(["user_id", "ts", "w_count"]).reset_index(drop=True)
+    assert got["w_count"].tolist() == exp["w_count"].tolist()
+    assert got["w_sum"].tolist() == exp["w_sum"].tolist()

@@ -1,27 +1,64 @@
-"""Stream-shaped processing with incremental actor state.
+"""Windowed / stream-shaped processing.
 
-Ray Data is a batch engine; for workloads whose semantics need *incremental
-per-key state over an ordered stream* (running counters, sliding windows
-that must emit per event), the guide's last-resort pattern applies: raw Ray
-actors, one per key-hash bucket, fed batches in timestamp order.  This is
-the ONE place the engine drops below the Dataset API — everything
-expressible as groupby+map_groups (tumbling windows, sessions) lives in
-``ops/sessionize.py`` instead.
+Two tiers:
 
-Ordering assumption: the driver feeds batches in global ts order (obtained
-via ``ds.sort(ts)``); each actor sees its bucket's events in order.  At
-cluster scale the sort is the usual range-partitioned shuffle and buckets
-process in parallel; state is bounded by (window span × event rate) per key.
+* :func:`trailing_windows` — the BATCH-SEMANTICS per-event trailing window
+  (SQL: ``SUM(..) OVER (PARTITION BY key ORDER BY ts RANGE BETWEEN <w>
+  PRECEDING AND CURRENT ROW)``), expressed as ``groupby(key).map_groups``
+  with a fully vectorized two-pointer (``np.searchsorted`` over sorted
+  timestamps + prefix sums) inside each group.  This is the scale path: one
+  hash shuffle co-partitions each key, every group computes in O(n log n)
+  numpy, nothing streams through the driver.  Partitioning assumption: one
+  key's events fit in one group (bound = events per key per window span ×
+  retention; salt by time-bucket first if a single key exceeds worker
+  memory).
+* :class:`WindowBucketActor` — raw Ray actors holding incremental per-key
+  state, for genuinely UNBOUNDED feeds that must emit per event as data
+  arrives (the guide's last-resort tier; Ray Data cannot express
+  incremental emission).  Per-batch work is vectorized per key present in
+  the batch — no per-row Python.
+
+Stream-order note: the actor tier counts events *seen so far* in the
+window (ties broken by arrival), while ``trailing_windows`` follows SQL
+RANGE semantics (all peer rows with equal ts are included).  They agree
+whenever timestamps are unique.
 """
 
 from __future__ import annotations
 
-from collections import deque
-
+import numpy as np
 import pandas as pd
 
 import ray
 import ray.data
+
+
+def trailing_windows(ds: "ray.data.Dataset", key: str = "user_id",
+                     ts: str = "ts", value: str = "value",
+                     window_seconds: int = 3600) -> "ray.data.Dataset":
+    """Per-event trailing-window (count, sum) per key, RANGE semantics:
+    row i's window is every row of the same key with ``ts`` in
+    ``[ts_i - window, ts_i]`` (equal-ts peers included).
+
+    Output: one row per input event — ``key, ts, w_count, w_sum``.
+    """
+    window_ns = np.int64(window_seconds) * 1_000_000_000
+
+    def per_key(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(ts, kind="mergesort")
+        t = g[ts].to_numpy("datetime64[ns]").astype("int64")
+        v = g[value].to_numpy()
+        lo = np.searchsorted(t, t - window_ns, side="left")
+        hi = np.searchsorted(t, t, side="right")
+        csum = np.concatenate(([0], np.cumsum(v)))
+        return pd.DataFrame({
+            key: g[key].to_numpy(),
+            ts: g[ts].to_numpy(),
+            "w_count": (hi - lo).astype("int64"),
+            "w_sum": csum[hi] - csum[lo],
+        })
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
 
 
 @ray.remote
@@ -29,25 +66,42 @@ class WindowBucketActor:
     """Holds sliding-window state for every key hashed to this bucket.
 
     Emits, per event, the count and value-sum of the key's events within the
-    trailing window (including the event itself) — a per-event sliding
-    window aggregate, which groupby/map_groups cannot produce incrementally.
+    trailing window (events seen SO FAR, stream order) — the incremental
+    variant that batch map_groups cannot produce for an unbounded feed.
+    State per key is the (ts, value) tail inside the current window.
     """
 
     def __init__(self, window_seconds: int) -> None:
-        self.window = pd.Timedelta(seconds=window_seconds)
-        self.state: dict = {}
+        self.window_ns = np.int64(window_seconds) * 1_000_000_000
+        self.state: dict = {}   # key -> (ts int64 ndarray, value ndarray)
 
     def process(self, batch: pd.DataFrame, key: str, ts: str,
                 value: str) -> pd.DataFrame:
-        outs = []
-        for _, row in batch.iterrows():
-            dq = self.state.setdefault(row[key], deque())
-            t = row[ts]
-            dq.append((t, row[value]))
-            while dq and dq[0][0] < t - self.window:
-                dq.popleft()
-            outs.append((row[key], t, len(dq), sum(v for _, v in dq)))
-        return pd.DataFrame(outs, columns=[key, ts, "w_count", "w_sum"])
+        n = len(batch)
+        w_count = np.empty(n, dtype="int64")
+        w_sum = np.empty(n, dtype="float64")
+        t_all = batch[ts].to_numpy("datetime64[ns]").astype("int64")
+        v_all = batch[value].to_numpy(dtype="float64")
+        # vectorized per KEY present in the batch (each key's rows arrive in
+        # stream order because the feeder sorts globally by ts)
+        for k, idx in batch.groupby(key, sort=False).indices.items():
+            t = t_all[idx]
+            v = v_all[idx]
+            pt, pv = self.state.get(k, (np.empty(0, np.int64),
+                                        np.empty(0, np.float64)))
+            at = np.concatenate((pt, t))
+            av = np.concatenate((pv, v))
+            pos = np.arange(len(pt), len(at))
+            lo = np.searchsorted(at, at[pos] - self.window_ns, side="left")
+            csum = np.concatenate(([0.0], np.cumsum(av)))
+            w_count[idx] = pos + 1 - lo
+            w_sum[idx] = csum[pos + 1] - csum[lo]
+            keep = at > at[-1] - self.window_ns
+            self.state[k] = (at[keep], av[keep])
+        out = batch[[key, ts]].copy()
+        out["w_count"] = w_count
+        out["w_sum"] = w_sum
+        return out
 
     def n_keys(self) -> int:
         return len(self.state)
@@ -58,12 +112,12 @@ def sliding_window_counts(ds: "ray.data.Dataset", key: str = "user_id",
                           window_seconds: int = 3600,
                           num_buckets: int = 4,
                           batch_rows: int = 4096) -> pd.DataFrame:
-    """Per-event trailing-window (count, sum) per key.
+    """Incremental-feed driver over :class:`WindowBucketActor` buckets.
 
-    Driver streams ts-sorted batches; each batch is split by key-hash and
-    dispatched to the bucket actors concurrently (in-flight across actors,
-    ordered within an actor by submission order — Ray actor tasks execute
-    FIFO per actor, which preserves the per-bucket stream order).
+    Use :func:`trailing_windows` for batch workloads — this exists to
+    demonstrate the incremental tier (per-actor FIFO preserves each
+    bucket's stream order).  The driver only routes batch HANDLES; the
+    per-event work happens in the actors.
     """
     actors = [WindowBucketActor.remote(window_seconds) for _ in range(num_buckets)]
     pending = []

@@ -42,10 +42,10 @@ def quality_metrics(ds: "ray.data.Dataset", text_col: str = "text",
     Every feature is expressible in SQL (string_split + list_filter), so the
     whole operator is oracle-checked.
     """
-    en_stop = sorted(STOPWORDS["en"])
+    en_stop = frozenset(STOPWORDS["en"])
 
     def feats(batch: pd.DataFrame) -> pd.DataFrame:
-        text = batch[text_col]
+        text = batch[text_col].reset_index(drop=True)
         n_chars = text.str.len().astype("int64")
         # words = space-separated non-empty tokens, matching the oracle's
         # STRING_SPLIT(text, ' ') exactly (NOT regex \S+, which differs on
@@ -55,11 +55,10 @@ def quality_metrics(ds: "ray.data.Dataset", text_col: str = "text",
         # (?a) → ASCII word/space classes, matching DuckDB RE2 semantics on
         # non-ASCII letters
         n_punct = text.str.count(r"(?a)[^\w\s]").astype("int64")
-        words = text.str.split(" ")
-        n_stop = words.map(lambda ws: sum(1 for w in ws if w in en_stop)
-                           if isinstance(ws, list) else 0).astype("int64")
+        n_stop = pd.Series(
+            _member_counts(text.str.split(" "), en_stop, len(text)))
         return pd.DataFrame({
-            id_col: batch[id_col],
+            id_col: batch[id_col].to_numpy(),
             "n_chars": n_chars,
             "n_words": n_words,
             "avg_word_len_e4": _floor_e4(n_nonspace, n_words),
@@ -68,6 +67,20 @@ def quality_metrics(ds: "ray.data.Dataset", text_col: str = "text",
         })
 
     return ds.map_batches(feats, batch_format="pandas", batch_size=None)
+
+
+def _member_counts(words: pd.Series, vocab: frozenset, n: int) -> np.ndarray:
+    """Per-row count of words that are in ``vocab`` — vectorized via one
+    explode + isin + bincount (no Python loop over rows or words).
+    ``words`` must be positionally indexed (0..n-1)."""
+    ex = words.explode()
+    valid = ex.notna()
+    if not valid.any():
+        return np.zeros(n, dtype="int64")
+    exv = ex[valid]
+    rows = exv.index.to_numpy().astype(np.int64)
+    hit = exv.isin(vocab).to_numpy()
+    return np.bincount(rows[hit], minlength=n).astype("int64")
 
 
 class LangId:
@@ -86,21 +99,26 @@ class LangId:
         self.word_re = re.compile(r"[a-zA-Zäöüßéèàùâêîôûñ]+")
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        texts = batch["text"].str.lower().str.findall(self.word_re)
-
-        def best(words: list[str]) -> str:
-            if not words:
-                return "unknown"
-            scores = {k: sum(1 for w in words if w in s)
-                      for k, s in self.sets.items()}
-            top = max(scores.values())
-            if top == 0:
-                return "unknown"
-            return min(k for k, v in scores.items() if v == top)
-
-        out = batch[["doc_id"]].copy()
-        out["lang_pred"] = texts.map(best)
-        return out
+        n = len(batch)
+        words = batch["text"].reset_index(drop=True) \
+            .str.lower().str.findall(self.word_re)
+        # one explode + per-language isin/bincount — vectorized scoring,
+        # no Python loop over rows or words
+        scores = np.zeros((n, len(self.langs)), dtype=np.int64)
+        ex = words.explode()
+        exv = ex[ex.notna()]
+        if len(exv):
+            rows = exv.index.to_numpy().astype(np.int64)
+            for j, lang in enumerate(self.langs):
+                hit = exv.isin(self.sets[lang]).to_numpy()
+                scores[:, j] = np.bincount(rows[hit], minlength=n)
+        top = scores.max(axis=1)
+        # argmax takes the FIRST max → alphabetical tie-break (langs sorted)
+        pred = np.asarray(self.langs, dtype=object)[scores.argmax(axis=1)]
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].to_numpy(),
+            "lang_pred": np.where(top > 0, pred, "unknown"),
+        })
 
 
 def lang_id(ds: "ray.data.Dataset", concurrency=(1, 4)) -> "ray.data.Dataset":

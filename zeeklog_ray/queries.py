@@ -475,16 +475,35 @@ def salted_events_sum(sf_dir: str) -> "ray.data.Dataset":
                               "event_type", "value_cents")
 
 
-def event_sliding_windows(sf_dir: str) -> pd.DataFrame:
-    """Per-event trailing-1h window aggregates via stateful bucket actors
-    (ops/streaming.py — the raw-actor exception); verified in pytest."""
-    from zeeklog_ray.ops.streaming import sliding_window_counts
+def event_sliding_windows(sf_dir: str) -> "ray.data.Dataset":
+    """Per-event trailing-1h window (count, cents sum) per user over the FULL
+    events table — vectorized ``groupby(user_id).map_groups`` two-pointer
+    (ops/streaming.trailing_windows), one hash shuffle, no driver loop.
+    RANGE window semantics; oracle = the equivalent SQL window function."""
+    from zeeklog_ray.ops.streaming import trailing_windows
 
-    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "value"]) \
-        .limit(2000)  # bounded driver-side stream for the registry entry
-    out = sliding_window_counts(ev, window_seconds=3600, num_buckets=4)
-    out["w_sum"] = _round_half_away(out["w_sum"] * 100)
-    return out.rename(columns={"w_sum": "w_sum_cents"})
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["value_cents"] = _round_half_away(batch["value"] * 100)
+        return batch[["user_id", "ts", "value_cents"]]
+
+    prepped = ev.map_batches(prep, batch_format="pandas", batch_size=None)
+    out = trailing_windows(prepped, key="user_id", ts="ts",
+                           value="value_cents", window_seconds=3600)
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        # timestamps as int64 epoch-us so the oracle comparison is
+        # format-independent
+        return pd.DataFrame({
+            "user_id": batch["user_id"],
+            # unit-safe epoch-us (the parquet timestamps are us-precision)
+            "ts_us": batch["ts"].to_numpy("datetime64[us]").astype("int64"),
+            "w_count": batch["w_count"],
+            "w_sum_cents": batch["w_sum"].astype("int64"),
+        })
+
+    return out.map_batches(finish, batch_format="pandas", batch_size=None)
 
 
 def ivf_ann_topk(sf_dir: str) -> pd.DataFrame:
@@ -820,6 +839,29 @@ def _sim_vector_sql() -> str:
     return "CAST([" + ", ".join(f"{v:.4f}" for v in _query_vector()) + "] AS DOUBLE[])"
 
 
+def _langid_oracle_sql() -> str:
+    """SQL replica of ops.text.LangId: per-language stopword hit counts over
+    the same word tokenization, argmax with alphabetical tie-break, 0 hits →
+    'unknown'.  The >= cascade in language order (de,en,es,fr) picks the
+    alphabetically-first maximum, matching numpy argmax over sorted langs."""
+    from zeeklog_ray.ops.text import STOPWORDS
+
+    langs = sorted(STOPWORDS)   # de, en, es, fr
+    counts = ", ".join(
+        "LENGTH(LIST_FILTER(ws, x -> x IN ("
+        + ", ".join(f"'{w}'" for w in sorted(STOPWORDS[lang]))
+        + f"))) AS n_{lang}"
+        for lang in langs)
+    case = ("CASE WHEN GREATEST(n_de, n_en, n_es, n_fr) = 0 THEN 'unknown' "
+            "WHEN n_de >= n_en AND n_de >= n_es AND n_de >= n_fr THEN 'de' "
+            "WHEN n_en >= n_es AND n_en >= n_fr THEN 'en' "
+            "WHEN n_es >= n_fr THEN 'es' ELSE 'fr' END")
+    return (f"SELECT doc_id, {case} AS lang_pred FROM "
+            f"(SELECT doc_id, {counts} FROM "
+            "(SELECT doc_id, regexp_extract_all(lower(text), "
+            "'[a-zäöüßéèàùâêîôûñ]+') AS ws FROM documents))")
+
+
 ORACLE_SQL: dict[str, str] = {
     "docs_by_source": (
         "SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars, "
@@ -885,6 +927,7 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT doc_id, CAST(LENGTH(REGEXP_EXTRACT_ALL(text, "
         "'[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens "
         "FROM documents"),
+    "doc_lang_id": _langid_oracle_sql(),
     "embedding_near_dups": (
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
         "CAST(FLOOR(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
@@ -922,6 +965,13 @@ ORACLE_SQL: dict[str, str] = {
         "WHERE o_orderpriority = '1-URGENT')"),
     "docs_sample_mod": (
         "SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 20 = 3"),
+    "event_sliding_windows": (
+        "SELECT user_id, epoch_us(ts) AS ts_us, "
+        "CAST(COUNT(*) OVER w AS BIGINT) AS w_count, "
+        "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT) "
+        "AS w_sum_cents FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"),
     "top_orders_per_customer": (
         "SELECT o_custkey, o_orderkey, total_cents FROM ("
         "SELECT o_custkey, o_orderkey, "
