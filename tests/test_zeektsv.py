@@ -1,0 +1,96 @@
+"""Real Zeek .log.gz ingestion: header sniff, #close stop, flattening,
+round-trip parity with the tokenized-corpus parse path."""
+
+import gzip
+import os
+
+import pandas as pd
+import pytest
+
+from zeeklog_ray.sources import SOURCE_FIELDS
+from zeeklog_ray.zeektsv import (
+    parse_zeek_gz,
+    read_zeek_logs,
+    tsv_fixture_for_sf_dir,
+    write_zeek_log_gz,
+)
+
+CONN_LINES = [
+    "\t".join(["1719878400.5", "Cabc", "1.2.3.4", "5555", "9.8.7.6", "443",
+               "tcp", "ssl", "12.5", "999"]),
+    "\t".join(["1719878401.0", "Cdef", "4.3.2.1", "4444", "8.8.8.8", "53",
+               "udp", "dns", "0.1", "77"]),
+]
+
+
+def test_roundtrip_single_file(tmp_path):
+    p = str(tmp_path / "2024-07-02" / "conn.00:00:00-01:00:00.log.gz")
+    write_zeek_log_gz(p, "conn", CONN_LINES)
+    t = parse_zeek_gz(p).to_pandas()
+    assert len(t) == 2                       # footer NOT parsed as a row
+    assert t["sink"].tolist() == ["conn", "conn"]
+    assert t["id_orig_h"].tolist() == ["1.2.3.4", "4.3.2.1"]  # dotted header flattened
+    assert t["proto"].tolist() == ["tcp", "udp"]
+    assert t["date"].tolist() == ["2024-07-02"] * 2
+    # token payload is the exact line bytes
+    import numpy as np
+
+    assert bytes(np.asarray(t["tokens"][0], dtype=np.uint8)).decode() == CONN_LINES[0]
+    assert int(t["n_tok"][0]) == len(CONN_LINES[0].encode())
+
+
+def test_header_sniff_custom_separator(tmp_path):
+    p = str(tmp_path / "2024-07-02" / "dns.00:00:00-01:00:00.log.gz")
+    line = ",".join(["1719878400.5", "Cd1", "1.1.1.1", "53", "2.2.2.2", "53",
+                     "example.com", "A", "NOERROR"])
+    write_zeek_log_gz(p, "dns", [line], sep=",")
+    t = parse_zeek_gz(p).to_pandas()
+    assert t["query"].tolist() == ["example.com"]
+    assert t["rcode_name"].tolist() == ["NOERROR"]
+
+
+def test_unknown_proto_quarantined(tmp_path):
+    p = str(tmp_path / "2024-07-02" / "mystery.00:00:00-01:00:00.log.gz")
+    write_zeek_log_gz(p, "mystery", ["a\tb\tc"])
+    t = parse_zeek_gz(p).to_pandas()
+    assert t["sink"].tolist() == ["none"]
+    assert t["id_orig_h"].isna().all()
+
+
+def test_scan_stops_at_close(tmp_path):
+    """Rows after the #close footer are ignored (zeek_log.rs:175-178)."""
+    p = str(tmp_path / "2024-07-02" / "conn.x.log.gz")
+    write_zeek_log_gz(p, "conn", CONN_LINES)
+    with gzip.open(p, "at", encoding="utf-8") as f:
+        f.write(CONN_LINES[0] + "\n")        # junk after footer
+    t = parse_zeek_gz(p)
+    assert t.num_rows == 2
+
+
+def test_read_zeek_logs_matches_corpus_parse(ray_session, tmp_path):
+    """The TSV tree carries exactly the corpus lines; reading it must yield
+    the same per-sink counts AND the same extracted values as the tokenized
+    corpus parse path (the round-trip the reference's golden tests pin)."""
+    from zeeklog_ray.corpus import make_corpus_frame
+    from zeeklog_ray.pipeline import PipelineConfig, build_dataset
+    from zeeklog_ray.corpus import generate_corpus
+
+    ds = read_zeek_logs(tsv_fixture_for_sf_dir("/root/testdata/sf0.001"))
+    got = ds.to_pandas()
+
+    corpus = build_dataset(
+        PipelineConfig(corpus_dir=generate_corpus(6_000))).to_pandas()
+    # identical sink counts
+    assert got["sink"].value_counts().to_dict() == \
+        corpus["sink"].value_counts().to_dict()
+    # identical multiset of extracted address values
+    for col in ("id_orig_h", "id_resp_h", "query", "method"):
+        assert got[col].value_counts().to_dict() == \
+            corpus[col].value_counts().to_dict(), col
+
+
+def test_read_zeek_logs_date_pruning(ray_session):
+    d = tsv_fixture_for_sf_dir("/root/testdata/sf0.001")
+    ds = read_zeek_logs(d, dates=["2024-07-02"])
+    got = ds.to_pandas()
+    assert set(got["date"]) == {"2024-07-02"}

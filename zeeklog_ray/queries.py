@@ -118,6 +118,17 @@ def zeek_geo_summary(sf_dir: str) -> "ray.data.Dataset":
 # --------------------------------------------------------------------------
 
 
+def zeek_tsv_ingest(sf_dir: str) -> "ray.data.Dataset":
+    """Real Zeek ``.log.gz`` TSV ingestion (zeektsv.read_zeek_logs): header
+    sniff + per-file parse into the engine schema, aggregated to per-source
+    counts.  The fixture tree carries exactly the corpus's lines; the
+    oracle re-reads the same gzip files with DuckDB read_csv."""
+    from zeeklog_ray.zeektsv import read_zeek_logs, tsv_fixture_for_sf_dir
+
+    ds = read_zeek_logs(tsv_fixture_for_sf_dir(sf_dir))
+    return grouped_sum(ds.select_columns(["source"]), ["source"], count_as="n")
+
+
 def docs_by_source(sf_dir: str) -> "ray.data.Dataset":
     """Per-source document stats — the per-route aggregate shape (A3)."""
     ds = read_table(sf_dir, "documents", columns=["source", "n_chars"])
@@ -437,6 +448,19 @@ def zeek_multiday_first_wins(sf_dir: str) -> "ray.data.Dataset":
     return first_wins(per_day, key="id_orig_h", order_col="date")
 
 
+def embedding_dup_components(sf_dir: str) -> "ray.data.Dataset":
+    """Near-dup GROUP resolution with a hard oracle: embedding-cosine pairs
+    (SQL-expressible) → connected components via min-label propagation
+    (ops/graph.py); the oracle computes the same closure with a recursive
+    CTE.  Complements near_dup_components (MinHash pairs, rows-only)."""
+    from zeeklog_ray.ops.dedup import embedding_cosine_pairs
+    from zeeklog_ray.ops.graph import connected_components
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    pairs = embedding_cosine_pairs(ds, _NEAR_DUP_THRESHOLD_E4, block_col="label")
+    return connected_components(pairs, a_col="id_a", b_col="id_b")
+
+
 def near_dup_components(sf_dir: str) -> "ray.data.Dataset":
     """MinHash-LSH candidate pairs resolved into duplicate groups via
     distributed min-label propagation (ops/graph.py)."""
@@ -687,6 +711,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "zeek_golden_ip_filter": zeek_golden_ip_filter,
     "zeek_plan_matrix": zeek_plan_matrix,
     "zeek_geo_summary": zeek_geo_summary,
+    "zeek_tsv_ingest": zeek_tsv_ingest,
     # oracle-checked relational/analytics operators
     "docs_by_source": docs_by_source,
     "docs_lang_stats": docs_lang_stats,
@@ -713,6 +738,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "ann_lsh_topk": ann_lsh_topk,
     "media_features": media_features,
     "zeek_multiday_first_wins": zeek_multiday_first_wins,
+    "embedding_dup_components": embedding_dup_components,
     "near_dup_components": near_dup_components,
     "approx_distinct_users": approx_distinct_users,
     "salted_events_sum": salted_events_sum,
@@ -795,7 +821,20 @@ def _zeek_oracle_sql(sf_dir: str) -> dict[str, str]:
     geo_values = ", ".join(
         f"('{k}', '{v['geo_country_code']}')" for k, v in sorted(geo.items()))
 
+    # TSV-ingest oracle: re-read the same .log.gz files with read_csv —
+    # skip the 8 header lines, null-pad the #close footer, drop '#' rows
+    from zeeklog_ray.corpus import SOURCE_MIX, _CACHE_ROOT, _sf_n_rows
+
+    tsv_dir = f"{_CACHE_ROOT}/tsv-v1-n{_sf_n_rows(sf_dir)}"
+    tsv_terms = " UNION ALL ".join(
+        f"SELECT '{s}' AS source, COUNT(*) AS n FROM "
+        f"read_csv('{tsv_dir}/*/{s}.*.log.gz', delim='\t', header=false, "
+        "skip=8, all_varchar=true, null_padding=true, union_by_name=true, "
+        "names=['c0']) WHERE c0 NOT LIKE '#%'"
+        for s, _p in SOURCE_MIX)
+
     return {
+        "zeek_tsv_ingest": tsv_terms,
         "zeek_sink_stats": sink_stats,
         # enrichment appends columns but never rows — identical aggregate
         "zeek_enriched_sink_stats": sink_stats,
@@ -829,10 +868,13 @@ def _zeek_oracle_sql(sf_dir: str) -> dict[str, str]:
 
 
 def ensure_oracle_corpus(sf_dir: str = DRIVER_SF_DIR) -> None:
-    """Generate (or reuse) the corpus the zeek oracle SQL reads — called by
-    ``__ray_entry__.oracle_sql()`` so the SQL's read_parquet target exists
-    even if the driver runs the oracle before the Ray query."""
+    """Generate (or reuse) the corpora the zeek oracle SQL reads — called by
+    ``__ray_entry__.oracle_sql()`` so the SQL's read targets exist even if
+    the driver runs the oracle before the Ray query."""
+    from zeeklog_ray.zeektsv import tsv_fixture_for_sf_dir
+
     corpus_for_sf_dir(sf_dir)
+    tsv_fixture_for_sf_dir(sf_dir)
 
 
 def _sim_vector_sql() -> str:
@@ -936,6 +978,22 @@ ORACLE_SQL: dict[str, str] = {
         "ON a.label = b.label AND a.vec_id < b.vec_id "
         "WHERE CAST(FLOOR(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
         "CAST(b.embedding AS DOUBLE[])) * 10000) AS BIGINT) >= 3500"),
+    "embedding_dup_components": (
+        "WITH RECURSIVE pairs AS ("
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+        "FROM embeddings a JOIN embeddings b "
+        "ON a.label = b.label AND a.vec_id < b.vec_id "
+        "WHERE CAST(FLOOR(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[])) * 10000) AS BIGINT) >= 3500), "
+        "ed AS (SELECT id_a AS a, id_b AS b FROM pairs "
+        "UNION ALL SELECT id_b, id_a FROM pairs), "
+        "nodes AS (SELECT DISTINCT a AS node FROM ed), "
+        "walk(node, label) AS ("
+        "SELECT node, node FROM nodes "
+        "UNION "
+        "SELECT e.b, w.label FROM walk w JOIN ed e ON e.a = w.node) "
+        "SELECT node, CAST(MIN(label) AS BIGINT) AS component "
+        "FROM walk GROUP BY node"),
     "event_sessions": (
         "SELECT user_id, CAST(1 + SUM(CASE WHEN prev_ts IS NOT NULL AND "
         "ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS BIGINT) "

@@ -1,0 +1,244 @@
+"""Real Zeek ``.log.gz`` TSV ingestion — the reference's native input format.
+
+The reference reads gzipped TSV date directories with a two-pass header
+sniff: filename → (proto, hour bucket) (``zeek_log.rs:372-383``), line 0
+``#separator \\xNN`` → separator char (``zeek_log.rs:104-117``), ``#path`` →
+proto, ``#fields`` → column names (``zeek_log.rs:118-146``), data rows split
+on the separator and zipped with the fields, scan stopped at the ``#close``
+footer (``zeek_log.rs:156-224``).
+
+:func:`read_zeek_logs` re-expresses that Ray-Data-first: one map task per
+``.log.gz`` file (the file IS the fragment, exactly like the corpus path),
+header sniffed per file, data decoded with the SAME Arrow kernels and into
+the SAME output schema as the tokenized-corpus path
+(:func:`zeeklog_ray.parse.parse_batch`): payload columns
+``doc_id/tokens/n_tok/source/date`` + the registry's ``EXTRACTED_COLUMNS``
++ ``sink``.  Field extraction is HEADER-DRIVEN (the file's own ``#fields``
+decides each column's position, like the reference), so files whose field
+order differs from the registry still parse correctly; header fields outside
+the registry union are ignored, registry columns absent from the header are
+null.
+
+:func:`write_zeek_log_gz` writes the same format (full 8-line header +
+``#close`` footer) — used by tests and the fixture generator for the
+round-trip/oracle checks.
+"""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from zeeklog_ray.sources import (
+    EXTRACTED_COLUMNS,
+    SEPARATOR,
+    SOURCE_FIELDS,
+    normalize_source,
+)
+
+_HEADER_LINES = 8  # separator, set_separator, empty_field, unset_field,
+                   # path, open, fields, types  (zeek_log.rs:96-155)
+
+
+def _flatten_field(name: str) -> str:
+    """Zeek header field name → identifier-safe column (``id.orig_h`` →
+    ``id_orig_h``), the same flattening the registry uses."""
+    return name.replace(".", "_")
+
+
+def _parse_header(lines: list[str]) -> tuple[str, str | None, list[str]]:
+    """(separator, proto, flattened field names) from the ``#`` header block."""
+    sep = SEPARATOR
+    proto: str | None = None
+    fields: list[str] = []
+    for ln in lines:
+        if not ln.startswith("#"):
+            break
+        # '#separator \x09' — the token after the SPACE, hex-escaped
+        if ln.startswith("#separator"):
+            val = ln.split(" ", 1)[1].strip()
+            if val.startswith("\\x"):
+                sep = chr(int(val[2:4], 16))   # zeek_log.rs:112-115
+            elif val:
+                sep = val[0]
+        elif ln.startswith("#path"):
+            proto = ln.split(sep, 1)[1].strip() if sep in ln else None
+        elif ln.startswith("#fields"):
+            fields = [_flatten_field(f) for f in ln.split(sep)[1:]]
+    return sep, proto, fields
+
+
+def _lines_to_tokens(encoded: list[bytes]) -> pa.ListArray:
+    """UTF-8 line bytes → ``list<int32>`` token column (the corpus codec)."""
+    lengths = np.fromiter((len(b) for b in encoded), dtype=np.int32,
+                          count=len(encoded))
+    offsets = np.zeros(len(encoded) + 1, dtype=np.int32)
+    np.cumsum(lengths, out=offsets[1:])
+    values = np.frombuffer(b"".join(encoded), dtype=np.uint8).astype(np.int32)
+    return pa.ListArray.from_arrays(pa.array(offsets),
+                                    pa.array(values, type=pa.int32()))
+
+
+def parse_zeek_gz(path: str) -> pa.Table:
+    """One ``.log.gz`` file → a parsed Arrow table in the engine schema."""
+    with gzip.open(path, "rb") as f:
+        raw = f.read()
+    text = raw.decode("utf-8", errors="replace")
+    all_lines = text.splitlines()
+    sep, proto, fields = _parse_header(all_lines[:_HEADER_LINES])
+    if proto is None:
+        # filename convention p[0] = proto (zeek_log.rs:372-383)
+        proto = os.path.basename(path).split(".", 1)[0]
+    date = os.path.basename(os.path.dirname(path))
+    stem = os.path.splitext(os.path.splitext(os.path.basename(path))[0])[0]
+
+    data = []
+    for ln in all_lines[_HEADER_LINES:]:
+        if "#close" in ln:      # footer ends the scan (zeek_log.rs:175-178)
+            break
+        if ln and not ln.startswith("#"):
+            data.append(ln)
+
+    n = len(data)
+    enc = [ln.encode("utf-8") for ln in data]
+    src = pa.array([proto] * n, type=pa.string())
+    table = pa.table({
+        "doc_id": pa.array([f"{date}-{stem}-{i:08d}" for i in range(n)],
+                           type=pa.string()),
+        "tokens": _lines_to_tokens(enc),
+        "n_tok": pa.array([len(b) for b in enc], type=pa.int32()),
+        "source": src,
+        "date": pa.array([date] * n, type=pa.string()),
+    })
+
+    sink = normalize_source(proto)
+    lines_arr = pa.array(data, type=pa.string())
+    parts = pc.split_pattern(lines_arr, sep)
+    # header-driven positional extraction: the file's own #fields decides
+    # positions (reference zip semantics, zeek_log.rs:179-188) — but only
+    # for a KNOWN proto; unknown files are quarantined with null fields,
+    # mirroring ZeekProtocol::NONE skips (zeek_log.rs:385,401)
+    pos_of = {f: i for i, f in enumerate(fields)} if sink != "none" else {}
+    for name in EXTRACTED_COLUMNS:
+        i = pos_of.get(name)
+        if i is None or n == 0:
+            col = pa.nulls(n, type=pa.string())
+        else:
+            col = pc.list_flatten(pc.list_slice(parts, i, i + 1,
+                                                return_fixed_size_list=True))
+        table = table.append_column(name, col)
+    return table.append_column("sink", pa.array([sink] * n, type=pa.string()))
+
+
+def list_zeek_files(base_dir: str) -> list[str]:
+    """``base/YYYY-MM-DD/<proto>.*.log.gz`` discovery (zeek_log.rs:372-383)."""
+    return sorted(glob.glob(os.path.join(base_dir, "*", "*.log.gz")))
+
+
+def read_zeek_logs(base_dir: str,
+                   dates: list[str] | None = None) -> "ray.data.Dataset":
+    """Dataset over a Zeek log directory tree — one read task per file
+    (file-granular, like the corpus fragments), output schema identical to
+    the tokenized-corpus parse path."""
+    files = list_zeek_files(base_dir)
+    if dates is not None:
+        keep = set(dates)
+        files = [f for f in files
+                 if os.path.basename(os.path.dirname(f)) in keep]
+    if not files:
+        raise FileNotFoundError(f"no .log.gz files under {base_dir!r}")
+    paths = ray.data.from_items([{"path": f} for f in files],
+                                override_num_blocks=len(files))
+
+    def load(batch: pa.Table) -> pa.Table:
+        tables = [parse_zeek_gz(p) for p in batch["path"].to_pylist()]
+        return pa.concat_tables(tables)
+
+    return paths.map_batches(load, batch_format="pyarrow", batch_size=None)
+
+
+# inverse of the id-field flattening, so fixtures carry REAL Zeek header
+# names (id.orig_h, …) and the reader's flattening path is exercised
+_DOTTED = {"id_orig_h": "id.orig_h", "id_orig_p": "id.orig_p",
+           "id_resp_h": "id.resp_h", "id_resp_p": "id.resp_p"}
+
+
+def write_zeek_log_gz(path: str, proto: str, lines: list[str],
+                      sep: str = SEPARATOR,
+                      close_ts: str = "2024-07-02-23-59-59") -> None:
+    """Write one Zeek-format ``.log.gz``: 8-line header, data, ``#close``."""
+    fields = SOURCE_FIELDS.get(proto)
+    names = [_DOTTED.get(f, f) for f in fields] if fields else ["f0"]
+    field_line = sep.join(["#fields"] + names)
+    hexsep = f"\\x{ord(sep):02x}"
+    header = [
+        f"#separator {hexsep}",
+        f"#set_separator{sep},",
+        f"#empty_field{sep}(empty)",
+        f"#unset_field{sep}-",
+        f"#path{sep}{proto}",
+        f"#open{sep}2024-07-02-00-00-00",
+        field_line,
+        sep.join(["#types"] + ["string"] * (len(fields) if fields else 1)),
+    ]
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with gzip.open(path, "wt", encoding="utf-8") as f:
+        for ln in header:
+            f.write(ln + "\n")
+        for ln in lines:
+            f.write(ln + "\n")
+        f.write(f"#close{sep}{close_ts}\n")
+
+
+def tsv_fixture_for_sf_dir(sf_dir: str) -> str:
+    """A cached Zeek ``.log.gz`` directory tree carrying EXACTLY the lines of
+    the sf-matched tokenized corpus — one file per (date, source), empty
+    sources still get a header+footer file.  Lets the TSV reader be checked
+    against the corpus parse path and a DuckDB read_csv oracle."""
+    import tempfile
+
+    from zeeklog_ray.corpus import (
+        DATES,
+        SOURCE_MIX,
+        _CACHE_ROOT,
+        _sf_n_rows,
+        make_corpus_frame,
+    )
+
+    n_rows = _sf_n_rows(sf_dir)
+    out_dir = os.path.join(_CACHE_ROOT, f"tsv-v1-n{n_rows}")
+    if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+        return out_dir
+    df = make_corpus_frame(n_rows)
+    df["line"] = df["tokens"].map(lambda b: b.decode("utf-8"))
+    os.makedirs(_CACHE_ROOT, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix="tsv-", dir=_CACHE_ROOT)
+    try:
+        for date in DATES:
+            for proto, _p in SOURCE_MIX:
+                lines = df.loc[(df["date"] == date) & (df["source"] == proto),
+                               "line"].tolist()
+                write_zeek_log_gz(
+                    os.path.join(tmp, date, f"{proto}.00:00:00-23:59:59.log.gz"),
+                    proto, lines)
+        with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+            f.write("ok\n")
+        try:
+            os.rename(tmp, out_dir)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    except BaseException:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    return out_dir
