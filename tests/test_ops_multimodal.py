@@ -1,4 +1,7 @@
-"""Multimodal column plumbing: schema, actor stage, deterministic stub."""
+"""Multimodal: real numpy BMP/WAV/RVID codecs, exact feature values on
+known payloads, schema, actor stage, decoder tiers."""
+
+import json
 
 import numpy as np
 import pytest
@@ -7,30 +10,155 @@ import ray.data
 from zeeklog_ray.ops.multimodal import (
     FEATURE_DIM,
     MediaFeatureExtractor,
+    audio_features,
+    decode_bmp,
+    decode_video,
+    decode_wav,
+    encode_bmp,
+    encode_video,
+    encode_wav,
     extract_features,
+    image_features,
     media_schema,
     synth_media_table,
+    video_features,
 )
 
 
-def test_synth_table_schema():
-    t = synth_media_table(50)
+# ---- codecs: round-trip on random data --------------------------------
+
+
+def test_bmp_roundtrip():
+    rng = np.random.default_rng(0)
+    for h, w in [(1, 1), (3, 5), (16, 9), (7, 4)]:   # odd widths hit row pad
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(px)), px), (h, w)
+
+
+def test_wav_roundtrip():
+    rng = np.random.default_rng(1)
+    x = rng.integers(-32768, 32768, 777, dtype=np.int16)
+    rate, got = decode_wav(encode_wav(x, 44100))
+    assert rate == 44100
+    assert np.array_equal(got, x)
+
+
+def test_wav_chunk_walk_skips_extra_chunks():
+    """Decoder must walk chunks, not assume data at a fixed offset."""
+    x = np.array([100, -100, 200], dtype=np.int16)
+    payload = encode_wav(x, 8000)
+    # splice a LIST chunk between fmt and data
+    fmt_end = payload.index(b"data")
+    extra = b"LIST" + (4).to_bytes(4, "little") + b"INFO"
+    spliced = payload[:fmt_end] + extra + payload[fmt_end:]
+    rate, got = decode_wav(spliced)
+    assert rate == 8000 and np.array_equal(got, x)
+
+
+def test_video_roundtrip():
+    rng = np.random.default_rng(2)
+    frames = rng.integers(0, 256, (5, 4, 6, 3), dtype=np.uint8)
+    assert np.array_equal(decode_video(encode_video(frames)), frames)
+
+
+def test_codec_magic_validation():
+    with pytest.raises(ValueError):
+        decode_bmp(b"not a bmp")
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxJUNK")
+    with pytest.raises(ValueError):
+        decode_video(b"nope")
+
+
+# ---- features: exact values on known payloads -------------------------
+
+
+def test_image_features_solid_red():
+    px = np.zeros((4, 8, 3), dtype=np.uint8)
+    px[..., 0] = 255                                  # solid red 8x4
+    f = image_features(px)
+    assert f.shape == (FEATURE_DIM,)
+    assert f[0] == pytest.approx(8 / 4096) and f[1] == pytest.approx(4 / 4096)
+    assert f[2] == pytest.approx(1.0)                 # mean R
+    assert f[3] == 0.0 and f[4] == 0.0                # mean G, B
+    assert f[5] == 0.0                                # gray std (uniform)
+    # gray = 1/3 everywhere -> all mass in hist bin 2 ([0.25, 0.375))
+    assert f[6 + 2] == pytest.approx(1.0)
+    assert f[14] == f[15] == pytest.approx(1 / 3)     # gray min == max
+
+
+def test_audio_features_full_scale_square_wave():
+    # +/- 32767 alternating: RMS ~= peak ~= mean|amp| ~= 1, zcr ~= 1
+    x = np.tile(np.array([32767, -32767], dtype=np.int16), 500)
+    f = audio_features(8000, x)
+    assert f.shape == (FEATURE_DIM,)
+    assert f[0] == pytest.approx(8000 / 192000)
+    assert f[2] == pytest.approx(1000 / 8000 / 60)    # duration feature
+    assert f[3] == pytest.approx(1.0, abs=1e-4)       # rms
+    assert f[4] == pytest.approx(1.0, abs=1e-3)       # zcr
+    assert f[5] == pytest.approx(1.0, abs=1e-4)       # peak
+    assert f[7] == pytest.approx(1.0, abs=1e-4)       # crest rms/peak
+    assert f[8 + 7] == pytest.approx(1.0)             # all |amp| in top bin
+
+
+def test_audio_features_silence():
+    f = audio_features(16000, np.zeros(100, dtype=np.int16))
+    assert f[3] == f[4] == f[5] == f[6] == f[7] == 0.0
+    assert f[8] == pytest.approx(1.0)                 # all |amp| in bin 0
+
+
+def test_video_features_static_vs_moving():
+    base = np.full((6, 4, 4, 3), 128, dtype=np.uint8)
+    f_static = video_features(base)
+    assert f_static.shape == (FEATURE_DIM,)
+    assert f_static[6] == 0.0                          # no motion
+    moving = base.copy()
+    moving[3:] = 255                                   # hard cut mid-clip
+    f_moving = video_features(moving)
+    assert f_moving[6] > 0.1                           # motion detected
+    assert f_moving[7] == pytest.approx(1 - 128 / 255, abs=1e-3)  # gray range
+
+
+# ---- synth corpus -----------------------------------------------------
+
+
+def test_synth_table_schema_and_payloads_decode():
+    t = synth_media_table(60)
     assert t.schema.equals(media_schema())
-    assert len(t) == 50
-    # deterministic
-    assert t.equals(synth_media_table(50))
+    assert len(t) == 60
+    assert t.equals(synth_media_table(60))            # deterministic
+    # every payload is REAL encoded media matching its meta
+    for payload, mod, meta in zip(t["payload"].to_pylist(),
+                                  t["modality"].to_pylist(),
+                                  t["meta"].to_pylist()):
+        m = json.loads(meta)
+        if mod == "image":
+            px = decode_bmp(payload)
+            assert px.shape == (m["height"], m["width"], 3)
+        elif mod == "audio":
+            rate, samples = decode_wav(payload)
+            assert rate == m["sample_rate"] and samples.size == m["n_samples"]
+        else:
+            frames = decode_video(payload)
+            assert frames.shape[:3] == (m["n_frames"], m["height"], m["width"])
+
+
+# ---- extractor stage --------------------------------------------------
 
 
 def test_extractor_unit_deterministic():
-    ex = MediaFeatureExtractor()
-    t = synth_media_table(8)
+    ex = MediaFeatureExtractor()                       # numpy decoder default
+    t = synth_media_table(9)
     out1, out2 = ex(t), ex(t)
     assert out1.equals(out2)
     assert out1.column_names == ["item_id", "modality", "n_bytes", "features"]
     f = out1["features"][0].as_py()
     assert len(f) == FEATURE_DIM and all(0.0 <= x <= 1.0 for x in f)
-    # modality personalizes the digest: same bytes, different modality → diff
-    p = t["payload"][0].as_py()
+
+
+def test_fake_decoder_digest_personalized_by_modality():
+    ex = MediaFeatureExtractor(decoder="fake")
+    p = b"arbitrary non-media bytes"
     assert not np.allclose(ex._decode(p, "image"), ex._decode(p, "audio"))
 
 
@@ -48,3 +176,13 @@ def test_actor_pool_pipeline(ray_session):
     assert len(out) == 200
     assert (out["n_bytes"] > 0).all()
     assert out["features"].map(len).eq(FEATURE_DIM).all()
+    # real features: a known solid-red image decodes to mean-R == 1
+    red = encode_bmp(np.stack([np.full((4, 4), 255, np.uint8),
+                               np.zeros((4, 4), np.uint8),
+                               np.zeros((4, 4), np.uint8)], axis=2))
+    import pyarrow as pa
+
+    t = pa.table({"item_id": ["red"], "payload": pa.array([red], pa.binary()),
+                  "modality": ["image"], "meta": ["{}"]})
+    got = extract_features(ray.data.from_arrow(t)).to_pandas()
+    assert got["features"][0][2] == pytest.approx(1.0)

@@ -1,13 +1,31 @@
-"""Multimodal column plumbing: opaque ``binary`` payloads with typed
-metadata, processed by actor-pool ``map_batches`` stages.
+"""Multimodal columns: opaque ``binary`` payloads with typed metadata,
+decoded and feature-extracted by actor-pool ``map_batches`` stages.
 
-The image/audio decode libraries are NOT in this container, so the actual
-decode is stubbed (``decoder="fake"`` produces deterministic features from
-the bytes; ``decoder="real"`` raises ``NotImplementedError`` at the exact
-seam where PIL / torchaudio / ffmpeg would plug in).  Everything Ray-side is
-real and tested: the Arrow schema (binary + metadata columns), small batch
-sizes for large payloads, the actor signature (decode state in
-``__init__``), and the partitioned output layout.
+Three decoder tiers:
+
+``numpy`` (default)
+    Real, dependency-free decoders written against the PUBLIC file-format
+    specs: uncompressed 24-bit BMP (BITMAPINFOHEADER), PCM-16 mono RIFF/WAVE
+    (chunk walk, not fixed offsets), and a minimal raw-RGB video container
+    (``RVID`` magic + frame dims + concatenated frames) standing in for a
+    codec'd stream.  Features are real signal statistics (dims/channel
+    means/histograms for images, RMS/zero-crossings/amplitude histogram for
+    audio, inter-frame motion for video) — exactly what a feature-extract
+    stage feeds a downstream filter, and exact-value assertable in tests.
+
+``fake``
+    The round-1 deterministic digest stub, kept for payloads that are not
+    parseable media (plumbing tests with arbitrary bytes).
+
+``real``
+    The documented seam where PIL / torchaudio / ffmpeg would plug in for
+    JPEG/MP3/H.264; those libraries are not in this container, so it raises
+    ``NotImplementedError`` at the exact call site.
+
+Everything Ray-side is identical across tiers: the Arrow schema (binary +
+metadata columns), deliberately small batch sizes (payload x batch x
+concurrency must fit the worker heap), decode state held per actor
+(``__init__`` once, ``__call__`` per batch).
 
 Schema convention::
 
@@ -21,6 +39,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import struct
 
 import numpy as np
 import pyarrow as pa
@@ -28,6 +47,167 @@ import pyarrow as pa
 import ray.data
 
 FEATURE_DIM = 16
+
+_VIDEO_MAGIC = b"RVID"
+
+
+# --------------------------------------------------------------------------
+# pure-numpy codecs (public format specs; no external libraries)
+# --------------------------------------------------------------------------
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """HxWx3 uint8 RGB -> uncompressed 24-bit BMP (BITMAPINFOHEADER,
+    bottom-up rows, 4-byte row padding, BGR byte order)."""
+    h, w, c = pixels.shape
+    if c != 3 or pixels.dtype != np.uint8:
+        raise ValueError("encode_bmp expects HxWx3 uint8")
+    row = w * 3
+    pad = (-row) % 4
+    img_size = (row + pad) * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size,
+                       2835, 2835, 0, 0)
+    bgr = pixels[::-1, :, ::-1]                      # bottom-up, BGR
+    rows = np.zeros((h, row + pad), dtype=np.uint8)
+    rows[:, :row] = bgr.reshape(h, row)
+    return header + info + rows.tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP -> HxWx3 uint8 RGB."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (offset,) = struct.unpack_from("<I", payload, 10)
+    _hdr, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only 24-bit uncompressed BMP supported "
+                         f"(bpp={bpp}, compression={comp})")
+    if h <= 0:
+        raise ValueError("top-down BMP not supported")
+    row = w * 3
+    stride = row + ((-row) % 4)
+    data = np.frombuffer(payload, dtype=np.uint8,
+                         count=stride * h, offset=offset)
+    bgr = data.reshape(h, stride)[:, :row].reshape(h, w, 3)
+    return bgr[::-1, :, ::-1].copy()                 # top-down, RGB
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """1-D int16 mono samples -> PCM-16 RIFF/WAVE."""
+    if samples.dtype != np.int16 or samples.ndim != 1:
+        raise ValueError("encode_wav expects 1-D int16")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """PCM-16 mono RIFF/WAVE -> (sample_rate, int16 samples); walks the
+    chunk list rather than assuming fixed offsets (extra chunks legal)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos:pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", payload, pos + 8)
+            if (audio_fmt, channels, bits) != (1, 1, 16):
+                raise ValueError("only PCM-16 mono supported")
+        elif cid == b"data":
+            samples = np.frombuffer(payload, dtype="<i2",
+                                    count=size // 2, offset=pos + 8)
+        pos += 8 + size + (size % 2)                 # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    return rate, samples
+
+
+def encode_video(frames: np.ndarray) -> bytes:
+    """NxHxWx3 uint8 RGB frames -> minimal raw container (RVID magic +
+    dims + concatenated frames) — the stand-in for a codec'd stream."""
+    n, h, w, c = frames.shape
+    if c != 3 or frames.dtype != np.uint8:
+        raise ValueError("encode_video expects NxHxWx3 uint8")
+    return _VIDEO_MAGIC + struct.pack("<HHH", w, h, n) + frames.tobytes()
+
+
+def decode_video(payload: bytes) -> np.ndarray:
+    """RVID container -> NxHxWx3 uint8 RGB frames."""
+    if payload[:4] != _VIDEO_MAGIC:
+        raise ValueError("not an RVID payload")
+    w, h, n = struct.unpack_from("<HHH", payload, 4)
+    data = np.frombuffer(payload, dtype=np.uint8, count=n * h * w * 3, offset=10)
+    return data.reshape(n, h, w, 3).copy()
+
+
+# --------------------------------------------------------------------------
+# feature extraction (16-dim, all values in [0, 1], exact-value testable)
+# --------------------------------------------------------------------------
+
+
+def _hist8(x: np.ndarray) -> np.ndarray:
+    """8-bin normalized histogram of values in [0, 1]."""
+    counts, _ = np.histogram(x, bins=8, range=(0.0, 1.0))
+    return counts.astype(np.float32) / max(x.size, 1)
+
+
+def image_features(pixels: np.ndarray) -> np.ndarray:
+    """[w, h (÷4096), mean R, G, B, gray std, 8-bin gray hist, gray min,
+    gray max] — 16 dims."""
+    h, w = pixels.shape[:2]
+    px = pixels.astype(np.float32) / 255.0
+    gray = px.mean(axis=2)
+    return np.concatenate([
+        np.array([w / 4096.0, h / 4096.0,
+                  px[..., 0].mean(), px[..., 1].mean(), px[..., 2].mean(),
+                  gray.std()], dtype=np.float32),
+        _hist8(gray),
+        np.array([gray.min(), gray.max()], dtype=np.float32),
+    ])
+
+
+def audio_features(rate: int, samples: np.ndarray) -> np.ndarray:
+    """[rate÷192k, n÷1e6, duration÷60s, RMS, zero-crossing rate, peak,
+    mean |amp|, crest ratio, 8-bin |amp| hist] — 16 dims."""
+    x = samples.astype(np.float32) / 32768.0
+    n = x.size
+    rms = float(np.sqrt(np.mean(x * x))) if n else 0.0
+    peak = float(np.abs(x).max()) if n else 0.0
+    zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if n > 1 else 0.0
+    return np.concatenate([
+        np.array([min(rate / 192000.0, 1.0), min(n / 1e6, 1.0),
+                  min(n / rate / 60.0, 1.0), rms, zcr, peak,
+                  float(np.abs(x).mean()) if n else 0.0,
+                  rms / peak if peak > 0 else 0.0], dtype=np.float32),
+        _hist8(np.abs(x)),
+    ])
+
+
+def video_features(frames: np.ndarray, sample_frames: int = 4) -> np.ndarray:
+    """Frame-sample ``sample_frames`` evenly spaced frames, then
+    [w, h (÷4096), n_frames÷1024, sampled÷8, gray mean, gray std,
+    inter-frame motion (mean |Δgray|), gray range, 8-bin gray hist] — 16
+    dims.  Sampling, not full decode, is the scale move: a task touches
+    k frames however long the clip."""
+    n, h, w = frames.shape[:3]
+    idx = np.unique(np.linspace(0, n - 1, min(sample_frames, n)).astype(int))
+    gray = frames[idx].astype(np.float32).mean(axis=3) / 255.0
+    motion = float(np.abs(np.diff(gray, axis=0)).mean()) if len(idx) > 1 else 0.0
+    return np.concatenate([
+        np.array([w / 4096.0, h / 4096.0, min(n / 1024.0, 1.0),
+                  len(idx) / 8.0, gray.mean(), gray.std(), motion,
+                  gray.max() - gray.min()], dtype=np.float32),
+        _hist8(gray),
+    ])
+
+
+# --------------------------------------------------------------------------
+# schema + synthetic corpus
+# --------------------------------------------------------------------------
 
 
 def media_schema() -> pa.Schema:
@@ -40,46 +220,82 @@ def media_schema() -> pa.Schema:
 
 
 def synth_media_table(n: int, seed: int = 7) -> pa.Table:
-    """Deterministic fake media corpus for tests (payload = seeded bytes)."""
+    """Deterministic media corpus of REAL encoded payloads: 24-bit BMP
+    images, PCM-16 WAV clips (sine + noise), RVID raw-frame videos."""
     rng = np.random.default_rng(seed)
-    mods = np.array(["image", "audio", "video"], dtype=object)[
-        rng.integers(0, 3, n)]
-    sizes = rng.integers(256, 4096, n)
-    payloads = [rng.integers(0, 256, s, dtype=np.uint8).tobytes() for s in sizes]
-    metas = [json.dumps({"bytes": int(s), "modality": m})
-             for s, m in zip(sizes, mods)]
+    ids, payloads, mods, metas = [], [], [], []
+    for i in range(n):
+        mod = ("image", "audio", "video")[int(rng.integers(0, 3))]
+        if mod == "image":
+            h, w = (int(v) for v in rng.integers(8, 33, 2))
+            payload = encode_bmp(rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
+            meta = {"width": w, "height": h, "format": "bmp"}
+        elif mod == "audio":
+            rate = int(rng.choice([8000, 16000, 44100]))
+            ns = int(rng.integers(256, 2049))
+            t = np.arange(ns, dtype=np.float32) / rate
+            freq = float(rng.uniform(100, 2000))
+            amp = float(rng.uniform(0.1, 0.9))
+            x = amp * np.sin(2 * np.pi * freq * t) \
+                + rng.normal(0, 0.01, ns).astype(np.float32)
+            payload = encode_wav((np.clip(x, -1, 1) * 32767).astype(np.int16),
+                                 rate)
+            meta = {"sample_rate": rate, "n_samples": ns, "format": "wav"}
+        else:
+            h, w = (int(v) for v in rng.integers(8, 17, 2))
+            nf = int(rng.integers(3, 9))
+            payload = encode_video(
+                rng.integers(0, 256, (nf, h, w, 3), dtype=np.uint8))
+            meta = {"width": w, "height": h, "n_frames": nf, "format": "rvid"}
+        ids.append(f"m-{i:06d}")
+        payloads.append(payload)
+        mods.append(mod)
+        metas.append(json.dumps(meta))
     return pa.table({
-        "item_id": pa.array([f"m-{i:06d}" for i in range(n)]),
+        "item_id": pa.array(ids, pa.string()),
         "payload": pa.array(payloads, pa.binary()),
         "modality": pa.array(mods, pa.string()),
         "meta": pa.array(metas, pa.string()),
     })
 
 
+# --------------------------------------------------------------------------
+# actor stage
+# --------------------------------------------------------------------------
+
+
 class MediaFeatureExtractor:
-    """Actor stage: decode payload → fixed-dim feature vector.
+    """Actor stage: decode payload -> fixed-dim feature vector.
 
-    ``__init__`` is where a real model/codec would load (once per actor);
-    ``__call__`` handles one Arrow batch.  With ``decoder='fake'`` the
-    "features" are a deterministic digest of the payload bytes — stable
-    across processes, so tests can assert exact values.  Keep
-    ``batch_size`` SMALL for real media (payload × batch × concurrency
-    must fit the worker heap — the multimodal sizing rule).
-    """
+    ``__init__`` is where decoder state / a model would load (once per
+    actor); ``__call__`` handles one Arrow batch.  Decode is per-payload
+    Python by nature (each payload is its own container/file — same
+    granularity any codec library imposes); the per-payload work itself is
+    numpy-vectorized.  Keep ``batch_size`` SMALL for real media (payload x
+    batch x concurrency must fit the worker heap)."""
 
-    def __init__(self, decoder: str = "fake") -> None:
-        if decoder not in ("fake", "real"):
+    def __init__(self, decoder: str = "numpy") -> None:
+        if decoder not in ("numpy", "fake", "real"):
             raise ValueError(decoder)
         self.decoder = decoder
 
     def _decode(self, payload: bytes, modality: str) -> np.ndarray:
         if self.decoder == "real":
             raise NotImplementedError(
-                "media decode requires PIL/torchaudio/ffmpeg — not available "
-                "in this container; plug the real decoder in here")
-        d = hashlib.blake2b(payload, digest_size=FEATURE_DIM,
-                            person=modality.encode()[:16].ljust(16, b"\0")).digest()
-        return np.frombuffer(d, dtype=np.uint8).astype(np.float32) / 255.0
+                "codec'd media (JPEG/MP3/H.264) requires PIL/torchaudio/"
+                "ffmpeg — not available in this container; plug in here")
+        if self.decoder == "fake":
+            d = hashlib.blake2b(
+                payload, digest_size=FEATURE_DIM,
+                person=modality.encode()[:16].ljust(16, b"\0")).digest()
+            return np.frombuffer(d, dtype=np.uint8).astype(np.float32) / 255.0
+        if modality == "image":
+            return image_features(decode_bmp(payload))
+        if modality == "audio":
+            return audio_features(*decode_wav(payload))
+        if modality == "video":
+            return video_features(decode_video(payload))
+        raise ValueError(f"unknown modality {modality!r}")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
@@ -98,13 +314,13 @@ class MediaFeatureExtractor:
         })
 
 
-def extract_features(ds: "ray.data.Dataset", decoder: str = "fake",
+def extract_features(ds: "ray.data.Dataset", decoder: str = "numpy",
                      batch_size: int = 64,
                      concurrency: tuple[int, int] = (1, 4)) -> "ray.data.Dataset":
     """Actor-pool feature extraction over a media table.
 
     ``batch_size=64`` deliberately small: payloads are large binaries; a
-    batch × pool must fit in worker heap (the object store spills the rest).
+    batch x pool must fit in worker heap (the object store spills the rest).
     """
     return ds.map_batches(MediaFeatureExtractor, batch_format="pyarrow",
                           batch_size=batch_size, concurrency=concurrency,

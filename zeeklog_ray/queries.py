@@ -425,8 +425,10 @@ def ann_lsh_topk(sf_dir: str) -> pd.DataFrame:
 
 
 def media_features(sf_dir: str) -> "ray.data.Dataset":
-    """Multimodal plumbing: deterministic fake media corpus → actor-pool
-    feature extraction (ops/multimodal.py; decode stubbed, Ray side real)."""
+    """Multimodal pipeline: deterministic corpus of REAL encoded payloads
+    (24-bit BMP / PCM-16 WAV / raw-frame video) → actor-pool decode +
+    feature extraction with pure-numpy codecs (ops/multimodal.py); only
+    codec'd formats (JPEG/MP3/H.264) remain a documented library seam."""
     import ray.data as rd
 
     from zeeklog_ray.ops.multimodal import extract_features, synth_media_table
