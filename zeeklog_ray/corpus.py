@@ -308,8 +308,25 @@ def _default_rows_per_file(n_rows: int) -> int:
     return max(12_500, min(100_000, n_rows // 32))
 
 
+def _fragments_per_date(date_rows: list[int], rows_per_file: int) -> list[int]:
+    """Largest-remainder allocation of ``round(total/rows_per_file)``
+    fragments across dates (each non-empty date ≥ 1).  Per-date ``ceil``
+    left a remainder sliver per date — at 600k rows that made 33 fragments,
+    and 33 tasks on 32 CPUs is TWO task waves, one of them 97% idle."""
+    total = sum(date_rows)
+    t = max(sum(1 for r in date_rows if r), round(total / rows_per_file), 1)
+    quota = [r * t / total if total else 0.0 for r in date_rows]
+    alloc = [max(1, int(q)) if r else 0 for q, r in zip(quota, date_rows)]
+    # distribute the remaining fragments by largest fractional remainder
+    while sum(alloc) < t:
+        frac = [(q - a, i) for i, (q, a, r) in
+                enumerate(zip(quota, alloc, date_rows)) if r]
+        alloc[max(frac)[1]] += 1
+    return alloc
+
+
 def _corpus_dir_for(n_rows: int, seed: int, rows_per_file: int) -> str:
-    return os.path.join(_CACHE_ROOT, f"v5-n{n_rows}-seed{seed}-rpf{rows_per_file}")
+    return os.path.join(_CACHE_ROOT, f"v6-n{n_rows}-seed{seed}-rpf{rows_per_file}")
 
 
 def _sf_n_rows(sf_dir: str) -> int:
@@ -350,12 +367,14 @@ def generate_corpus(n_rows: int, seed: int = DEFAULT_SEED,
     os.makedirs(_CACHE_ROOT, exist_ok=True)
     tmp = tempfile.mkdtemp(prefix="corpus-", dir=_CACHE_ROOT)
     try:
-        for d in DATES:
-            part = df[df["date"] == d]
+        parts = [df[df["date"] == d] for d in DATES]
+        n_frags = _fragments_per_date([len(p) for p in parts], rows_per_file)
+        for d, part, nf in zip(DATES, parts, n_frags):
             pdir = os.path.join(tmp, f"date={d}")
             os.makedirs(pdir, exist_ok=True)
-            for fi, start in enumerate(range(0, len(part), rows_per_file)):
-                chunk = part.iloc[start:start + rows_per_file]
+            bounds = np.linspace(0, len(part), nf + 1).astype(int)
+            for fi, (lo, hi) in enumerate(zip(bounds[:-1], bounds[1:])):
+                chunk = part.iloc[lo:hi]
                 # date is stored in-file as well as in the dir name, so
                 # explicit-path reads keep the column without hive parsing.
                 table = frame_to_table(chunk, with_date=True)

@@ -103,16 +103,18 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", text_col: str = "text",
     identical documents would produce 10^12 pairs.  Buckets larger than
     the cap are EXCLUDED from the self-join (their membership is near-
     certainly an exact-duplicate cluster — run exact dedup first, which
-    collapses them without pair enumeration).  The signatures dataset is
-    materialized so the count pass and the join pass don't recompute the
-    shingle hashing; at 100 TB the signatures would be persisted to
-    Parquet instead.
+    collapses them without pair enumeration).  The count pass is per-batch
+    ``value_counts`` partials merged on the driver — the over-cap key set
+    is at most |docs|·bands/max_bucket entries (tiny) and an in-plan
+    groupby would halve map parallelism (BASELINE.md); the banded rows are
+    materialized once so the count and join passes don't recompute the
+    shingle hashing (at 100 TB they'd persist to Parquet instead).
 
     Returns (doc_a, doc_b) candidate pairs (doc_a < doc_b, distinct).
     Verify with :func:`ngram_jaccard` on the candidates.
     """
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(ds, text_col, num_perm, k).materialize()
+    sigs = minhash_signatures(ds, text_col, num_perm, k)
 
     def band_rows(batch: pd.DataFrame) -> pd.DataFrame:
         mh = batch[[f"mh_{j}" for j in range(num_perm)]].to_numpy(np.uint64)
@@ -123,54 +125,63 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", text_col: str = "text",
             h = np.zeros(len(batch), dtype=np.uint64)
             for c in range(rows_per_band):
                 h = h * np.uint64(1_000_003) + seg[:, c]
-            outs.append(pd.DataFrame({"band": bi, "bucket": h.astype(np.int64),
+            # fold the band id in so (band, bucket) is ONE int64 key —
+            # joinable and isin-filterable without composite-key Python
+            # (mod-2^64 fold precomputed in Python ints: numpy warns on
+            # intended uint64 scalar wraparound)
+            bb = h ^ np.uint64((bi * 0x9E3779B97F4A7C15) % (1 << 64))
+            outs.append(pd.DataFrame({"bb": bb.astype(np.int64),
                                       "doc_id": batch["doc_id"]}))
         return pd.concat(outs, ignore_index=True)
 
-    banded = sigs.map_batches(band_rows, batch_format="pandas", batch_size=None)
+    banded = sigs.map_batches(band_rows, batch_format="pandas",
+                              batch_size=None).materialize()
 
-    # Oversized-bucket guard: count members per (band,bucket) — only the
-    # tiny (band,bucket,count) partials shuffle — and broadcast the set of
-    # buckets over the cap so the join inputs filter them out.
-    counts = banded.groupby(["band", "bucket"]).aggregate(Count(alias_name="m"))
-    big = counts.filter(expr=f"m > {int(max_bucket)}").to_pandas()
-    big_set = (set() if big.empty else
-               set(zip(big["band"].astype(int), big["bucket"].astype(int))))
-    if big_set:
+    # Oversized-bucket guard, shuffle-free: per-batch bucket value_counts
+    # are partials of the global count (every bucket's rows may span
+    # batches, so partials are summed on the driver before comparing to
+    # the cap).  Result is a small int64 key array broadcast to the filter.
+    def bucket_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch["bb"].value_counts()
+        return pd.DataFrame({"bb": vc.index.to_numpy(np.int64),
+                             "m": vc.to_numpy(np.int64)})
+
+    partials = banded.map_batches(bucket_partials, batch_format="pandas",
+                                  batch_size=None).to_pandas()
+    totals = partials.groupby("bb", sort=False)["m"].sum()
+    big_keys = totals.index.to_numpy(np.int64)[totals.to_numpy() > max_bucket]
+    if len(big_keys):
         import ray as _ray
 
-        big_ref = _ray.put(big_set)
+        big_ref = _ray.put(np.sort(big_keys))
 
         def drop_big(batch: pd.DataFrame) -> pd.DataFrame:
             bs = _ray.get(big_ref)
-            keys = list(zip(batch["band"].astype(int), batch["bucket"].astype(int)))
-            keep = np.fromiter((kv not in bs for kv in keys), dtype=bool,
-                               count=len(batch))
+            keep = ~np.isin(batch["bb"].to_numpy(np.int64), bs,
+                            assume_unique=False)
             return batch[keep]
 
         banded = banded.map_batches(drop_big, batch_format="pandas",
                                     batch_size=None)
 
-    # Bucket-pair generation as a SELF-JOIN on the (band, bucket) composite
-    # key: per-group map_groups paid Python overhead for thousands of tiny
+    # Bucket-pair generation as a SELF-JOIN on the folded band-bucket key:
+    # per-group map_groups paid Python overhead for thousands of tiny
     # buckets (28 s for 5k docs); the hash join is one vectorized exchange.
-    def keyed(role: str):
+    def as_role(role: str):
+        # Dataset.rename_columns fails on pandas blocks in Ray 2.49
         def f(batch: pd.DataFrame) -> pd.DataFrame:
-            bb = (batch["bucket"].to_numpy(np.int64).view(np.uint64)
-                  ^ (batch["band"].to_numpy(np.int64).view(np.uint64)
-                     * np.uint64(0x9E3779B97F4A7C15))).view(np.int64)
-            return pd.DataFrame({"bb": bb, role: batch["doc_id"]})
+            return batch.rename(columns={"doc_id": role})
 
         return f
 
-    left = banded.map_batches(keyed("doc_a"), batch_format="pandas",
+    left = banded.map_batches(as_role("doc_a"), batch_format="pandas",
                               batch_size=None)
-    right = banded.map_batches(keyed("doc_b"), batch_format="pandas",
+    right = banded.map_batches(as_role("doc_b"), batch_format="pandas",
                                batch_size=None)
-    from zeeklog_ray.relational import default_join_partitions
+    from zeeklog_ray.relational import sized_join_partitions
 
     cand = left.join(right, join_type="inner",
-                     num_partitions=default_join_partitions(None),
+                     num_partitions=sized_join_partitions(int(totals.sum())),
                      on=("bb",), right_on=("bb",),
                      left_suffix="_l", right_suffix="_r")
 

@@ -219,6 +219,28 @@ def media_schema() -> pa.Schema:
     ])
 
 
+def media_parquet_for_sf_dir(sf_dir: str) -> str:
+    """Cached Parquet file of the sf-matched synthetic media corpus — read
+    by BOTH the Ray ``media_features`` pipeline and its DuckDB oracle, so
+    the driver's hard gate covers the multimodal plumbing end to end."""
+    import os
+    import tempfile
+
+    from zeeklog_ray.corpus import _CACHE_ROOT
+
+    n = 500 if "0.001" in sf_dir else 2000
+    path = os.path.join(_CACHE_ROOT, f"media-v1-n{n}.parquet")
+    if not os.path.exists(path):
+        import pyarrow.parquet as pq
+
+        os.makedirs(_CACHE_ROOT, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=_CACHE_ROOT, suffix=".parquet")
+        os.close(fd)
+        pq.write_table(synth_media_table(n), tmp)
+        os.replace(tmp, path)                 # atomic; racers overwrite same
+    return path
+
+
 def synth_media_table(n: int, seed: int = 7) -> pa.Table:
     """Deterministic media corpus of REAL encoded payloads: 24-bit BMP
     images, PCM-16 WAV clips (sine + noise), RVID raw-frame videos."""

@@ -425,16 +425,20 @@ def ann_lsh_topk(sf_dir: str) -> pd.DataFrame:
 
 
 def media_features(sf_dir: str) -> "ray.data.Dataset":
-    """Multimodal pipeline: deterministic corpus of REAL encoded payloads
+    """Multimodal pipeline: Parquet corpus of REAL encoded payloads
     (24-bit BMP / PCM-16 WAV / raw-frame video) → actor-pool decode +
     feature extraction with pure-numpy codecs (ops/multimodal.py); only
-    codec'd formats (JPEG/MP3/H.264) remain a documented library seam."""
+    codec'd formats (JPEG/MP3/H.264) remain a documented library seam.
+    The DuckDB oracle reads the SAME parquet (decode features are not
+    SQL-expressible; identity + payload size are, and gate the plumbing)."""
     import ray.data as rd
 
-    from zeeklog_ray.ops.multimodal import extract_features, synth_media_table
+    from zeeklog_ray.ops.multimodal import (
+        extract_features,
+        media_parquet_for_sf_dir,
+    )
 
-    n = 500 if "0.001" in sf_dir else 2000
-    ds = rd.from_arrow(synth_media_table(n))
+    ds = rd.read_parquet(media_parquet_for_sf_dir(sf_dir))
     return extract_features(ds).drop_columns(["features"])
 
 
@@ -866,17 +870,35 @@ def _zeek_oracle_sql(sf_dir: str) -> dict[str, str]:
             z + "SELECT MIN(date) AS date, id_orig_h FROM "
             "(SELECT DISTINCT date, p[3] AS id_orig_h FROM z "
             f"WHERE src IN {connp}) GROUP BY id_orig_h"),
+        # multimodal plumbing gate: both sides read the SAME media parquet;
+        # identity + payload size are SQL-expressible, decode features not
+        "media_features": (
+            "SELECT item_id, modality, octet_length(payload) AS n_bytes "
+            f"FROM read_parquet('{_media_parquet(sf_dir)}')"),
     }
+
+
+def _media_parquet(sf_dir: str) -> str:
+    # path only; the file itself is written lazily (ensure_oracle_corpus /
+    # the query run), mirroring corpus_path_for_sf_dir semantics
+    import os
+
+    from zeeklog_ray.corpus import _CACHE_ROOT
+
+    n = 500 if "0.001" in sf_dir else 2000
+    return os.path.join(_CACHE_ROOT, f"media-v1-n{n}.parquet")
 
 
 def ensure_oracle_corpus(sf_dir: str = DRIVER_SF_DIR) -> None:
     """Generate (or reuse) the corpora the zeek oracle SQL reads — called by
     ``__ray_entry__.oracle_sql()`` so the SQL's read targets exist even if
     the driver runs the oracle before the Ray query."""
+    from zeeklog_ray.ops.multimodal import media_parquet_for_sf_dir
     from zeeklog_ray.zeektsv import tsv_fixture_for_sf_dir
 
     corpus_for_sf_dir(sf_dir)
     tsv_fixture_for_sf_dir(sf_dir)
+    media_parquet_for_sf_dir(sf_dir)
 
 
 def _sim_vector_sql() -> str:
@@ -972,6 +994,40 @@ ORACLE_SQL: dict[str, str] = {
         "'[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens "
         "FROM documents"),
     "doc_lang_id": _langid_oracle_sql(),
+    # 64-bit SimHash replayed exactly in SQL: the k=5 rolling hashes (same
+    # Horner mod-2^64 as doc_fingerprints below), then per-bit majority
+    # vote (bit set iff 2·#set > #windows) folded back to BIGINT.  The
+    # heaviest oracle (~17 s at sf0.01: ~16M lambda evaluations) — the
+    # price of bit-exact SQL replay of a custom sketch.
+    "doc_simhash": (
+        "WITH h AS (SELECT doc_id, list_transform(range(1, length(text)-3), "
+        "i -> list_reduce(list_transform(range(i, i+5), "
+        "j -> ord(substring(text, j, 1))::HUGEINT), "
+        "(acc, c) -> (acc*1000003::HUGEINT + c) % "
+        "18446744073709551616::HUGEINT)) AS hs FROM documents) "
+        "SELECT doc_id, CAST(CASE WHEN m >= 9223372036854775808::HUGEINT "
+        "THEN m - 18446744073709551616::HUGEINT ELSE m END AS BIGINT) "
+        "AS simhash FROM ("
+        "SELECT doc_id, COALESCE(list_sum(list_transform(range(0, 64), "
+        "b -> CASE WHEN 2*len(list_filter(hs, "
+        "x -> ((x // (2::HUGEINT ** b)::HUGEINT) % 2) = 1)) > len(hs) "
+        "THEN (2::HUGEINT ** b)::HUGEINT ELSE 0::HUGEINT END)), 0::HUGEINT) "
+        "AS m FROM h)"),
+    # rolling k-gram winnowing fingerprint, replayed exactly in SQL:
+    # Horner base-1000003 over the 8-byte window with mod-2^64 HUGEINT
+    # arithmetic at every step (matches numpy uint64 wraparound), min over
+    # windows, then two's-complement fold to BIGINT (ASCII text: ord ==
+    # utf-8 byte — asserted by the corpus generator's charset)
+    "doc_fingerprints": (
+        "SELECT doc_id, CAST(CASE WHEN m >= 9223372036854775808::HUGEINT "
+        "THEN m - 18446744073709551616::HUGEINT ELSE m END AS BIGINT) "
+        "AS fingerprint FROM ("
+        "SELECT doc_id, COALESCE(list_min(list_transform("
+        "range(1, length(text)-6), "
+        "i -> list_reduce(list_transform(range(i, i+8), "
+        "j -> ord(substring(text, j, 1))::HUGEINT), "
+        "(acc, c) -> (acc*1000003::HUGEINT + c) % "
+        "18446744073709551616::HUGEINT))), 0::HUGEINT) AS m FROM documents)"),
     "embedding_near_dups": (
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
         "CAST(FLOOR(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "

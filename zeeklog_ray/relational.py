@@ -67,6 +67,19 @@ def default_join_partitions(requested: int | None = None) -> int:
     return min(requested, cap) if requested else cap
 
 
+def sized_join_partitions(n_rows: int,
+                          rows_per_partition: int = 250_000) -> int:
+    """Partition count proportional to the DATA, bounded by the CPU cap:
+    every hash-shuffle partition costs a fixed aggregator-actor spin-up
+    (measured ~0.1 s each), so a small join at 32 partitions pays ~4 s of
+    pure overhead.  Use when the input size is known (e.g. after a
+    ``materialize``); at cluster scale the CPU cap dominates and this
+    degenerates to :func:`default_join_partitions`."""
+    import math
+
+    return default_join_partitions(max(2, math.ceil(n_rows / rows_per_partition)))
+
+
 def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
               on: str, right_on: str | None = None,
               num_partitions: int | None = None) -> "ray.data.Dataset":
