@@ -354,7 +354,14 @@ def doc_fingerprints(sf_dir: str) -> "ray.data.Dataset":
 
 
 def minhash_dedup_pairs(sf_dir: str) -> "ray.data.Dataset":
-    """MinHash+LSH near-duplicate candidate pairs (ops/dedup.py)."""
+    """MinHash+LSH near-duplicate candidate pairs (ops/dedup.py).
+
+    Rows-only for the driver: a bit-exact SQL replay of the 64-permutation
+    MinHash exists (the doc_simhash / doc_fingerprints Horner-mod-2^64
+    technique) but measures >5 min in DuckDB at sf0.01 (~15M HUGEINT
+    lambda evaluations) — too slow for a gate.  The strong checks are the
+    planted-dup recall test (test_ops_dedup.py, ≥0.9) and the
+    embedding_cosine near-dup analog, which IS oracle-checked."""
     from zeeklog_ray.ops.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(read_table(sf_dir, "documents",
