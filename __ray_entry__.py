@@ -7,13 +7,18 @@ the library) calls ``ray.init`` / ``ray.shutdown``.
   sf0.001-scale corpus; returns the per-sink stats Dataset.
 * ``queries()`` — one entry per implemented operator/pipeline
   (registry: ``zeeklog_ray/queries.py``; inventory: SURVEY.md §2).
-* ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query,
-  INCLUDING the ``zeek_*`` flagship pipeline: the token codec decodes in SQL
-  via ``array_to_string(list_transform(tokens, x -> chr(x)), '')`` +
-  ``string_split(line, chr(9))`` over the corpus Parquet, so parse → route →
-  filter → aggregate is fully oracle-checked.  Only genuinely
-  non-SQL-expressible ops (wraparound-hash signatures, approximate
-  sketches/ANN, stubbed media decode) keep the rows-only check.
+* ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
+  (39 of 44), INCLUDING the ``zeek_*`` flagship pipeline (the token codec
+  decodes in SQL via ``array_to_string(list_transform(tokens, x -> chr(x)),
+  '')`` + ``string_split(line, chr(9))`` over the corpus Parquet), the gzip
+  TSV ingest (``read_csv`` over the same ``.log.gz``), and the custom-hash
+  sketches SimHash / rolling-hash fingerprints (bit-exact Horner-mod-2^64
+  replay via ``list_reduce``/HUGEINT).  Rows-only remainder, each with its
+  reason and a pytest gate: ``minhash_dedup_pairs`` / ``near_dup_components``
+  (the 64-permutation replay measures >5 min in DuckDB; recall-tested, and
+  the embedding-cosine analogs ARE oracle-checked), ``ann_lsh_topk`` /
+  ``ivf_ann_topk`` (approximate by design; recall-tested), and
+  ``approx_distinct_users`` (HLL; accuracy-tested).
 """
 
 from __future__ import annotations
