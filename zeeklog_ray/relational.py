@@ -68,13 +68,15 @@ def default_join_partitions(requested: int | None = None) -> int:
 
 
 def sized_join_partitions(n_rows: int,
-                          rows_per_partition: int = 250_000) -> int:
+                          rows_per_partition: int = 25_000) -> int:
     """Partition count proportional to the DATA, bounded by the CPU cap:
     every hash-shuffle partition costs a fixed aggregator-actor spin-up
     (measured ~0.1 s each), so a small join at 32 partitions pays ~4 s of
-    pure overhead.  Use when the input size is known (e.g. after a
-    ``materialize``); at cluster scale the CPU cap dominates and this
-    degenerates to :func:`default_join_partitions`."""
+    pure overhead, while a big join WANTS the full width (measured on an
+    800k-row self-join: 13 s at 4 partitions vs 8.6 s at 32).  25k rows
+    per partition is the measured crossover.  Use when the input size is
+    known (e.g. after a ``materialize``); at cluster scale the CPU cap
+    dominates and this degenerates to :func:`default_join_partitions`."""
     import math
 
     return default_join_partitions(max(2, math.ceil(n_rows / rows_per_partition)))
