@@ -29,6 +29,26 @@ def test_minhash_degenerate_bucket_capped(ray_session):
     assert len(uncapped) == n_same * (n_same - 1) // 2
 
 
+def test_minhash_guard_distributed_count_tier(ray_session, monkeypatch):
+    """Above the driver-merge threshold the bucket count runs as a Dataset
+    groupby; both tiers must produce the same capped result."""
+    import zeeklog_ray.ops.dedup as dd
+
+    n_same = 40
+    df = pd.DataFrame({
+        "doc_id": np.arange(n_same + 2, dtype="int64"),
+        "text": ["identical degenerate document body repeated many times"] * n_same
+        + ["first unique document about arrow batches and shuffles here",
+           "second unique document about actor pools and backpressure ok"],
+    })
+    ds = ray.data.from_pandas(df).repartition(2)
+    monkeypatch.setattr(dd, "_GUARD_DRIVER_MERGE_MAX", 0)  # force groupby tier
+    capped = dd.minhash_lsh_pairs(ds, max_bucket=10).to_pandas()
+    assert len(capped) == 0
+    uncapped = dd.minhash_lsh_pairs(ds, max_bucket=1000).to_pandas()
+    assert len(uncapped) == n_same * (n_same - 1) // 2
+
+
 def test_embedding_pairs_block_cap_raises(ray_session):
     """Unblocked input (everything in one implicit block) past the cap must
     raise, not silently go O(n²)."""

@@ -74,6 +74,27 @@ def test_sliding_window_counts(ray_session):
     assert b["w_count"].tolist() == [1] and b["w_sum"].tolist() == [9.0]
 
 
+def test_window_boundary_event_retained(ray_session):
+    """An event at exactly t_last - window must survive state trimming: a
+    later arrival with ts == t_last still counts it (regression: strict-'>'
+    trim evicted it and undercounted)."""
+    from zeeklog_ray.ops.streaming import WindowBucketActor
+
+    actor = WindowBucketActor.remote(3600)
+    base = pd.Timestamp("2024-01-01 10:00")
+    def batch(ts_off_s, val):
+        return pd.DataFrame({"user_id": ["k"], "ts": [base + pd.Timedelta(seconds=ts_off_s)],
+                             "value": [float(val)]})
+    r1 = ray.get(actor.process.remote(batch(0, 1), "user_id", "ts", "value"))
+    r2 = ray.get(actor.process.remote(batch(3600, 2), "user_id", "ts", "value"))
+    r3 = ray.get(actor.process.remote(batch(3600, 4), "user_id", "ts", "value"))
+    assert r1["w_count"].tolist() == [1]
+    assert r2["w_count"].tolist() == [2]          # [0, 3600] inclusive
+    assert r3["w_count"].tolist() == [3]          # ts=0 event still in state
+    assert r3["w_sum"].tolist() == [7.0]
+    ray.kill(actor)
+
+
 def test_ivf_topk_recall(ray_session):
     from zeeklog_ray.ops.similarity import brute_force_topk, ivf_topk
 

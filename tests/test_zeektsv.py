@@ -67,6 +67,47 @@ def test_scan_stops_at_close(tmp_path):
     assert t.num_rows == 2
 
 
+def test_close_in_field_value_survives(tmp_path):
+    """'#close' as a SUBSTRING of a data cell must not truncate the scan —
+    only a '#close'-prefixed line is the footer (regression: containment
+    match dropped the row and everything after it)."""
+    p = str(tmp_path / "2024-07-02" / "http.x.log.gz")
+    lines = [
+        "\t".join(["1719878400.5", "Ca", "1.1.1.1", "1", "2.2.2.2", "80",
+                   "GET", "ex.com", "/redir#close", "200", "UA"]),
+        "\t".join(["1719878401.0", "Cb", "3.3.3.3", "2", "4.4.4.4", "80",
+                   "GET", "ex.com", "/ok", "200", "UA"]),
+    ]
+    write_zeek_log_gz(p, "http", lines)
+    t = parse_zeek_gz(p).to_pandas()
+    assert len(t) == 2
+    assert t["uri"].tolist() == ["/redir#close", "/ok"]
+
+
+def test_short_header_parses_losslessly(tmp_path):
+    """A header with fewer than 8 lines (e.g. no #open) must not eat the
+    first data rows (regression: fixed 8-line slice)."""
+    p = str(tmp_path / "2024-07-02" / "conn.x.log.gz")
+    import os
+
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    header = [
+        "#separator \\x09",
+        "#path\tconn",
+        "#fields\tts\tuid\tid.orig_h\tid.orig_p\tid.resp_h\tid.resp_p"
+        "\tproto\tservice\tduration\torig_bytes",
+    ]
+    with gzip.open(p, "wt", encoding="utf-8") as f:
+        for ln in header:
+            f.write(ln + "\n")
+        for ln in CONN_LINES:
+            f.write(ln + "\n")
+        f.write("#close\t2024-07-02-23-59-59\n")
+    t = parse_zeek_gz(p).to_pandas()
+    assert len(t) == 2
+    assert t["id_orig_h"].tolist() == ["1.2.3.4", "4.3.2.1"]
+
+
 def test_read_zeek_logs_matches_corpus_parse(ray_session, tmp_path):
     """The TSV tree carries exactly the corpus lines; reading it must yield
     the same per-sink counts AND the same extracted values as the tokenized

@@ -52,13 +52,14 @@ def main(sf_dir: str) -> int:
     sys.path.insert(0, "/root/repo")
     import __ray_entry__ as entrymod
 
-    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
-    # re-target the zeek_* oracles at THIS sf dir's corpus (the driver runs
-    # at sf0.01; locally we check other scales too)
-    from zeeklog_ray.corpus import corpus_for_sf_dir
-    from zeeklog_ray.queries import build_oracle_sql
+    qs = entrymod.queries()
+    # build the oracles for THIS sf dir directly (the driver runs at
+    # sf0.01; locally we check other scales too) — calling
+    # entrymod.oracle_sql() here would generate the sf0.01 corpus/TSV/
+    # media artifacts only to discard its return value
+    from zeeklog_ray.queries import build_oracle_sql, ensure_oracle_corpus
 
-    corpus_for_sf_dir(sf_dir)
+    ensure_oracle_corpus(sf_dir)
     oracles = build_oracle_sql(sf_dir)
     failures = 0
     for name, fn in qs.items():

@@ -212,11 +212,17 @@ def make_corpus_frame(n_rows: int, seed: int = DEFAULT_SEED) -> pd.DataFrame:
     not_d0 = date_idx != 0
     orig_idx[not_d0 & (orig_idx == 0)] = 2
     resp_idx[not_d0 & (resp_idx == 0)] = 3
-    # Plant both golden IPs on 2024-07-02 deterministically.
+    # Plant both golden IPs on 2024-07-02 deterministically — on rows
+    # FORCED to a conn-prefixed source: ts-prefixed/quarantined sources
+    # discard the connection 6-tuple, so a plant landing there would never
+    # surface in any parsed id_orig_h and the "present on 2024-07-02"
+    # invariant would hinge on random pool draws.
     d0_rows = np.flatnonzero(date_idx == 0)
     if len(d0_rows) >= 2:
         orig_idx[d0_rows[0]] = 0
         orig_idx[d0_rows[1]] = 1
+        source[d0_rows[0]] = "conn"
+        source[d0_rows[1]] = "conn"
     pool = np.asarray(IP_POOL, dtype=object)
     orig_h = pool[orig_idx]
     resp_h = pool[resp_idx]
@@ -326,7 +332,7 @@ def _fragments_per_date(date_rows: list[int], rows_per_file: int) -> list[int]:
 
 
 def _corpus_dir_for(n_rows: int, seed: int, rows_per_file: int) -> str:
-    return os.path.join(_CACHE_ROOT, f"v6-n{n_rows}-seed{seed}-rpf{rows_per_file}")
+    return os.path.join(_CACHE_ROOT, f"v7-n{n_rows}-seed{seed}-rpf{rows_per_file}")
 
 
 def _sf_n_rows(sf_dir: str) -> int:

@@ -25,6 +25,11 @@ from zeeklog_ray.ops.text import rolling_kgram_hashes
 
 _MERSENNE = (1 << 61) - 1
 
+# Banded-rows threshold for the oversized-bucket count: driver-merged
+# per-batch partials below (fast, no shuffle), Dataset groupby above (the
+# partials are O(rows) and would OOM the driver at real scale).
+_GUARD_DRIVER_MERGE_MAX = 5_000_000
+
 
 def _shingle_hashes(texts: pd.Series, k: int) -> tuple[np.ndarray, np.ndarray]:
     """All k-byte shingle hashes per text, vectorized; returns (hashes,
@@ -103,12 +108,16 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", text_col: str = "text",
     identical documents would produce 10^12 pairs.  Buckets larger than
     the cap are EXCLUDED from the self-join (their membership is near-
     certainly an exact-duplicate cluster — run exact dedup first, which
-    collapses them without pair enumeration).  The count pass is per-batch
-    ``value_counts`` partials merged on the driver — the over-cap key set
-    is at most |docs|·bands/max_bucket entries (tiny) and an in-plan
-    groupby would halve map parallelism (BASELINE.md); the banded rows are
-    materialized once so the count and join passes don't recompute the
-    shingle hashing (at 100 TB they'd persist to Parquet instead).
+    collapses them without pair enumeration).  The count pass is tiered:
+    driver-merged per-batch ``value_counts`` partials while the banded
+    table is small (≤5M rows; an in-plan groupby would halve map
+    parallelism, BASELINE.md), a proper Dataset groupby above (the
+    partials are O(rows) — mostly-distinct buckets — so the driver merge
+    does NOT scale; the shuffle it avoids is amortized at the sizes where
+    it triggers).  Only the over-cap key set — ≤ |rows|/max_bucket entries
+    — ever reaches the driver.  The banded rows are materialized once so
+    the count and join passes don't recompute the shingle hashing (at
+    100 TB they'd persist to Parquet instead).
 
     Returns (doc_a, doc_b) candidate pairs (doc_a < doc_b, distinct).
     Verify with :func:`ngram_jaccard` on the candidates.
@@ -137,19 +146,30 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", text_col: str = "text",
     banded = sigs.map_batches(band_rows, batch_format="pandas",
                               batch_size=None).materialize()
 
-    # Oversized-bucket guard, shuffle-free: per-batch bucket value_counts
-    # are partials of the global count (every bucket's rows may span
-    # batches, so partials are summed on the driver before comparing to
-    # the cap).  Result is a small int64 key array broadcast to the filter.
-    def bucket_partials(batch: pd.DataFrame) -> pd.DataFrame:
-        vc = batch["bb"].value_counts()
-        return pd.DataFrame({"bb": vc.index.to_numpy(np.int64),
-                             "m": vc.to_numpy(np.int64)})
+    # Oversized-bucket guard.  Band-bucket hashes are mostly distinct, so
+    # the per-batch value_counts partials are O(rows) — merging them on
+    # the driver is the FAST path only while that is small.  Past the
+    # threshold the count runs as a proper Dataset groupby (one shuffle of
+    # (bb, count) pairs, amortized at the scale where it triggers); only
+    # the over-cap KEY SET — at most |rows|/max_bucket entries — ever
+    # reaches the driver.
+    n_banded = banded.count()
+    if n_banded <= _GUARD_DRIVER_MERGE_MAX:
+        def bucket_partials(batch: pd.DataFrame) -> pd.DataFrame:
+            vc = batch["bb"].value_counts()
+            return pd.DataFrame({"bb": vc.index.to_numpy(np.int64),
+                                 "m": vc.to_numpy(np.int64)})
 
-    partials = banded.map_batches(bucket_partials, batch_format="pandas",
-                                  batch_size=None).to_pandas()
-    totals = partials.groupby("bb", sort=False)["m"].sum()
-    big_keys = totals.index.to_numpy(np.int64)[totals.to_numpy() > max_bucket]
+        partials = banded.map_batches(bucket_partials, batch_format="pandas",
+                                      batch_size=None).to_pandas()
+        totals = partials.groupby("bb", sort=False)["m"].sum()
+        big_keys = totals.index.to_numpy(np.int64)[totals.to_numpy() > max_bucket]
+    else:
+        big = (banded.groupby("bb").aggregate(Count(alias_name="m"))
+               .filter(expr=f"m > {int(max_bucket)}").to_pandas())
+        # an all-filtered Dataset loses its schema in to_pandas()
+        big_keys = (big["bb"].to_numpy(np.int64) if "bb" in big.columns
+                    else np.zeros(0, np.int64))
     if len(big_keys):
         import ray as _ray
 
@@ -181,7 +201,7 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", text_col: str = "text",
     from zeeklog_ray.relational import sized_join_partitions
 
     cand = left.join(right, join_type="inner",
-                     num_partitions=sized_join_partitions(int(totals.sum())),
+                     num_partitions=sized_join_partitions(n_banded),
                      on=("bb",), right_on=("bb",),
                      left_suffix="_l", right_suffix="_r")
 

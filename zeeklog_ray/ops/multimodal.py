@@ -219,6 +219,22 @@ def media_schema() -> pa.Schema:
     ])
 
 
+def _media_n_for_sf_dir(sf_dir: str) -> int:
+    return 500 if "0.001" in sf_dir else 2000
+
+
+def media_parquet_path(sf_dir: str) -> str:
+    """Cache path of the sf-matched media corpus, WITHOUT generating —
+    the single source of truth shared by the generator below and the
+    oracle-SQL builder (queries._media_parquet)."""
+    import os
+
+    from zeeklog_ray.corpus import _CACHE_ROOT
+
+    return os.path.join(_CACHE_ROOT,
+                        f"media-v1-n{_media_n_for_sf_dir(sf_dir)}.parquet")
+
+
 def media_parquet_for_sf_dir(sf_dir: str) -> str:
     """Cached Parquet file of the sf-matched synthetic media corpus — read
     by BOTH the Ray ``media_features`` pipeline and its DuckDB oracle, so
@@ -226,17 +242,15 @@ def media_parquet_for_sf_dir(sf_dir: str) -> str:
     import os
     import tempfile
 
-    from zeeklog_ray.corpus import _CACHE_ROOT
-
-    n = 500 if "0.001" in sf_dir else 2000
-    path = os.path.join(_CACHE_ROOT, f"media-v1-n{n}.parquet")
+    path = media_parquet_path(sf_dir)
     if not os.path.exists(path):
         import pyarrow.parquet as pq
 
-        os.makedirs(_CACHE_ROOT, exist_ok=True)
-        fd, tmp = tempfile.mkstemp(dir=_CACHE_ROOT, suffix=".parquet")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path),
+                                   suffix=".parquet")
         os.close(fd)
-        pq.write_table(synth_media_table(n), tmp)
+        pq.write_table(synth_media_table(_media_n_for_sf_dir(sf_dir)), tmp)
         os.replace(tmp, path)                 # atomic; racers overwrite same
     return path
 

@@ -96,7 +96,11 @@ class WindowBucketActor:
             csum = np.concatenate(([0.0], np.cumsum(av)))
             w_count[idx] = pos + 1 - lo
             w_sum[idx] = csum[pos + 1] - csum[lo]
-            keep = at > at[-1] - self.window_ns
+            # ">=" keeps the event AT the window boundary: a later arrival
+            # with ts == at[-1] still counts an event at exactly
+            # at[-1] - window (dropping it undercounted vs the documented
+            # inclusive-boundary semantics)
+            keep = at >= at[-1] - self.window_ns
             self.state[k] = (at[keep], av[keep])
         out = batch[[key, ts]].copy()
         out["w_count"] = w_count

@@ -836,14 +836,18 @@ def _zeek_oracle_sql(sf_dir: str) -> dict[str, str]:
 
     # TSV-ingest oracle: re-read the same .log.gz files with read_csv —
     # skip the 8 header lines, null-pad the #close footer, drop '#' rows
-    from zeeklog_ray.corpus import SOURCE_MIX, _CACHE_ROOT, _sf_n_rows
+    from zeeklog_ray.corpus import SOURCE_MIX
+    from zeeklog_ray.zeektsv import tsv_fixture_path
 
-    tsv_dir = f"{_CACHE_ROOT}/tsv-v1-n{_sf_n_rows(sf_dir)}"
+    tsv_dir = tsv_fixture_path(sf_dir)
+    # HAVING drops zero-row sources: the Ray side (grouped_sum over rows
+    # actually present) emits no row for a source that drew 0 lines, so an
+    # unconditional (source, 0) row here would fail the rows gate
     tsv_terms = " UNION ALL ".join(
         f"SELECT '{s}' AS source, COUNT(*) AS n FROM "
         f"read_csv('{tsv_dir}/*/{s}.*.log.gz', delim='\t', header=false, "
         "skip=8, all_varchar=true, null_padding=true, union_by_name=true, "
-        "names=['c0']) WHERE c0 NOT LIKE '#%'"
+        "names=['c0']) WHERE c0 NOT LIKE '#%' HAVING COUNT(*) > 0"
         for s, _p in SOURCE_MIX)
 
     return {
@@ -887,13 +891,10 @@ def _zeek_oracle_sql(sf_dir: str) -> dict[str, str]:
 
 def _media_parquet(sf_dir: str) -> str:
     # path only; the file itself is written lazily (ensure_oracle_corpus /
-    # the query run), mirroring corpus_path_for_sf_dir semantics
-    import os
+    # the query run) — single source of truth in ops/multimodal
+    from zeeklog_ray.ops.multimodal import media_parquet_path
 
-    from zeeklog_ray.corpus import _CACHE_ROOT
-
-    n = 500 if "0.001" in sf_dir else 2000
-    return os.path.join(_CACHE_ROOT, f"media-v1-n{n}.parquet")
+    return media_parquet_path(sf_dir)
 
 
 def ensure_oracle_corpus(sf_dir: str = DRIVER_SF_DIR) -> None:

@@ -44,7 +44,9 @@ from zeeklog_ray.sources import (
 )
 
 _HEADER_LINES = 8  # separator, set_separator, empty_field, unset_field,
-                   # path, open, fields, types  (zeek_log.rs:96-155)
+                   # path, open, fields, types (zeek_log.rs:96-155) — used
+                   # by the WRITER; the reader takes the leading '#' run
+                   # so shorter/longer real-world headers parse losslessly
 
 
 def _flatten_field(name: str) -> str:
@@ -92,7 +94,14 @@ def parse_zeek_gz(path: str) -> pa.Table:
         raw = f.read()
     text = raw.decode("utf-8", errors="replace")
     all_lines = text.splitlines()
-    sep, proto, fields = _parse_header(all_lines[:_HEADER_LINES])
+    # header = the LEADING run of '#' lines (real Zeek headers are 8 lines,
+    # but a fixed slice would silently eat data rows of a shorter header)
+    hdr_end = 0
+    for ln in all_lines:
+        if not ln.startswith("#"):
+            break
+        hdr_end += 1
+    sep, proto, fields = _parse_header(all_lines[:hdr_end])
     if proto is None:
         # filename convention p[0] = proto (zeek_log.rs:372-383)
         proto = os.path.basename(path).split(".", 1)[0]
@@ -100,8 +109,10 @@ def parse_zeek_gz(path: str) -> pa.Table:
     stem = os.path.splitext(os.path.splitext(os.path.basename(path))[0])[0]
 
     data = []
-    for ln in all_lines[_HEADER_LINES:]:
-        if "#close" in ln:      # footer ends the scan (zeek_log.rs:175-178)
+    for ln in all_lines[hdr_end:]:
+        # footer ends the scan (zeek_log.rs:175-178); PREFIX match only —
+        # a data row merely containing '#close' in a field must survive
+        if ln.startswith("#close"):
             break
         if ln and not ln.startswith("#"):
             data.append(ln)
@@ -197,6 +208,14 @@ def write_zeek_log_gz(path: str, proto: str, lines: list[str],
         f.write(f"#close{sep}{close_ts}\n")
 
 
+def tsv_fixture_path(sf_dir: str) -> str:
+    """Cache path of the sf-matched TSV fixture tree, WITHOUT generating —
+    single source of truth shared with the oracle-SQL builder."""
+    from zeeklog_ray.corpus import _CACHE_ROOT, _sf_n_rows
+
+    return os.path.join(_CACHE_ROOT, f"tsv-v2-n{_sf_n_rows(sf_dir)}")
+
+
 def tsv_fixture_for_sf_dir(sf_dir: str) -> str:
     """A cached Zeek ``.log.gz`` directory tree carrying EXACTLY the lines of
     the sf-matched tokenized corpus — one file per (date, source), empty
@@ -208,12 +227,12 @@ def tsv_fixture_for_sf_dir(sf_dir: str) -> str:
         DATES,
         SOURCE_MIX,
         _CACHE_ROOT,
-        _sf_n_rows,
         make_corpus_frame,
+        _sf_n_rows,
     )
 
     n_rows = _sf_n_rows(sf_dir)
-    out_dir = os.path.join(_CACHE_ROOT, f"tsv-v1-n{n_rows}")
+    out_dir = tsv_fixture_path(sf_dir)
     if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
         return out_dir
     df = make_corpus_frame(n_rows)
