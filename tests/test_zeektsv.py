@@ -130,6 +130,41 @@ def test_read_zeek_logs_matches_corpus_parse(ray_session, tmp_path):
             corpus[col].value_counts().to_dict(), col
 
 
+# ---- property: arbitrary cell content round-trips through write+parse ----
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# printable-ish cells that cannot contain the separator, newlines, or a
+# leading '#' (Zeek cells are the same: the separator is reserved)
+_cell = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126,
+                           blacklist_characters="\t\n\r"),
+    min_size=1, max_size=12).filter(lambda s: not s.startswith("#"))
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.lists(_cell, min_size=10, max_size=10), min_size=1, max_size=6))
+def test_roundtrip_property(tmp_path_factory, rows):
+    """Any grid of separator-free cells survives write_zeek_log_gz →
+    parse_zeek_gz byte-for-byte: row count, positional extraction, and the
+    token payload all match — including cells containing '#close' or '#'
+    mid-string."""
+    tmp = tmp_path_factory.mktemp("prop")
+    p = str(tmp / "2024-07-02" / "conn.x.log.gz")
+    lines = ["\t".join(r) for r in rows]
+    write_zeek_log_gz(p, "conn", lines)
+    t = parse_zeek_gz(p).to_pandas()
+    assert len(t) == len(rows)
+    assert t["id_orig_h"].tolist() == [r[2] for r in rows]
+    assert t["orig_bytes"].tolist() == [r[9] for r in rows]
+    import numpy as np
+
+    for i, ln in enumerate(lines):
+        assert bytes(np.asarray(t["tokens"][i], dtype=np.uint8).tobytes()) \
+            == ln.encode()
+
+
 def test_read_zeek_logs_date_pruning(ray_session):
     d = tsv_fixture_for_sf_dir("/root/testdata/sf0.001")
     ds = read_zeek_logs(d, dates=["2024-07-02"])
