@@ -10,11 +10,36 @@ import ray.data
 from zeeklog_ray.ops.text import (
     _BPE_RE,
     LangId,
+    corpus_prep,
     fingerprints,
     lang_id,
     quality_metrics,
     token_counts,
 )
+
+
+def test_corpus_prep_chain(ray_session):
+    """Filter, dedup and rollup each do real work: low-quality rows drop,
+    planted exact duplicates collapse to the min-doc_id row, per-lang
+    counts/token-sums reflect only survivors."""
+    good = "the cat and the dog sat in a box with the hat on it for a day"
+    df = pd.DataFrame({
+        "doc_id": ["d1", "d2", "d3", "d4", "d5"],
+        "text": [
+            good,                                   # kept
+            good,                                   # exact dup -> collapsed
+            "zz qq ww ee rr tt yy uu ii oo pp aa ss dd ff",  # 15 words, 0 stopwords -> filtered
+            "tiny doc",                             # too short -> filtered
+            "is it the best of the best that it is for the win here now ok",  # kept
+        ],
+        "lang": ["en", "en", "xx", "en", "en"],
+    })
+    out = corpus_prep(ray.data.from_pandas(df).repartition(3)).to_pandas()
+    assert out["lang"].tolist() == ["en"]
+    assert out["n_docs"].tolist() == [2]            # d1 (dup of d2) + d5
+    exp_tokens = len(re.findall(_BPE_RE, good)) + \
+        len(re.findall(_BPE_RE, df.loc[4, "text"]))
+    assert out["sum_bpe_tokens"].tolist() == [exp_tokens]
 
 
 @pytest.fixture()

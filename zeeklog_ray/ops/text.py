@@ -142,6 +142,50 @@ def token_counts(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     return ds.map_batches(count, batch_format="pandas", batch_size=None)
 
 
+def corpus_prep(ds: "ray.data.Dataset", min_words: int = 15,
+                min_stop_ratio_e4: int = 200) -> "ray.data.Dataset":
+    """Training-corpus preparation CHAIN: quality filter → exact dedup
+    (first-wins by content) → BPE token count → per-language rollup.
+    Output: one row per language — ``lang, n_docs, sum_bpe_tokens``.
+
+    Scale shape: one map stage does metrics + filter + 128-bit digest +
+    token count (all row-local, before any shuffle); only
+    (digest, doc_id, lang, n_bpe) shuffles — never text; the rollup is
+    the combiner-first :func:`zeeklog_ray.relational.grouped_sum`.
+    """
+    import numpy as np
+
+    from zeeklog_ray.ops.dedup import first_wins
+    from zeeklog_ray.relational import grouped_sum
+
+    en_stop = frozenset(STOPWORDS["en"])
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].reset_index(drop=True)
+        n_words = text.str.count(r"[^ ]+").astype("int64")
+        n_stop = pd.Series(_member_counts(text.str.split(" "), en_stop,
+                                          len(text)))
+        ratio_e4 = np.floor(n_stop * _E4 / n_words.replace(0, 1)).astype("int64")
+        keep = (n_words >= min_words) & (ratio_e4 >= min_stop_ratio_e4)
+        kept = text[keep]
+        # 128-bit content digest (two independent 64-bit hashes — the
+        # exact_dedup_docs collision argument)
+        h1 = pd.util.hash_pandas_object(kept, index=False).astype("uint64")
+        h2 = pd.util.hash_pandas_object(kept, index=False,
+                                        hash_key="zeeklog-dedup-02").astype("uint64")
+        return pd.DataFrame({
+            "digest": h1.astype(str).str.cat(h2.astype(str), sep=":"),
+            "doc_id": batch["doc_id"].to_numpy()[keep.to_numpy()],
+            "lang": batch["lang"].to_numpy()[keep.to_numpy()],
+            "n_bpe": kept.str.count(_BPE_RE).astype("int64"),
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pandas", batch_size=None)
+    deduped = first_wins(prepped, key="digest", order_col="doc_id")
+    return grouped_sum(deduped.select_columns(["lang", "n_bpe"]), ["lang"],
+                       sums={"n_bpe": "sum_bpe_tokens"}, count_as="n_docs")
+
+
 _FP_BASE = 1_000_003
 _FP_MOD = (1 << 61) - 1
 

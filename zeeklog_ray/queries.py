@@ -259,6 +259,23 @@ def exact_dedup_docs(sf_dir: str) -> "ray.data.Dataset":
     return out.drop_columns(["digest", "digest2"])
 
 
+def docs_prep_pipeline(sf_dir: str) -> "ray.data.Dataset":
+    """Realistic training-corpus prep CHAIN in one query — the composition
+    a reference user would actually run: quality filter → exact dedup
+    (first-wins by content) → BPE token count → per-language rollup.
+
+    Scale shape: ONE map stage computes metrics, filter, 128-bit digest
+    and token count (all row-local, before any shuffle); only
+    (digest, doc_id, lang, n_bpe) ever shuffles — never text; the final
+    rollup is the combiner-first grouped_sum.  Oracle: the same chain as
+    a DuckDB CTE over the proven doc_quality / doc_token_bpe SQL pieces.
+    """
+    from zeeklog_ray.ops.text import corpus_prep
+
+    return corpus_prep(read_table(sf_dir, "documents",
+                                  columns=["doc_id", "text", "lang"]))
+
+
 def doc_word_counts(sf_dir: str) -> "ray.data.Dataset":
     """Token counting (whitespace tokens) per document — text-analysis op."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -740,6 +757,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "similarity_topk": similarity_topk,
     # extended ops (dedup / similarity / text / temporal / multimodal)
     "doc_quality": doc_quality,
+    "docs_prep_pipeline": docs_prep_pipeline,
     "doc_token_bpe": doc_token_bpe,
     "doc_lang_id": doc_lang_id,
     "doc_fingerprints": doc_fingerprints,
@@ -1002,6 +1020,23 @@ ORACLE_SQL: dict[str, str] = {
         "'[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens "
         "FROM documents"),
     "doc_lang_id": _langid_oracle_sql(),
+    # the prep CHAIN: quality filter → first-wins dedup by exact text →
+    # BPE token count → per-language rollup, as one CTE pipeline over the
+    # proven doc_quality / doc_token_bpe SQL pieces
+    "docs_prep_pipeline": (
+        "WITH q AS (SELECT doc_id, lang, text, "
+        "CAST(LENGTH(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')) AS BIGINT) AS n_words, "
+        "CAST(LENGTH(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x IN "
+        "('a','and','for','in','is','it','of','that','the','to'))) AS BIGINT) AS n_stop "
+        "FROM documents), "
+        "f AS (SELECT * FROM q WHERE n_words >= 15 AND "
+        "CAST(FLOOR(n_stop * 10000.0 / CASE WHEN n_words = 0 THEN 1 ELSE n_words END) AS BIGINT) >= 200), "
+        "d AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER "
+        "(PARTITION BY text ORDER BY doc_id) AS rn FROM f) WHERE rn = 1) "
+        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(LENGTH(REGEXP_EXTRACT_ALL(text, "
+        "'[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]'))) AS BIGINT) AS sum_bpe_tokens "
+        "FROM d GROUP BY lang"),
     # 64-bit SimHash replayed exactly in SQL: the k=5 rolling hashes (same
     # Horner mod-2^64 as doc_fingerprints below), then per-bit majority
     # vote (bit set iff 2·#set > #windows) folded back to BIGINT.  The
