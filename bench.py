@@ -40,13 +40,17 @@ _SKIP_SCALING_ENV = "ZEEKLOG_SKIP_SCALING"      # guards subprocess recursion
 BENCH_QUERIES = [
     "zeek_sink_stats",
     "zeek_distinct_orig_h",
+    "zeek_tsv_ingest",
     "lineitem_pricing",
     "events_hourly",
+    "event_sliding_windows",
     "order_priority_items",
     "exact_dedup_docs",
+    "docs_prep_pipeline",
     "similarity_topk",
     "doc_quality",
     "minhash_dedup_pairs",
+    "media_features",
     "salted_events_sum",
 ]
 
@@ -65,6 +69,12 @@ def run_bench() -> dict:
         corpus = generate_corpus(int(os.environ[_BENCH_ROWS_ENV]))
     else:
         corpus = corpus_for_sf_dir(SF_DIR)
+        if not os.environ.get(_FLAGSHIP_ONLY_ENV):
+            # fixtures some BENCH_QUERIES read (gzip TSV tree, media
+            # parquet) are one-time generation — keep it untimed too
+            from zeeklog_ray.queries import ensure_oracle_corpus
+
+            ensure_oracle_corpus(SF_DIR)
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              logging_level="ERROR")

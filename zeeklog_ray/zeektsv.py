@@ -77,15 +77,19 @@ def _parse_header(lines: list[str]) -> tuple[str, str | None, list[str]]:
     return sep, proto, fields
 
 
-def _lines_to_tokens(encoded: list[bytes]) -> pa.ListArray:
-    """UTF-8 line bytes → ``list<int32>`` token column (the corpus codec)."""
+def _lines_to_tokens(encoded: list[bytes]) -> tuple[pa.Array, np.ndarray]:
+    """UTF-8 line bytes → (``list<int32>`` token column, per-line lengths).
+
+    The byte values build a ``list<uint8>`` first and widen with ONE Arrow
+    cast kernel — a numpy ``uint8.astype(int32)`` on the concatenated
+    payload measured 390 ms per 124k-row file, half the parse."""
     lengths = np.fromiter((len(b) for b in encoded), dtype=np.int32,
                           count=len(encoded))
     offsets = np.zeros(len(encoded) + 1, dtype=np.int32)
     np.cumsum(lengths, out=offsets[1:])
-    values = np.frombuffer(b"".join(encoded), dtype=np.uint8).astype(np.int32)
-    return pa.ListArray.from_arrays(pa.array(offsets),
-                                    pa.array(values, type=pa.int32()))
+    values = np.frombuffer(b"".join(encoded), dtype=np.uint8)
+    narrow = pa.ListArray.from_arrays(pa.array(offsets), pa.array(values))
+    return narrow.cast(pa.list_(pa.int32())), lengths
 
 
 def parse_zeek_gz(path: str) -> pa.Table:
@@ -119,12 +123,15 @@ def parse_zeek_gz(path: str) -> pa.Table:
 
     n = len(data)
     enc = [ln.encode("utf-8") for ln in data]
+    tokens, lengths = _lines_to_tokens(enc)
+    doc_ids = (np.char.add(f"{date}-{stem}-",
+                           np.char.mod("%08d", np.arange(n)))
+               if n else np.empty(0, dtype=object))
     src = pa.array([proto] * n, type=pa.string())
     table = pa.table({
-        "doc_id": pa.array([f"{date}-{stem}-{i:08d}" for i in range(n)],
-                           type=pa.string()),
-        "tokens": _lines_to_tokens(enc),
-        "n_tok": pa.array([len(b) for b in enc], type=pa.int32()),
+        "doc_id": pa.array(doc_ids.astype(object), type=pa.string()),
+        "tokens": tokens,
+        "n_tok": pa.array(lengths, type=pa.int32()),
         "source": src,
         "date": pa.array([date] * n, type=pa.string()),
     })
