@@ -105,6 +105,29 @@ def zeek_plan_matrix(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows).sort_values("plan").reset_index(drop=True)
 
 
+def zeek_hourly_sink_counts(sf_dir: str) -> "ray.data.Dataset":
+    """Tumbling one-hour windows on the flagship parse path: per
+    (sink, hour bucket) row counts over the parsed ``ts`` epoch — the
+    windowed-aggregate shape of the reference's hour-bucketed log files
+    (zeek_log.rs:372-383 filename hour ranges), computed from the data.
+    Quarantined rows are excluded (an unknown source's first cell need
+    not be a timestamp)."""
+    import pyarrow.compute as pc
+
+    corpus = corpus_for_sf_dir(sf_dir)
+    ds = build_dataset(PipelineConfig(corpus_dir=corpus))
+
+    def bucket(batch: "pa.Table") -> "pa.Table":
+        keep = pc.not_equal(batch["sink"], "none")
+        t = batch.filter(keep)
+        hours = pc.cast(pc.floor(pc.divide(
+            pc.cast(t["ts"], pa.float64()), 3600.0)), pa.int64())
+        return pa.table({"sink": t["sink"], "hour_bucket": hours})
+
+    bucketed = ds.map_batches(bucket, batch_format="pyarrow", batch_size=None)
+    return grouped_sum(bucketed, ["sink", "hour_bucket"], count_as="n")
+
+
 def zeek_geo_summary(sf_dir: str) -> "ray.data.Dataset":
     """Distinct origin address + geo enrichment columns — the reference's
     summary map with IP2Location fields (zeek_log.rs:33-38, 416-458)."""
@@ -741,6 +764,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "zeek_golden_ip_filter": zeek_golden_ip_filter,
     "zeek_plan_matrix": zeek_plan_matrix,
     "zeek_geo_summary": zeek_geo_summary,
+    "zeek_hourly_sink_counts": zeek_hourly_sink_counts,
     "zeek_tsv_ingest": zeek_tsv_ingest,
     # oracle-checked relational/analytics operators
     "docs_by_source": docs_by_source,
@@ -891,6 +915,10 @@ def _zeek_oracle_sql(sf_dir: str) -> dict[str, str]:
             f"UNION ALL SELECT 6, COUNT(*) FROM z WHERE date = '2024-07-02' AND source = 'dns' AND {ip_cond.format(ip=ip)} "
             f"UNION ALL SELECT 7, COUNT(*) FROM z WHERE date BETWEEN '2024-07-02' AND '2024-07-03' AND source = 'dns' AND {ip_cond.format(ip=ip)}"
             ") ORDER BY plan"),
+        "zeek_hourly_sink_counts": (
+            z + "SELECT src AS sink, CAST(FLOOR(CAST(p[1] AS DOUBLE) / 3600) "
+            "AS BIGINT) AS hour_bucket, COUNT(*) AS n FROM z "
+            f"WHERE src IN {known} GROUP BY 1, 2"),
         "zeek_geo_summary": (
             z + "SELECT DISTINCT p[3] AS id_orig_h, g.cc AS geo_country_code "
             f"FROM z JOIN (VALUES {geo_values}) AS g(ip, cc) ON p[3] = g.ip "
