@@ -69,12 +69,13 @@ def run_bench() -> dict:
         corpus = generate_corpus(int(os.environ[_BENCH_ROWS_ENV]))
     else:
         corpus = corpus_for_sf_dir(SF_DIR)
-        if not os.environ.get(_FLAGSHIP_ONLY_ENV):
-            # fixtures some BENCH_QUERIES read (gzip TSV tree, media
-            # parquet) are one-time generation — keep it untimed too
-            from zeeklog_ray.queries import ensure_oracle_corpus
+    if not os.environ.get(_FLAGSHIP_ONLY_ENV):
+        # BENCH_QUERIES run against SF_DIR in EITHER branch; fixtures some
+        # of them read (gzip TSV tree, media parquet) are one-time
+        # generation — keep that untimed too
+        from zeeklog_ray.queries import ensure_oracle_corpus
 
-            ensure_oracle_corpus(SF_DIR)
+        ensure_oracle_corpus(SF_DIR)
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              logging_level="ERROR")

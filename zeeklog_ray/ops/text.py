@@ -150,12 +150,22 @@ def corpus_prep(ds: "ray.data.Dataset", min_words: int = 15,
 
     Scale shape: one map stage does metrics + filter + 128-bit digest +
     token count (all row-local, before any shuffle); only
-    (digest, doc_id, lang, n_bpe) shuffles — never text; the rollup is
-    the combiner-first :func:`zeeklog_ray.relational.grouped_sum`.
+    (h1, h2, doc_id, lang, n_bpe) shuffles — never text; the dedup is the
+    vectorized ``groupby().aggregate(Min)`` (the exact_dedup_docs path —
+    per-group ``map_groups`` costs ~2.7 ms of Python per distinct doc,
+    which at 10^6 docs is ~45 minutes of overhead); the rollup is the
+    combiner-first :func:`zeeklog_ray.relational.grouped_sum`.
+
+    Group semantics: each content group keeps MIN(doc_id), and the
+    group's language is MIN(lang) over its members (``n_bpe`` is a pure
+    function of the text, hence constant per group).  For identical texts
+    labelled with different languages this differs from keep-the-min-row
+    arg-min semantics by design — Min is algebraic and vectorizes; argmin
+    would force per-group Python.
     """
     import numpy as np
+    from ray.data.aggregate import Min
 
-    from zeeklog_ray.ops.dedup import first_wins
     from zeeklog_ray.relational import grouped_sum
 
     en_stop = frozenset(STOPWORDS["en"])
@@ -174,14 +184,17 @@ def corpus_prep(ds: "ray.data.Dataset", min_words: int = 15,
         h2 = pd.util.hash_pandas_object(kept, index=False,
                                         hash_key="zeeklog-dedup-02").astype("uint64")
         return pd.DataFrame({
-            "digest": h1.astype(str).str.cat(h2.astype(str), sep=":"),
+            "h1": h1.to_numpy(),
+            "h2": h2.to_numpy(),
             "doc_id": batch["doc_id"].to_numpy()[keep.to_numpy()],
             "lang": batch["lang"].to_numpy()[keep.to_numpy()],
-            "n_bpe": kept.str.count(_BPE_RE).astype("int64"),
+            "n_bpe": kept.str.count(_BPE_RE).astype("int64").to_numpy(),
         })
 
     prepped = ds.map_batches(prep, batch_format="pandas", batch_size=None)
-    deduped = first_wins(prepped, key="digest", order_col="doc_id")
+    deduped = prepped.groupby(["h1", "h2"]).aggregate(
+        Min("doc_id", alias_name="doc_id"), Min("lang", alias_name="lang"),
+        Min("n_bpe", alias_name="n_bpe"))
     return grouped_sum(deduped.select_columns(["lang", "n_bpe"]), ["lang"],
                        sums={"n_bpe": "sum_bpe_tokens"}, count_as="n_docs")
 

@@ -1059,8 +1059,8 @@ ORACLE_SQL: dict[str, str] = {
         "FROM documents), "
         "f AS (SELECT * FROM q WHERE n_words >= 15 AND "
         "CAST(FLOOR(n_stop * 10000.0 / CASE WHEN n_words = 0 THEN 1 ELSE n_words END) AS BIGINT) >= 200), "
-        "d AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER "
-        "(PARTITION BY text ORDER BY doc_id) AS rn FROM f) WHERE rn = 1) "
+        "d AS (SELECT MIN(doc_id) AS doc_id, MIN(lang) AS lang, text "
+        "FROM f GROUP BY text) "
         "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
         "CAST(SUM(LENGTH(REGEXP_EXTRACT_ALL(text, "
         "'[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]'))) AS BIGINT) AS sum_bpe_tokens "

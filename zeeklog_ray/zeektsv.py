@@ -44,9 +44,10 @@ from zeeklog_ray.sources import (
 )
 
 _HEADER_LINES = 8  # separator, set_separator, empty_field, unset_field,
-                   # path, open, fields, types (zeek_log.rs:96-155) — used
-                   # by the WRITER; the reader takes the leading '#' run
-                   # so shorter/longer real-world headers parse losslessly
+                   # path, open, fields, types (zeek_log.rs:96-155) —
+                   # asserted against the writer's header; the reader
+                   # takes the leading '#' run so shorter/longer
+                   # real-world headers parse losslessly
 
 
 def _flatten_field(name: str) -> str:
@@ -83,13 +84,21 @@ def _lines_to_tokens(encoded: list[bytes]) -> tuple[pa.Array, np.ndarray]:
     The byte values build a ``list<uint8>`` first and widen with ONE Arrow
     cast kernel — a numpy ``uint8.astype(int32)`` on the concatenated
     payload measured 390 ms per 124k-row file, half the parse."""
-    lengths = np.fromiter((len(b) for b in encoded), dtype=np.int32,
+    lengths = np.fromiter((len(b) for b in encoded), dtype=np.int64,
                           count=len(encoded))
-    offsets = np.zeros(len(encoded) + 1, dtype=np.int32)
+    if int(lengths.sum()) >= (1 << 31):
+        # int32 list offsets (the corpus schema) cap one file's payload at
+        # 2 GiB decompressed — a silent cumsum wrap would corrupt offsets
+        raise ValueError(
+            f"log file payload is {int(lengths.sum())} bytes (>= 2 GiB); "
+            "split the file (Zeek rotates hourly precisely so this cannot "
+            "happen) or switch the tokens column to large_list")
+    offsets = np.zeros(len(encoded) + 1, dtype=np.int64)
     np.cumsum(lengths, out=offsets[1:])
     values = np.frombuffer(b"".join(encoded), dtype=np.uint8)
-    narrow = pa.ListArray.from_arrays(pa.array(offsets), pa.array(values))
-    return narrow.cast(pa.list_(pa.int32())), lengths
+    narrow = pa.ListArray.from_arrays(pa.array(offsets.astype(np.int32)),
+                                      pa.array(values))
+    return narrow.cast(pa.list_(pa.int32())), lengths.astype(np.int32)
 
 
 def parse_zeek_gz(path: str) -> pa.Table:
@@ -206,6 +215,7 @@ def write_zeek_log_gz(path: str, proto: str, lines: list[str],
         field_line,
         sep.join(["#types"] + ["string"] * (len(fields) if fields else 1)),
     ]
+    assert len(header) == _HEADER_LINES  # the documented format contract
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with gzip.open(path, "wt", encoding="utf-8") as f:
         for ln in header:
