@@ -165,6 +165,35 @@ def test_roundtrip_property(tmp_path_factory, rows):
             == ln.encode()
 
 
+def test_cli_zeek_tsv_end_to_end(tmp_path):
+    """The CLI consumes a raw Zeek .log.gz tree (the reference's native
+    input) end to end: routed sink=* parquet + per-sink report, with the
+    source filter applied.  Subprocess because the CLI owns its own Ray
+    session (like test_compat_cli.py::test_cli_end_to_end)."""
+    import json
+    import subprocess
+    import sys
+
+    base = tsv_fixture_for_sf_dir("/root/testdata/sf0.001")
+    out = str(tmp_path / "routed")
+    r = subprocess.run(
+        [sys.executable, "-m", "zeeklog_ray.cli", "--corpus", base,
+         "--input-format", "zeek-tsv", "--out", out, "--source", "DnS",
+         "--num-cpus", "4"],
+        capture_output=True, text=True, check=True, cwd="/root/repo")
+    report = json.loads(r.stdout.strip().splitlines()[-1])
+    assert report["mode"] == "zeek-tsv"
+    assert list(report["rows_per_sink"]) == ["dns"]
+    import glob
+
+    assert glob.glob(os.path.join(out, "sink=dns", "*.parquet"))
+    # row count matches the corpus the fixture was built from
+    from zeeklog_ray.corpus import make_corpus_frame
+
+    exp = (make_corpus_frame(6000)["source"] == "dns").sum()
+    assert report["rows_per_sink"]["dns"] == int(exp)
+
+
 def test_read_zeek_logs_date_pruning(ray_session):
     d = tsv_fixture_for_sf_dir("/root/testdata/sf0.001")
     ds = read_zeek_logs(d, dates=["2024-07-02"])

@@ -27,7 +27,14 @@ import sys
 
 def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="zeeklog-ray", description=__doc__)
-    p.add_argument("--corpus", required=True, help="corpus base dir (date=* partitions)")
+    p.add_argument("--corpus", required=True,
+                   help="input base dir: tokenized parquet (date=* partitions)"
+                        " or, with --input-format zeek-tsv, a raw Zeek"
+                        " YYYY-MM-DD/<proto>.*.log.gz tree")
+    p.add_argument("--input-format", choices=("parquet", "zeek-tsv"),
+                   default="parquet",
+                   help="zeek-tsv reads the reference's native gzip TSV"
+                        " directory layout (zeektsv.read_zeek_logs)")
     p.add_argument("--out", required=True, help="output dir (sink=* partitions)")
     p.add_argument("--start-date")
     p.add_argument("--end-date")
@@ -69,6 +76,12 @@ def main(argv: list[str] | None = None) -> int:
                          end_date=args.end_date, src_ip=args.src_ip,
                          source=args.source, enrich=args.enrich)
 
+    if args.input_format == "zeek-tsv":
+        report = _run_zeek_tsv(cfg, corpus, args)
+        print(json.dumps(report))
+        ray.shutdown()
+        return 0
+
     if args.resume:
         from zeeklog_ray.lineage import ResumableRun
 
@@ -100,6 +113,59 @@ def main(argv: list[str] | None = None) -> int:
     print(json.dumps(report))
     ray.shutdown()
     return 0
+
+
+def _run_zeek_tsv(cfg, base_dir: str, args) -> dict:
+    """Raw Zeek ``.log.gz`` tree → the same parsed schema → the same
+    filters, routed sinks and per-sink stats as the parquet path.  This is
+    the reference's NATIVE input (``zeek_log.rs:364-410``): a user can
+    point the CLI at their existing log directory unchanged."""
+    import shutil
+
+    import ray
+
+    from zeeklog_ray.aggregate import grouped_stats
+    from zeeklog_ray.compat import date_range
+    from zeeklog_ray.enrich import Enricher
+    from zeeklog_ray.pipeline import (
+        _default_pool_size,
+        _ip_predicate,
+        route_to_sinks,
+    )
+    from zeeklog_ray.sources import normalize_source
+    from zeeklog_ray.zeektsv import read_zeek_logs
+
+    dates = (date_range(cfg.start_date, cfg.end_date or cfg.start_date)
+             if cfg.start_date else None)
+    ds = read_zeek_logs(base_dir, dates=dates)
+    if cfg.source:
+        want = normalize_source(cfg.source)
+
+        def keep_source(batch, want=want):
+            import pyarrow.compute as pc
+
+            return batch.filter(pc.equal(batch["sink"], want))
+
+        ds = ds.map_batches(keep_source, batch_format="pyarrow",
+                            batch_size=None)
+    if cfg.src_ip:
+        ds = ds.map_batches(_ip_predicate(cfg.src_ip), batch_format="pyarrow",
+                            batch_size=None)
+    if cfg.enrich:
+        ds = ds.map_batches(Enricher, batch_format="pyarrow", batch_size=None,
+                            concurrency=_default_pool_size())
+    shutil.rmtree(args.out, ignore_errors=True)   # replace, never accumulate
+    route_to_sinks(ds, args.out)
+    import glob as _glob
+    import os as _os
+
+    if not _glob.glob(_os.path.join(args.out, "sink=*")):
+        rows = {}                                 # every row filtered out
+    else:
+        stats = grouped_stats(ray.data.read_parquet(args.out),
+                              key="sink").to_pandas()
+        rows = dict(zip(stats["sink"], stats["n"].astype(int)))
+    return {"mode": "zeek-tsv", "plan": cfg.plan(), "rows_per_sink": rows}
 
 
 if __name__ == "__main__":
