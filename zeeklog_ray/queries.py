@@ -206,6 +206,53 @@ def lineitem_pricing(sf_dir: str) -> "ray.data.Dataset":
                              "disc_cents": "sum_disc_cents"}, count_as="n")
 
 
+def part_type_revenue(sf_dir: str) -> "ray.data.Dataset":
+    """Fact⨝dimension via broadcast (the J1 lookup generalized to a
+    mid-size dim): lineitem joined to part with a ray.put-broadcast pandas
+    merge — no shuffle of the fact side — discounted revenue cents and
+    item counts per part type."""
+    from zeeklog_ray.relational import broadcast_merge, small_table
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_extendedprice", "l_discount"])
+    part = small_table(sf_dir, "part", columns=["p_partkey", "p_type"]) \
+        .rename(columns={"p_partkey": "l_partkey"})
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["rev_cents"] = _round_half_away(
+            batch["l_extendedprice"] * (1 - batch["l_discount"]) * 100)
+        return batch[["l_partkey", "rev_cents"]]
+
+    prepped = li.map_batches(prep, batch_format="pandas", batch_size=None)
+    joined = broadcast_merge(prepped, part, on="l_partkey")
+    return grouped_sum(joined.select_columns(["p_type", "rev_cents"]),
+                       ["p_type"], sums={"rev_cents": "sum_rev_cents"},
+                       count_as="n_items")
+
+
+def top_suppliers(sf_dir: str) -> "ray.data.Dataset":
+    """Top-5 suppliers by discounted lineitem revenue: broadcast supplier
+    dim → combiner-first grouped sum → partial top-k."""
+    from zeeklog_ray.relational import broadcast_merge, small_table
+
+    sup = small_table(sf_dir, "supplier", columns=["s_suppkey", "s_name"]) \
+        .rename(columns={"s_suppkey": "l_suppkey"})
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["rev_cents"] = _round_half_away(
+            batch["l_extendedprice"] * (1 - batch["l_discount"]) * 100)
+        return batch[["l_suppkey", "rev_cents"]]
+
+    prepped = li.map_batches(prep, batch_format="pandas", batch_size=None)
+    joined = broadcast_merge(prepped, sup, on="l_suppkey")
+    summed = grouped_sum(joined.select_columns(["s_name", "rev_cents"]),
+                         ["s_name"], sums={"rev_cents": "sum_rev_cents"})
+    return top_k(summed, by=["sum_rev_cents", "s_name"],
+                 descending=[True, False], k=5)
+
+
 def top_customers(sf_dir: str) -> "ray.data.Dataset":
     """Top-10 customers by total order value (grouped sum → sort+limit)."""
     ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
@@ -771,6 +818,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "docs_lang_stats": docs_lang_stats,
     "events_hourly": events_hourly,
     "lineitem_pricing": lineitem_pricing,
+    "part_type_revenue": part_type_revenue,
+    "top_suppliers": top_suppliers,
     "top_customers": top_customers,
     "customers_by_region": customers_by_region,
     "order_priority_items": order_priority_items,
@@ -1003,6 +1052,16 @@ ORACLE_SQL: dict[str, str] = {
         "AS sum_disc_cents FROM lineitem "
         "WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
         "GROUP BY l_returnflag, l_linestatus"),
+    "part_type_revenue": (
+        "SELECT p_type, COUNT(*) AS n_items, "
+        "CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) "
+        "AS BIGINT)) AS BIGINT) AS sum_rev_cents "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_type"),
+    "top_suppliers": (
+        "SELECT s_name, CAST(SUM(CAST(ROUND(l_extendedprice * "
+        "(1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_rev_cents "
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+        "GROUP BY s_name ORDER BY sum_rev_cents DESC, s_name LIMIT 5"),
     "top_customers": (
         "SELECT o_custkey, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
         "AS total_cents FROM orders GROUP BY o_custkey "
