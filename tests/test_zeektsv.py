@@ -194,6 +194,22 @@ def test_cli_zeek_tsv_end_to_end(tmp_path):
     assert report["rows_per_sink"]["dns"] == int(exp)
 
 
+def test_on_error_skip_survives_corrupt_file(ray_session, tmp_path):
+    """A truncated gzip must not kill the job under on_error='skip' (one
+    corrupt rotation file in a fleet-scale run), and must still raise
+    under the strict default."""
+    write_zeek_log_gz(str(tmp_path / "2024-07-02" / "conn.a.log.gz"),
+                      "conn", CONN_LINES)
+    with open(tmp_path / "2024-07-02" / "dns.b.log.gz", "wb") as f:
+        f.write(b"\x1f\x8b garbage not gzip body")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        read_zeek_logs(str(tmp_path)).to_pandas()
+    got = read_zeek_logs(str(tmp_path), on_error="skip").to_pandas()
+    assert len(got) == 2 and set(got["sink"]) == {"conn"}
+
+
 def test_read_zeek_logs_date_pruning(ray_session):
     d = tsv_fixture_for_sf_dir("/root/testdata/sf0.001")
     ds = read_zeek_logs(d, dates=["2024-07-02"])

@@ -169,11 +169,20 @@ def list_zeek_files(base_dir: str) -> list[str]:
     return sorted(glob.glob(os.path.join(base_dir, "*", "*.log.gz")))
 
 
-def read_zeek_logs(base_dir: str,
-                   dates: list[str] | None = None) -> "ray.data.Dataset":
+def read_zeek_logs(base_dir: str, dates: list[str] | None = None,
+                   on_error: str = "raise") -> "ray.data.Dataset":
     """Dataset over a Zeek log directory tree — one read task per file
     (file-granular, like the corpus fragments), output schema identical to
-    the tokenized-corpus parse path."""
+    the tokenized-corpus parse path.
+
+    ``on_error='skip'`` drops files that fail to decompress or parse
+    (truncated gzip, binary junk) with a logged warning instead of killing
+    the job — at fleet scale one corrupt rotation file must not abort a
+    long run; the default ``'raise'`` keeps strict semantics for tests
+    and oracle comparisons.
+    """
+    if on_error not in ("raise", "skip"):
+        raise ValueError(on_error)
     files = list_zeek_files(base_dir)
     if dates is not None:
         keep = set(dates)
@@ -185,10 +194,37 @@ def read_zeek_logs(base_dir: str,
                                 override_num_blocks=len(files))
 
     def load(batch: pa.Table) -> pa.Table:
-        tables = [parse_zeek_gz(p) for p in batch["path"].to_pylist()]
+        tables = []
+        for p in batch["path"].to_pylist():
+            try:
+                tables.append(parse_zeek_gz(p))
+            except Exception:
+                if on_error == "raise":
+                    raise
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "skipping unreadable zeek log %s", p, exc_info=True)
+        if not tables:
+            # empty-but-typed table so downstream schema stays stable
+            return _empty_table()
         return pa.concat_tables(tables)
 
     return paths.map_batches(load, batch_format="pyarrow", batch_size=None)
+
+
+def _empty_table() -> pa.Table:
+    """Zero-row table in the parsed schema (for all-skipped batches)."""
+    t = pa.table({
+        "doc_id": pa.array([], pa.string()),
+        "tokens": pa.array([], pa.list_(pa.int32())),
+        "n_tok": pa.array([], pa.int32()),
+        "source": pa.array([], pa.string()),
+        "date": pa.array([], pa.string()),
+    })
+    for name in EXTRACTED_COLUMNS:
+        t = t.append_column(name, pa.nulls(0, type=pa.string()))
+    return t.append_column("sink", pa.array([], pa.string()))
 
 
 # inverse of the id-field flattening, so fixtures carry REAL Zeek header
