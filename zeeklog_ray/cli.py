@@ -35,6 +35,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    default="parquet",
                    help="zeek-tsv reads the reference's native gzip TSV"
                         " directory layout (zeektsv.read_zeek_logs)")
+    p.add_argument("--on-error", choices=("raise", "skip"), default="raise",
+                   help="zeek-tsv only: skip unreadable .log.gz files with"
+                        " a warning instead of aborting the run")
     p.add_argument("--out", required=True, help="output dir (sink=* partitions)")
     p.add_argument("--start-date")
     p.add_argument("--end-date")
@@ -137,7 +140,7 @@ def _run_zeek_tsv(cfg, base_dir: str, args) -> dict:
 
     dates = (date_range(cfg.start_date, cfg.end_date or cfg.start_date)
              if cfg.start_date else None)
-    ds = read_zeek_logs(base_dir, dates=dates)
+    ds = read_zeek_logs(base_dir, dates=dates, on_error=args.on_error)
     if cfg.source:
         want = normalize_source(cfg.source)
 
