@@ -310,23 +310,32 @@ def exact_dedup_docs(sf_dir: str) -> "ray.data.Dataset":
     single 64-bit key has a birthday-collision probability that grows
     quadratically with corpus size and would merge distinct documents at
     the 10^12-row design scale; at 128 bits the collision odds stay
-    negligible (~n²/2^129)."""
-    from ray.data.aggregate import Count, Min
+    negligible (~n²/2^129).
 
+    Digests are hash-BUCKETED before grouping and each bucket dedups with
+    one C-level pandas groupby — digest-count groups ≈ distinct docs, and
+    Ray's grouped paths pay Python per group (measured 189 s for 1M
+    groups via aggregate(Min) vs 17 s bucketed — ops/text.corpus_prep)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def digest(batch: pd.DataFrame) -> pd.DataFrame:
         h1 = pd.util.hash_pandas_object(batch["text"], index=False)
         h2 = pd.util.hash_pandas_object(batch["text"], index=False,
                                         hash_key="zeeklog-dedup-02")
-        return pd.DataFrame({"digest": h1.astype("uint64"),
-                             "digest2": h2.astype("uint64"),
-                             "doc_id": batch["doc_id"]})
+        out = pd.DataFrame({"digest": h1.astype("uint64"),
+                            "digest2": h2.astype("uint64"),
+                            "doc_id": batch["doc_id"]})
+        out["_bucket"] = (out["digest"] % np.uint64(2048)).astype("int64")
+        return out
+
+    def dedup_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby(["digest", "digest2"], sort=False)
+        return g.agg(doc_id=("doc_id", "min"),
+                     n_dups=("doc_id", "size")).reset_index(drop=True)
 
     hashed = ds.map_batches(digest, batch_format="pandas", batch_size=None)
-    out = hashed.groupby(["digest", "digest2"]).aggregate(
-        Min("doc_id", alias_name="doc_id"), Count(alias_name="n_dups"))
-    return out.drop_columns(["digest", "digest2"])
+    return hashed.groupby("_bucket").map_groups(dedup_bucket,
+                                                batch_format="pandas")
 
 
 def docs_prep_pipeline(sf_dir: str) -> "ray.data.Dataset":
