@@ -2,12 +2,19 @@
 as-of joins.
 
 Ray Data has no event-time windowing; the guide's pattern applies — treat
-the table as a partitioned log: hash-partition by entity key
-(``groupby(key)``), sort within the partition by timestamp, and run the
-window logic per group with pandas (``map_groups``).  The ordering
-assumption: per-key event order is established inside each group, no global
-order is required (SURVEY.md §2.9 — the reference's hour-bucket files are
-pre-materialized tumbling windows; these operators generalize that).
+the table as a partitioned log: hash-partition by entity key, sort within
+the partition by timestamp, and run the window logic with pandas.  The
+ordering assumption: per-key event order is established inside each
+partition, no global order is required (SURVEY.md §2.9 — the reference's
+hour-bucket files are pre-materialized tumbling windows; these operators
+generalize that).
+
+All three operators group by a HASH BUCKET of the key, not the key itself
+(:func:`zeeklog_ray.relational.with_hash_bucket`): Ray's grouped execution
+pays Python per group, so a per-user groupby scales its overhead with user
+cardinality; bucketing keeps every row of a key co-located while the
+per-bucket work is one C-level pandas pass (sort by (key, ts) + grouped
+aggregation / ``merge_asof(by=key)``).
 """
 
 from __future__ import annotations
@@ -16,9 +23,12 @@ import pandas as pd
 
 import ray.data
 
+from zeeklog_ray.relational import with_hash_bucket
+
 
 def sessionize(ds: "ray.data.Dataset", key: str = "user_id", ts: str = "ts",
-               gap_minutes: int = 30) -> "ray.data.Dataset":
+               gap_minutes: int = 30,
+               num_buckets: int = 1024) -> "ray.data.Dataset":
     """Gap-based sessions: a new session starts when the time since the
     previous event of the same key exceeds ``gap_minutes``.
 
@@ -28,44 +38,62 @@ def sessionize(ds: "ray.data.Dataset", key: str = "user_id", ts: str = "ts",
     """
     gap = pd.Timedelta(minutes=gap_minutes)
 
-    def per_key(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(ts)
-        new_sess = (g[ts].diff() > gap).cumsum()
-        out = g.groupby(new_sess).agg(
-            n_events=(ts, "size"), session_start=(ts, "min"),
-            session_end=(ts, "max"))
-        out.index.name = None
-        out = out.reset_index(drop=True)
-        out.insert(0, "session_id", range(len(out)))
-        out.insert(0, key, g[key].iloc[0])
-        return out
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key, ts], kind="mergesort")
+        key_change = g[key].ne(g[key].shift())
+        boundary = key_change | (g[ts].diff() > gap)
+        sid = boundary.cumsum()                 # global session label
+        out = g.groupby(sid, sort=True).agg(**{
+            key: (key, "first"),
+            "n_events": (ts, "size"),
+            "session_start": (ts, "min"),
+            "session_end": (ts, "max"),
+        }).reset_index(drop=True)
+        # 0-based per-key id in time order (sid is already time-ordered
+        # within each key after the (key, ts) sort)
+        out["session_id"] = out.groupby(key, sort=False).cumcount()
+        return out[[key, "session_id", "n_events",
+                    "session_start", "session_end"]]
 
-    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+    bucketed = with_hash_bucket(ds, key, num_buckets)
+    return bucketed.groupby("_bucket").map_groups(per_bucket,
+                                                  batch_format="pandas")
 
 
 def session_counts(ds: "ray.data.Dataset", key: str = "user_id", ts: str = "ts",
-                   gap_minutes: int = 30) -> "ray.data.Dataset":
+                   gap_minutes: int = 30,
+                   num_buckets: int = 1024) -> "ray.data.Dataset":
     """Per-key session count (the compact, oracle-friendly view)."""
-    def per_key(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(ts)
-        gap = pd.Timedelta(minutes=gap_minutes)
-        n = int((g[ts].diff() > gap).sum()) + 1
-        return pd.DataFrame({key: [g[key].iloc[0]], "n_sessions": [n],
-                             "n_events": [len(g)]})
+    gap = pd.Timedelta(minutes=gap_minutes)
 
-    out = ds.groupby(key).map_groups(per_key, batch_format="pandas")
-    return out
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key, ts], kind="mergesort")
+        key_change = g[key].ne(g[key].shift())
+        brk = (g[ts].diff() > gap) & ~key_change
+        tmp = pd.DataFrame({key: g[key].to_numpy(), "_brk": brk.to_numpy()})
+        out = tmp.groupby(key, sort=False).agg(
+            n_sessions=("_brk", "sum"), n_events=("_brk", "size")).reset_index()
+        out["n_sessions"] = out["n_sessions"].astype("int64") + 1
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    bucketed = with_hash_bucket(ds, key, num_buckets)
+    return bucketed.groupby("_bucket").map_groups(per_bucket,
+                                                  batch_format="pandas")
 
 
 def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
               key: str, ts: str, right_cols: list[str],
-              suffix: str = "_r") -> "ray.data.Dataset":
+              suffix: str = "_r",
+              num_buckets: int = 1024) -> "ray.data.Dataset":
     """As-of join: for each left row, the latest right row of the same key
-    with right.ts <= left.ts (``pd.merge_asof`` per key bucket).
+    with right.ts <= left.ts.
 
-    Implementation: co-partition both sides by key via a tagged union +
-    single ``groupby(key)`` (one shuffle), then merge_asof inside each
-    group.  At scale, salt wide keys and pre-bucket by time range.
+    Implementation: co-partition both sides by key-hash bucket via a tagged
+    union + single ``groupby`` (one shuffle), then ONE
+    ``pd.merge_asof(..., by=key)`` per bucket — the per-key matching is
+    C-level inside merge_asof, no per-key Python.  At scale, salt wide
+    keys and pre-bucket by time range.
     """
     lcols = left.schema().names
 
@@ -80,20 +108,26 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     both = left.map_batches(tag("L"), batch_format="pandas", batch_size=None) \
         .union(right.map_batches(tag("R"), batch_format="pandas", batch_size=None))
 
-    def per_key(group: pd.DataFrame) -> pd.DataFrame:
-        lg = group[group["_side"] == "L"].drop(columns=["_side"]).dropna(axis=1, how="all")
-        rg = group[group["_side"] == "R"].drop(columns=["_side"]).dropna(axis=1, how="all")
-        lg = lg.sort_values(ts)
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        lg = group[group["_side"] == "L"].drop(columns=["_side", "_bucket"]) \
+            .dropna(axis=1, how="all")
+        rg = group[group["_side"] == "R"].drop(columns=["_side", "_bucket"]) \
+            .dropna(axis=1, how="all")
         if lg.empty:
             return pd.DataFrame(columns=list(lcols) + right_cols)
-        if rg.empty:
+        lg = lg.sort_values(ts, kind="mergesort")
+        keep_r = [c for c in right_cols if c in rg.columns]
+        if rg.empty or not keep_r:
             out = lg[[c for c in lcols if c in lg.columns]].copy()
-            for c in right_cols:
+        else:
+            rg = rg.sort_values(ts, kind="mergesort")[[ts, key] + keep_r]
+            out = pd.merge_asof(lg, rg, on=ts, by=key,
+                                suffixes=("", suffix), direction="backward")
+        for c in right_cols:                   # stable schema across buckets
+            if c not in out.columns:
                 out[c] = pd.NA
-            return out
-        rg = rg.sort_values(ts)[[ts] + [c for c in right_cols if c in rg.columns]]
-        # right cols keep their names; ``suffix`` applies only on collision
-        return pd.merge_asof(lg, rg, on=ts, suffixes=("", suffix),
-                             direction="backward")
+        return out
 
-    return both.groupby(key).map_groups(per_key, batch_format="pandas")
+    bucketed = with_hash_bucket(both, key, num_buckets)
+    return bucketed.groupby("_bucket").map_groups(per_bucket,
+                                                  batch_format="pandas")

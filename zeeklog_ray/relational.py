@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -65,6 +66,27 @@ def default_join_partitions(requested: int | None = None) -> int:
 
     cap = max(2, cluster_cpus())
     return min(requested, cap) if requested else cap
+
+
+def with_hash_bucket(ds: "ray.data.Dataset", key: str,
+                     num_buckets: int = 1024,
+                     col: str = "_bucket") -> "ray.data.Dataset":
+    """Append a deterministic hash-bucket column for ``key``.
+
+    The bucketed-groupby pattern: Ray's grouped execution pays Python per
+    GROUP, so any per-entity groupby scales its overhead with entity
+    cardinality (measured: 1M distinct digests 189 s vs 17 s bucketed;
+    1M rows / 100k users in trailing_windows 12.8 s vs 1.3 s).  Grouping
+    by the bucket instead still co-locates every row of a key (same key ⇒
+    same bucket) while the per-group cost is paid per bucket; inside the
+    bucket the per-key logic runs as C-level pandas/numpy over sorted
+    key segments."""
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(batch[key], index=False).to_numpy()
+        batch[col] = (h % np.uint64(num_buckets)).astype("int64")
+        return batch
+
+    return ds.map_batches(bucketize, batch_format="pandas", batch_size=None)
 
 
 def sized_join_partitions(n_rows: int,
