@@ -259,15 +259,23 @@ def simhash_signatures(ds: "ray.data.Dataset", text_col: str = "text",
     return ds.map_batches(sig, batch_format="pandas", batch_size=None)
 
 
-def first_wins(ds: "ray.data.Dataset", key: str, order_col: str) -> "ray.data.Dataset":
+def first_wins(ds: "ray.data.Dataset", key: str, order_col: str,
+               num_buckets: int = 1024) -> "ray.data.Dataset":
     """Exact first-wins dedup on ``key``: keep the row with the smallest
     ``order_col`` per key — the reference's multi-day merge semantics
-    (main.rs:320-330: insert only if key absent, days scanned in order)
-    expressed as a hash-partitioned groupby."""
-    def first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values(order_col).head(1)
+    (main.rs:320-330: insert only if key absent, days scanned in order).
 
-    return ds.groupby(key).map_groups(first, batch_format="pandas")
+    Bucketed-groupby (relational.with_hash_bucket): one stable sort +
+    ``drop_duplicates`` per key-hash bucket instead of Python per key."""
+    from zeeklog_ray.relational import with_hash_bucket
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key, order_col], kind="mergesort")
+        return g.drop_duplicates(subset=[key], keep="first") \
+            .drop(columns=["_bucket"])
+
+    return with_hash_bucket(ds, key, num_buckets) \
+        .groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
 
 
 def embedding_cosine_pairs(ds: "ray.data.Dataset", threshold_e4: int,

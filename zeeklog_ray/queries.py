@@ -719,8 +719,11 @@ def docs_sample_mod(sf_dir: str) -> "ray.data.Dataset":
 
 def top_orders_per_customer(sf_dir: str) -> "ray.data.Dataset":
     """Per-group top-N (window-rank shape): each customer's 2 highest-value
-    orders — ``groupby(key).map_groups`` with an in-group sort, the pattern
-    for any windowed rank over a co-partitioned key."""
+    orders.  Bucketed-groupby pattern (relational.with_hash_bucket): one
+    sort + ``groupby.head`` per key-hash bucket, C-level — a per-customer
+    ``map_groups`` would pay Python per customer."""
+    from zeeklog_ray.relational import with_hash_bucket
+
     ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderkey",
                                                "o_totalprice"])
 
@@ -728,13 +731,17 @@ def top_orders_per_customer(sf_dir: str) -> "ray.data.Dataset":
         batch["total_cents"] = _round_half_away(batch["o_totalprice"] * 100)
         return batch[["o_custkey", "o_orderkey", "total_cents"]]
 
-    prepped = ds.map_batches(prep, batch_format="pandas", batch_size=None)
+    prepped = with_hash_bucket(
+        ds.map_batches(prep, batch_format="pandas", batch_size=None),
+        "o_custkey")
 
     def top2(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values(["total_cents", "o_orderkey"],
-                                 ascending=[False, True]).head(2)
+        g = group.sort_values(["o_custkey", "total_cents", "o_orderkey"],
+                              ascending=[True, False, True])
+        return g.groupby("o_custkey", sort=False).head(2) \
+            .drop(columns=["_bucket"])
 
-    return prepped.groupby("o_custkey").map_groups(top2, batch_format="pandas")
+    return prepped.groupby("_bucket").map_groups(top2, batch_format="pandas")
 
 
 def building_revenue_q3(sf_dir: str) -> "ray.data.Dataset":
