@@ -112,9 +112,11 @@ def test_ivf_topk_recall(ray_session):
     assert recall >= 0.8      # clustered data → coarse quantizer is accurate
 
 
-def test_trailing_windows_matches_bruteforce(ray_session):
-    """Vectorized map_groups trailing windows == O(n^2) reference, RANGE
-    semantics (equal-ts peers included)."""
+@pytest.mark.parametrize("nb", [1024, 1])
+def test_trailing_windows_matches_bruteforce(ray_session, nb):
+    """Bucketed trailing windows == O(n^2) reference, RANGE semantics
+    (equal-ts peers included); nb=1 forces every key into ONE bucket so
+    the key-segment boundary logic is exercised."""
     from zeeklog_ray.ops.streaming import trailing_windows
 
     rng = np.random.default_rng(17)
@@ -128,7 +130,7 @@ def test_trailing_windows_matches_bruteforce(ray_session):
 
     got = trailing_windows(ray.data.from_pandas(df.sample(frac=1, random_state=3)
                                                 .reset_index(drop=True)),
-                           window_seconds=3600).to_pandas()
+                           window_seconds=3600, num_buckets=nb).to_pandas()
     got = got.sort_values(["user_id", "ts", "w_count"]).reset_index(drop=True)
 
     rows = []

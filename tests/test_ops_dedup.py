@@ -74,12 +74,15 @@ def test_simhash_hamming(docs):
     assert ham(sh.loc[1], sh.loc[2]) <= 12
 
 
-def test_first_wins(ray_session):
+@pytest.mark.parametrize("nb", [1024, 1])
+def test_first_wins(ray_session, nb):
+    """nb=1 forces every key into one bucket — exercising the multi-key
+    sort+drop_duplicates path of the bucketed groupby."""
     df = pd.DataFrame({"ip": ["a", "a", "b", "b", "c"],
                        "date": ["2024-07-03", "2024-07-02", "2024-07-02",
                                 "2024-07-04", "2024-07-04"]})
-    out = first_wins(ray.data.from_pandas(df), key="ip", order_col="date") \
-        .to_pandas().set_index("ip")["date"]
+    out = first_wins(ray.data.from_pandas(df), key="ip", order_col="date",
+                     num_buckets=nb).to_pandas().set_index("ip")["date"]
     assert out.to_dict() == {"a": "2024-07-02", "b": "2024-07-02",
                              "c": "2024-07-04"}
 

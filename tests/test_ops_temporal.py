@@ -1,9 +1,19 @@
-"""Sessionization + as-of join vs hand-computed expectations."""
+"""Sessionization + as-of join vs hand-computed expectations.
+
+Every test runs at num_buckets=1 as well as the default: with 1024
+buckets and a handful of keys each key lands in its own bucket, so only
+the forced single-bucket run exercises the multi-key-per-bucket logic
+(key-change boundary masking, merge_asof by=key) the bucketed-groupby
+pattern introduced.
+"""
 
 import pandas as pd
+import pytest
 import ray.data
 
 from zeeklog_ray.ops.sessionize import asof_join, session_counts, sessionize
+
+BUCKETS = [1024, 1]
 
 
 def _events():
@@ -18,22 +28,25 @@ def _events():
                          "ts": pd.to_datetime([r[1] for r in rows])})
 
 
-def test_sessionize(ray_session):
-    out = sessionize(ray.data.from_pandas(_events()), gap_minutes=30).to_pandas()
+@pytest.mark.parametrize("nb", BUCKETS)
+def test_sessionize(ray_session, nb):
+    out = sessionize(ray.data.from_pandas(_events()), gap_minutes=30,
+                     num_buckets=nb).to_pandas()
     u1 = out[out["user_id"] == "u1"].sort_values("session_id")
     assert u1["n_events"].tolist() == [2, 1]
     u2 = out[out["user_id"] == "u2"].sort_values("session_id")
     assert u2["n_events"].tolist() == [1, 2]
 
 
-def test_session_counts(ray_session):
-    out = session_counts(ray.data.from_pandas(_events()),
-                         gap_minutes=30).to_pandas().set_index("user_id")
+@pytest.mark.parametrize("nb", BUCKETS)
+def test_session_counts(ray_session, nb):
+    out = session_counts(ray.data.from_pandas(_events()), gap_minutes=30,
+                         num_buckets=nb).to_pandas().set_index("user_id")
     assert out.loc["u1", "n_sessions"] == 2 and out.loc["u1", "n_events"] == 3
     assert out.loc["u2", "n_sessions"] == 2 and out.loc["u2", "n_events"] == 3
 
 
-def test_asof_join(ray_session):
+def _asof_frames():
     left = pd.DataFrame({"user_id": ["a", "a", "b"],
                          "ts": pd.to_datetime(["2024-01-01 10:00",
                                                "2024-01-01 12:00",
@@ -44,9 +57,59 @@ def test_asof_join(ray_session):
                                                 "2024-01-01 11:00",
                                                 "2024-01-01 11:00"]),
                           "val": [10, 20, 30]})
+    return left, right
+
+
+@pytest.mark.parametrize("nb", BUCKETS)
+def test_asof_join(ray_session, nb):
+    left, right = _asof_frames()
     out = asof_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
-                    key="user_id", ts="ts", right_cols=["val"]).to_pandas()
+                    key="user_id", ts="ts", right_cols=["val"],
+                    num_buckets=nb).to_pandas()
     got = out.set_index("event_id")["val"]
     assert got.loc[1] == 10          # latest right ≤ 10:00 is 09:00 → 10
     assert got.loc[2] == 20          # latest right ≤ 12:00 is 11:00 → 20
     assert pd.isna(got.loc[3])       # b has no right row ≤ 10:00
+
+
+@pytest.mark.parametrize("nb", BUCKETS)
+def test_asof_join_null_keys(ray_session, nb):
+    """Null-key left rows must get null right columns, not crash (they
+    cannot reach merge_asof, which rejects nulls in by=)."""
+    left, right = _asof_frames()
+    left = pd.concat([left, pd.DataFrame({
+        "user_id": [None], "ts": pd.to_datetime(["2024-01-01 12:00"]),
+        "event_id": [4]})], ignore_index=True)
+    out = asof_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                    key="user_id", ts="ts", right_cols=["val"],
+                    num_buckets=nb).to_pandas()
+    got = out.set_index("event_id")["val"]
+    assert len(out) == 4
+    assert got.loc[2] == 20 and pd.isna(got.loc[4])
+
+
+@pytest.mark.parametrize("nb", BUCKETS)
+def test_asof_join_name_collision_stable_schema(ray_session, nb):
+    """A right column colliding with a left name is suffixed in EVERY
+    bucket — including buckets whose right side is empty — so blocks
+    agree on schema and the joined values stay reachable."""
+    left, right = _asof_frames()
+    left["val"] = [-1, -2, -3]                 # collides with right's 'val'
+    # key 'c' exists only on the left → its bucket has an empty right side
+    left = pd.concat([left, pd.DataFrame({
+        "user_id": ["c"], "ts": pd.to_datetime(["2024-01-01 12:00"]),
+        "event_id": [5], "val": [-5]})], ignore_index=True)
+    out = asof_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                    key="user_id", ts="ts", right_cols=["val"],
+                    num_buckets=nb).to_pandas()
+    assert "val_r" in out.columns
+    got = out.set_index("event_id")
+    assert got.loc[2, "val"] == -2 and got.loc[2, "val_r"] == 20
+    assert pd.isna(got.loc[5, "val_r"]) and got.loc[5, "val"] == -5
+
+
+def test_asof_join_rejects_key_in_right_cols(ray_session):
+    left, right = _asof_frames()
+    with pytest.raises(ValueError, match="right_cols"):
+        asof_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                  key="user_id", ts="ts", right_cols=["user_id"])

@@ -94,8 +94,19 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     ``pd.merge_asof(..., by=key)`` per bucket — the per-key matching is
     C-level inside merge_asof, no per-key Python.  At scale, salt wide
     keys and pre-bucket by time range.
+
+    Right columns keep their names; ``suffix`` applies when a name
+    collides with a left column.  Null-key left rows get null right
+    columns (they match nothing — and must not reach ``merge_asof``,
+    which rejects nulls in ``by``).
     """
-    lcols = left.schema().names
+    lcols = list(left.schema().names)
+    bad = [c for c in right_cols if c in (key, ts)]
+    if bad:
+        raise ValueError(f"right_cols must not include the join keys {bad}")
+    # output name per right col, fixed up front so every bucket emits the
+    # SAME schema regardless of which branch it takes
+    out_name = {c: (c + suffix if c in lcols else c) for c in right_cols}
 
     def tag(side: str):
         def f(batch: pd.DataFrame) -> pd.DataFrame:
@@ -108,24 +119,36 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     both = left.map_batches(tag("L"), batch_format="pandas", batch_size=None) \
         .union(right.map_batches(tag("R"), batch_format="pandas", batch_size=None))
 
+    def _split(group: pd.DataFrame, side: str, keep: list[str]) -> pd.DataFrame:
+        g = group[group["_side"] == side]
+        return g[[c for c in keep if c in g.columns]]
+
     def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        lg = group[group["_side"] == "L"].drop(columns=["_side", "_bucket"]) \
-            .dropna(axis=1, how="all")
-        rg = group[group["_side"] == "R"].drop(columns=["_side", "_bucket"]) \
-            .dropna(axis=1, how="all")
+        # select by the SIDE's known columns — never dropna-by-column,
+        # which removed the key column when a bucket's keys were all null
+        lg = _split(group, "L", lcols)
+        rg = _split(group, "R", [key, ts] + right_cols)
         if lg.empty:
-            return pd.DataFrame(columns=list(lcols) + right_cols)
+            return pd.DataFrame(columns=lcols + [out_name[c]
+                                                 for c in right_cols])
         lg = lg.sort_values(ts, kind="mergesort")
-        keep_r = [c for c in right_cols if c in rg.columns]
-        if rg.empty or not keep_r:
-            out = lg[[c for c in lcols if c in lg.columns]].copy()
-        else:
-            rg = rg.sort_values(ts, kind="mergesort")[[ts, key] + keep_r]
-            out = pd.merge_asof(lg, rg, on=ts, by=key,
-                                suffixes=("", suffix), direction="backward")
-        for c in right_cols:                   # stable schema across buckets
-            if c not in out.columns:
-                out[c] = pd.NA
+        null_key = lg[key].isna()
+        matched = lg[~null_key]
+        rg = rg.dropna(subset=[key]) if len(rg) else rg
+        if rg.empty or matched.empty:
+            out = lg.copy()
+            for c in right_cols:
+                out[out_name[c]] = pd.NA
+            return out
+        rg = rg.sort_values(ts, kind="mergesort") \
+            .rename(columns={c: out_name[c] for c in right_cols})
+        out = pd.merge_asof(matched, rg, on=ts, by=key,
+                            direction="backward")
+        if null_key.any():                     # null keys match nothing
+            rest = lg[null_key].copy()
+            for c in right_cols:
+                rest[out_name[c]] = pd.NA
+            out = pd.concat([out, rest], ignore_index=True)
         return out
 
     bucketed = with_hash_bucket(both, key, num_buckets)

@@ -51,12 +51,9 @@ def trailing_windows(ds: "ray.data.Dataset", key: str = "user_id",
     sort once by (key, ts) and each key segment computes its two-pointer
     windows on a numpy slice.
     """
-    window_ns = np.int64(window_seconds) * 1_000_000_000
+    from zeeklog_ray.relational import with_hash_bucket
 
-    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_pandas_object(batch[key], index=False).to_numpy()
-        batch["_bucket"] = (h % np.uint64(num_buckets)).astype("int64")
-        return batch
+    window_ns = np.int64(window_seconds) * 1_000_000_000
 
     def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values([key, ts], kind="mergesort")
@@ -81,10 +78,8 @@ def trailing_windows(ds: "ray.data.Dataset", key: str = "user_id",
             "w_sum": w_sum,
         })
 
-    bucketed = ds.map_batches(bucketize, batch_format="pandas",
-                              batch_size=None)
-    return bucketed.groupby("_bucket").map_groups(per_bucket,
-                                                  batch_format="pandas")
+    return with_hash_bucket(ds, key, num_buckets) \
+        .groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
 
 
 @ray.remote

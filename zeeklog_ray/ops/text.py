@@ -143,18 +143,17 @@ def token_counts(ds: "ray.data.Dataset") -> "ray.data.Dataset":
 
 
 def corpus_prep(ds: "ray.data.Dataset", min_words: int = 15,
-                min_stop_ratio_e4: int = 200) -> "ray.data.Dataset":
+                min_stop_ratio_e4: int = 200,
+                num_buckets: int = 2048) -> "ray.data.Dataset":
     """Training-corpus preparation CHAIN: quality filter → exact dedup
     (first-wins by content) → BPE token count → per-language rollup.
     Output: one row per language — ``lang, n_docs, sum_bpe_tokens``.
 
     Scale shape: one map stage does metrics + filter + 128-bit digest +
     token count (all row-local, before any shuffle); only
-    (h1, h2, doc_id, lang, n_bpe) shuffles — never text; the dedup is the
-    vectorized ``groupby().aggregate(Min)`` (the exact_dedup_docs path —
-    per-group ``map_groups`` costs ~2.7 ms of Python per distinct doc,
-    which at 10^6 docs is ~45 minutes of overhead); the rollup is the
-    combiner-first :func:`zeeklog_ray.relational.grouped_sum`.
+    (h1, h2, doc_id, lang, n_bpe) shuffles — never text; the dedup is a
+    BUCKETED groupby (below); the rollup is the combiner-first
+    :func:`zeeklog_ray.relational.grouped_sum`.
 
     Group semantics: each content group keeps MIN(doc_id), and the
     group's language is MIN(lang) over its members (``n_bpe`` is a pure
@@ -169,8 +168,9 @@ def corpus_prep(ds: "ray.data.Dataset", min_words: int = 15,
     digests are hash-BUCKETED first (`h1 % num_buckets`) and each bucket
     dedups with one C-level pandas groupby: the shuffle still co-locates
     every copy of a digest (same h1 ⇒ same bucket), but the per-group
-    Python cost is paid per BUCKET (thousands) instead of per document
-    (millions).  Measured: 189 s → 17 s for 1M docs (58k docs/s).
+    Python cost is paid per BUCKET instead of per document.  Measured:
+    189 s → 17 s for 1M docs (58k docs/s).  Size ``num_buckets`` so a
+    bucket fits one task's memory (see relational.with_hash_bucket).
     """
     import numpy as np
 
@@ -202,7 +202,7 @@ def corpus_prep(ds: "ray.data.Dataset", min_words: int = 15,
     prepped = ds.map_batches(prep, batch_format="pandas", batch_size=None)
 
     def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["_bucket"] = (batch["h1"] % np.uint64(2048)).astype("int64")
+        batch["_bucket"] = (batch["h1"] % np.uint64(num_buckets)).astype("int64")
         return batch
 
     def dedup_bucket(group: pd.DataFrame) -> pd.DataFrame:

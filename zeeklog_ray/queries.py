@@ -325,6 +325,8 @@ def exact_dedup_docs(sf_dir: str) -> "ray.data.Dataset":
         out = pd.DataFrame({"digest": h1.astype("uint64"),
                             "digest2": h2.astype("uint64"),
                             "doc_id": batch["doc_id"]})
+        # bucket count follows the with_hash_bucket sizing rule (~2M rows
+        # per bucket at scale); 2048 suits the tested 10^3–10^6-doc range
         out["_bucket"] = (out["digest"] % np.uint64(2048)).astype("int64")
         return out
 
@@ -610,9 +612,10 @@ def salted_events_sum(sf_dir: str) -> "ray.data.Dataset":
 
 def event_sliding_windows(sf_dir: str) -> "ray.data.Dataset":
     """Per-event trailing-1h window (count, cents sum) per user over the FULL
-    events table — vectorized ``groupby(user_id).map_groups`` two-pointer
-    (ops/streaming.trailing_windows), one hash shuffle, no driver loop.
-    RANGE window semantics; oracle = the equivalent SQL window function."""
+    events table — key-hash-bucketed groupby with a vectorized two-pointer
+    per key segment (ops/streaming.trailing_windows), one hash shuffle, no
+    driver loop, no per-user Python.  RANGE window semantics; oracle = the
+    equivalent SQL window function."""
     from zeeklog_ray.ops.streaming import trailing_windows
 
     ev = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])

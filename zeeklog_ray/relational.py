@@ -80,7 +80,14 @@ def with_hash_bucket(ds: "ray.data.Dataset", key: str,
     by the bucket instead still co-locates every row of a key (same key ⇒
     same bucket) while the per-group cost is paid per bucket; inside the
     bucket the per-key logic runs as C-level pandas/numpy over sorted
-    key segments."""
+    key segments.
+
+    SIZE ``num_buckets`` TO THE DATA: one bucket materializes as a single
+    in-memory pandas group of ~rows/num_buckets rows, so pick
+    ``num_buckets ≈ total_rows / 2M`` (≈100 MB/bucket) — the defaults
+    suit the 10^6–10^9-row range; at 10^12 rows pass ~500k buckets.  The
+    only correctness constraint is determinism of the hash; any bucket
+    count preserves key co-location."""
     def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
         h = pd.util.hash_pandas_object(batch[key], index=False).to_numpy()
         batch[col] = (h % np.uint64(num_buckets)).astype("int64")
