@@ -95,6 +95,23 @@ def test_window_boundary_event_retained(ray_session):
     ray.kill(actor)
 
 
+def test_window_actor_preserves_int_dtype(ray_session):
+    """Integer inputs (cents) must stay integer through the actor tier's
+    cumsum: float64 is only exact to 2^53, so a huge int value survives
+    iff the accumulator mirrors the input dtype (like trailing_windows)."""
+    from zeeklog_ray.ops.streaming import WindowBucketActor
+
+    big = (1 << 53) + 1                 # not representable in float64
+    actor = WindowBucketActor.remote(3600)
+    df = pd.DataFrame({"user_id": ["k"],
+                       "ts": [pd.Timestamp("2024-01-01 10:00")],
+                       "value": np.array([big], dtype=np.int64)})
+    out = ray.get(actor.process.remote(df, "user_id", "ts", "value"))
+    assert out["w_sum"].dtype == np.int64
+    assert out["w_sum"].tolist() == [big]
+    ray.kill(actor)
+
+
 def test_ivf_topk_recall(ray_session):
     from zeeklog_ray.ops.similarity import brute_force_topk, ivf_topk
 

@@ -89,6 +89,29 @@ def test_asof_join_null_keys(ray_session, nb):
 
 
 @pytest.mark.parametrize("nb", BUCKETS)
+def test_asof_join_null_timestamps(ray_session, nb):
+    """A null ts on either side must not reach merge_asof (it raises on
+    null merge keys; NaT sorts last so the sort alone doesn't isolate it):
+    null-ts LEFT rows emit with null right columns, null-ts RIGHT rows are
+    dropped."""
+    left, right = _asof_frames()
+    left = pd.concat([left, pd.DataFrame({
+        "user_id": ["a"], "ts": [pd.NaT], "event_id": [4]})],
+        ignore_index=True)
+    right = pd.concat([right, pd.DataFrame({
+        "user_id": ["a"], "ts": [pd.NaT], "val": [99]})],
+        ignore_index=True)
+    out = asof_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                    key="user_id", ts="ts", right_cols=["val"],
+                    num_buckets=nb).to_pandas()
+    got = out.set_index("event_id")["val"]
+    assert len(out) == 4
+    assert got.loc[1] == 10 and got.loc[2] == 20     # unchanged matches
+    assert pd.isna(got.loc[4])                       # null-ts left row kept
+    assert 99 not in got.dropna().to_numpy()         # null-ts right dropped
+
+
+@pytest.mark.parametrize("nb", BUCKETS)
 def test_asof_join_name_collision_stable_schema(ray_session, nb):
     """A right column colliding with a left name is suffixed in EVERY
     bucket — including buckets whose right side is empty — so blocks

@@ -1,0 +1,52 @@
+"""Bucketed-groupby relational helpers: distinct / grouped min over a
+key-hash bucket — the scale substitutes for Dataset.groupby aggregates."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from zeeklog_ray.relational import (
+    bucketed_distinct,
+    bucketed_group_min,
+    with_hash_bucket,
+)
+
+
+@pytest.fixture()
+def pairs_df():
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 40, 500)
+    b = a + rng.integers(1, 5, 500)
+    return pd.DataFrame({"doc_a": a, "doc_b": b})
+
+
+@pytest.mark.parametrize("nb", [1, 64])   # nb=1 forces multi-key buckets
+def test_bucketed_distinct_matches_pandas(ray_session, pairs_df, nb):
+    out = bucketed_distinct(ray.data.from_pandas(pairs_df),
+                            ["doc_a", "doc_b"], num_buckets=nb).to_pandas()
+    exp = pairs_df.drop_duplicates()
+    assert len(out) == len(out.drop_duplicates())          # actually distinct
+    assert (set(map(tuple, out.to_numpy()))
+            == set(map(tuple, exp.to_numpy())))
+
+
+@pytest.mark.parametrize("nb", [1, 64])
+def test_bucketed_group_min_matches_pandas(ray_session, nb):
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({"node": rng.integers(0, 30, 400),
+                       "label": rng.integers(0, 1000, 400)})
+    out = bucketed_group_min(ray.data.from_pandas(df), "node", "label",
+                             num_buckets=nb).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    exp = df.groupby("node", sort=True)["label"].min().reset_index()
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+
+def test_with_hash_bucket_multikey_colocates(ray_session, pairs_df):
+    out = with_hash_bucket(ray.data.from_pandas(pairs_df),
+                           ["doc_a", "doc_b"], num_buckets=16).to_pandas()
+    # same (doc_a, doc_b) tuple ⇒ same bucket, always
+    n_buckets_per_key = out.groupby(["doc_a", "doc_b"])["_bucket"].nunique()
+    assert (n_buckets_per_key == 1).all()
+    assert out["_bucket"].between(0, 15).all()

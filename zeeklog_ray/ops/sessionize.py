@@ -96,9 +96,11 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     keys and pre-bucket by time range.
 
     Right columns keep their names; ``suffix`` applies when a name
-    collides with a left column.  Null-key left rows get null right
-    columns (they match nothing — and must not reach ``merge_asof``,
-    which rejects nulls in ``by``).
+    collides with a left column.  Null-key and null-timestamp left rows
+    get null right columns (they match nothing — and must not reach
+    ``merge_asof``, which rejects nulls in both ``by`` and ``on``; NaT
+    sorts last, so a sort alone would not isolate it).  Null-timestamp
+    right rows are dropped (nothing can match them).
     """
     lcols = list(left.schema().names)
     bad = [c for c in right_cols if c in (key, ts)]
@@ -132,9 +134,9 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
             return pd.DataFrame(columns=lcols + [out_name[c]
                                                  for c in right_cols])
         lg = lg.sort_values(ts, kind="mergesort")
-        null_key = lg[key].isna()
+        null_key = lg[key].isna() | lg[ts].isna()
         matched = lg[~null_key]
-        rg = rg.dropna(subset=[key]) if len(rg) else rg
+        rg = rg.dropna(subset=[key, ts]) if len(rg) else rg
         if rg.empty or matched.empty:
             out = lg.copy()
             for c in right_cols:

@@ -100,21 +100,25 @@ class WindowBucketActor:
                 value: str) -> pd.DataFrame:
         n = len(batch)
         w_count = np.empty(n, dtype="int64")
-        w_sum = np.empty(n, dtype="float64")
         t_all = batch[ts].to_numpy("datetime64[ns]").astype("int64")
-        v_all = batch[value].to_numpy(dtype="float64")
+        v_all = batch[value].to_numpy()
+        # preserve the input dtype through the cumsum (mirrors
+        # trailing_windows): integer inputs (e.g. cents) stay exact instead
+        # of passing through float64 and losing precision above 2^53
+        acc_dtype = np.cumsum(np.zeros(1, dtype=v_all.dtype)).dtype
+        w_sum = np.empty(n, dtype=acc_dtype)
         # vectorized per KEY present in the batch (each key's rows arrive in
         # stream order because the feeder sorts globally by ts)
         for k, idx in batch.groupby(key, sort=False).indices.items():
             t = t_all[idx]
             v = v_all[idx]
             pt, pv = self.state.get(k, (np.empty(0, np.int64),
-                                        np.empty(0, np.float64)))
+                                        np.empty(0, v_all.dtype)))
             at = np.concatenate((pt, t))
             av = np.concatenate((pv, v))
             pos = np.arange(len(pt), len(at))
             lo = np.searchsorted(at, at[pos] - self.window_ns, side="left")
-            csum = np.concatenate(([0.0], np.cumsum(av)))
+            csum = np.concatenate((np.zeros(1, acc_dtype), np.cumsum(av)))
             w_count[idx] = pos + 1 - lo
             w_sum[idx] = csum[pos + 1] - csum[lo]
             # ">=" keeps the event AT the window boundary: a later arrival

@@ -492,9 +492,14 @@ def event_sessions(sf_dir: str) -> "ray.data.Dataset":
     return session_counts(read_table(sf_dir, "events", columns=["user_id", "ts"]))
 
 
-def purchase_prior_view(sf_dir: str) -> pd.DataFrame:
+def purchase_prior_view(sf_dir: str) -> "ray.data.Dataset":
     """As-of join: for each purchase event, the value (cents) of the same
-    user's latest prior view event (ops/sessionize.py)."""
+    user's latest prior view event (ops/sessionize.py).
+
+    Returns the Dataset — the result is ONE ROW PER PURCHASE EVENT, i.e.
+    event-scale, so the dropna + casts run as a streaming ``map_batches``
+    finish stage (like event_sliding_windows), never a driver
+    ``to_pandas``."""
     from zeeklog_ray.ops.sessionize import asof_join
 
     ev = read_table(sf_dir, "events",
@@ -513,11 +518,16 @@ def purchase_prior_view(sf_dir: str) -> pd.DataFrame:
     left = ev.map_batches(prep("purchase"), batch_format="pandas", batch_size=None)
     right = ev.map_batches(prep("view"), batch_format="pandas", batch_size=None)
     joined = asof_join(left, right, key="user_id", ts="ts",
-                       right_cols=["value_cents"]).to_pandas()
-    out = joined.dropna(subset=["value_cents"])  # inner as-of semantics
-    return pd.DataFrame({"event_id": out["event_id"].astype("int64"),
-                         "user_id": out["user_id"].astype("int64"),
-                         "prior_view_cents": out["value_cents"].astype("int64")})
+                       right_cols=["value_cents"])
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.dropna(subset=["value_cents"])  # inner as-of semantics
+        return pd.DataFrame({
+            "event_id": out["event_id"].astype("int64"),
+            "user_id": out["user_id"].astype("int64"),
+            "prior_view_cents": out["value_cents"].astype("int64")})
+
+    return joined.map_batches(finish, batch_format="pandas", batch_size=None)
 
 
 def ann_lsh_topk(sf_dir: str) -> pd.DataFrame:

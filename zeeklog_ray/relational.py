@@ -68,10 +68,11 @@ def default_join_partitions(requested: int | None = None) -> int:
     return min(requested, cap) if requested else cap
 
 
-def with_hash_bucket(ds: "ray.data.Dataset", key: str,
+def with_hash_bucket(ds: "ray.data.Dataset", key: str | Sequence[str],
                      num_buckets: int = 1024,
                      col: str = "_bucket") -> "ray.data.Dataset":
-    """Append a deterministic hash-bucket column for ``key``.
+    """Append a deterministic hash-bucket column for ``key`` (a column name
+    or a list of column names hashed together row-wise).
 
     The bucketed-groupby pattern: Ray's grouped execution pays Python per
     GROUP, so any per-entity groupby scales its overhead with entity
@@ -88,12 +89,48 @@ def with_hash_bucket(ds: "ray.data.Dataset", key: str,
     suit the 10^6–10^9-row range; at 10^12 rows pass ~500k buckets.  The
     only correctness constraint is determinism of the hash; any bucket
     count preserves key co-location."""
+    sel = key if isinstance(key, str) else list(key)
+
     def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_pandas_object(batch[key], index=False).to_numpy()
+        h = pd.util.hash_pandas_object(batch[sel], index=False).to_numpy()
         batch[col] = (h % np.uint64(num_buckets)).astype("int64")
         return batch
 
     return ds.map_batches(bucketize, batch_format="pandas", batch_size=None)
+
+
+def bucketed_distinct(ds: "ray.data.Dataset", keys: Sequence[str],
+                      num_buckets: int = 1024) -> "ray.data.Dataset":
+    """DISTINCT on ``keys`` via the bucketed-groupby pattern.
+
+    ``Dataset.groupby(keys).aggregate(...)`` pays Python per distinct key
+    tuple (~0.19 ms/group measured — ops/text.py:166-168), so distinct over
+    10M candidate pairs would spend ~30 min in per-group overhead; here the
+    per-group cost is paid per BUCKET and the per-bucket dedup is one
+    C-level ``drop_duplicates``.  Same key tuple ⇒ same bucket, so the
+    result is exact."""
+    keys = list(keys)
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        return group.drop_duplicates(subset=keys)[keys]
+
+    return with_hash_bucket(ds, keys, num_buckets) \
+        .groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+def bucketed_group_min(ds: "ray.data.Dataset", key: str, val: str,
+                       num_buckets: int = 1024) -> "ray.data.Dataset":
+    """Per-key MIN of ``val`` via the bucketed-groupby pattern — the drop-in
+    for ``groupby(key).aggregate(Min(val))`` when key cardinality is large
+    (the connected-components label merge runs this once PER ROUND, so the
+    per-group Python cliff would multiply by the component diameter)."""
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        return (group.groupby(key, sort=False, dropna=False)[val]
+                .min().reset_index())
+
+    return with_hash_bucket(ds, key, num_buckets) \
+        .groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
 
 
 def sized_join_partitions(n_rows: int,
