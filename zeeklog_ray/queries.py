@@ -91,18 +91,47 @@ def zeek_golden_ip_filter(sf_dir: str) -> pd.DataFrame:
 
 def zeek_plan_matrix(sf_dir: str) -> pd.DataFrame:
     """Row counts for all 8 (src_ip, source, end_date) plan combinations —
-    the full matrix of ZeekSearchParams::check (zeek_search_params.rs:38-57)."""
+    the full matrix of ZeekSearchParams::check (zeek_search_params.rs:38-57).
+
+    ONE corpus read + parse: the widest plan (date range, no filters) is
+    built once and a single ``map_batches`` computes all 8 masked counts
+    per batch (the masks replicate build_dataset's own predicates —
+    date-partition prune, source pushdown, _ip_predicate), merged as 8
+    integers on the driver.  Was 8 independent build_dataset(...).count()
+    runs re-reading and re-parsing the corpus 8×."""
+    import pyarrow.compute as pc
+
+    from zeeklog_ray.sources import normalize_source
+
     corpus = corpus_for_sf_dir(sf_dir)
     ip, src, end = "10.2.17.31", "dns", "2024-07-03"
-    rows = []
-    for plan_ip in (None, ip):
-        for plan_src in (None, src):
-            for plan_end in (None, end):
-                cfg = PipelineConfig(corpus_dir=corpus, start_date="2024-07-02",
-                                     end_date=plan_end, src_ip=plan_ip,
-                                     source=plan_src)
-                rows.append({"plan": cfg.plan(), "n_rows": build_dataset(cfg).count()})
-    return pd.DataFrame(rows).sort_values("plan").reset_index(drop=True)
+    start = "2024-07-02"
+    want = normalize_source(src)
+    base = build_dataset(PipelineConfig(corpus_dir=corpus, start_date=start,
+                                        end_date=end))
+
+    def partial(batch: "pa.Table") -> "pa.Table":
+        d0 = pc.equal(batch["date"], start)      # end=None plans: start only
+        s = pc.equal(batch["source"], want)
+        i = pc.fill_null(pc.or_kleene(pc.equal(batch["id_orig_h"], ip),
+                                      pc.equal(batch["id_resp_h"], ip)), False)
+
+        def cnt(mask) -> int:
+            return pc.sum(pc.cast(mask, pa.int64())).as_py() or 0
+
+        # plan bits: src_ip=4, source=2, end_date=1 (zeek_search_params.rs)
+        counts = [cnt(d0), len(batch),
+                  cnt(pc.and_(d0, s)), cnt(s),
+                  cnt(pc.and_(d0, i)), cnt(i),
+                  cnt(pc.and_(pc.and_(d0, s), i)), cnt(pc.and_(s, i))]
+        return pa.table({f"p{k}": pa.array([n], type=pa.int64())
+                         for k, n in enumerate(counts)})
+
+    parts = base.map_batches(partial, batch_format="pyarrow",
+                             batch_size=None).to_pandas()
+    return pd.DataFrame({"plan": range(8),
+                         "n_rows": [int(parts[f"p{k}"].sum())
+                                    for k in range(8)]})
 
 
 def zeek_hourly_sink_counts(sf_dir: str) -> "ray.data.Dataset":
@@ -136,6 +165,22 @@ def zeek_geo_summary(sf_dir: str) -> "ray.data.Dataset":
     return distinct_column(ds, "geo_country_code", by=["id_orig_h"])
 
 
+def geo_ip_lookup(sf_dir: str) -> pd.DataFrame:
+    """Direct-IP lookup — the reference's E3 entry point (main.rs:250-268):
+    given only IPs (no dates, no base dir), skip log scanning and query the
+    enrichment source directly.  Probes two known IPs and one absent one; a
+    hit renders the 12-field record, a miss renders nothing (empty report).
+    CLI surface: ``--lookup-ip``."""
+    from zeeklog_ray.corpus import IP_POOL
+    from zeeklog_ray.enrich import GEO_FIELDS, build_geo_dict, lookup_ip
+
+    geo = build_geo_dict()
+    probes = sorted(geo)[:2] + [IP_POOL[3]]   # IP_POOL[3] is never in the dict
+    rows = [dict(ip=ip, **rec) for ip in probes
+            if (rec := lookup_ip(ip, geo)) is not None]
+    return pd.DataFrame(rows, columns=["ip"] + GEO_FIELDS)
+
+
 # --------------------------------------------------------------------------
 # Relational / analytics queries over the driver testdata (oracle-checked)
 # --------------------------------------------------------------------------
@@ -143,13 +188,17 @@ def zeek_geo_summary(sf_dir: str) -> "ray.data.Dataset":
 
 def zeek_tsv_ingest(sf_dir: str) -> "ray.data.Dataset":
     """Real Zeek ``.log.gz`` TSV ingestion (zeektsv.read_zeek_logs): header
-    sniff + per-file parse into the engine schema, aggregated to per-source
-    counts.  The fixture tree carries exactly the corpus's lines; the
-    oracle re-reads the same gzip files with DuckDB read_csv."""
+    sniff + per-file parse into the engine schema, aggregated to
+    per-(source, filename hour bucket) counts — the partition identity of
+    the reference's LogTree (zeek_log.rs:394-398).  The fixture tree
+    carries exactly the corpus's lines; the oracle re-reads the same gzip
+    files with DuckDB read_csv(filename=true) and re-derives the hour
+    bucket from the path."""
     from zeeklog_ray.zeektsv import read_zeek_logs, tsv_fixture_for_sf_dir
 
     ds = read_zeek_logs(tsv_fixture_for_sf_dir(sf_dir))
-    return grouped_sum(ds.select_columns(["source"]), ["source"], count_as="n")
+    return grouped_sum(ds.select_columns(["source", "hour_bucket"]),
+                       ["source", "hour_bucket"], count_as="n")
 
 
 def docs_by_source(sf_dir: str) -> "ray.data.Dataset":
@@ -170,37 +219,53 @@ def docs_lang_stats(sf_dir: str) -> "ray.data.Dataset":
 def events_hourly(sf_dir: str) -> "ray.data.Dataset":
     """Tumbling 1-hour window per event type (streaming-shaped workload
     mapped to groupby — SURVEY.md §2.9: pre-materialized tumbling windows)."""
+    import pyarrow.compute as pc
+
     ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
 
-    def prep(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["hour"] = batch["ts"].dt.strftime("%Y-%m-%d %H:00:00")
-        batch["value_cents"] = _round_half_away(batch["value"] * 100)
-        return batch[["event_type", "hour", "value_cents"]]
+    def prep(batch: pa.Table) -> pa.Table:
+        # pure-Arrow prep (zero-copy from the object store): truncate to the
+        # hour + half-away-from-zero cents, no pandas conversion per batch
+        hour = pc.strftime(pc.floor_temporal(batch["ts"], unit="hour"),
+                           format="%Y-%m-%d %H:00:00")
+        cents = pc.cast(pc.round(pc.multiply(batch["value"], 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        return pa.table({"event_type": batch["event_type"], "hour": hour,
+                         "value_cents": cents})
 
-    prepped = ds.map_batches(prep, batch_format="pandas", batch_size=None)
+    prepped = ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
     return grouped_sum(prepped, ["event_type", "hour"],
                        sums={"value_cents": "sum_value_cents"}, count_as="n")
 
 
 def lineitem_pricing(sf_dir: str) -> "ray.data.Dataset":
     """TPC-H Q1-shaped pricing summary; integer-cent exact sums."""
+    import pyarrow.compute as pc
+
     ds = read_table(sf_dir, "lineitem",
                     columns=["l_returnflag", "l_linestatus", "l_quantity",
                              "l_extendedprice", "l_discount", "l_shipdate"])
+    cutoff = pd.Timestamp("1998-09-02")
 
-    def prep(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch[batch["l_shipdate"] <= pd.Timestamp("1998-09-02")]
-        out = pd.DataFrame({
-            "l_returnflag": batch["l_returnflag"],
-            "l_linestatus": batch["l_linestatus"],
-            "qty": _round_half_away(batch["l_quantity"]),
-            "base_cents": _round_half_away(batch["l_extendedprice"] * 100),
-            "disc_cents": _round_half_away(batch["l_extendedprice"]
-                                          * (1 - batch["l_discount"]) * 100),
+    def _cents(x) -> "pa.Array":
+        # DuckDB ROUND = half away from zero (numpy .round is half-to-even)
+        return pc.cast(pc.round(x, round_mode="half_towards_infinity"),
+                       pa.int64())
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.less_equal(batch["l_shipdate"], cutoff))
+        price = t["l_extendedprice"]
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "qty": _cents(t["l_quantity"]),
+            "base_cents": _cents(pc.multiply(price, 100.0)),
+            "disc_cents": _cents(pc.multiply(pc.multiply(
+                price, pc.subtract(1.0, t["l_discount"])), 100.0)),
         })
-        return out
 
-    prepped = ds.map_batches(prep, batch_format="pandas", batch_size=None)
+    prepped = ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
     return grouped_sum(prepped, ["l_returnflag", "l_linestatus"],
                        sums={"qty": "sum_qty", "base_cents": "sum_base_cents",
                              "disc_cents": "sum_disc_cents"}, count_as="n")
@@ -255,13 +320,18 @@ def top_suppliers(sf_dir: str) -> "ray.data.Dataset":
 
 def top_customers(sf_dir: str) -> "ray.data.Dataset":
     """Top-10 customers by total order value (grouped sum → sort+limit)."""
+    import pyarrow.compute as pc
+
     ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
-    def prep(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["total_cents"] = _round_half_away(batch["o_totalprice"] * 100)
-        return batch[["o_custkey", "total_cents"]]
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(batch["o_totalprice"], 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        return pa.table({"o_custkey": batch["o_custkey"],
+                         "total_cents": cents})
 
-    summed = grouped_sum(ds.map_batches(prep, batch_format="pandas", batch_size=None),
+    summed = grouped_sum(ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
                          ["o_custkey"], sums={"total_cents": "total_cents"})
     return top_k(summed, by=["total_cents", "o_custkey"],
                  descending=[True, False], k=10)
@@ -840,6 +910,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "zeek_golden_ip_filter": zeek_golden_ip_filter,
     "zeek_plan_matrix": zeek_plan_matrix,
     "zeek_geo_summary": zeek_geo_summary,
+    "geo_ip_lookup": geo_ip_lookup,
     "zeek_hourly_sink_counts": zeek_hourly_sink_counts,
     "zeek_tsv_ingest": zeek_tsv_ingest,
     # oracle-checked relational/analytics operators
@@ -963,11 +1034,16 @@ def _zeek_oracle_sql(sf_dir: str) -> dict[str, str]:
     # HAVING drops zero-row sources: the Ray side (grouped_sum over rows
     # actually present) emits no row for a source that drew 0 lines, so an
     # unconditional (source, 0) row here would fail the rows gate
+    # hour bucket re-derived from the path: basename, then everything
+    # between the first '.' and the trailing '.log.gz'
+    hb = ("regexp_extract(regexp_extract(filename, '[^/]+$'), "
+          "'^[^.]+\\.(.*)\\.log\\.gz$', 1)")
     tsv_terms = " UNION ALL ".join(
-        f"SELECT '{s}' AS source, COUNT(*) AS n FROM "
+        f"SELECT '{s}' AS source, {hb} AS hour_bucket, COUNT(*) AS n FROM "
         f"read_csv('{tsv_dir}/*/{s}.*.log.gz', delim='\t', header=false, "
         "skip=8, all_varchar=true, null_padding=true, union_by_name=true, "
-        "names=['c0']) WHERE c0 NOT LIKE '#%' HAVING COUNT(*) > 0"
+        "filename=true, names=['c0']) WHERE c0 NOT LIKE '#%' "
+        "GROUP BY 2 HAVING COUNT(*) > 0"
         for s, _p in SOURCE_MIX)
 
     return {
@@ -1035,6 +1111,23 @@ def ensure_oracle_corpus(sf_dir: str = DRIVER_SF_DIR) -> None:
 
 def _sim_vector_sql() -> str:
     return "CAST([" + ", ".join(f"{v:.4f}" for v in _query_vector()) + "] AS DOUBLE[])"
+
+
+def _geo_lookup_oracle_sql() -> str:
+    """The E3 direct-IP lookup as a VALUES join over the deterministic geo
+    dict (same dict build_geo_dict() gives the Ray side)."""
+    from zeeklog_ray.corpus import IP_POOL
+    from zeeklog_ray.enrich import GEO_FIELDS, build_geo_dict
+
+    geo = build_geo_dict()
+    cols = ", ".join(["ip"] + GEO_FIELDS)
+    values = ", ".join(
+        "(" + ", ".join(f"'{v}'" for v in
+                        [k] + [geo[k][f] for f in GEO_FIELDS]) + ")"
+        for k in sorted(geo))
+    probes = ", ".join(f"'{p}'" for p in sorted(geo)[:2] + [IP_POOL[3]])
+    return (f"SELECT * FROM (VALUES {values}) AS g({cols}) "
+            f"WHERE ip IN ({probes})")
 
 
 def _langid_oracle_sql() -> str:
@@ -1136,6 +1229,7 @@ ORACLE_SQL: dict[str, str] = {
         "'[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens "
         "FROM documents"),
     "doc_lang_id": _langid_oracle_sql(),
+    "geo_ip_lookup": _geo_lookup_oracle_sql(),
     # the prep CHAIN: quality filter → first-wins dedup by exact text →
     # BPE token count → per-language rollup, as one CTE pipeline over the
     # proven doc_quality / doc_token_bpe SQL pieces
