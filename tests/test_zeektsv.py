@@ -32,6 +32,8 @@ def test_roundtrip_single_file(tmp_path):
     assert t["id_orig_h"].tolist() == ["1.2.3.4", "4.3.2.1"]  # dotted header flattened
     assert t["proto"].tolist() == ["tcp", "udp"]
     assert t["date"].tolist() == ["2024-07-02"] * 2
+    # filename hour range exposed as a column (zeek_log.rs:394-398)
+    assert t["hour_bucket"].tolist() == ["00:00:00-01:00:00"] * 2
     # token payload is the exact line bytes
     import numpy as np
 

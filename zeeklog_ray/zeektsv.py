@@ -120,6 +120,10 @@ def parse_zeek_gz(path: str) -> pa.Table:
         proto = os.path.basename(path).split(".", 1)[0]
     date = os.path.basename(os.path.dirname(path))
     stem = os.path.splitext(os.path.splitext(os.path.basename(path))[0])[0]
+    # filename hour range ('conn.00:00:00-01:00:00' → '00:00:00-01:00:00')
+    # — the key of the reference's in-memory LogTree per (proto, hour)
+    # (zeek_log.rs:394-398); '' when the filename carries no range
+    hour_bucket = stem.split(".", 1)[1] if "." in stem else ""
 
     data = []
     for ln in all_lines[hdr_end:]:
@@ -143,6 +147,7 @@ def parse_zeek_gz(path: str) -> pa.Table:
         "n_tok": pa.array(lengths, type=pa.int32()),
         "source": src,
         "date": pa.array([date] * n, type=pa.string()),
+        "hour_bucket": pa.array([hour_bucket] * n, type=pa.string()),
     })
 
     sink = normalize_source(proto)
@@ -221,6 +226,7 @@ def _empty_table() -> pa.Table:
         "n_tok": pa.array([], pa.int32()),
         "source": pa.array([], pa.string()),
         "date": pa.array([], pa.string()),
+        "hour_bucket": pa.array([], pa.string()),
     })
     for name in EXTRACTED_COLUMNS:
         t = t.append_column(name, pa.nulls(0, type=pa.string()))
@@ -266,14 +272,16 @@ def tsv_fixture_path(sf_dir: str) -> str:
     single source of truth shared with the oracle-SQL builder."""
     from zeeklog_ray.corpus import _CACHE_ROOT, _sf_n_rows
 
-    return os.path.join(_CACHE_ROOT, f"tsv-v2-n{_sf_n_rows(sf_dir)}")
+    return os.path.join(_CACHE_ROOT, f"tsv-v3-n{_sf_n_rows(sf_dir)}")
 
 
 def tsv_fixture_for_sf_dir(sf_dir: str) -> str:
     """A cached Zeek ``.log.gz`` directory tree carrying EXACTLY the lines of
-    the sf-matched tokenized corpus — one file per (date, source), empty
-    sources still get a header+footer file.  Lets the TSV reader be checked
-    against the corpus parse path and a DuckDB read_csv oracle."""
+    the sf-matched tokenized corpus — TWO hour-range files per
+    (date, source) (AM/PM split, so the filename hour-bucket column is
+    exercised with multiple buckets), empty sources still get header+footer
+    files.  Lets the TSV reader be checked against the corpus parse path
+    and a DuckDB read_csv oracle."""
     import tempfile
 
     from zeeklog_ray.corpus import (
@@ -297,9 +305,12 @@ def tsv_fixture_for_sf_dir(sf_dir: str) -> str:
             for proto, _p in SOURCE_MIX:
                 lines = df.loc[(df["date"] == date) & (df["source"] == proto),
                                "line"].tolist()
-                write_zeek_log_gz(
-                    os.path.join(tmp, date, f"{proto}.00:00:00-23:59:59.log.gz"),
-                    proto, lines)
+                half = (len(lines) + 1) // 2
+                for rng, chunk in (("00:00:00-11:59:59", lines[:half]),
+                                   ("12:00:00-23:59:59", lines[half:])):
+                    write_zeek_log_gz(
+                        os.path.join(tmp, date, f"{proto}.{rng}.log.gz"),
+                        proto, chunk)
         with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
             f.write("ok\n")
         try:
