@@ -78,6 +78,43 @@ def test_cli_end_to_end(corpus_dir, tmp_path):
     assert (out / "sink=conn").exists()
 
 
+def test_cli_lookup_ip_hit_and_miss():
+    """Direct-IP mode (reference E3, main.rs:250-268): no --corpus/--out,
+    no log scan — hit renders the 12-field record, miss an empty one."""
+    from zeeklog_ray.corpus import IP_POOL
+    from zeeklog_ray.enrich import GEO_FIELDS, build_geo_dict
+
+    geo = build_geo_dict()
+    hit, miss = sorted(geo)[0], IP_POOL[3]      # every 4th pool IP is a miss
+    for ip, found in ((hit, True), (miss, False)):
+        res = subprocess.run(
+            [sys.executable, "-m", "zeeklog_ray.cli", "--lookup-ip", ip],
+            capture_output=True, text=True, cwd="/root/repo", timeout=120)
+        assert res.returncode == 0, res.stderr[-2000:]
+        report = json.loads(res.stdout.strip().splitlines()[-1])
+        assert report["mode"] == "lookup-ip" and report["found"] is found
+        if found:
+            assert report["record"] == geo[hit]
+            assert sorted(report["record"]) == sorted(GEO_FIELDS)
+        else:
+            assert report["record"] == {}
+
+
+def test_cli_lookup_ip_rejects_bad_ip():
+    res = subprocess.run(
+        [sys.executable, "-m", "zeeklog_ray.cli", "--lookup-ip", "nope"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120)
+    assert res.returncode != 0
+
+
+def test_cli_requires_corpus_without_lookup(tmp_path):
+    res = subprocess.run(
+        [sys.executable, "-m", "zeeklog_ray.cli", "--out", str(tmp_path / "o")],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120)
+    assert res.returncode != 0
+    assert "--corpus" in res.stderr
+
+
 def test_cli_invalid_ip(tmp_path, corpus_dir):
     res = subprocess.run(
         [sys.executable, "-m", "zeeklog_ray.cli", "--corpus", corpus_dir,

@@ -27,10 +27,16 @@ import sys
 
 def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="zeeklog-ray", description=__doc__)
-    p.add_argument("--corpus", required=True,
+    p.add_argument("--corpus",
                    help="input base dir: tokenized parquet (date=* partitions)"
                         " or, with --input-format zeek-tsv, a raw Zeek"
-                        " YYYY-MM-DD/<proto>.*.log.gz tree")
+                        " YYYY-MM-DD/<proto>.*.log.gz tree"
+                        " (required unless --lookup-ip)")
+    p.add_argument("--lookup-ip", metavar="IP",
+                   help="direct-IP mode (reference main.rs:250-268): skip log"
+                        " scanning, query the enrichment source for this IP"
+                        " and print the 12-field geo report (miss → empty);"
+                        " no --corpus/--out needed")
     p.add_argument("--input-format", choices=("parquet", "zeek-tsv"),
                    default="parquet",
                    help="zeek-tsv reads the reference's native gzip TSV"
@@ -38,7 +44,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--on-error", choices=("raise", "skip"), default="raise",
                    help="zeek-tsv only: skip unreadable .log.gz files with"
                         " a warning instead of aborting the run")
-    p.add_argument("--out", required=True, help="output dir (sink=* partitions)")
+    p.add_argument("--out", help="output dir (sink=* partitions; required"
+                                 " unless --lookup-ip)")
     p.add_argument("--start-date")
     p.add_argument("--end-date")
     p.add_argument("--src-ip")
@@ -53,10 +60,24 @@ def build_argparser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> int:
-    args = build_argparser().parse_args(argv)
+    parser = build_argparser()
+    args = parser.parse_args(argv)
 
     from zeeklog_ray.compat import expand_path, parse_date, parse_ip
 
+    if args.lookup_ip:
+        # direct-IP mode needs no corpus, no output dir, and no Ray
+        # session: one dictionary probe, exactly the reference's
+        # scan-skipping path (main.rs:250-268)
+        from zeeklog_ray.enrich import lookup_ip
+
+        parse_ip(args.lookup_ip)
+        rec = lookup_ip(args.lookup_ip)
+        print(json.dumps({"mode": "lookup-ip", "ip": args.lookup_ip,
+                          "found": rec is not None, "record": rec or {}}))
+        return 0
+    if not args.corpus or not args.out:
+        parser.error("--corpus and --out are required unless --lookup-ip")
     corpus = expand_path(args.corpus)
     if args.src_ip:
         parse_ip(args.src_ip)

@@ -67,6 +67,86 @@ def build_geo_dict() -> dict[str, dict[str, str]]:
     return out
 
 
+class LiveLookupEnricher:
+    """The live-enrichment SEAM: an :class:`Enricher`-compatible actor-pool
+    stage whose geo source is a user-supplied ``resolver(ip) -> dict |
+    None`` callable — where the reference's blocking HTTP ip2location
+    client (``ip2location.rs:174-222``, one GET per IP under a global
+    mutex) would plug in, redesigned for a cluster:
+
+    * per batch, only the batch's DISTINCT not-yet-seen IPs are resolved
+      (the actor memoizes hits AND misses for its lifetime, so a hot IP is
+      fetched once per actor, not once per row);
+    * each lookup gets ``max_retries`` bounded retries with exponential
+      backoff (``backoff_s * 2**attempt``) — a transient failure never
+      kills the job, a persistent one raises with the cause chained;
+    * effective request rate is bounded by pool size × in-flight batches —
+      size ``concurrency`` to the remote service's rate limit.
+
+    Usage::
+
+        ds.map_batches(LiveLookupEnricher, batch_format="pyarrow",
+                       fn_constructor_kwargs={"resolver": my_client},
+                       concurrency=(1, 4))
+
+    The resolver must be picklable (module-level function or callable
+    class).  Offline/deterministic pipelines should keep using
+    :class:`Enricher`; this class exists so a real network source drops in
+    without touching pipeline code.
+    """
+
+    def __init__(self, resolver, max_retries: int = 3,
+                 backoff_s: float = 0.05, ip_col: str = "id_orig_h") -> None:
+        self._resolver = resolver
+        self._max_retries = max_retries
+        self._backoff_s = backoff_s
+        self._ip_col = ip_col
+        self._cache: dict[str, dict[str, str] | None] = {}
+
+    def _resolve(self, ip: str):
+        import time
+
+        last: Exception | None = None
+        for attempt in range(self._max_retries + 1):
+            try:
+                return self._resolver(ip)
+            except Exception as e:  # noqa: BLE001 — resolver is user code
+                last = e
+                if attempt < self._max_retries:
+                    time.sleep(self._backoff_s * (2 ** attempt))
+        raise RuntimeError(
+            f"geo lookup for {ip!r} failed after {self._max_retries + 1} "
+            "attempts") from last
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if len(batch) == 0 or self._ip_col not in batch.column_names:
+            return batch
+        for ip in pc.unique(batch[self._ip_col]).to_pylist():
+            if ip is not None and ip not in self._cache:
+                self._cache[ip] = self._resolve(ip)
+        hits = sorted(k for k, v in self._cache.items() if v is not None)
+        gidx = pc.index_in(batch[self._ip_col],
+                           value_set=pa.array(hits, type=pa.string()))
+        if isinstance(gidx, pa.ChunkedArray):
+            gidx = gidx.combine_chunks()
+        for f in GEO_FIELDS:
+            vals = pa.array([self._cache[k].get(f) for k in hits],
+                            type=pa.string())
+            batch = batch.append_column(f, vals.take(gidx))
+        return batch
+
+
+def lookup_ip(ip: str,
+              geo: dict[str, dict[str, str]] | None = None) -> dict[str, str] | None:
+    """Direct enrichment-source lookup — the reference's E3 entry point
+    (``main.rs:250-268``): given only an IP, skip log scanning entirely and
+    query the geo source, rendering the 12-field record; a miss renders an
+    empty report (→ ``None`` here)."""
+    return (geo if geo is not None else build_geo_dict()).get(ip)
+
+
 class Enricher:
     """Actor-pool stage: append geo_* (by ``id_orig_h``) and ``service``
     (by ``id_resp_p``) columns via broadcast-dict lookup.
