@@ -8,17 +8,21 @@ the library) calls ``ray.init`` / ``ray.shutdown``.
 * ``queries()`` — one entry per implemented operator/pipeline
   (registry: ``zeeklog_ray/queries.py``; inventory: SURVEY.md §2).
 * ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
-  (43 of 48), INCLUDING the ``zeek_*`` flagship pipeline (the token codec
+  (46 of 51), INCLUDING the ``zeek_*`` flagship pipeline (the token codec
   decodes in SQL via ``array_to_string(list_transform(tokens, x -> chr(x)),
   '')`` + ``string_split(line, chr(9))`` over the corpus Parquet), the gzip
-  TSV ingest (``read_csv`` over the same ``.log.gz``), and the custom-hash
+  TSV ingest (``read_csv`` over the same ``.log.gz``), the custom-hash
   sketches SimHash / rolling-hash fingerprints (bit-exact Horner-mod-2^64
-  replay via ``list_reduce``/HUGEINT).  Rows-only remainder, each with its
-  reason and a pytest gate: ``minhash_dedup_pairs`` / ``near_dup_components``
-  (the 64-permutation replay measures >5 min in DuckDB; recall-tested, and
-  the embedding-cosine analogs ARE oracle-checked), ``ann_lsh_topk`` /
-  ``ivf_ann_topk`` (approximate by design; recall-tested), and
-  ``approx_distinct_users`` (HLL; accuracy-tested).
+  replay via ``list_reduce``/HUGEINT), and the MinHash+LSH pipeline at
+  oracle-feasible permutation count (``minhash_dedup_pairs_small`` /
+  ``near_dup_components_small``: 16 perms × 4 bands replayed bit-exactly,
+  incl. banding, bucket guard and the CC closure).  Rows-only remainder,
+  each with its reason and a pytest gate: ``minhash_dedup_pairs`` /
+  ``near_dup_components`` (the full 64-permutation replay measures >5 min
+  in DuckDB; the SAME code path is hash-checked by the _small variants and
+  recall-tested), ``ann_lsh_topk`` / ``ivf_ann_topk`` (approximate by
+  design; recall-tested), and ``approx_distinct_users`` (HLL;
+  accuracy-tested).
 """
 
 from __future__ import annotations

@@ -524,16 +524,46 @@ def doc_fingerprints(sf_dir: str) -> "ray.data.Dataset":
 def minhash_dedup_pairs(sf_dir: str) -> "ray.data.Dataset":
     """MinHash+LSH near-duplicate candidate pairs (ops/dedup.py).
 
-    Rows-only for the driver: a bit-exact SQL replay of the 64-permutation
-    MinHash exists (the doc_simhash / doc_fingerprints Horner-mod-2^64
-    technique) but measures >5 min in DuckDB at sf0.01 (~15M HUGEINT
-    lambda evaluations) — too slow for a gate.  The strong checks are the
+    Rows-only for the driver: the bit-exact SQL replay of the
+    64-permutation MinHash (the doc_simhash Horner-mod-2^64 technique)
+    measures >5 min in DuckDB at sf0.01 — too slow for a gate.  The SAME
+    code path IS hash-checked at 16 perms × 4 bands by
+    minhash_dedup_pairs_small; the full-perm strong checks are the
     planted-dup recall test (test_ops_dedup.py, ≥0.9) and the
-    embedding_cosine near-dup analog, which IS oracle-checked."""
+    embedding_cosine near-dup analog (oracle-checked)."""
     from zeeklog_ray.ops.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(read_table(sf_dir, "documents",
                                         columns=["doc_id", "text"]))
+
+
+def minhash_dedup_pairs_small(sf_dir: str) -> "ray.data.Dataset":
+    """MinHash+LSH pairs at ORACLE-FEASIBLE scale: the same code path as
+    minhash_dedup_pairs (minhash_lsh_pairs), but 16 permutations × 4 bands
+    instead of 64 × 8 — small enough for a bit-exact DuckDB replay (~17 s,
+    on par with doc_simhash; the 64-perm replay measures >5 min).  This
+    closes the hash gate on the exact banding/bucketing/join logic; the
+    full-perm variant stays recall-tested in pytest."""
+    from zeeklog_ray.ops.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(read_table(sf_dir, "documents",
+                                        columns=["doc_id", "text"]),
+                             num_perm=16, bands=4)
+
+
+def near_dup_components_small(sf_dir: str) -> "ray.data.Dataset":
+    """Duplicate-group resolution over the ORACLE-CHECKED MinHash pair set
+    (16 perms × 4 bands): connected components via min-label propagation,
+    replayed in SQL as a recursive-CTE closure over the same pairs — the
+    hash gate for the MinHash → components composition that
+    near_dup_components runs at full permutation count."""
+    from zeeklog_ray.ops.dedup import minhash_lsh_pairs
+    from zeeklog_ray.ops.graph import connected_components
+
+    pairs = minhash_lsh_pairs(read_table(sf_dir, "documents",
+                                         columns=["doc_id", "text"]),
+                              num_perm=16, bands=4)
+    return connected_components(pairs)
 
 
 def doc_simhash(sf_dir: str) -> "ray.data.Dataset":
@@ -935,6 +965,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_lang_id": doc_lang_id,
     "doc_fingerprints": doc_fingerprints,
     "minhash_dedup_pairs": minhash_dedup_pairs,
+    "minhash_dedup_pairs_small": minhash_dedup_pairs_small,
+    "near_dup_components_small": near_dup_components_small,
     "doc_simhash": doc_simhash,
     "embedding_near_dups": embedding_near_dups,
     "event_sessions": event_sessions,
@@ -1113,6 +1145,62 @@ def _sim_vector_sql() -> str:
     return "CAST([" + ", ".join(f"{v:.4f}" for v in _query_vector()) + "] AS DOUBLE[])"
 
 
+def _minhash_pairs_cte(num_perm: int = 16, bands: int = 4, k: int = 5,
+                       max_bucket: int = 512) -> str:
+    """Bit-exact SQL replay of ops.dedup.minhash_lsh_pairs as a WITH-clause
+    body (ends in relation ``mh_pairs(doc_a, doc_b)``): the same k-byte
+    rolling shingle hashes (Horner base-1000003 mod 2^64 — the
+    doc_simhash / doc_fingerprints technique), the same (a·x+b) mod 2^64
+    permutations (constants from _minhash_params, embedded as literals),
+    the same per-band Horner fold XOR band constant, the oversized-bucket
+    guard, and the ordered-distinct self-join.  HUGEINT carries the mod-
+    2^64 arithmetic; bb folds to two's-complement BIGINT exactly like the
+    numpy int64 view.  ASCII corpus ⇒ ord == utf-8 byte (asserted by the
+    generator's charset)."""
+    from zeeklog_ray.ops.dedup import _minhash_params
+
+    rpb = num_perm // bands
+    a, b = _minhash_params(num_perm)
+    m = 1 << 64
+    maxu = m - 1
+
+    def fold(v: int) -> int:                  # uint64 → signed int64 literal
+        return v - m if v >= (1 << 63) else v
+
+    sig_terms = ", ".join(
+        f"COALESCE(list_min(list_transform(hs, x -> (x*{int(a[j])}::HUGEINT"
+        f" + {int(b[j])}::HUGEINT) % {m}::HUGEINT)), {maxu}::HUGEINT)"
+        for j in range(num_perm))
+    band_selects = []
+    for bi in range(bands):
+        elems = ", ".join(f"mh[{bi * rpb + c + 1}]" for c in range(rpb))
+        const = fold((bi * 0x9E3779B97F4A7C15) % m)
+        band_selects.append(
+            "SELECT doc_id, xor(CAST(CASE WHEN h >= "
+            f"9223372036854775808::HUGEINT THEN h - {m}::HUGEINT ELSE h END "
+            f"AS BIGINT), CAST({const} AS BIGINT)) AS bb FROM "
+            f"(SELECT doc_id, list_reduce([{elems}], (acc, c) -> "
+            f"(acc*1000003::HUGEINT + c) % {m}::HUGEINT) AS h FROM sig)")
+    banded = " UNION ALL ".join(band_selects)
+    return (
+        "h AS (SELECT doc_id, list_transform(range(1, length(text)-"
+        f"{k - 2}), i -> list_reduce(list_transform(range(i, i+{k}), "
+        "j -> ord(substring(text, j, 1))::HUGEINT), (acc, c) -> "
+        f"(acc*1000003::HUGEINT + c) % {m}::HUGEINT)) AS hs FROM documents), "
+        f"sig AS (SELECT doc_id, [{sig_terms}] AS mh FROM h), "
+        f"banded AS ({banded}), "
+        f"big AS (SELECT bb FROM banded GROUP BY bb HAVING COUNT(*) > "
+        f"{max_bucket}), "
+        "bandok AS (SELECT * FROM banded WHERE bb NOT IN "
+        "(SELECT bb FROM big)), "
+        # MATERIALIZED: the recursive-CTE consumer re-references mh_pairs
+        # per iteration — without the hint DuckDB re-evaluates the whole
+        # minhash pipeline each round (measured 143 s vs 17 s)
+        "mh_pairs AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, "
+        "b.doc_id AS doc_b "
+        "FROM bandok a JOIN bandok b ON a.bb = b.bb AND a.doc_id < b.doc_id)")
+
+
 def _geo_lookup_oracle_sql() -> str:
     """The E3 direct-IP lookup as a VALUES join over the deterministic geo
     dict (same dict build_geo_dict() gives the Ray side)."""
@@ -1230,6 +1318,19 @@ ORACLE_SQL: dict[str, str] = {
         "FROM documents"),
     "doc_lang_id": _langid_oracle_sql(),
     "geo_ip_lookup": _geo_lookup_oracle_sql(),
+    "minhash_dedup_pairs_small": (
+        "WITH " + _minhash_pairs_cte() + " SELECT doc_a, doc_b FROM mh_pairs"),
+    # the same pair set resolved into components with a recursive-CTE
+    # closure (the embedding_dup_components technique over MinHash pairs)
+    "near_dup_components_small": (
+        "WITH RECURSIVE " + _minhash_pairs_cte() +
+        ", ed AS (SELECT doc_a AS a, doc_b AS b FROM mh_pairs "
+        "UNION ALL SELECT doc_b, doc_a FROM mh_pairs), "
+        "nodes AS (SELECT DISTINCT a AS node FROM ed), "
+        "walk(node, label) AS (SELECT node, node FROM nodes "
+        "UNION SELECT e.b, w.label FROM walk w JOIN ed e ON e.a = w.node) "
+        "SELECT node, CAST(MIN(label) AS BIGINT) AS component "
+        "FROM walk GROUP BY node"),
     # the prep CHAIN: quality filter → first-wins dedup by exact text →
     # BPE token count → per-language rollup, as one CTE pipeline over the
     # proven doc_quality / doc_token_bpe SQL pieces
