@@ -55,6 +55,43 @@ BENCH_QUERIES = [
 ]
 
 
+# Scale-certification benches (VERDICT r2 item 6): the bucketed-groupby
+# temporal/dedup operators at ≥5M events / 1M planted-dup docs — sizes
+# where the per-group Python cliff (~0.19 ms/group) would cost tens of
+# minutes if any stage regressed to a per-key groupby.  Inputs are cached
+# deterministic parquet (zeeklog_ray/benchdata.py), generation untimed.
+SCALE_EVENT_ROWS = int(os.environ.get("ZEEKLOG_SCALE_EVENT_ROWS", "5000000"))
+SCALE_DOC_ROWS = int(os.environ.get("ZEEKLOG_SCALE_DOC_ROWS", "1000000"))
+_SKIP_SCALE_OPS_ENV = "ZEEKLOG_SKIP_SCALE_OPS"
+
+
+def _run_scale_ops(timings: dict) -> None:
+    import ray.data
+
+    from zeeklog_ray.benchdata import bench_docs_parquet, bench_events_parquet
+    from zeeklog_ray.ops.dedup import minhash_lsh_pairs
+    from zeeklog_ray.ops.graph import connected_components
+    from zeeklog_ray.ops.sessionize import session_counts
+    from zeeklog_ray.ops.streaming import trailing_windows
+
+    ev = bench_events_parquet(SCALE_EVENT_ROWS)      # cached, untimed
+    dc = bench_docs_parquet(SCALE_DOC_ROWS)
+    mtag = f"{SCALE_EVENT_ROWS // 1_000_000}m"
+    dtag = f"{SCALE_DOC_ROWS // 1_000_000}m"
+
+    t0 = time.monotonic()
+    trailing_windows(ray.data.read_parquet(ev), key="user_id", ts="ts",
+                     value="value").count()
+    timings[f"scale_sliding_windows_{mtag}"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    session_counts(ray.data.read_parquet(ev), key="user_id", ts="ts").count()
+    timings[f"scale_sessions_{mtag}"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    pairs = minhash_lsh_pairs(ray.data.read_parquet(dc), text_col="text")
+    connected_components(pairs).count()
+    timings[f"scale_near_dup_components_{dtag}"] = round(time.monotonic() - t0, 3)
+
+
 def _sf_tag(sf_dir: str) -> str:
     return os.path.basename(os.path.normpath(sf_dir)).removeprefix("sf")
 
@@ -109,6 +146,10 @@ def run_bench() -> dict:
         if hasattr(res, "to_pandas"):
             res.to_pandas()
         timings[name] = round(time.monotonic() - t0, 3)
+
+    if not (os.environ.get(_FLAGSHIP_ONLY_ENV)
+            or os.environ.get(_SKIP_SCALE_OPS_ENV)):
+        _run_scale_ops(timings)
 
     ray.shutdown()
     return {

@@ -19,7 +19,6 @@ import numpy as np
 import pandas as pd
 
 import ray.data
-from ray.data.aggregate import Count
 
 from zeeklog_ray.ops.text import rolling_kgram_hashes
 
@@ -167,9 +166,24 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", text_col: str = "text",
         big_keys = totals.index.to_numpy(np.int64)[over]
         n_dropped_rows = int(totals.to_numpy()[over].sum())
     else:
-        big = (banded.groupby("bb").aggregate(Count(alias_name="m"))
-               .filter(expr=f"m > {int(max_bucket)}").to_pandas())
-        # an all-filtered Dataset loses its schema in to_pandas()
+        # one shuffle of the banded rows, counts per bb computed with ONE
+        # C-level value_counts per key-hash bucket: band buckets are
+        # mostly distinct, so a plain groupby("bb").aggregate(Count) would
+        # pay Ray's per-group Python per DISTINCT BUCKET (~0.19 ms × ~#rows
+        # — ~25 min at 8M banded rows); only the over-cap keys (≤
+        # |rows|/max_bucket) leave the tasks
+        from zeeklog_ray.relational import with_hash_bucket
+
+        def over_cap(group: pd.DataFrame) -> pd.DataFrame:
+            vc = group["bb"].value_counts()
+            vc = vc[vc > max_bucket]
+            return pd.DataFrame({"bb": vc.index.to_numpy(np.int64),
+                                 "m": vc.to_numpy(np.int64)})
+
+        n_count_buckets = max(16, n_banded // 2_000_000)
+        big = with_hash_bucket(banded, "bb", n_count_buckets) \
+            .groupby("_bucket").map_groups(over_cap, batch_format="pandas") \
+            .to_pandas()
         big_keys = (big["bb"].to_numpy(np.int64) if "bb" in big.columns
                     else np.zeros(0, np.int64))
         n_dropped_rows = int(big["m"].sum()) if "m" in big.columns else 0
