@@ -1,0 +1,68 @@
+"""Misra-Gries heavy hitters (exact + lossy regimes) and bloom-filter
+semi-join pre-filter (no false negatives, bounded false positives)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from zeeklog_ray.ops.sketch import heavy_hitters
+from zeeklog_ray.relational import (
+    bloom_contains,
+    bloom_semi_filter,
+    build_bloom,
+)
+
+
+def _skewed_events(n=50_000, n_keys=2_000, seed=3):
+    rng = np.random.default_rng(seed)
+    # zipf-ish skew: a handful of keys dominate
+    keys = rng.zipf(1.5, n) % n_keys
+    return pd.DataFrame({"user_id": keys.astype("int64")})
+
+
+def test_heavy_hitters_exact_when_capacity_covers_keys(ray_session):
+    df = _skewed_events()
+    ds = ray.data.from_pandas(df).repartition(8)
+    got = heavy_hitters(ds, "user_id", k=10, capacity=4096)
+    exp = (df.value_counts("user_id").rename("n").reset_index()
+           .sort_values(["n", "user_id"], ascending=[False, True])
+           .head(10).reset_index(drop=True))
+    exp["n"] = exp["n"].astype("int64")
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_heavy_hitters_lossy_regime_keeps_true_heavies(ray_session):
+    """capacity ≪ distinct keys: the MG guarantee still surfaces every key
+    with count > n/capacity — the planted dominators must all be found."""
+    rng = np.random.default_rng(8)
+    background = rng.integers(0, 60_000, 60_000)      # ~1 count per key
+    planted = np.repeat(np.array([70_001, 70_002, 70_003]), 4_000)
+    df = pd.DataFrame({"user_id": np.concatenate([background, planted])})
+    df = df.sample(frac=1.0, random_state=1).reset_index(drop=True)
+    ds = ray.data.from_pandas(df).repartition(8)
+    got = heavy_hitters(ds, "user_id", k=3, capacity=512)
+    assert got["user_id"].tolist() == [70_001, 70_002, 70_003]
+    assert got["n"].tolist() == [4_000, 4_000, 4_000]  # exact recount
+
+
+def test_bloom_no_false_negatives_and_low_fp():
+    rng = np.random.default_rng(5)
+    members = pd.Series(rng.choice(10_000_000, 20_000, replace=False))
+    bits = build_bloom(members, n_bits=1 << 18, k_hashes=5)
+    assert bloom_contains(bits, members).all()         # never a false negative
+    non = pd.Series(np.arange(20_000_000, 20_050_000))
+    fp = bloom_contains(bits, non).mean()
+    assert fp < 0.05          # ~13 bits/key, k=5 → well under 5%
+
+
+def test_bloom_semi_filter_superset_of_exact(ray_session):
+    rng = np.random.default_rng(9)
+    fact = pd.DataFrame({"k": rng.integers(0, 5_000, 30_000),
+                         "v": np.arange(30_000)})
+    keys = pd.Series(np.arange(0, 5_000, 7))           # ~714 dimension keys
+    out = bloom_semi_filter(ray.data.from_pandas(fact), keys,
+                            on="k").to_pandas()
+    exact = fact[fact["k"].isin(set(keys))]
+    assert set(exact["v"]) <= set(out["v"])            # superset (no FN)
+    assert len(out) < len(fact)                        # actually pruned

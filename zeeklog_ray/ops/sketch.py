@@ -1,4 +1,5 @@
-"""Mergeable sketches: HyperLogLog approximate distinct count.
+"""Mergeable sketches: HyperLogLog approximate distinct count, Misra-Gries
+heavy hitters.
 
 The scale pattern for sketch aggregation (Ray guide): each batch emits ONE
 serialized sketch; a tiny second stage merges them (sketches are designed to
@@ -68,3 +69,55 @@ def approx_distinct(ds: "ray.data.Dataset", col: str) -> int:
     for b in parts["sketch"]:
         merged = np.maximum(merged, np.frombuffer(b, dtype=np.uint8))
     return round(hll_estimate(merged))
+
+
+def heavy_hitters(ds: "ray.data.Dataset", col: str, k: int = 10,
+                  capacity: int = 4096) -> pd.DataFrame:
+    """Top-k most frequent values — the two-pass distributed heavy-hitter
+    pattern:
+
+    1. **Misra-Gries summary per batch** (vectorized ``value_counts``
+       truncate-and-decrement): each batch emits ≤ ``capacity`` (key,
+       residual-count) rows regardless of batch size — the sketch property
+       that makes the exchange bounded.  Merged summaries keep the MG
+       guarantee: any key with true count > n/capacity survives.
+    2. **Exact recount of the candidate set**: the merged candidates are
+       broadcast (``ray.put``) and one more streaming pass counts ONLY
+       those keys — so the returned counts are EXACT, and the top-k is
+       exact whenever the k-th true count exceeds n/capacity (size
+       ``capacity`` to the expected skew; the summary merge is
+       |blocks| × capacity rows on the driver — bounded, and at cluster
+       scale a tree-merge map stage would replace it).
+
+    Deterministic tie-break: (count DESC, key ASC).
+    """
+
+    def mg(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch[col].value_counts()
+        if len(vc) > capacity:
+            sub = vc.iloc[capacity]          # (capacity+1)-th count
+            vc = vc.iloc[:capacity] - sub
+            vc = vc[vc > 0]
+        return pd.DataFrame({col: vc.index.to_numpy(), "c": vc.to_numpy()})
+
+    parts = ds.select_columns([col]).map_batches(
+        mg, batch_format="pandas", batch_size=None).to_pandas()
+    merged = parts.groupby(col, sort=False)["c"].sum() \
+        .sort_values(ascending=False)
+    cands = set(merged.head(capacity).index)
+
+    import ray as _ray
+
+    ref = _ray.put(cands)
+
+    def recount(batch: pd.DataFrame) -> pd.DataFrame:
+        ks = _ray.get(ref)
+        vc = batch.loc[batch[col].isin(ks), col].value_counts()
+        return pd.DataFrame({col: vc.index.to_numpy(), "n": vc.to_numpy()})
+
+    counts = ds.select_columns([col]).map_batches(
+        recount, batch_format="pandas", batch_size=None).to_pandas()
+    out = counts.groupby(col, sort=False)["n"].sum().reset_index()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["n", col], ascending=[False, True]) \
+        .head(k).reset_index(drop=True)

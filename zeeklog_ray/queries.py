@@ -812,6 +812,41 @@ def customers_without_orders(sf_dir: str) -> "ray.data.Dataset":
     return ds.map_batches(anti, batch_format="pandas", batch_size=None)
 
 
+def event_heavy_hitters(sf_dir: str) -> pd.DataFrame:
+    """Top-10 users by event count via the two-pass Misra-Gries heavy-hitter
+    sketch (ops/sketch.heavy_hitters): bounded per-batch summaries → exact
+    recount of candidates.  Exact (and oracle-checkable) because the
+    candidate guarantee covers the top-k at this capacity; the LOSSY regime
+    (capacity ≪ distinct keys) is pytest-gated with planted skew."""
+    from zeeklog_ray.ops.sketch import heavy_hitters
+
+    return heavy_hitters(read_table(sf_dir, "events", columns=["user_id"]),
+                         "user_id", k=10, capacity=8192)
+
+
+def building_orders_bloom(sf_dir: str) -> "ray.data.Dataset":
+    """Bloom-pruned semi-join (relational.bloom_semi_filter): same result
+    as building_segment_orders, but the broadcast is a 128 KB bitset (10
+    bits/key scales to 10^9-key dimension sides where an exact key set
+    cannot broadcast), followed by the exact verification filter that
+    removes bloom false positives."""
+    import ray as _ray
+
+    from zeeklog_ray.relational import bloom_semi_filter
+
+    keys = small_table(sf_dir, "customer",
+                       columns=["c_custkey", "c_mktsegment"]) \
+        .query("c_mktsegment == 'BUILDING'")["c_custkey"]
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    pruned = bloom_semi_filter(ds, keys, on="o_custkey")
+    ref = _ray.put(set(keys))
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["o_custkey"].isin(_ray.get(ref))]
+
+    return pruned.map_batches(verify, batch_format="pandas", batch_size=None)
+
+
 def docs_sample_mod(sf_dir: str) -> "ray.data.Dataset":
     """Deterministic 5% sample: keep doc_id ≡ 3 (mod 20).  Hash/modulo
     sampling is the reproducible, partition-independent sampling scheme a
@@ -982,6 +1017,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "ivf_ann_topk": ivf_ann_topk,
     "event_props_extract": event_props_extract,
     "building_segment_orders": building_segment_orders,
+    "building_orders_bloom": building_orders_bloom,
+    "event_heavy_hitters": event_heavy_hitters,
     "customers_without_orders": customers_without_orders,
     "docs_sample_mod": docs_sample_mod,
     "top_orders_per_customer": top_orders_per_customer,
@@ -1429,6 +1466,13 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT o_orderkey, o_custkey FROM orders "
         "WHERE o_custkey IN (SELECT c_custkey FROM customer "
         "WHERE c_mktsegment = 'BUILDING')"),
+    "building_orders_bloom": (
+        "SELECT o_orderkey, o_custkey FROM orders "
+        "WHERE o_custkey IN (SELECT c_custkey FROM customer "
+        "WHERE c_mktsegment = 'BUILDING')"),
+    "event_heavy_hitters": (
+        "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events "
+        "GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10"),
     "customers_without_orders": (
         "SELECT c_custkey, c_name FROM customer "
         "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders "

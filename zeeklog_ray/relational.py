@@ -162,6 +162,77 @@ def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
                      on=(on,), right_on=(right_on or on,))
 
 
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (uint64 wraparound) — an INDEPENDENT second
+    hash derived from the first.  Needed because ``hash_pandas_object``
+    ignores ``hash_key`` for numeric dtypes, so two "differently-keyed"
+    pandas hashes of an int column are IDENTICAL and the
+    Kirsch-Mitzenmacher probes h1+i·h2 degenerate to correlated positions
+    (measured: 8% bloom false positives where ~0.6% is theoretical)."""
+    z = x + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _bloom_hashes(keys: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    h1 = pd.util.hash_pandas_object(keys, index=False).to_numpy(np.uint64)
+    return h1, _mix64(h1)
+
+
+def build_bloom(keys: pd.Series | np.ndarray, n_bits: int = 1 << 20,
+                k_hashes: int = 5) -> np.ndarray:
+    """Packed bloom-filter bitset (``n_bits/8`` bytes) over ``keys``.
+
+    Two independent 64-bit hashes combined Kirsch-Mitzenmacher style
+    (``h1 + i·h2``) give the ``k_hashes`` probe positions.  Deterministic
+    across processes (fixed pandas hash keys), and MERGEABLE: bitwise-OR of
+    two filters is the filter of the union — so at scale each task blooms
+    its own fragment and a tiny OR-reduce merges them.
+
+    Size rule: false-positive rate ≈ (1 - e^(-k·n/m))^k — 10 bits/key with
+    k=5 gives ~1%; 10^9 keys fit in ~1.2 GB where an exact key set would
+    need tens of GB."""
+    s = keys if isinstance(keys, pd.Series) else pd.Series(keys)
+    h1, h2 = _bloom_hashes(s)
+    bits = np.zeros(n_bits // 8, dtype=np.uint8)
+    for i in range(k_hashes):
+        idx = ((h1 + np.uint64(i) * h2) % np.uint64(n_bits)).astype(np.int64)
+        np.bitwise_or.at(bits, idx >> 3, (1 << (idx & 7)).astype(np.uint8))
+    return bits
+
+
+def bloom_contains(bits: np.ndarray, keys: pd.Series,
+                   k_hashes: int = 5) -> np.ndarray:
+    """Vectorized membership mask: True = maybe-present (false positives
+    possible), False = DEFINITELY absent."""
+    n_bits = len(bits) * 8
+    h1, h2 = _bloom_hashes(keys)
+    mask = np.ones(len(keys), dtype=bool)
+    for i in range(k_hashes):
+        idx = ((h1 + np.uint64(i) * h2) % np.uint64(n_bits)).astype(np.int64)
+        mask &= (bits[idx >> 3] >> (idx & 7) & 1).astype(bool)
+    return mask
+
+
+def bloom_semi_filter(ds: "ray.data.Dataset", keys: pd.Series | np.ndarray,
+                      on: str, n_bits: int = 1 << 20,
+                      k_hashes: int = 5) -> "ray.data.Dataset":
+    """Bloom-filter SEMI-JOIN PRE-FILTER: drop every row whose ``on`` key is
+    definitely not in ``keys`` — a SUPERSET of the exact semi-join (false
+    positives pass), so follow with an exact join/isin when exactness
+    matters.  The point at scale: the broadcast is ``n_bits/8`` bytes (10
+    bits per key) instead of the full key set, and the pruned fact side
+    shrinks BEFORE any shuffle join — the classic bloom-pruned join."""
+    bits_ref = ray.put(build_bloom(keys, n_bits, k_hashes))
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        bits = ray.get(bits_ref)
+        return batch[bloom_contains(bits, batch[on], k_hashes)]
+
+    return ds.map_batches(keep, batch_format="pandas", batch_size=None)
+
+
 def to_cents(batch: pa.Table, cols: dict[str, str]) -> pa.Table:
     """Append integer-cent columns: for each src→dst, dst = round(src*100)."""
     import pyarrow.compute as pc
