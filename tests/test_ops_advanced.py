@@ -112,6 +112,27 @@ def test_window_actor_preserves_int_dtype(ray_session):
     ray.kill(actor)
 
 
+def test_window_actor_promotes_dtype_across_batches(ray_session):
+    """float64 state from an earlier batch (e.g. a null made pandas
+    deliver floats) followed by an int64 batch must promote the
+    accumulator — an int64 w_sum would unsafely cast a float csum
+    (NaN → garbage integer, silently)."""
+    from zeeklog_ray.ops.streaming import WindowBucketActor
+
+    actor = WindowBucketActor.remote(3600)
+    base = pd.Timestamp("2024-01-01 10:00")
+    b1 = pd.DataFrame({"user_id": ["k"], "ts": [base],
+                       "value": np.array([1.5], dtype=np.float64)})
+    b2 = pd.DataFrame({"user_id": ["k"],
+                       "ts": [base + pd.Timedelta(minutes=1)],
+                       "value": np.array([2], dtype=np.int64)})
+    ray.get(actor.process.remote(b1, "user_id", "ts", "value"))
+    out = ray.get(actor.process.remote(b2, "user_id", "ts", "value"))
+    assert out["w_sum"].dtype == np.float64
+    assert out["w_sum"].tolist() == [3.5]
+    ray.kill(actor)
+
+
 def test_ivf_topk_recall(ray_session):
     from zeeklog_ray.ops.similarity import brute_force_topk, ivf_topk
 

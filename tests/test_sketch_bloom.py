@@ -56,6 +56,16 @@ def test_bloom_no_false_negatives_and_low_fp():
     assert fp < 0.05          # ~13 bits/key, k=5 → well under 5%
 
 
+def test_bloom_non_byte_multiple_n_bits_no_false_negatives():
+    """n_bits not divisible by 8 must round up, not crash or probe a
+    different modulus than the build (regression: bloom_contains recovers
+    the modulus from len(bits)*8 → silent false negatives)."""
+    members = pd.Series(np.arange(100))
+    bits = build_bloom(members, n_bits=123, k_hashes=3)
+    assert len(bits) == 16                    # 123 → 128 bits → 16 bytes
+    assert bloom_contains(bits, members, k_hashes=3).all()
+
+
 def test_bloom_semi_filter_superset_of_exact(ray_session):
     rng = np.random.default_rng(9)
     fact = pd.DataFrame({"k": rng.integers(0, 5_000, 30_000),

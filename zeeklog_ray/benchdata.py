@@ -89,7 +89,10 @@ def bench_docs_parquet(n_docs: int = 1_000_000, dup_rate: float = 0.10,
         pool = np.array(["".join(chr(c) for c in
                                  letters[rng.integers(0, 26, rng.integers(5, 10))])
                         for _ in range(4096)])
-        n_src = max(1, int(n_docs * 0.02))   # dup sources: first 2% of ids
+        # dup sources: first 2% of ids, capped at the first chunk (the only
+        # texts retained across chunks — an uncapped n_src > _CHUNK would
+        # index past src_texts at n_docs > 25M)
+        n_src = max(1, min(int(n_docs * 0.02), min(_CHUNK, n_docs)))
         src_texts: np.ndarray | None = None
         for i, lo in enumerate(range(0, n_docs, _CHUNK)):
             n = min(_CHUNK, n_docs - lo)

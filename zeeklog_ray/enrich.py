@@ -123,10 +123,15 @@ class LiveLookupEnricher:
 
         if len(batch) == 0 or self._ip_col not in batch.column_names:
             return batch
-        for ip in pc.unique(batch[self._ip_col]).to_pylist():
-            if ip is not None and ip not in self._cache:
+        uniq = [ip for ip in pc.unique(batch[self._ip_col]).to_pylist()
+                if ip is not None]
+        for ip in uniq:
+            if ip not in self._cache:
                 self._cache[ip] = self._resolve(ip)
-        hits = sorted(k for k, v in self._cache.items() if v is not None)
+        # project the lookup arrays from the BATCH's distinct IPs only —
+        # iterating the whole cache here would cost O(|cache|) per batch
+        # on a long-lived actor (the memoization's own win reversed)
+        hits = sorted(ip for ip in uniq if self._cache[ip] is not None)
         gidx = pc.index_in(batch[self._ip_col],
                            value_set=pa.array(hits, type=pa.string()))
         if isinstance(gidx, pa.ChunkedArray):

@@ -102,20 +102,29 @@ class WindowBucketActor:
         w_count = np.empty(n, dtype="int64")
         t_all = batch[ts].to_numpy("datetime64[ns]").astype("int64")
         v_all = batch[value].to_numpy()
+        groups = batch.groupby(key, sort=False).indices
         # preserve the input dtype through the cumsum (mirrors
         # trailing_windows): integer inputs (e.g. cents) stay exact instead
-        # of passing through float64 and losing precision above 2^53
+        # of passing through float64 and losing precision above 2^53.
+        # Promote across BATCHES too: if an earlier batch left float64
+        # state (e.g. a null made pandas deliver floats) and this batch is
+        # int64, an int64 accumulator would unsafely cast the float csum
+        # (NaN → garbage int) — the result dtype must cover both.
         acc_dtype = np.cumsum(np.zeros(1, dtype=v_all.dtype)).dtype
+        for k in groups:
+            st = self.state.get(k)
+            if st is not None:
+                acc_dtype = np.result_type(acc_dtype, st[1].dtype)
         w_sum = np.empty(n, dtype=acc_dtype)
         # vectorized per KEY present in the batch (each key's rows arrive in
         # stream order because the feeder sorts globally by ts)
-        for k, idx in batch.groupby(key, sort=False).indices.items():
+        for k, idx in groups.items():
             t = t_all[idx]
             v = v_all[idx]
             pt, pv = self.state.get(k, (np.empty(0, np.int64),
                                         np.empty(0, v_all.dtype)))
             at = np.concatenate((pt, t))
-            av = np.concatenate((pv, v))
+            av = np.concatenate((pv, v)).astype(acc_dtype, copy=False)
             pos = np.arange(len(pt), len(at))
             lo = np.searchsorted(at, at[pos] - self.window_ns, side="left")
             csum = np.concatenate((np.zeros(1, acc_dtype), np.cumsum(av)))

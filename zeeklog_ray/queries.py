@@ -223,14 +223,14 @@ def events_hourly(sf_dir: str) -> "ray.data.Dataset":
 
     ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
 
+    from zeeklog_ray.relational import arrow_round_away
+
     def prep(batch: pa.Table) -> pa.Table:
         # pure-Arrow prep (zero-copy from the object store): truncate to the
         # hour + half-away-from-zero cents, no pandas conversion per batch
         hour = pc.strftime(pc.floor_temporal(batch["ts"], unit="hour"),
                            format="%Y-%m-%d %H:00:00")
-        cents = pc.cast(pc.round(pc.multiply(batch["value"], 100.0),
-                                 round_mode="half_towards_infinity"),
-                        pa.int64())
+        cents = arrow_round_away(pc.multiply(batch["value"], 100.0))
         return pa.table({"event_type": batch["event_type"], "hour": hour,
                          "value_cents": cents})
 
@@ -246,12 +246,9 @@ def lineitem_pricing(sf_dir: str) -> "ray.data.Dataset":
     ds = read_table(sf_dir, "lineitem",
                     columns=["l_returnflag", "l_linestatus", "l_quantity",
                              "l_extendedprice", "l_discount", "l_shipdate"])
-    cutoff = pd.Timestamp("1998-09-02")
+    from zeeklog_ray.relational import arrow_round_away
 
-    def _cents(x) -> "pa.Array":
-        # DuckDB ROUND = half away from zero (numpy .round is half-to-even)
-        return pc.cast(pc.round(x, round_mode="half_towards_infinity"),
-                       pa.int64())
+    cutoff = pd.Timestamp("1998-09-02")
 
     def prep(batch: pa.Table) -> pa.Table:
         t = batch.filter(pc.less_equal(batch["l_shipdate"], cutoff))
@@ -259,9 +256,9 @@ def lineitem_pricing(sf_dir: str) -> "ray.data.Dataset":
         return pa.table({
             "l_returnflag": t["l_returnflag"],
             "l_linestatus": t["l_linestatus"],
-            "qty": _cents(t["l_quantity"]),
-            "base_cents": _cents(pc.multiply(price, 100.0)),
-            "disc_cents": _cents(pc.multiply(pc.multiply(
+            "qty": arrow_round_away(t["l_quantity"]),
+            "base_cents": arrow_round_away(pc.multiply(price, 100.0)),
+            "disc_cents": arrow_round_away(pc.multiply(pc.multiply(
                 price, pc.subtract(1.0, t["l_discount"])), 100.0)),
         })
 
@@ -324,10 +321,10 @@ def top_customers(sf_dir: str) -> "ray.data.Dataset":
 
     ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
+    from zeeklog_ray.relational import arrow_round_away
+
     def prep(batch: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(batch["o_totalprice"], 100.0),
-                                 round_mode="half_towards_infinity"),
-                        pa.int64())
+        cents = arrow_round_away(pc.multiply(batch["o_totalprice"], 100.0))
         return pa.table({"o_custkey": batch["o_custkey"],
                          "total_cents": cents})
 

@@ -195,6 +195,10 @@ def build_bloom(keys: pd.Series | np.ndarray, n_bits: int = 1 << 20,
     need tens of GB."""
     s = keys if isinstance(keys, pd.Series) else pd.Series(keys)
     h1, h2 = _bloom_hashes(s)
+    # round UP to a byte multiple: bloom_contains recovers the modulus as
+    # len(bits)*8, so a non-multiple n_bits would probe a DIFFERENT modulus
+    # than the build (silent false negatives) or index past the last byte
+    n_bits = (n_bits + 7) & ~7
     bits = np.zeros(n_bits // 8, dtype=np.uint8)
     for i in range(k_hashes):
         idx = ((h1 + np.uint64(i) * h2) % np.uint64(n_bits)).astype(np.int64)
@@ -233,13 +237,26 @@ def bloom_semi_filter(ds: "ray.data.Dataset", keys: pd.Series | np.ndarray,
     return ds.map_batches(keep, batch_format="pandas", batch_size=None)
 
 
+def arrow_round_away(x) -> "pa.Array":
+    """Half-away-from-zero round → int64 — DuckDB's ROUND semantics.
+
+    Arrow's (and numpy's) default is half-to-even, which diverges from the
+    oracle on exact .5 products; every Arrow-side cents/qty conversion must
+    go through this helper (pandas-side twin: queries._round_half_away)."""
+    import pyarrow.compute as pc
+
+    return pc.cast(pc.round(x, round_mode="half_towards_infinity"),
+                   pa.int64())
+
+
 def to_cents(batch: pa.Table, cols: dict[str, str]) -> pa.Table:
-    """Append integer-cent columns: for each src→dst, dst = round(src*100)."""
+    """Append integer-cent columns: for each src→dst, dst = round(src*100)
+    half away from zero (oracle ROUND parity)."""
     import pyarrow.compute as pc
 
     for src, dst in cols.items():
-        cents = pc.round(pc.multiply(batch[src], pa.scalar(100.0)))
-        batch = batch.append_column(dst, pc.cast(cents, pa.int64()))
+        batch = batch.append_column(
+            dst, arrow_round_away(pc.multiply(batch[src], pa.scalar(100.0))))
     return batch
 
 
