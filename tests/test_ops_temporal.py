@@ -131,6 +131,68 @@ def test_asof_join_name_collision_stable_schema(ray_session, nb):
     assert pd.isna(got.loc[5, "val_r"]) and got.loc[5, "val"] == -5
 
 
+def _range_frames():
+    left = pd.DataFrame({"user_id": ["a", "a", "a", "b"],
+                         "ts": pd.to_datetime(["2024-01-01 10:00",
+                                               "2024-01-01 11:30",
+                                               "2024-01-01 14:00",
+                                               "2024-01-01 10:00"]),
+                         "event_id": [1, 2, 3, 4]})
+    right = pd.DataFrame({"user_id": ["a", "a", "b"],
+                          "t0": pd.to_datetime(["2024-01-01 09:00",
+                                                "2024-01-01 11:00",
+                                                "2024-01-01 12:00"]),
+                          "t1": pd.to_datetime(["2024-01-01 12:00",
+                                                "2024-01-01 15:00",
+                                                "2024-01-01 13:00"]),
+                          "tag": ["x", "y", "z"]})
+    return left, right
+
+
+@pytest.mark.parametrize("nb", BUCKETS)
+def test_range_join_overlapping_intervals_multiply(ray_session, nb):
+    from zeeklog_ray.ops.sessionize import range_join
+
+    left, right = _range_frames()
+    out = range_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                     key="user_id", ts="ts", start="t0", end="t1",
+                     right_cols=["tag"], num_buckets=nb).to_pandas()
+    got = sorted(zip(out["event_id"], out["tag"]))
+    # e1 10:00 ∈ [9,12] only; e2 11:30 ∈ both 'a' intervals; e3 14:00 ∈
+    # [11,15]; e4 (b, 10:00) ∉ [12,13]
+    assert got == [(1, "x"), (2, "x"), (2, "y"), (3, "y")]
+
+
+@pytest.mark.parametrize("nb", BUCKETS)
+def test_range_join_nulls_dropped(ray_session, nb):
+    from zeeklog_ray.ops.sessionize import range_join
+
+    left, right = _range_frames()
+    left = pd.concat([left, pd.DataFrame({
+        "user_id": ["a"], "ts": [pd.NaT], "event_id": [9]})],
+        ignore_index=True)
+    right = pd.concat([right, pd.DataFrame({
+        "user_id": ["a"], "t0": [pd.NaT],
+        "t1": [pd.Timestamp("2024-01-01 23:00")], "tag": ["bad"]})],
+        ignore_index=True)
+    out = range_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                     key="user_id", ts="ts", start="t0", end="t1",
+                     right_cols=["tag"], num_buckets=nb).to_pandas()
+    assert 9 not in set(out["event_id"])        # null-ts left row dropped
+    assert "bad" not in set(out["tag"])          # null-bound interval dropped
+
+
+def test_range_join_rejects_column_collision(ray_session):
+    from zeeklog_ray.ops.sessionize import range_join
+
+    left, right = _range_frames()
+    right = right.rename(columns={"tag": "event_id"})  # collides with left
+    with pytest.raises(ValueError, match="collide"):
+        range_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                   key="user_id", ts="ts", start="t0", end="t1",
+                   right_cols=["event_id"])
+
+
 def test_asof_join_rejects_key_in_right_cols(ray_session):
     left, right = _asof_frames()
     with pytest.raises(ValueError, match="right_cols"):

@@ -82,6 +82,62 @@ def session_counts(ds: "ray.data.Dataset", key: str = "user_id", ts: str = "ts",
                                                   batch_format="pandas")
 
 
+def range_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
+               key: str, ts: str, start: str, end: str,
+               right_cols: list[str] | None = None,
+               num_buckets: int = 1024) -> "ray.data.Dataset":
+    """Interval (range) join: every (left row, right interval) pair of the
+    same key with ``right.start <= left.ts <= right.end`` — INNER
+    semantics, one output row per containing interval (overlapping
+    intervals multiply).
+
+    Same co-partition shape as :func:`asof_join` (tagged union + one
+    key-hash-bucket shuffle); inside a bucket the containment test is one
+    C-level ``merge``-on-key + vectorized between-mask.  Partitioning
+    assumption: a key's rows × its intervals fit one task (salt by time
+    range first if a single key's cross-product exceeds worker memory —
+    intervals per key are usually few: sessions, campaigns, deployments).
+    Null keys/timestamps/bounds match nothing and are dropped (inner join).
+    """
+    right_cols = right_cols or []
+    lcols = list(left.schema().names)
+    bad = [c for c in [start, end] + right_cols if c in lcols]
+    if bad:
+        raise ValueError(
+            f"right columns {bad} collide with left columns — rename first")
+
+    def tag(side: str):
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.copy()
+            batch["_side"] = side
+            return batch
+
+        return f
+
+    both = left.map_batches(tag("L"), batch_format="pandas", batch_size=None) \
+        .union(right.map_batches(tag("R"), batch_format="pandas",
+                                 batch_size=None))
+    out_cols = lcols + [start, end] + right_cols
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        lg = group.loc[group["_side"] == "L",
+                       [c for c in lcols if c in group.columns]] \
+            .dropna(subset=[key, ts])
+        rg = group.loc[group["_side"] == "R",
+                       [c for c in [key, start, end] + right_cols
+                        if c in group.columns]] \
+            .dropna(subset=[key, start, end])
+        if lg.empty or rg.empty:
+            return pd.DataFrame(columns=out_cols)
+        m = lg.merge(rg, on=key, how="inner")
+        keep = (m[ts] >= m[start]) & (m[ts] <= m[end])
+        return m.loc[keep, out_cols]
+
+    bucketed = with_hash_bucket(both, key, num_buckets)
+    return bucketed.groupby("_bucket").map_groups(per_bucket,
+                                                  batch_format="pandas")
+
+
 def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
               key: str, ts: str, right_cols: list[str],
               suffix: str = "_r",

@@ -627,6 +627,33 @@ def purchase_prior_view(sf_dir: str) -> "ray.data.Dataset":
     return joined.map_batches(finish, batch_format="pandas", batch_size=None)
 
 
+def events_first_day(sf_dir: str) -> "ray.data.Dataset":
+    """Range (interval) join: per user, how many of their events fall
+    within 24 h of their FIRST event — per-user [t0, t0+24h] intervals
+    (bucketed grouped min) range-joined back to the event stream
+    (ops/sessionize.range_join), then a grouped count."""
+    from zeeklog_ray.ops.sessionize import range_join
+    from zeeklog_ray.relational import bucketed_group_min
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    first = bucketed_group_min(
+        ev.map_batches(lambda df: df[["user_id", "ts"]]
+                       .rename(columns={"ts": "t0"}),
+                       batch_format="pandas", batch_size=None),
+        "user_id", "t0")
+
+    def mk_interval(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["t_end"] = batch["t0"] + pd.Timedelta(hours=24)
+        return batch
+
+    intervals = first.map_batches(mk_interval, batch_format="pandas",
+                                  batch_size=None)
+    joined = range_join(ev, intervals, key="user_id", ts="ts",
+                        start="t0", end="t_end")
+    return grouped_sum(joined.select_columns(["user_id"]), ["user_id"],
+                       count_as="n_first_day")
+
+
 def ann_lsh_topk(sf_dir: str) -> pd.DataFrame:
     """LSH-bucketed approximate nearest neighbors (ops/similarity.py);
     recall vs brute force asserted in pytest."""
@@ -1003,6 +1030,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "embedding_near_dups": embedding_near_dups,
     "event_sessions": event_sessions,
     "purchase_prior_view": purchase_prior_view,
+    "events_first_day": events_first_day,
     "ann_lsh_topk": ann_lsh_topk,
     "media_features": media_features,
     "zeek_multiday_first_wins": zeek_multiday_first_wins,
@@ -1453,6 +1481,12 @@ ORACLE_SQL: dict[str, str] = {
         "FROM (SELECT * FROM events WHERE event_type = 'purchase') l "
         "ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') r "
         "ON l.user_id = r.user_id AND l.ts >= r.ts"),
+    "events_first_day": (
+        "SELECT e.user_id, CAST(COUNT(*) AS BIGINT) AS n_first_day "
+        "FROM events e JOIN (SELECT user_id, MIN(ts) AS t0 FROM events "
+        "GROUP BY user_id) f ON e.user_id = f.user_id "
+        "AND e.ts >= f.t0 AND e.ts <= f.t0 + INTERVAL 24 HOUR "
+        "GROUP BY e.user_id"),
     "salted_events_sum": (
         "SELECT event_type, CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) "
         "AS BIGINT) AS sum_value_cents FROM events GROUP BY event_type"),
