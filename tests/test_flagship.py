@@ -44,6 +44,26 @@ def test_flagship_output_layout_and_tokens(corpus_dir, corpus_frame, tmp_path):
     assert "geo_country_code" in back.columns and "service_name" in back.columns
 
 
+def test_flagship_zstd_compression(corpus_dir, tmp_path):
+    """--compression plumbs through the fused writer: files are real zstd
+    parquet and re-read transparently (codec is per-file metadata)."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    out = str(tmp_path / "routed_zstd")
+    cfg = PipelineConfig(corpus_dir=corpus_dir)
+    stats = run_flagship(cfg, out, compression="zstd")
+    files = glob.glob(f"{out}/sink=*/*.parquet")
+    assert files
+    meta = pq.ParquetFile(files[0]).metadata
+    codecs = {meta.row_group(0).column(i).compression
+              for i in range(meta.num_columns)}
+    assert codecs == {"ZSTD"}
+    assert ray.data.read_parquet(out).count() == int(stats["n"].sum())
+
+
 def test_flagship_ip_filter(corpus_dir):
     import tempfile
 

@@ -115,6 +115,27 @@ def test_routed_write_token_equality(corpus_dir, corpus_frame, oracle, tmp_path)
     assert got_tok == exp_tok
 
 
+def test_routed_write_zstd_roundtrip(corpus_dir, corpus_frame, tmp_path):
+    """compression='zstd' writes real zstd parquet (codec checked in the
+    column metadata) and the read side needs no flag — per-file codec."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    out = str(tmp_path / "routed_zstd")
+    ds = build_dataset(PipelineConfig(corpus_dir=corpus_dir))
+    route_to_sinks(ds, out, compression="zstd")
+    import glob
+
+    files = glob.glob(f"{out}/sink=*/*.parquet")
+    assert files
+    meta = pq.ParquetFile(files[0]).metadata
+    codecs = {meta.row_group(0).column(i).compression
+              for i in range(meta.num_columns)}
+    assert codecs == {"ZSTD"}
+    back = ray.data.read_parquet(out)
+    assert back.count() == len(corpus_frame)
+
+
 def test_enrichment_columns(corpus_dir, oracle):
     from zeeklog_ray.enrich import SERVICE_DICT, build_geo_dict
 

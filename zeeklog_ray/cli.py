@@ -56,6 +56,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--files-per-shard", type=int, default=8)
     p.add_argument("--num-cpus", type=int, default=None)
     p.add_argument("--ip-db", help="also write the distinct source-address list here")
+    p.add_argument("--compression", choices=("snappy", "zstd", "gzip"),
+                   default=None,
+                   help="routed-output Parquet codec (default: Arrow's"
+                        " snappy; zstd ~halves output bytes on token"
+                        " payloads — readers need no flag)")
     return p
 
 
@@ -120,7 +125,7 @@ def main(argv: list[str] | None = None) -> int:
     else:
         from zeeklog_ray.flagship import run_flagship
 
-        stats = run_flagship(cfg, args.out)
+        stats = run_flagship(cfg, args.out, compression=args.compression)
         report = {"mode": "flagship", "plan": cfg.plan(),
                   "rows_per_sink": dict(zip(stats["sink"], stats["n"].astype(int)))}
 

@@ -56,7 +56,8 @@ class FusedRouteWriter:
     batch's partial sink stats.  Enrichment dicts load once per actor."""
 
     def __init__(self, out_dir: str, src_ip: str | None = None,
-                 enrich: bool = True, source: str | None = None) -> None:
+                 enrich: bool = True, source: str | None = None,
+                 compression: str | None = None) -> None:
         from zeeklog_ray.sources import (
             EXTRACTED_COLUMNS,
             SOURCE_FIELDS,
@@ -64,6 +65,9 @@ class FusedRouteWriter:
         )
 
         self.out_dir = out_dir
+        # None → Arrow default (snappy); 'zstd' ~halves routed bytes on
+        # token payloads at modest encode cost (route_to_sinks docstring)
+        self.compression = compression
         self.enricher = Enricher() if enrich else None
         self.ip_pred = _ip_predicate(src_ip) if src_ip else None
         self.source = normalize_source(source) if source else None
@@ -106,9 +110,11 @@ class FusedRouteWriter:
                 # wide (28-source) schema and buys little on these short
                 # string columns; keep min/max stats only for the columns a
                 # downstream filter would actually push down on
+                wargs = ({"compression": self.compression}
+                         if self.compression else {})
                 pq.write_table(sub, os.path.join(d, f"part-{name_hint}.parquet"),
                                use_dictionary=False,
-                               write_statistics=_STATS_COLUMNS)
+                               write_statistics=_STATS_COLUMNS, **wargs)
         # parse_batch always appends 'sink', so this is valid for empty t too
         return self.combine(t.select(["sink", "n_tok"]))
 
@@ -149,17 +155,20 @@ _WORKER_CACHE: dict = {}
 
 
 def _file_route_task(batch: pa.Table, *, out_dir: str, src_ip: str | None,
-                     enrich: bool, source: str | None = None) -> pa.Table:
-    key = (out_dir, src_ip, enrich, source)
+                     enrich: bool, source: str | None = None,
+                     compression: str | None = None) -> pa.Table:
+    key = (out_dir, src_ip, enrich, source, compression)
     w = _WORKER_CACHE.get(key)
     if w is None:
         w = _WORKER_CACHE[key] = FileRouteWorker(out_dir=out_dir, src_ip=src_ip,
-                                                 enrich=enrich, source=source)
+                                                 enrich=enrich, source=source,
+                                                 compression=compression)
     return w(batch)
 
 
 def run_flagship(cfg: PipelineConfig, out_dir: str,
-                 concurrency: tuple[int, int] | None = None):
+                 concurrency: tuple[int, int] | None = None,
+                 compression: str | None = None):
     """One-pass flagship: returns the per-sink stats DataFrame after writing
     the routed Parquet output under ``out_dir``.
 
@@ -173,11 +182,12 @@ def run_flagship(cfg: PipelineConfig, out_dir: str,
 
     cfg.validate()
     shutil.rmtree(out_dir, ignore_errors=True)
-    return run_files(cfg, _date_dirs(cfg), out_dir, concurrency)
+    return run_files(cfg, _date_dirs(cfg), out_dir, concurrency, compression)
 
 
 def run_files(cfg: PipelineConfig, files: list[str], out_dir: str,
-              concurrency: tuple[int, int] | None = None):
+              concurrency: tuple[int, int] | None = None,
+              compression: str | None = None):
     """Fused flagship over an explicit fragment list (the unit the lineage
     shards use)."""
     import functools
@@ -190,7 +200,7 @@ def run_files(cfg: PipelineConfig, files: list[str], out_dir: str,
     paths = ray.data.from_items([{"path": f} for f in files],
                                 override_num_blocks=len(files))
     kwargs = {"out_dir": out_dir, "src_ip": cfg.src_ip, "enrich": cfg.enrich,
-              "source": cfg.source}
+              "source": cfg.source, "compression": compression}
     if concurrency is not None:  # explicit pool → actor-pool dispatch
         partial = paths.map_batches(
             FileRouteWorker, batch_format="pyarrow", batch_size=1,

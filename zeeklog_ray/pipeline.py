@@ -179,7 +179,8 @@ def _default_pool_size() -> tuple[int, int]:
 
 
 def route_to_sinks(ds: "ray.data.Dataset", out_dir: str,
-                   min_rows_per_file: int = 100_000) -> None:
+                   min_rows_per_file: int = 100_000,
+                   compression: str | None = None) -> None:
     """Fan-out router: one Parquet partition directory per sink.
 
     ``write_parquet(partition_cols=['sink'])`` writes ``sink=<s>/`` dirs —
@@ -191,6 +192,14 @@ def route_to_sinks(ds: "ray.data.Dataset", out_dir: str,
     task emits one file per block per sink and downstream readers pay a
     per-file task cost (505 tiny files for a 4M-row run — measured 20×
     slower to re-read at low parallelism).
-    """
+
+    ``compression`` passes through to the Parquet writer (``'zstd'`` /
+    ``'snappy'`` / ``'gzip'``; None = Arrow default snappy).  At 100 TB
+    the storage footprint, not the CPU, is usually the binding constraint
+    — zstd roughly halves routed-output bytes for token payloads at a
+    modest encode cost, and the READ side needs no flag (codec is
+    per-file metadata, so zstd and snappy outputs mix freely in one
+    corpus)."""
+    kwargs = {"compression": compression} if compression else {}
     ds.write_parquet(out_dir, partition_cols=["sink"],
-                     min_rows_per_file=min_rows_per_file)
+                     min_rows_per_file=min_rows_per_file, **kwargs)
