@@ -46,6 +46,22 @@ def test_heavy_hitters_lossy_regime_keeps_true_heavies(ray_session):
     assert got["n"].tolist() == [4_000, 4_000, 4_000]  # exact recount
 
 
+def test_exact_quantiles_matches_duckdb_disc(ray_session):
+    import duckdb
+
+    from zeeklog_ray.ops.sketch import exact_quantiles
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame({"v": rng.integers(0, 500, 10_001).astype("int64")})
+    qs = [0.0, 0.1, 0.5, 0.9, 0.99, 1.0]
+    got = exact_quantiles(ray.data.from_pandas(df).repartition(8), "v", qs)
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.sql("SELECT quantile_disc(v, "
+                  + str(qs) + ") FROM t").fetchone()[0]
+    assert got["value"].tolist() == list(exp)
+
+
 def test_bloom_no_false_negatives_and_low_fp():
     rng = np.random.default_rng(5)
     members = pd.Series(rng.choice(10_000_000, 20_000, replace=False))

@@ -71,6 +71,36 @@ def approx_distinct(ds: "ray.data.Dataset", col: str) -> int:
     return round(hll_estimate(merged))
 
 
+def exact_quantiles(ds: "ray.data.Dataset", col: str,
+                    qs: list[float]) -> pd.DataFrame:
+    """EXACT discrete quantiles via the value-histogram method: a
+    distributed grouped count per DISTINCT value (combiner-first — only
+    (value, count) rows cross the wire), then a driver-side sorted cumsum
+    picks the element at index ``ceil(q·n) - 1`` — bit-for-bit DuckDB
+    ``quantile_disc`` semantics (verified empirically: n=4 q=0.9 → 4th
+    element, n=10 q=0.99 → 10th).
+
+    Exactness without a global sort: correct for ANY input, but the driver
+    holds |distinct values| rows — the method for discretized measures
+    (cents, ports, durations-in-ms, token counts) where distinct ≪ rows;
+    10^12 rows of cents still collapse to ≤ ~10^7 histogram rows.  For
+    truly continuous high-cardinality columns use a mergeable sketch
+    instead (the HLL pattern above with a KLL/t-digest payload)."""
+    from zeeklog_ray.relational import grouped_sum
+
+    hist = grouped_sum(ds.select_columns([col]), [col],
+                       count_as="_n").to_pandas()
+    hist = hist.sort_values(col).reset_index(drop=True)
+    csum = hist["_n"].cumsum().to_numpy()
+    n = int(csum[-1])
+    rows = []
+    for q in qs:
+        idx = max(0, int(np.ceil(q * n)) - 1)        # 0-based rank
+        pos = int(np.searchsorted(csum, idx + 1, side="left"))
+        rows.append({"q": float(q), "value": hist[col].iloc[pos]})
+    return pd.DataFrame(rows)
+
+
 def heavy_hitters(ds: "ray.data.Dataset", col: str, k: int = 10,
                   capacity: int = 4096) -> pd.DataFrame:
     """Top-k most frequent values — the two-pass distributed heavy-hitter

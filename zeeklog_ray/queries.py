@@ -157,6 +157,32 @@ def zeek_hourly_sink_counts(sf_dir: str) -> "ray.data.Dataset":
     return grouped_sum(bucketed, ["sink", "hour_bucket"], count_as="n")
 
 
+def zeek_token_vocab(sf_dir: str) -> "ray.data.Dataset":
+    """Token-level vocabulary: top-20 token ids by total frequency across
+    the corpus — the vocabulary-stats pass a training pipeline runs over
+    pre-tokenized sequences.  Column-pruned read (tokens only), per-batch
+    ``np.bincount`` over the flattened list column (one C pass), partial
+    (token, n) rows → combiner-first grouped sum → tiny top-k."""
+    from zeeklog_ray.corpus import corpus_path_for_sf_dir  # noqa: F401
+
+    corpus = corpus_for_sf_dir(sf_dir)
+    ds = ray.data.read_parquet(corpus, columns=["tokens"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        toks = batch["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        bc = np.bincount(flat) if len(flat) else np.zeros(1, np.int64)
+        nz = np.flatnonzero(bc)
+        return pa.table({"token": pa.array(nz.astype(np.int64)),
+                         "n": pa.array(bc[nz].astype(np.int64))})
+
+    partials = ds.map_batches(counts, batch_format="pyarrow", batch_size=None)
+    summed = grouped_sum(partials, ["token"], sums={"n": "n"})
+    return top_k(summed, by=["n", "token"], descending=[True, False], k=20)
+
+
 def zeek_geo_summary(sf_dir: str) -> "ray.data.Dataset":
     """Distinct origin address + geo enrichment columns — the reference's
     summary map with IP2Location fields (zeek_log.rs:33-38, 416-458)."""
@@ -848,6 +874,25 @@ def event_heavy_hitters(sf_dir: str) -> pd.DataFrame:
                          "user_id", k=10, capacity=8192)
 
 
+_QUANTILE_QS = [0.1, 0.5, 0.9, 0.99]
+
+
+def event_value_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact p10/p50/p90/p99 of event value (cents) via the distributed
+    value-histogram method (ops/sketch.exact_quantiles) — no global sort,
+    only (value, count) rows cross the wire; DuckDB quantile_disc parity."""
+    from zeeklog_ray.ops.sketch import exact_quantiles
+
+    ev = read_table(sf_dir, "events", columns=["value"])
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"value_cents": _round_half_away(batch["value"] * 100)})
+
+    return exact_quantiles(ev.map_batches(prep, batch_format="pandas",
+                                          batch_size=None),
+                           "value_cents", _QUANTILE_QS)
+
+
 def building_orders_bloom(sf_dir: str) -> "ray.data.Dataset":
     """Bloom-pruned semi-join (relational.bloom_semi_filter): same result
     as building_segment_orders, but the broadcast is a 128 KB bitset (10
@@ -1001,6 +1046,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "zeek_geo_summary": zeek_geo_summary,
     "geo_ip_lookup": geo_ip_lookup,
     "zeek_hourly_sink_counts": zeek_hourly_sink_counts,
+    "zeek_token_vocab": zeek_token_vocab,
     "zeek_tsv_ingest": zeek_tsv_ingest,
     # oracle-checked relational/analytics operators
     "docs_by_source": docs_by_source,
@@ -1044,6 +1090,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "building_segment_orders": building_segment_orders,
     "building_orders_bloom": building_orders_bloom,
     "event_heavy_hitters": event_heavy_hitters,
+    "event_value_quantiles": event_value_quantiles,
     "customers_without_orders": customers_without_orders,
     "docs_sample_mod": docs_sample_mod,
     "top_orders_per_customer": top_orders_per_customer,
@@ -1163,6 +1210,11 @@ def _zeek_oracle_sql(sf_dir: str) -> dict[str, str]:
             f"UNION ALL SELECT 6, COUNT(*) FROM z WHERE date = '2024-07-02' AND source = 'dns' AND {ip_cond.format(ip=ip)} "
             f"UNION ALL SELECT 7, COUNT(*) FROM z WHERE date BETWEEN '2024-07-02' AND '2024-07-03' AND source = 'dns' AND {ip_cond.format(ip=ip)}"
             ") ORDER BY plan"),
+        "zeek_token_vocab": (
+            "SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM "
+            "(SELECT UNNEST(tokens) AS token FROM "
+            f"read_parquet('{corpus_glob}')) "
+            "GROUP BY token ORDER BY n DESC, token LIMIT 20"),
         "zeek_hourly_sink_counts": (
             z + "SELECT src AS sink, CAST(FLOOR(CAST(p[1] AS DOUBLE) / 3600) "
             "AS BIGINT) AS hour_bucket, COUNT(*) AS n FROM z "
@@ -1504,6 +1556,10 @@ ORACLE_SQL: dict[str, str] = {
     "event_heavy_hitters": (
         "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events "
         "GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10"),
+    "event_value_quantiles": (" UNION ALL ".join(
+        f"SELECT CAST({q} AS DOUBLE) AS q, "
+        f"quantile_disc(CAST(ROUND(value * 100) AS BIGINT), {q}) AS value "
+        "FROM events" for q in _QUANTILE_QS)),
     "customers_without_orders": (
         "SELECT c_custkey, c_name FROM customer "
         "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders "
