@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "zeek_sink_stats",
     "zeek_distinct_orig_h",
     "zeek_tsv_ingest",
+    "zeek_token_vocab",
     "lineitem_pricing",
     "events_hourly",
     "event_sliding_windows",
