@@ -78,6 +78,34 @@ def test_cli_end_to_end(corpus_dir, tmp_path):
     assert (out / "sink=conn").exists()
 
 
+def test_cli_zeek_tsv_resume(tmp_path):
+    """--input-format zeek-tsv --resume: sharded manifest run over a raw
+    log tree; second invocation is a no-op (everything committed)."""
+    from zeeklog_ray.zeektsv import write_zeek_log_gz
+
+    tree = str(tmp_path / "zeek")
+    line = "\t".join(["1719878400.5", "Cx", "1.2.3.4", "5", "9.8.7.6",
+                      "443", "tcp", "ssl", "1", "9"])
+    for date in ("2024-07-02", "2024-07-03"):
+        write_zeek_log_gz(
+            str(tmp_path / "zeek" / date / "conn.00:00:00-23:59:59.log.gz"),
+            "conn", [line, line])
+    out = str(tmp_path / "routed")
+    cmd = [sys.executable, "-m", "zeeklog_ray.cli", "--corpus", tree,
+           "--input-format", "zeek-tsv", "--resume", "--files-per-shard",
+           "1", "--out", out, "--num-cpus", "4"]
+    res = subprocess.run(cmd, capture_output=True, text=True,
+                         cwd="/root/repo", timeout=300)
+    assert res.returncode == 0, res.stderr[-2000:]
+    rep = json.loads(res.stdout.strip().splitlines()[-1])
+    assert rep["mode"] == "resume" and rep["new_shards"] == 2
+    assert rep["rows_per_sink_new"] == {"conn": 4}
+    res2 = subprocess.run(cmd, capture_output=True, text=True,
+                          cwd="/root/repo", timeout=300)
+    rep2 = json.loads(res2.stdout.strip().splitlines()[-1])
+    assert rep2["new_shards"] == 0               # fully committed → no-op
+
+
 def test_cli_lookup_ip_hit_and_miss():
     """Direct-IP mode (reference E3, main.rs:250-268): no --corpus/--out,
     no log scan — hit renders the 12-field record, miss an empty one."""

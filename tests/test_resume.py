@@ -32,6 +32,42 @@ def test_resume_no_duplicates(corpus_dir, corpus_frame, tmp_path):
     assert set(back["doc_id"]) == set(corpus_frame["doc_id"])
 
 
+def test_resume_zeek_tsv_no_duplicates(tmp_path):
+    """Raw .log.gz trees resume exactly like corpus shards: kill mid-run,
+    resume, full doc_id coverage with no duplicates (the native-input
+    lineage path, ZeekTsvRouteWorker)."""
+    from zeeklog_ray.zeektsv import write_zeek_log_gz
+
+    tree = str(tmp_path / "zeek")
+    lines = {"conn": ["\t".join(["1719878400.5", f"C{i}", "1.2.3.4", "5",
+                                 "9.8.7.6", "443", "tcp", "ssl", "1", "9"])
+                      for i in range(4)],
+             "dns": ["\t".join(["1719878401.0", f"D{i}", "4.3.2.1", "4",
+                                "8.8.8.8", "53", "q.example", "A", "NOERROR"])
+                     for i in range(3)]}
+    for date in ("2024-07-02", "2024-07-03"):
+        for proto, ls in lines.items():
+            write_zeek_log_gz(
+                os.path.join(tree, date, f"{proto}.00:00:00-23:59:59.log.gz"),
+                proto, ls)
+
+    out = str(tmp_path / "routed")
+    rr = ResumableRun(PipelineConfig(corpus_dir=tree), out,
+                      files_per_shard=1, input_format="zeek-tsv")
+    n_shards = len(rr.shards())
+    assert n_shards == 4
+    with pytest.raises(RuntimeError, match="simulated failure"):
+        rr.run(fail_after_shards=2)
+    assert len(committed_shards(out)) == 2
+    recs = rr.run()
+    assert len(recs) == n_shards - 2
+    back = rr.committed_output().to_pandas()
+    assert back["doc_id"].is_unique
+    assert len(back) == 14                      # 2 dates × (4 conn + 3 dns)
+    assert set(back["sink"]) == {"conn", "dns"}
+    assert set(back["hour_bucket"]) == {"00:00:00-23:59:59"}
+
+
 def test_manifest_covers_fragments_exactly_once(corpus_dir, tmp_path):
     out = str(tmp_path / "routed")
     rr = ResumableRun(PipelineConfig(corpus_dir=corpus_dir), out, files_per_shard=2)

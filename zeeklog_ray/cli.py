@@ -105,7 +105,7 @@ def main(argv: list[str] | None = None) -> int:
                          end_date=args.end_date, src_ip=args.src_ip,
                          source=args.source, enrich=args.enrich)
 
-    if args.input_format == "zeek-tsv":
+    if args.input_format == "zeek-tsv" and not args.resume:
         report = _run_zeek_tsv(cfg, corpus, args)
         print(json.dumps(report))
         ray.shutdown()
@@ -114,7 +114,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.resume:
         from zeeklog_ray.lineage import ResumableRun
 
-        rr = ResumableRun(cfg, args.out, files_per_shard=args.files_per_shard)
+        rr = ResumableRun(cfg, args.out, files_per_shard=args.files_per_shard,
+                          input_format=args.input_format,
+                          on_error=args.on_error)
         records = rr.run()
         rows = {}
         for rec in records:

@@ -80,8 +80,12 @@ class FusedRouteWriter:
         }
         self.drop_for_sink["none"] = list(EXTRACTED_COLUMNS)
 
-    def __call__(self, batch: pa.Table, name_hint: str | None = None) -> pa.Table:
-        t = parse_batch(batch)
+    def __call__(self, batch: pa.Table, name_hint: str | None = None,
+                 pre_parsed: bool = False) -> pa.Table:
+        # pre_parsed: the fragment loader already produced the parsed
+        # schema (e.g. the Zeek-TSV path, where header-driven extraction
+        # happens during decompress) — skip the token parse
+        t = batch if pre_parsed else parse_batch(batch)
         if self.source is not None:  # plan bit 2: source/proto filter
             t = t.filter(pc.equal(t["sink"], self.source))
         if self.ip_pred is not None:
@@ -134,15 +138,50 @@ class FileRouteWorker(FusedRouteWriter):
     still provides scheduling, backpressure and actor-pool state.
     """
 
+    #: subclass hook: fragment path → (table, is_pre_parsed)
+    def _load(self, path: str) -> tuple[pa.Table, bool]:
+        return pq.read_table(path, use_threads=False), False
+
     def __call__(self, batch: pa.Table) -> pa.Table:  # batch: path rows
         outs = []
         for path in batch["path"].to_pylist():
-            t = pq.read_table(path, use_threads=False)
+            t, pre_parsed = self._load(path)
             # deterministic per-fragment output name: <date-dir>-<file-stem>
             hint = (os.path.basename(os.path.dirname(path)) + "-"
                     + os.path.splitext(os.path.basename(path))[0])
-            outs.append(super().__call__(t, name_hint=hint))
+            outs.append(FusedRouteWriter.__call__(self, t, name_hint=hint,
+                                                  pre_parsed=pre_parsed))
         return pa.concat_tables(outs)
+
+
+class ZeekTsvRouteWorker(FileRouteWorker):
+    """The native-input twin of :class:`FileRouteWorker`: fragments are raw
+    Zeek ``.log.gz`` files — decompress + header sniff + header-driven
+    extraction (``zeektsv.parse_zeek_gz``) replaces the parquet read +
+    token parse; the same filters, enrichment, routed write and partial
+    stats apply unchanged.  This is what makes raw-log-tree ingestion
+    RESUMABLE: lineage shards over .log.gz file lists run through this
+    worker exactly like corpus shards run through FileRouteWorker."""
+
+    def __init__(self, *args, on_error: str = "raise", **kwargs) -> None:
+        super().__init__(*args, **kwargs)
+        if on_error not in ("raise", "skip"):
+            raise ValueError(on_error)
+        self.on_error = on_error
+
+    def _load(self, path: str) -> tuple[pa.Table, bool]:
+        from zeeklog_ray.zeektsv import _empty_table, parse_zeek_gz
+
+        try:
+            return parse_zeek_gz(path), True
+        except Exception:
+            if self.on_error == "raise":
+                raise
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "skipping unreadable zeek log %s", path, exc_info=True)
+            return _empty_table(), True
 
 
 # Per-worker-process singleton cache for task-based dispatch: task workers
@@ -156,13 +195,18 @@ _WORKER_CACHE: dict = {}
 
 def _file_route_task(batch: pa.Table, *, out_dir: str, src_ip: str | None,
                      enrich: bool, source: str | None = None,
-                     compression: str | None = None) -> pa.Table:
-    key = (out_dir, src_ip, enrich, source, compression)
+                     compression: str | None = None,
+                     input_format: str = "parquet",
+                     on_error: str = "raise") -> pa.Table:
+    key = (out_dir, src_ip, enrich, source, compression, input_format,
+           on_error)
     w = _WORKER_CACHE.get(key)
     if w is None:
-        w = _WORKER_CACHE[key] = FileRouteWorker(out_dir=out_dir, src_ip=src_ip,
-                                                 enrich=enrich, source=source,
-                                                 compression=compression)
+        kw = dict(out_dir=out_dir, src_ip=src_ip, enrich=enrich,
+                  source=source, compression=compression)
+        w = _WORKER_CACHE[key] = (
+            ZeekTsvRouteWorker(on_error=on_error, **kw)
+            if input_format == "zeek-tsv" else FileRouteWorker(**kw))
     return w(batch)
 
 
@@ -187,9 +231,11 @@ def run_flagship(cfg: PipelineConfig, out_dir: str,
 
 def run_files(cfg: PipelineConfig, files: list[str], out_dir: str,
               concurrency: tuple[int, int] | None = None,
-              compression: str | None = None):
+              compression: str | None = None,
+              input_format: str = "parquet", on_error: str = "raise"):
     """Fused flagship over an explicit fragment list (the unit the lineage
-    shards use)."""
+    shards use).  ``input_format='zeek-tsv'`` runs the same fused stage
+    over raw ``.log.gz`` fragments (ZeekTsvRouteWorker)."""
     import functools
 
     import ray
@@ -201,10 +247,16 @@ def run_files(cfg: PipelineConfig, files: list[str], out_dir: str,
                                 override_num_blocks=len(files))
     kwargs = {"out_dir": out_dir, "src_ip": cfg.src_ip, "enrich": cfg.enrich,
               "source": cfg.source, "compression": compression}
+    if input_format == "zeek-tsv":
+        kwargs.update(input_format="zeek-tsv", on_error=on_error)
     if concurrency is not None:  # explicit pool → actor-pool dispatch
+        cls = (ZeekTsvRouteWorker if input_format == "zeek-tsv"
+               else FileRouteWorker)
+        actor_kwargs = {k: v for k, v in kwargs.items()
+                        if k != "input_format"}
         partial = paths.map_batches(
-            FileRouteWorker, batch_format="pyarrow", batch_size=1,
-            concurrency=concurrency, fn_constructor_kwargs=kwargs)
+            cls, batch_format="pyarrow", batch_size=1,
+            concurrency=concurrency, fn_constructor_kwargs=actor_kwargs)
     else:  # default: task dispatch on prestarted workers, state module-cached
         partial = paths.map_batches(
             functools.partial(_file_route_task, **kwargs),
