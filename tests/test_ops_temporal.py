@@ -7,6 +7,7 @@ the forced single-bucket run exercises the multi-key-per-bucket logic
 pattern introduced.
 """
 
+import numpy as np
 import pandas as pd
 import pytest
 import ray.data
@@ -180,6 +181,30 @@ def test_range_join_nulls_dropped(ray_session, nb):
                      right_cols=["tag"], num_buckets=nb).to_pandas()
     assert 9 not in set(out["event_id"])        # null-ts left row dropped
     assert "bad" not in set(out["tag"])          # null-bound interval dropped
+
+
+@pytest.mark.parametrize("nb", BUCKETS + [7])
+def test_range_join_right_only_key_and_int_dtypes(ray_session, nb):
+    """A right-side key with NO left rows must not crash (its bucket block
+    lacks the left columns entirely — regression: dropna-by-column raised
+    KeyError), and integer left ids above 2^53 must survive the union's
+    float64 null-fill (regression: silent float round-trip)."""
+    from zeeklog_ray.ops.sessionize import range_join
+
+    big = (1 << 53) + 1
+    left = pd.DataFrame({"user_id": ["a"],
+                         "ts": pd.to_datetime(["2024-01-01 10:00"]),
+                         "event_id": np.array([big], dtype=np.int64)})
+    right = pd.DataFrame({"user_id": ["a", "zero-events"],
+                          "t0": pd.to_datetime(["2024-01-01 09:00"] * 2),
+                          "t1": pd.to_datetime(["2024-01-01 11:00"] * 2),
+                          "tag": ["x", "y"]})
+    out = range_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                     key="user_id", ts="ts", start="t0", end="t1",
+                     right_cols=["tag"], num_buckets=nb).to_pandas()
+    assert out["event_id"].dtype == np.int64
+    assert out["event_id"].tolist() == [big]    # exact, not float-rounded
+    assert out["tag"].tolist() == ["x"]
 
 
 def test_range_join_rejects_column_collision(ray_session):

@@ -62,6 +62,19 @@ def test_exact_quantiles_matches_duckdb_disc(ray_session):
     assert got["value"].tolist() == list(exp)
 
 
+def test_exact_quantiles_ignores_nulls_like_quantile_disc(ray_session):
+    """Nulls must not enter the histogram (regression: the null group
+    inflated n and returned NaN); all-null input yields null values."""
+    from zeeklog_ray.ops.sketch import exact_quantiles
+
+    df = pd.DataFrame({"v": [1.0, 2.0, 3.0, None, None, None, None]})
+    got = exact_quantiles(ray.data.from_pandas(df), "v", [0.5, 0.9, 1.0])
+    assert got["value"].tolist() == [2.0, 3.0, 3.0]   # DuckDB quantile_disc
+    allnull = pd.DataFrame({"v": [None, None]}, dtype="float64")
+    got2 = exact_quantiles(ray.data.from_pandas(allnull), "v", [0.5])
+    assert got2["value"].isna().all()
+
+
 def test_bloom_no_false_negatives_and_low_fp():
     rng = np.random.default_rng(5)
     members = pd.Series(rng.choice(10_000_000, 20_000, replace=False))

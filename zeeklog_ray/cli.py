@@ -116,7 +116,8 @@ def main(argv: list[str] | None = None) -> int:
 
         rr = ResumableRun(cfg, args.out, files_per_shard=args.files_per_shard,
                           input_format=args.input_format,
-                          on_error=args.on_error)
+                          on_error=args.on_error,
+                          compression=args.compression)
         records = rr.run()
         rows = {}
         for rec in records:
@@ -133,10 +134,16 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.ip_db:
         from zeeklog_ray.aggregate import distinct_column
-        from zeeklog_ray.pipeline import build_dataset
 
-        ips = sorted(distinct_column(build_dataset(cfg), "id_orig_h")
-                     .to_pandas()["id_orig_h"])
+        if args.input_format == "zeek-tsv":
+            # the corpus is a raw log tree — reading it as parquet crashes
+            ds = _tsv_dataset(cfg, corpus, args)
+        else:
+            from zeeklog_ray.pipeline import build_dataset
+
+            ds = build_dataset(cfg)
+        ips = sorted(distinct_column(ds, "id_orig_h")
+                     .to_pandas()["id_orig_h"].dropna())
         with open(args.ip_db, "w") as f:
             f.write("\n".join(ips) + "\n")
         report["ip_db"] = {"path": args.ip_db, "n_ips": len(ips)}
@@ -144,6 +151,18 @@ def main(argv: list[str] | None = None) -> int:
     print(json.dumps(report))
     ray.shutdown()
     return 0
+
+
+def _tsv_dataset(cfg, base_dir: str, args):
+    """Date-pruned raw-log-tree Dataset (parquet-path `_date_dirs`
+    semantics via select_zeek_files)."""
+    import os as _os
+
+    from zeeklog_ray.zeektsv import read_zeek_logs, select_zeek_files
+
+    files = select_zeek_files(base_dir, cfg.start_date, cfg.end_date)
+    dates = sorted({_os.path.basename(_os.path.dirname(f)) for f in files})
+    return read_zeek_logs(base_dir, dates=dates, on_error=args.on_error)
 
 
 def _run_zeek_tsv(cfg, base_dir: str, args) -> dict:
@@ -156,7 +175,6 @@ def _run_zeek_tsv(cfg, base_dir: str, args) -> dict:
     import ray
 
     from zeeklog_ray.aggregate import grouped_stats
-    from zeeklog_ray.compat import date_range
     from zeeklog_ray.enrich import Enricher
     from zeeklog_ray.pipeline import (
         _default_pool_size,
@@ -164,11 +182,8 @@ def _run_zeek_tsv(cfg, base_dir: str, args) -> dict:
         route_to_sinks,
     )
     from zeeklog_ray.sources import normalize_source
-    from zeeklog_ray.zeektsv import read_zeek_logs
 
-    dates = (date_range(cfg.start_date, cfg.end_date or cfg.start_date)
-             if cfg.start_date else None)
-    ds = read_zeek_logs(base_dir, dates=dates, on_error=args.on_error)
+    ds = _tsv_dataset(cfg, base_dir, args)
     if cfg.source:
         want = normalize_source(cfg.source)
 
@@ -186,7 +201,7 @@ def _run_zeek_tsv(cfg, base_dir: str, args) -> dict:
         ds = ds.map_batches(Enricher, batch_format="pyarrow", batch_size=None,
                             concurrency=_default_pool_size())
     shutil.rmtree(args.out, ignore_errors=True)   # replace, never accumulate
-    route_to_sinks(ds, args.out)
+    route_to_sinks(ds, args.out, compression=args.compression)
     import glob as _glob
     import os as _os
 

@@ -198,8 +198,11 @@ def _file_route_task(batch: pa.Table, *, out_dir: str, src_ip: str | None,
                      compression: str | None = None,
                      input_format: str = "parquet",
                      on_error: str = "raise") -> pa.Table:
-    key = (out_dir, src_ip, enrich, source, compression, input_format,
-           on_error)
+    # key EXCLUDES out_dir: resumable runs use a fresh shard_out per shard,
+    # and keying on it would accumulate one full worker state (Enricher geo
+    # dict included) per shard per worker process — out_dir is plain config,
+    # re-pointed per call on the cached worker instead
+    key = (src_ip, enrich, source, compression, input_format, on_error)
     w = _WORKER_CACHE.get(key)
     if w is None:
         kw = dict(out_dir=out_dir, src_ip=src_ip, enrich=enrich,
@@ -207,6 +210,7 @@ def _file_route_task(batch: pa.Table, *, out_dir: str, src_ip: str | None,
         w = _WORKER_CACHE[key] = (
             ZeekTsvRouteWorker(on_error=on_error, **kw)
             if input_format == "zeek-tsv" else FileRouteWorker(**kw))
+    w.out_dir = out_dir
     return w(batch)
 
 

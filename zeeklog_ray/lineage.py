@@ -98,23 +98,18 @@ class ResumableRun:
     #: both shard over fragment files and share the manifest protocol
     input_format: str = "parquet"
     on_error: str = "raise"          # zeek-tsv only: skip unreadable files
+    compression: str | None = None   # routed-output Parquet codec
 
     def shards(self) -> list[list[str]]:
         """Shard the fragments SELECTED BY THE CONFIG (date-range pruning
         included), not the whole corpus."""
         if self.input_format == "zeek-tsv":
-            import os as _os
+            from zeeklog_ray.zeektsv import select_zeek_files
 
-            from zeeklog_ray.compat import date_range
-            from zeeklog_ray.zeektsv import list_zeek_files
-
-            files = list_zeek_files(self.cfg.corpus_dir)
-            if self.cfg.start_date:
-                keep = set(date_range(self.cfg.start_date,
-                                      self.cfg.end_date or self.cfg.start_date))
-                files = [f for f in files
-                         if _os.path.basename(_os.path.dirname(f)) in keep]
-            return make_shards(files, self.files_per_shard)
+            return make_shards(
+                select_zeek_files(self.cfg.corpus_dir, self.cfg.start_date,
+                                  self.cfg.end_date),
+                self.files_per_shard)
         from zeeklog_ray.pipeline import _date_dirs
 
         return make_shards(_date_dirs(self.cfg), self.files_per_shard)
@@ -137,6 +132,7 @@ class ResumableRun:
             corpus_dir=self.cfg.corpus_dir, src_ip=self.cfg.src_ip,
             source=self.cfg.source, enrich=self.cfg.enrich)
         stats = run_files(shard_cfg, files, shard_out,
+                          compression=self.compression,
                           input_format=self.input_format,
                           on_error=self.on_error)
         out_bytes = sum(os.path.getsize(p) for p in

@@ -100,15 +100,52 @@ def range_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     Null keys/timestamps/bounds match nothing and are dropped (inner join).
     """
     right_cols = right_cols or []
-    lcols = list(left.schema().names)
+    lschema = left.schema()
+    lcols = list(lschema.names)
     bad = [c for c in [start, end] + right_cols if c in lcols]
     if bad:
         raise ValueError(
             f"right columns {bad} collide with left columns — rename first")
+    # the tagged union null-fills each side's columns on the other side's
+    # rows — a numpy int64 column would promote to float64 for the WHOLE
+    # block, silently rounding ids above 2^53.  Carry integer columns as
+    # pandas NULLABLE Int dtypes through the union (null-fill keeps them
+    # exact — verified: 2^53+1 survives concat) and cast back to numpy
+    # int on the way out (matched rows are never null there).
+    import numpy as _np
+    import pyarrow as _pa
+
+    def _int_dtype(typ):
+        # Dataset.schema() carries Arrow types for Arrow blocks but
+        # numpy/python types for pandas blocks — handle both; normalize to
+        # an np.dtype instance (to_pandas_dtype returns the scalar CLASS)
+        if isinstance(typ, _pa.DataType):
+            return (_np.dtype(typ.to_pandas_dtype())
+                    if _pa.types.is_integer(typ) else None)
+        try:
+            return _np.dtype(typ) if _np.issubdtype(typ, _np.integer) else None
+        except TypeError:
+            return None
+
+    int_casts = {}
+    out_cols_set = set(lcols + [start, end] + right_cols)
+    for sch in (lschema, right.schema()):
+        for name, typ in zip(sch.names, sch.types):
+            dt = _int_dtype(typ)
+            if dt is not None and name in out_cols_set:
+                int_casts[name] = dt
+    # numpy int dtype → pandas nullable twin (same width, NA-safe)
+    _nullable = {"int8": "Int8", "int16": "Int16", "int32": "Int32",
+                 "int64": "Int64", "uint8": "UInt8", "uint16": "UInt16",
+                 "uint32": "UInt32", "uint64": "UInt64"}
+    nullable_casts = {c: _nullable[str(dt)] for c, dt in int_casts.items()}
 
     def tag(side: str):
         def f(batch: pd.DataFrame) -> pd.DataFrame:
             batch = batch.copy()
+            for c, dt in nullable_casts.items():
+                if c in batch.columns:
+                    batch[c] = batch[c].astype(dt)
             batch["_side"] = side
             return batch
 
@@ -120,18 +157,24 @@ def range_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     out_cols = lcols + [start, end] + right_cols
 
     def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        # select each side's KNOWN columns and bail on an empty side BEFORE
+        # any dropna — a bucket holding only one side's rows lacks the
+        # other side's columns entirely (the asof_join lesson: never
+        # dropna-by-column on a possibly-single-sided block)
         lg = group.loc[group["_side"] == "L",
-                       [c for c in lcols if c in group.columns]] \
-            .dropna(subset=[key, ts])
+                       [c for c in lcols if c in group.columns]]
         rg = group.loc[group["_side"] == "R",
                        [c for c in [key, start, end] + right_cols
-                        if c in group.columns]] \
-            .dropna(subset=[key, start, end])
+                        if c in group.columns]]
         if lg.empty or rg.empty:
-            return pd.DataFrame(columns=out_cols)
+            return pd.DataFrame(columns=out_cols).astype(int_casts)
+        lg = lg.dropna(subset=[key, ts])
+        rg = rg.dropna(subset=[key, start, end])
+        if lg.empty or rg.empty:
+            return pd.DataFrame(columns=out_cols).astype(int_casts)
         m = lg.merge(rg, on=key, how="inner")
         keep = (m[ts] >= m[start]) & (m[ts] <= m[end])
-        return m.loc[keep, out_cols]
+        return m.loc[keep, out_cols].astype(int_casts)
 
     bucketed = with_hash_bucket(both, key, num_buckets)
     return bucketed.groupby("_bucket").map_groups(per_bucket,

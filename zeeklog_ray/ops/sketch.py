@@ -90,7 +90,13 @@ def exact_quantiles(ds: "ray.data.Dataset", col: str,
 
     hist = grouped_sum(ds.select_columns([col]), [col],
                        count_as="_n").to_pandas()
-    hist = hist.sort_values(col).reset_index(drop=True)
+    # quantile_disc IGNORES nulls: the distributed histogram keeps a null
+    # group (grouped_sum counts dropna=False) — drop it here, and an
+    # all-null/empty input yields null quantiles like the SQL aggregate
+    hist = hist.dropna(subset=[col]).sort_values(col).reset_index(drop=True)
+    if hist.empty:
+        return pd.DataFrame({"q": [float(q) for q in qs],
+                             "value": [None] * len(qs)})
     csum = hist["_n"].cumsum().to_numpy()
     n = int(csum[-1])
     rows = []

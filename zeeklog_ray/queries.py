@@ -163,8 +163,6 @@ def zeek_token_vocab(sf_dir: str) -> "ray.data.Dataset":
     pre-tokenized sequences.  Column-pruned read (tokens only), per-batch
     ``np.bincount`` over the flattened list column (one C pass), partial
     (token, n) rows → combiner-first grouped sum → tiny top-k."""
-    from zeeklog_ray.corpus import corpus_path_for_sf_dir  # noqa: F401
-
     corpus = corpus_for_sf_dir(sf_dir)
     ds = ray.data.read_parquet(corpus, columns=["tokens"])
 

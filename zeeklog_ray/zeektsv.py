@@ -174,6 +174,32 @@ def list_zeek_files(base_dir: str) -> list[str]:
     return sorted(glob.glob(os.path.join(base_dir, "*", "*.log.gz")))
 
 
+def select_zeek_files(base_dir: str, start_date: str | None = None,
+                      end_date: str | None = None) -> list[str]:
+    """Date-pruned fragment selection over a raw log tree with EXACTLY the
+    parquet path's ``_date_dirs`` semantics (zeek_log.rs:367-383): no dates
+    → everything; end-only (plan 1) → every date ≤ end; a start date with
+    no matching directory raises ``SearchInvalidStartDate`` instead of
+    silently selecting nothing."""
+    from zeeklog_ray.pipeline import SearchInvalidStartDate
+
+    files = list_zeek_files(base_dir)
+    if not files:
+        raise FileNotFoundError(f"no .log.gz files under {base_dir!r}")
+
+    def d(f: str) -> str:
+        return os.path.basename(os.path.dirname(f))
+
+    if start_date is None and end_date is None:
+        return files
+    if start_date is None:
+        return [f for f in files if d(f) <= end_date]
+    if start_date not in {d(f) for f in files}:
+        raise SearchInvalidStartDate(f"no partition for {start_date!r}")
+    hi = end_date or start_date
+    return [f for f in files if start_date <= d(f) <= hi]
+
+
 def read_zeek_logs(base_dir: str, dates: list[str] | None = None,
                    on_error: str = "raise") -> "ray.data.Dataset":
     """Dataset over a Zeek log directory tree — one read task per file
