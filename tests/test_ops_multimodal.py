@@ -12,9 +12,12 @@ from zeeklog_ray.ops.multimodal import (
     MediaFeatureExtractor,
     audio_features,
     decode_bmp,
+    decode_image,
+    decode_png,
     decode_video,
     decode_wav,
     encode_bmp,
+    encode_png,
     encode_video,
     encode_wav,
     extract_features,
@@ -33,6 +36,83 @@ def test_bmp_roundtrip():
     for h, w in [(1, 1), (3, 5), (16, 9), (7, 4)]:   # odd widths hit row pad
         px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
         assert np.array_equal(decode_bmp(encode_bmp(px)), px), (h, w)
+
+
+def test_png_roundtrip():
+    rng = np.random.default_rng(4)
+    for h, w in [(1, 1), (3, 5), (16, 9), (32, 32)]:
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(px)).reshape(h, w, 3), px)
+
+
+def test_png_unfilters_all_filter_types():
+    """Hand-filter scanlines with every PNG filter (None/Sub/Up/Average/
+    Paeth per the spec formulas) and check the decoder reconstructs the
+    original pixels — our encoder only emits filter 0, so this is the
+    real-world-PNG path."""
+    import struct
+    import zlib
+
+    from zeeklog_ray.ops.multimodal import _PNG_SIG, _png_chunk
+
+    rng = np.random.default_rng(6)
+    h, w, bpp = 5, 7, 3
+    px = rng.integers(0, 256, (h, w, bpp), dtype=np.uint8)
+    flat = px.reshape(h, w * bpp).astype(np.int64)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa_ <= pb and pa_ <= pc_) else (b if pb <= pc_ else c)
+
+    raw = bytearray()
+    filters = [0, 1, 2, 3, 4]
+    for y, f in enumerate(filters):
+        line = flat[y]
+        prev = flat[y - 1] if y else np.zeros(w * bpp, np.int64)
+        out = np.zeros(w * bpp, np.int64)
+        for x in range(w * bpp):
+            a = line[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            if f == 0:
+                out[x] = line[x]
+            elif f == 1:
+                out[x] = line[x] - a
+            elif f == 2:
+                out[x] = line[x] - b
+            elif f == 3:
+                out[x] = line[x] - (a + b) // 2
+            else:
+                out[x] = line[x] - paeth(a, b, c)
+        raw.append(f)
+        raw.extend((out % 256).astype(np.uint8).tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    payload = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+               + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+               + _png_chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(payload), px)
+
+
+def test_png_gray_and_rgba_supported():
+    import struct
+    import zlib
+
+    from zeeklog_ray.ops.multimodal import _PNG_SIG, _png_chunk
+
+    rng = np.random.default_rng(10)
+    for color, ch in ((0, 1), (6, 4)):
+        h, w = 4, 3
+        px = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+        raw = np.zeros((h, 1 + w * ch), dtype=np.uint8)
+        raw[:, 1:] = px.reshape(h, w * ch)
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+        payload = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+                   + _png_chunk(b"IDAT", zlib.compress(raw.tobytes()))
+                   + _png_chunk(b"IEND", b""))
+        assert np.array_equal(decode_png(payload), px)
+        dec = decode_image(payload)                 # feature entry point
+        assert dec.shape == (h, w, 3)
 
 
 def test_wav_roundtrip():
@@ -133,8 +213,9 @@ def test_synth_table_schema_and_payloads_decode():
                                   t["meta"].to_pylist()):
         m = json.loads(meta)
         if mod == "image":
-            px = decode_bmp(payload)
+            px = decode_image(payload)              # sniffs PNG vs BMP
             assert px.shape == (m["height"], m["width"], 3)
+            assert m["format"] in ("png", "bmp")
         elif mod == "audio":
             rate, samples = decode_wav(payload)
             assert rate == m["sample_rate"] and samples.size == m["n_samples"]

@@ -5,7 +5,9 @@ Three decoder tiers:
 
 ``numpy`` (default)
     Real, dependency-free decoders written against the PUBLIC file-format
-    specs: uncompressed 24-bit BMP (BITMAPINFOHEADER), PCM-16 mono RIFF/WAVE
+    specs: PNG (RFC 2083 — chunk walk, stdlib-zlib inflate, scanline
+    unfiltering incl. Sub/Up/Average/Paeth; a genuinely COMPRESSED format),
+    uncompressed 24-bit BMP (BITMAPINFOHEADER), PCM-16 mono RIFF/WAVE
     (chunk walk, not fixed offsets), and a minimal raw-RGB video container
     (``RVID`` magic + frame dims + concatenated frames) standing in for a
     codec'd stream.  Features are real signal statistics (dims/channel
@@ -91,6 +93,109 @@ def decode_bmp(payload: bytes) -> np.ndarray:
                          count=stride * h, offset=offset)
     bgr = data.reshape(h, stride)[:, :row].reshape(h, w, 3)
     return bgr[::-1, :, ::-1].copy()                 # top-down, RGB
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """HxWx3 uint8 RGB -> real PNG (8-bit truecolor, filter 0 scanlines,
+    one zlib IDAT) — a DEFLATE-compressed format encoded with only numpy +
+    stdlib zlib, per the public PNG spec (RFC 2083)."""
+    import zlib
+
+    h, w, c = pixels.shape
+    if c != 3 or pixels.dtype != np.uint8:
+        raise ValueError("encode_png expects HxWx3 uint8")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)   # 8-bit, RGB
+    raw = np.zeros((h, 1 + w * 3), dtype=np.uint8)
+    raw[:, 1:] = pixels.reshape(h, w * 3)                 # filter byte 0
+    idat = zlib.compress(raw.tobytes(), 6)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", idat) + _png_chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG -> HxWxC uint8 (C = 1 gray / 3 RGB / 4 RGBA): chunk walk,
+    zlib-inflate the IDAT stream, un-apply the per-scanline filters.
+    Supports 8-bit non-interlaced gray/RGB/RGBA — the common cases; the
+    None/Sub/Up filters unfilter fully vectorized (Sub is a per-channel
+    cumsum mod 256), Average/Paeth fall back to a per-pixel row loop."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, ihdr = 8, b"", None
+    while pos + 8 <= len(payload):
+        (size,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + size]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size                                  # len+type+crc
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 6: 4}.get(color)
+    if depth != 8 or channels is None or interlace != 0:
+        raise ValueError(f"only 8-bit non-interlaced gray/RGB/RGBA "
+                         f"supported (depth={depth}, color={color})")
+    stride = w * channels
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    raw = raw.reshape(h, 1 + stride)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels
+    for y in range(h):
+        f, line = int(raw[y, 0]), raw[y, 1:].astype(np.int64)
+        up = out[y - 1].astype(np.int64) if y else np.zeros(stride, np.int64)
+        if f == 0:                                        # None
+            rec = line
+        elif f == 1:                                      # Sub: cumsum/chan
+            rec = line.copy()
+            for ch in range(bpp):
+                rec[ch::bpp] = np.cumsum(line[ch::bpp])
+        elif f == 2:                                      # Up
+            rec = line + up
+        elif f in (3, 4):                                 # Average / Paeth
+            rec = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                a = rec[x - bpp] % 256 if x >= bpp else 0
+                b = up[x]
+                if f == 3:
+                    rec[x] = line[x] + (a + b) // 2
+                else:
+                    cc = out[y - 1, x - bpp] if (y and x >= bpp) else 0
+                    p = a + b - cc
+                    pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if (pa_ <= pb and pa_ <= pc_) else \
+                        (b if pb <= pc_ else cc)
+                    rec[x] = line[x] + pred
+        else:
+            raise ValueError(f"bad filter byte {f}")
+        out[y] = (rec % 256).astype(np.uint8)
+    return out.reshape(h, w, channels)
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Format-sniffing image decode (PNG signature / BMP magic) → HxWxC
+    uint8; the single entry point the feature extractor uses."""
+    if payload[:8] == _PNG_SIG:
+        px = decode_png(payload)
+        if px.shape[2] == 1:                 # gray → RGB for the features
+            px = np.repeat(px, 3, axis=2)
+        return px[:, :, :3]                  # drop alpha for the features
+    return decode_bmp(payload)
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
@@ -232,7 +337,7 @@ def media_parquet_path(sf_dir: str) -> str:
     from zeeklog_ray.corpus import _CACHE_ROOT
 
     return os.path.join(_CACHE_ROOT,
-                        f"media-v1-n{_media_n_for_sf_dir(sf_dir)}.parquet")
+                        f"media-v2-n{_media_n_for_sf_dir(sf_dir)}.parquet")
 
 
 def media_parquet_for_sf_dir(sf_dir: str) -> str:
@@ -264,8 +369,12 @@ def synth_media_table(n: int, seed: int = 7) -> pa.Table:
         mod = ("image", "audio", "video")[int(rng.integers(0, 3))]
         if mod == "image":
             h, w = (int(v) for v in rng.integers(8, 33, 2))
-            payload = encode_bmp(rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
-            meta = {"width": w, "height": h, "format": "bmp"}
+            px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            if i % 2:                        # alternate real formats
+                payload, fmt = encode_png(px), "png"
+            else:
+                payload, fmt = encode_bmp(px), "bmp"
+            meta = {"width": w, "height": h, "format": fmt}
         elif mod == "audio":
             rate = int(rng.choice([8000, 16000, 44100]))
             ns = int(rng.integers(256, 2049))
@@ -326,7 +435,7 @@ class MediaFeatureExtractor:
                 person=modality.encode()[:16].ljust(16, b"\0")).digest()
             return np.frombuffer(d, dtype=np.uint8).astype(np.float32) / 255.0
         if modality == "image":
-            return image_features(decode_bmp(payload))
+            return image_features(decode_image(payload))
         if modality == "audio":
             return audio_features(*decode_wav(payload))
         if modality == "video":
