@@ -95,6 +95,22 @@ def test_window_boundary_event_retained(ray_session):
     ray.kill(actor)
 
 
+def test_streaming_dedup_first_seen(ray_session):
+    """Incremental dedup actors admit each content exactly once, keeping
+    the first occurrence, across batch and bucket boundaries."""
+    from zeeklog_ray.ops.streaming import streaming_dedup
+
+    df = pd.DataFrame({"doc_id": range(12),
+                       "text": ["a", "b", "a", "c", "b", "a",
+                                "d", "c", "e", "e", "f", "b"]})
+    out = streaming_dedup(ray.data.from_pandas(df), content_col="text",
+                          num_buckets=3, batch_rows=4)
+    assert sorted(out["text"]) == ["a", "b", "c", "d", "e", "f"]
+    # first occurrence wins (stream order preserved inside each bucket)
+    first = df.drop_duplicates(subset=["text"])
+    assert set(out["doc_id"]) == set(first["doc_id"])
+
+
 def test_window_actor_preserves_int_dtype(ray_session):
     """Integer inputs (cents) must stay integer through the actor tier's
     cumsum: float64 is only exact to 2^53, so a huge int value survives

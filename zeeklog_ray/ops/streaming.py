@@ -145,6 +145,67 @@ class WindowBucketActor:
         return len(self.state)
 
 
+@ray.remote
+class DedupBucketActor:
+    """Holds the seen-digest set for content hashed to this bucket and
+    emits only FIRST-SEEN rows — incremental exact dedup for unbounded
+    feeds (the batch tier is ``queries.exact_dedup_docs``; this actor tier
+    exists for streams that must emit accepted rows as data arrives).
+
+    Digests are 128-bit (two independent 64-bit hashes — the
+    exact_dedup_docs collision argument); state is one Python set of
+    (h1, h2) tuples per bucket, bounded by the bucket's distinct-content
+    count.  Per-batch work: two vectorized hash passes + set ops bounded
+    by batch size.  Scale by adding bucket actors over the digest-hash
+    space (same key ⇒ same bucket ⇒ exactness holds)."""
+
+    def __init__(self) -> None:
+        self.seen: set = set()
+
+    def process(self, batch: pd.DataFrame, content_col: str) -> pd.DataFrame:
+        h1 = pd.util.hash_pandas_object(batch[content_col],
+                                        index=False).to_numpy(np.uint64)
+        h2 = pd.util.hash_pandas_object(batch[content_col], index=False,
+                                        hash_key="zeeklog-dedup-02") \
+            .to_numpy(np.uint64)
+        keep = np.zeros(len(batch), dtype=bool)
+        seen = self.seen
+        for i, t in enumerate(zip(h1.tolist(), h2.tolist())):
+            if t not in seen:           # first occurrence in stream order
+                seen.add(t)
+                keep[i] = True
+        return batch[keep]
+
+    def n_seen(self) -> int:
+        return len(self.seen)
+
+
+def streaming_dedup(ds: "ray.data.Dataset", content_col: str = "text",
+                    num_buckets: int = 4,
+                    batch_rows: int = 4096) -> pd.DataFrame:
+    """Incremental-feed driver over :class:`DedupBucketActor` buckets:
+    batches are routed by digest-hash bucket (same content ⇒ same actor),
+    each actor admits only first-seen content.  Use the batch
+    ``exact_dedup_docs`` path for bounded inputs — this exists for the
+    emit-as-you-go streaming case, like ``sliding_window_counts``."""
+    actors = [DedupBucketActor.remote() for _ in range(num_buckets)]
+    pending = []
+    for batch in ds.iter_batches(batch_size=batch_rows,
+                                 batch_format="pandas"):
+        h = pd.util.hash_pandas_object(batch[content_col], index=False)
+        bucket = (h.to_numpy(np.uint64) % np.uint64(num_buckets)).astype(int)
+        for bi in range(num_buckets):
+            sub = batch[bucket == bi]
+            if len(sub):
+                pending.append(actors[bi].process.remote(sub, content_col))
+    parts = ray.get(pending)
+    for a in actors:
+        ray.kill(a)
+    if not parts:
+        return pd.DataFrame(columns=list(ds.schema().names))
+    return pd.concat(parts, ignore_index=True)
+
+
 def sliding_window_counts(ds: "ray.data.Dataset", key: str = "user_id",
                           ts: str = "ts", value: str = "value",
                           window_seconds: int = 3600,
