@@ -62,6 +62,29 @@ def test_exact_quantiles_matches_duckdb_disc(ray_session):
     assert got["value"].tolist() == list(exp)
 
 
+@pytest.mark.parametrize("nb", [1, 64])
+def test_grouped_exact_quantiles_matches_duckdb(ray_session, nb):
+    import duckdb
+
+    from zeeklog_ray.ops.sketch import grouped_exact_quantiles
+
+    rng = np.random.default_rng(21)
+    df = pd.DataFrame({"k": rng.integers(0, 12, 5_000),
+                       "v": rng.integers(0, 200, 5_000).astype("int64")})
+    qs = [0.1, 0.5, 0.99]
+    got = grouped_exact_quantiles(ray.data.from_pandas(df).repartition(8),
+                                  "k", "v", qs, num_buckets=nb).to_pandas() \
+        .sort_values(["k", "q"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.sql(
+        " UNION ALL ".join(
+            f"SELECT k, CAST({q} AS DOUBLE) AS q, quantile_disc(v, {q}) "
+            f"AS value FROM t GROUP BY k" for q in qs)).df() \
+        .sort_values(["k", "q"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
 def test_exact_quantiles_ignores_nulls_like_quantile_disc(ray_session):
     """Nulls must not enter the histogram (regression: the null group
     inflated n and returned NaN); all-null input yields null values."""

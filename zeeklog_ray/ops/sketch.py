@@ -107,6 +107,44 @@ def exact_quantiles(ds: "ray.data.Dataset", col: str,
     return pd.DataFrame(rows)
 
 
+def grouped_exact_quantiles(ds: "ray.data.Dataset", key: str, col: str,
+                            qs: list[float],
+                            num_buckets: int = 1024) -> "ray.data.Dataset":
+    """Per-key EXACT quantiles, same value-histogram method as
+    :func:`exact_quantiles` but grouped: distributed (key, value) counts →
+    key-hash-bucketed selection, fully vectorized ACROSS keys inside a
+    bucket (per-key cumsum offsets + one searchsorted per q — no per-key
+    Python).  Output: one row per (key, q) — ``key, q, value``."""
+    from zeeklog_ray.relational import grouped_sum, with_hash_bucket
+
+    hist = grouped_sum(ds.select_columns([key, col]), [key, col],
+                       count_as="_n")
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.dropna(subset=[col]).sort_values([key, col],
+                                                   kind="mergesort")
+        if g.empty:
+            return pd.DataFrame(columns=[key, "q", "value"])
+        keys = g[key].to_numpy()
+        counts = g["_n"].to_numpy(dtype=np.int64)
+        vals = g[col].to_numpy()
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        ends = np.r_[starts[1:], len(keys)]
+        csum = np.cumsum(counts)
+        offs = np.r_[0, csum[:-1]][starts]      # count before each key seg
+        n_k = csum[ends - 1] - offs             # rows per key
+        parts = []
+        for q in qs:
+            rank = np.maximum(0, np.ceil(q * n_k).astype(np.int64) - 1)
+            pos = np.searchsorted(csum, offs + rank + 1, side="left")
+            parts.append(pd.DataFrame({key: keys[starts], "q": float(q),
+                                       "value": vals[pos]}))
+        return pd.concat(parts, ignore_index=True)
+
+    return with_hash_bucket(hist, key, num_buckets) \
+        .groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
+
+
 def heavy_hitters(ds: "ray.data.Dataset", col: str, k: int = 10,
                   capacity: int = 4096) -> pd.DataFrame:
     """Top-k most frequent values — the two-pass distributed heavy-hitter

@@ -891,6 +891,23 @@ def event_value_quantiles(sf_dir: str) -> pd.DataFrame:
                            "value_cents", _QUANTILE_QS)
 
 
+def event_type_quantiles(sf_dir: str) -> "ray.data.Dataset":
+    """Per-event-type exact p50/p99 of value cents — the GROUPED variant of
+    the value-histogram quantile method (ops/sketch.grouped_exact_quantiles),
+    selection vectorized across keys per bucket."""
+    from zeeklog_ray.ops.sketch import grouped_exact_quantiles
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": batch["event_type"],
+                             "value_cents": _round_half_away(batch["value"] * 100)})
+
+    return grouped_exact_quantiles(
+        ev.map_batches(prep, batch_format="pandas", batch_size=None),
+        "event_type", "value_cents", [0.5, 0.99])
+
+
 def building_orders_bloom(sf_dir: str) -> "ray.data.Dataset":
     """Bloom-pruned semi-join (relational.bloom_semi_filter): same result
     as building_segment_orders, but the broadcast is a 128 KB bitset (10
@@ -1089,6 +1106,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "building_orders_bloom": building_orders_bloom,
     "event_heavy_hitters": event_heavy_hitters,
     "event_value_quantiles": event_value_quantiles,
+    "event_type_quantiles": event_type_quantiles,
     "customers_without_orders": customers_without_orders,
     "docs_sample_mod": docs_sample_mod,
     "top_orders_per_customer": top_orders_per_customer,
@@ -1558,6 +1576,10 @@ ORACLE_SQL: dict[str, str] = {
         f"SELECT CAST({q} AS DOUBLE) AS q, "
         f"quantile_disc(CAST(ROUND(value * 100) AS BIGINT), {q}) AS value "
         "FROM events" for q in _QUANTILE_QS)),
+    "event_type_quantiles": (" UNION ALL ".join(
+        f"SELECT event_type, CAST({q} AS DOUBLE) AS q, "
+        f"quantile_disc(CAST(ROUND(value * 100) AS BIGINT), {q}) AS value "
+        "FROM events GROUP BY event_type" for q in (0.5, 0.99))),
     "customers_without_orders": (
         "SELECT c_custkey, c_name FROM customer "
         "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders "
