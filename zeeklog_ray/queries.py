@@ -181,6 +181,60 @@ def zeek_token_vocab(sf_dir: str) -> "ray.data.Dataset":
     return top_k(summed, by=["n", "token"], descending=[True, False], k=20)
 
 
+def zeek_token_remap(sf_dir: str) -> "ray.data.Dataset":
+    """Retokenization: build the frequency-ranked vocabulary (token → dense
+    id, count DESC then token ASC), broadcast the lookup array, remap every
+    sequence and emit per-doc checksums — the vocab-build → id-remap stage
+    of a training pipeline.  Remap is one ``np.take`` per batch over the
+    flattened list column; per-doc sums via ``np.add.reduceat`` (no
+    per-row Python).  The vocab is tiny (byte-range tokens) so it rides
+    ``ray.put``; at a real vocab size the lookup array is still MBs —
+    broadcast, never a join."""
+    import ray as _ray
+
+    corpus = corpus_for_sf_dir(sf_dir)
+    ds = ray.data.read_parquet(corpus, columns=["tokens"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        toks = batch["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        bc = np.bincount(flat) if len(flat) else np.zeros(1, np.int64)
+        nz = np.flatnonzero(bc)
+        return pa.table({"token": pa.array(nz.astype(np.int64)),
+                         "n": pa.array(bc[nz].astype(np.int64))})
+
+    vocab = grouped_sum(ds.map_batches(counts, batch_format="pyarrow",
+                                       batch_size=None),
+                        ["token"], sums={"n": "n"}).to_pandas() \
+        .sort_values(["n", "token"], ascending=[False, True]) \
+        .reset_index(drop=True)
+    lut = np.full(int(vocab["token"].max()) + 1, -1, dtype=np.int64)
+    lut[vocab["token"].to_numpy()] = np.arange(len(vocab))
+    lut_ref = _ray.put(lut)
+
+    full = ray.data.read_parquet(corpus, columns=["doc_id", "tokens"])
+
+    def remap(batch: pa.Table) -> pa.Table:
+        table = _ray.get(lut_ref)
+        toks = batch["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        ids = table[flat]
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = offsets[:-1]
+        sums = np.zeros(len(batch), dtype=np.int64)
+        nonempty = offsets[1:] > starts
+        if nonempty.any():
+            sums[nonempty] = np.add.reduceat(ids, starts[nonempty])
+        return pa.table({"doc_id": batch["doc_id"],
+                         "sum_tid": pa.array(sums)})
+
+    return full.map_batches(remap, batch_format="pyarrow", batch_size=None)
+
+
 def zeek_geo_summary(sf_dir: str) -> "ray.data.Dataset":
     """Distinct origin address + geo enrichment columns — the reference's
     summary map with IP2Location fields (zeek_log.rs:33-38, 416-458)."""
@@ -1062,6 +1116,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "geo_ip_lookup": geo_ip_lookup,
     "zeek_hourly_sink_counts": zeek_hourly_sink_counts,
     "zeek_token_vocab": zeek_token_vocab,
+    "zeek_token_remap": zeek_token_remap,
     "zeek_tsv_ingest": zeek_tsv_ingest,
     # oracle-checked relational/analytics operators
     "docs_by_source": docs_by_source,
@@ -1231,6 +1286,17 @@ def _zeek_oracle_sql(sf_dir: str) -> dict[str, str]:
             "(SELECT UNNEST(tokens) AS token FROM "
             f"read_parquet('{corpus_glob}')) "
             "GROUP BY token ORDER BY n DESC, token LIMIT 20"),
+        # vocab ranked by (count DESC, token), dense 0-based ids; per-doc
+        # sum of remapped ids replays the np.take + reduceat pipeline
+        "zeek_token_remap": (
+            "WITH v AS (SELECT token, ROW_NUMBER() OVER "
+            "(ORDER BY COUNT(*) DESC, token) - 1 AS tid FROM "
+            "(SELECT UNNEST(tokens) AS token FROM "
+            f"read_parquet('{corpus_glob}')) GROUP BY token) "
+            "SELECT e.doc_id, CAST(COALESCE(SUM(v.tid), 0) AS BIGINT) "
+            "AS sum_tid FROM (SELECT doc_id, UNNEST(tokens) AS token FROM "
+            f"read_parquet('{corpus_glob}')) e "
+            "JOIN v ON e.token = v.token GROUP BY e.doc_id"),
         "zeek_hourly_sink_counts": (
             z + "SELECT src AS sink, CAST(FLOOR(CAST(p[1] AS DOUBLE) / 3600) "
             "AS BIGINT) AS hour_bucket, COUNT(*) AS n FROM z "
