@@ -85,6 +85,27 @@ def test_grouped_exact_quantiles_matches_duckdb(ray_session, nb):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
 
+@pytest.mark.parametrize("nb", [1, 64])
+def test_grouped_exact_quantiles_null_semantics(ray_session, nb):
+    """SQL GROUP BY parity: null KEYS form one group, null VALUES are
+    ignored per key, and an all-null-value key emits a null quantile —
+    none of which may crash or split per distinct value."""
+    from zeeklog_ray.ops.sketch import grouped_exact_quantiles
+
+    df = pd.DataFrame({
+        "k": [1.0, 1.0, 1.0, np.nan, np.nan, np.nan, 2.0, 2.0],
+        "v": [10, None, 30, 5, 7, None, None, None]})
+    df["v"] = df["v"].astype("float64")
+    got = grouped_exact_quantiles(ray.data.from_pandas(df), "k", "v",
+                                  [0.5], num_buckets=nb).to_pandas()
+    assert len(got) == 3                       # groups: 1.0, NaN, 2.0
+    by_key = {("nan" if pd.isna(r["k"]) else r["k"]): r["value"]
+              for _, r in got.iterrows()}
+    assert by_key[1.0] == 10.0                 # nulls ignored: {10,30} p50
+    assert by_key["nan"] == 5.0                # ONE null-key group: {5,7}
+    assert pd.isna(by_key[2.0])                # all-null values → null
+
+
 def test_exact_quantiles_ignores_nulls_like_quantile_disc(ray_session):
     """Nulls must not enter the histogram (regression: the null group
     inflated n and returned NaN); all-null input yields null values."""

@@ -24,6 +24,19 @@ from zeeklog_ray.ops.text import rolling_kgram_hashes
 
 _MERSENNE = (1 << 61) - 1
 
+
+def content_digest128(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """The engine's 128-bit content digest (two independent 64-bit pandas
+    hashes) — shared by the batch exact-dedup path (queries.exact_dedup_docs)
+    and the streaming dedup actor tier.  One definition, one collision
+    argument: a single 64-bit key would birthday-collide at the 10^12-row
+    design scale; at 128 bits the odds stay ~n²/2^129."""
+    h1 = pd.util.hash_pandas_object(texts, index=False).to_numpy(np.uint64)
+    h2 = pd.util.hash_pandas_object(texts, index=False,
+                                    hash_key="zeeklog-dedup-02") \
+        .to_numpy(np.uint64)
+    return h1, h2
+
 # Banded-rows threshold for the oversized-bucket count: driver-merged
 # per-batch partials below (fast, no shuffle), Dataset groupby above (the
 # partials are O(rows) and would OOM the driver at real scale).

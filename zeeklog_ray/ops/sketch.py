@@ -114,31 +114,69 @@ def grouped_exact_quantiles(ds: "ray.data.Dataset", key: str, col: str,
     :func:`exact_quantiles` but grouped: distributed (key, value) counts →
     key-hash-bucketed selection, fully vectorized ACROSS keys inside a
     bucket (per-key cumsum offsets + one searchsorted per q — no per-key
-    Python).  Output: one row per (key, q) — ``key, q, value``."""
+    Python).  Output: one row per (key, q) — ``key, q, value``.
+
+    SQL GROUP BY semantics: null keys form ONE group (segmentation uses
+    ``pd.factorize`` codes, never NaN != NaN comparisons); per-key null
+    VALUES are ignored, and a key whose values are all null emits a null
+    quantile (like ``quantile_disc``).  The value column rides as the
+    nullable twin of its dtype so every bucket's block schema agrees
+    whether or not it produced null rows."""
     from zeeklog_ray.relational import grouped_sum, with_hash_bucket
 
     hist = grouped_sum(ds.select_columns([key, col]), [key, col],
                        count_as="_n")
+    _nullable = {"int8": "Int8", "int16": "Int16", "int32": "Int32",
+                 "int64": "Int64", "uint8": "UInt8", "uint16": "UInt16",
+                 "uint32": "UInt32", "uint64": "UInt64"}
+
+    def _vdtype(series: pd.Series) -> str | np.dtype:
+        return _nullable.get(str(series.dtype), series.dtype)
 
     def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.dropna(subset=[col]).sort_values([key, col],
-                                                   kind="mergesort")
-        if g.empty:
-            return pd.DataFrame(columns=[key, "q", "value"])
-        keys = g[key].to_numpy()
-        counts = g["_n"].to_numpy(dtype=np.int64)
-        vals = g[col].to_numpy()
-        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
-        ends = np.r_[starts[1:], len(keys)]
-        csum = np.cumsum(counts)
-        offs = np.r_[0, csum[:-1]][starts]      # count before each key seg
-        n_k = csum[ends - 1] - offs             # rows per key
+        # NaN/NA keys AND values sort last (contiguous) with mergesort
+        g = group.sort_values([key, col], kind="mergesort")
+        vdt = _vdtype(g[col])
+        vmask = g[col].notna().to_numpy()
+        gv = g[vmask]
         parts = []
-        for q in qs:
-            rank = np.maximum(0, np.ceil(q * n_k).astype(np.int64) - 1)
-            pos = np.searchsorted(csum, offs + rank + 1, side="left")
-            parts.append(pd.DataFrame({key: keys[starts], "q": float(q),
-                                       "value": vals[pos]}))
+        if len(gv):
+            counts = gv["_n"].to_numpy(dtype=np.int64)
+            vals = gv[col].to_numpy()
+            # factorize → int codes; null keys get ONE shared code
+            codes = pd.factorize(gv[key], use_na_sentinel=False)[0]
+            starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+            ends = np.r_[starts[1:], len(codes)]
+            csum = np.cumsum(counts)
+            offs = np.r_[0, csum[:-1]][starts]  # count before each key seg
+            n_k = csum[ends - 1] - offs         # rows per key
+            for q in qs:
+                rank = np.maximum(0, np.ceil(q * n_k).astype(np.int64) - 1)
+                pos = np.searchsorted(csum, offs + rank + 1, side="left")
+                parts.append(pd.DataFrame({
+                    key: gv[key].iloc[starts].to_numpy(),
+                    "q": float(q),
+                    "value": pd.array(vals[pos], dtype=vdt)}))
+        if not vmask.all():                      # keys with ONLY null values
+            nk = g.loc[~vmask, key]
+            only_null = nk[~nk.isin(gv[key])].drop_duplicates() \
+                if len(gv) else nk.drop_duplicates()
+            k = len(only_null)
+
+            def _nulls():
+                if isinstance(vdt, str):         # nullable extension dtype
+                    return pd.array([pd.NA] * k, dtype=vdt)
+                if np.issubdtype(vdt, np.floating):
+                    return np.full(k, np.nan, dtype=vdt)
+                return np.full(k, None, dtype=object)
+
+            for q in qs:
+                parts.append(pd.DataFrame({
+                    key: only_null.to_numpy(), "q": float(q),
+                    "value": _nulls()}))
+        if not parts:
+            return pd.DataFrame({key: g[key].iloc[:0], "q": np.zeros(0),
+                                 "value": pd.array([], dtype=vdt)})
         return pd.concat(parts, ignore_index=True)
 
     return with_hash_bucket(hist, key, num_buckets) \

@@ -152,29 +152,28 @@ class DedupBucketActor:
     feeds (the batch tier is ``queries.exact_dedup_docs``; this actor tier
     exists for streams that must emit accepted rows as data arrives).
 
-    Digests are 128-bit (two independent 64-bit hashes — the
-    exact_dedup_docs collision argument); state is one Python set of
+    Digests are 128-bit (ops.dedup.content_digest128 — the shared
+    exact-dedup definition and collision argument); the FEEDER computes
+    them once per row and ships them as ``_h1``/``_h2`` columns, so the
+    actor never re-hashes document bodies.  State is one Python set of
     (h1, h2) tuples per bucket, bounded by the bucket's distinct-content
-    count.  Per-batch work: two vectorized hash passes + set ops bounded
-    by batch size.  Scale by adding bucket actors over the digest-hash
-    space (same key ⇒ same bucket ⇒ exactness holds)."""
+    count; per-batch set ops are bounded by batch size.  Scale by adding
+    bucket actors over the digest-hash space (same content ⇒ same bucket
+    ⇒ exactness holds)."""
 
     def __init__(self) -> None:
         self.seen: set = set()
 
-    def process(self, batch: pd.DataFrame, content_col: str) -> pd.DataFrame:
-        h1 = pd.util.hash_pandas_object(batch[content_col],
-                                        index=False).to_numpy(np.uint64)
-        h2 = pd.util.hash_pandas_object(batch[content_col], index=False,
-                                        hash_key="zeeklog-dedup-02") \
-            .to_numpy(np.uint64)
+    def process(self, batch: pd.DataFrame) -> pd.DataFrame:
+        h1 = batch["_h1"].to_numpy(np.uint64)
+        h2 = batch["_h2"].to_numpy(np.uint64)
         keep = np.zeros(len(batch), dtype=bool)
         seen = self.seen
         for i, t in enumerate(zip(h1.tolist(), h2.tolist())):
             if t not in seen:           # first occurrence in stream order
                 seen.add(t)
                 keep[i] = True
-        return batch[keep]
+        return batch[keep].drop(columns=["_h1", "_h2"])
 
     def n_seen(self) -> int:
         return len(self.seen)
@@ -188,16 +187,19 @@ def streaming_dedup(ds: "ray.data.Dataset", content_col: str = "text",
     each actor admits only first-seen content.  Use the batch
     ``exact_dedup_docs`` path for bounded inputs — this exists for the
     emit-as-you-go streaming case, like ``sliding_window_counts``."""
+    from zeeklog_ray.ops.dedup import content_digest128
+
     actors = [DedupBucketActor.remote() for _ in range(num_buckets)]
     pending = []
     for batch in ds.iter_batches(batch_size=batch_rows,
                                  batch_format="pandas"):
-        h = pd.util.hash_pandas_object(batch[content_col], index=False)
-        bucket = (h.to_numpy(np.uint64) % np.uint64(num_buckets)).astype(int)
+        h1, h2 = content_digest128(batch[content_col])   # hashed ONCE here
+        batch = batch.assign(_h1=h1, _h2=h2)
+        bucket = (h1 % np.uint64(num_buckets)).astype(int)
         for bi in range(num_buckets):
             sub = batch[bucket == bi]
             if len(sub):
-                pending.append(actors[bi].process.remote(sub, content_col))
+                pending.append(actors[bi].process.remote(sub))
     parts = ray.get(pending)
     for a in actors:
         ray.kill(a)

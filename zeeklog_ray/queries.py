@@ -464,11 +464,10 @@ def exact_dedup_docs(sf_dir: str) -> "ray.data.Dataset":
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def digest(batch: pd.DataFrame) -> pd.DataFrame:
-        h1 = pd.util.hash_pandas_object(batch["text"], index=False)
-        h2 = pd.util.hash_pandas_object(batch["text"], index=False,
-                                        hash_key="zeeklog-dedup-02")
-        out = pd.DataFrame({"digest": h1.astype("uint64"),
-                            "digest2": h2.astype("uint64"),
+        from zeeklog_ray.ops.dedup import content_digest128
+
+        h1, h2 = content_digest128(batch["text"])
+        out = pd.DataFrame({"digest": h1, "digest2": h2,
                             "doc_id": batch["doc_id"]})
         # bucket count follows the with_hash_bucket sizing rule (~2M rows
         # per bucket at scale); 2048 suits the tested 10^3–10^6-doc range
@@ -1287,16 +1286,22 @@ def _zeek_oracle_sql(sf_dir: str) -> dict[str, str]:
             f"read_parquet('{corpus_glob}')) "
             "GROUP BY token ORDER BY n DESC, token LIMIT 20"),
         # vocab ranked by (count DESC, token), dense 0-based ids; per-doc
-        # sum of remapped ids replays the np.take + reduceat pipeline
+        # sum of remapped ids replays the np.take + reduceat pipeline.
+        # LEFT JOIN from the docs table so an empty-token doc yields
+        # sum_tid=0 like the Ray side's reduceat guard (an inner join over
+        # UNNEST would drop the doc's row entirely)
         "zeek_token_remap": (
             "WITH v AS (SELECT token, ROW_NUMBER() OVER "
             "(ORDER BY COUNT(*) DESC, token) - 1 AS tid FROM "
             "(SELECT UNNEST(tokens) AS token FROM "
-            f"read_parquet('{corpus_glob}')) GROUP BY token) "
-            "SELECT e.doc_id, CAST(COALESCE(SUM(v.tid), 0) AS BIGINT) "
-            "AS sum_tid FROM (SELECT doc_id, UNNEST(tokens) AS token FROM "
+            f"read_parquet('{corpus_glob}')) GROUP BY token), "
+            "s AS (SELECT e.doc_id, SUM(v.tid) AS s FROM "
+            "(SELECT doc_id, UNNEST(tokens) AS token FROM "
             f"read_parquet('{corpus_glob}')) e "
-            "JOIN v ON e.token = v.token GROUP BY e.doc_id"),
+            "JOIN v ON e.token = v.token GROUP BY e.doc_id) "
+            "SELECT c.doc_id, CAST(COALESCE(s.s, 0) AS BIGINT) AS sum_tid "
+            f"FROM read_parquet('{corpus_glob}') c "
+            "LEFT JOIN s ON c.doc_id = s.doc_id"),
         "zeek_hourly_sink_counts": (
             z + "SELECT src AS sink, CAST(FLOOR(CAST(p[1] AS DOUBLE) / 3600) "
             "AS BIGINT) AS hour_bucket, COUNT(*) AS n FROM z "
