@@ -127,3 +127,54 @@ def test_minhash_planted_dups_recall(ray_session):
     assert recall >= 0.9, recall
     # precision guard: candidate count stays near the planted count
     assert len(got) <= len(planted) * 3
+
+
+def test_packed_kgram_sets_exact():
+    from zeeklog_ray.ops.dedup import _packed_kgram_sets
+
+    texts = pd.Series([BASE, "tiny", "", "abcde"])
+    got = _packed_kgram_sets(texts, k=5)
+    for t, g in zip(texts, got):
+        b = t.encode()
+        exp = {int.from_bytes(b[i:i + 5], "big")
+               for i in range(max(0, len(b) - 4))}
+        assert set(g.tolist()) == exp
+    with pytest.raises(ValueError):
+        _packed_kgram_sets(texts, k=9)
+
+
+def test_ngram_jaccard_counts_matches_float_version():
+    from zeeklog_ray.ops.dedup import ngram_jaccard_counts
+
+    a = pd.Series([BASE, BASE, "tiny", ""])
+    b = pd.Series([NEAR, FAR, "tiny", ""])
+    inter, union = ngram_jaccard_counts(a, b, k=5)
+    jf = ngram_jaccard(a, b, k=5)
+    got = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+    assert np.allclose(got, jf)
+    assert union[3] == 0 and inter[3] == 0     # empty texts: no grams
+
+
+def test_ngram_jaccard_dedup_pairs(ray_session):
+    from zeeklog_ray.ops.dedup import ngram_jaccard_dedup_pairs
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3, 4],
+                       "text": [BASE, NEAR, FAR, BASE]})
+    out = ngram_jaccard_dedup_pairs(
+        ray.data.from_pandas(df), threshold_e4=5000,
+        num_perm=32, bands=16).to_pandas()
+    got = {(a, b): j for a, b, j in
+           zip(out["doc_a"], out["doc_b"], out["j_e4"])}
+    assert got[(1, 4)] == 10_000               # exact dup: J = 1
+    assert (1, 2) in got and got[(1, 2)] >= 5000   # near-dup survives
+    assert all(b != 3 and a != 3 for a, b in got)  # unrelated filtered
+
+
+def test_ngram_jaccard_dedup_pairs_candidate_cap(ray_session):
+    from zeeklog_ray.ops.dedup import ngram_jaccard_dedup_pairs
+
+    df = pd.DataFrame({"doc_id": [1, 2], "text": [BASE, BASE]})
+    with pytest.raises(ValueError, match="max_candidate_docs"):
+        ngram_jaccard_dedup_pairs(ray.data.from_pandas(df),
+                                  num_perm=16, bands=4,
+                                  max_candidate_docs=1).to_pandas()

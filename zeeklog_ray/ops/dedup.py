@@ -279,6 +279,125 @@ def ngram_jaccard(texts_a: pd.Series, texts_b: pd.Series, k: int = 5) -> np.ndar
     return out
 
 
+def _packed_kgram_sets(texts: pd.Series, k: int) -> list[np.ndarray]:
+    """Per-text set of byte k-grams, each gram PACKED EXACTLY into a uint64
+    (base-256 positional value — injective for k ≤ 8, so this is the true
+    gram set, not a hash approximation).  Vectorized: one global sliding
+    window over the concatenated bytes, boundary windows masked out, then
+    one C-level ``np.unique`` per text."""
+    if k > 8:
+        raise ValueError(f"_packed_kgram_sets: k={k} > 8 bytes cannot pack "
+                         "into uint64 — use the hashed shingle path instead")
+    enc = texts.str.encode("utf-8")
+    lengths = enc.str.len().to_numpy()
+    data = np.frombuffer(b"".join(enc.to_numpy()), dtype=np.uint8)
+    bounds = np.zeros(len(texts) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=bounds[1:])
+    if len(data) >= k:
+        win = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
+        powers = (np.uint64(256) ** np.arange(k - 1, -1, -1, dtype=np.uint64))
+        packed = win @ powers
+    else:
+        packed = np.zeros(0, dtype=np.uint64)
+    starts = bounds[:-1]
+    ends = np.maximum(bounds[1:] - (k - 1), starts)
+    return [np.unique(packed[s:e]) for s, e in zip(starts, ends)]
+
+
+def ngram_jaccard_counts(texts_a: pd.Series, texts_b: pd.Series,
+                         k: int = 5) -> tuple[np.ndarray, np.ndarray]:
+    """Exact byte-k-gram set (intersection, union) sizes for aligned pairs
+    as int64 arrays — the integer core of :func:`ngram_jaccard`, exposed so
+    callers can do EXACT fixed-point threshold math (``10000*inter >=
+    t_e4*union``) with no float round-trip.  Same cost bound as
+    :func:`ngram_jaccard`: candidates only, never the raw corpus."""
+    sa = _packed_kgram_sets(texts_a, k)
+    sb = _packed_kgram_sets(texts_b, k)
+    inter = np.fromiter(
+        (len(np.intersect1d(x, y, assume_unique=True)) for x, y in zip(sa, sb)),
+        dtype=np.int64, count=len(sa))
+    union = np.fromiter((len(x) + len(y) for x, y in zip(sa, sb)),
+                        dtype=np.int64, count=len(sa)) - inter
+    return inter, union
+
+
+def ngram_jaccard_dedup_pairs(ds: "ray.data.Dataset",
+                              threshold_e4: int = 5000,
+                              text_col: str = "text", k: int = 5,
+                              num_perm: int = 16, bands: int = 4,
+                              max_bucket: int = 512,
+                              max_candidate_docs: int = 2_000_000
+                              ) -> "ray.data.Dataset":
+    """n-gram Jaccard near-duplicate pairs — the production two-phase shape:
+    MinHash+LSH candidate generation (:func:`minhash_lsh_pairs`, signatures
+    are the only corpus-wide shuffle) followed by an EXACT byte-k-gram
+    Jaccard verification of each candidate, keeping pairs with
+    ``J >= threshold_e4 / 10000``.
+
+    The verify side never shuffles document bodies: the candidate doc-id
+    set (≈ the near-dup population, orders of magnitude smaller than the
+    corpus) is collected, the matching texts are semi-filtered out of the
+    corpus with a broadcast id set (no join shuffle), and the text lookup
+    is ``ray.put`` once — each verify task reads it zero-copy from the
+    local object store.  ``max_candidate_docs`` guards the driver-side
+    collections: past it, raise instead of silently materializing (at that
+    scale, persist candidates to Parquet and verify per-partition with a
+    partitioned join instead).
+
+    Jaccard is computed in EXACT integer arithmetic (packed gram sets +
+    ``(10000*inter) // union``), so the result is bit-replayable in SQL —
+    see queries._ngram_jaccard_oracle_sql.
+
+    Returns (doc_a, doc_b, j_e4) with doc_a < doc_b, j_e4 = floor(J·10⁴).
+    """
+    import ray as _ray
+
+    pairs = minhash_lsh_pairs(ds, text_col, num_perm, bands, k,
+                              max_bucket).materialize()
+
+    def pair_ids(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(np.concatenate([batch["doc_a"].to_numpy(),
+                                        batch["doc_b"].to_numpy()]))
+        return pd.DataFrame({"doc_id": ids})
+
+    id_parts = pairs.map_batches(pair_ids, batch_format="pandas",
+                                 batch_size=None).to_pandas()
+    cand_ids = (np.unique(id_parts["doc_id"].to_numpy())
+                if "doc_id" in id_parts.columns else np.zeros(0, object))
+    if len(cand_ids) > max_candidate_docs:
+        raise ValueError(
+            f"ngram_jaccard_dedup_pairs: {len(cand_ids)} candidate docs "
+            f"(> max_candidate_docs={max_candidate_docs}) — the broadcast-"
+            "verify tier assumes the near-dup population is small; at this "
+            "scale persist the candidate pairs to Parquet and verify with "
+            "a partitioned join instead")
+    ids_ref = _ray.put(cand_ids)
+
+    def keep_cands(batch: pd.DataFrame) -> pd.DataFrame:
+        wanted = _ray.get(ids_ref)
+        m = np.isin(batch["doc_id"].to_numpy(), wanted, assume_unique=False)
+        return batch.loc[m, ["doc_id", text_col]]
+
+    cand_texts = ds.map_batches(keep_cands, batch_format="pandas",
+                                batch_size=None).to_pandas()
+    lookup = (dict(zip(cand_texts["doc_id"], cand_texts[text_col]))
+              if "doc_id" in cand_texts.columns else {})
+    lookup_ref = _ray.put(lookup)
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        lut = _ray.get(lookup_ref)
+        ta = batch["doc_a"].map(lut)
+        tb = batch["doc_b"].map(lut)
+        inter, union = ngram_jaccard_counts(ta, tb, k)
+        keep = (union > 0) & (10_000 * inter >= threshold_e4 * union)
+        out = batch.loc[keep, ["doc_a", "doc_b"]].copy()
+        out["j_e4"] = ((10_000 * inter[keep]) //
+                       union[keep]).astype(np.int64)
+        return out
+
+    return pairs.map_batches(verify, batch_format="pandas", batch_size=None)
+
+
 def simhash_signatures(ds: "ray.data.Dataset", text_col: str = "text",
                        k: int = 5) -> "ray.data.Dataset":
     """64-bit SimHash per document over byte k-shingles: each shingle hash

@@ -640,6 +640,23 @@ def near_dup_components_small(sf_dir: str) -> "ray.data.Dataset":
     return connected_components(pairs)
 
 
+_JACCARD_THRESHOLD_E4 = 5000
+
+
+def ngram_jaccard_dups(sf_dir: str) -> "ray.data.Dataset":
+    """n-gram Jaccard near-dup pairs: MinHash+LSH candidates (the oracle-
+    feasible 16-perm × 4-band configuration — same as
+    minhash_dedup_pairs_small) verified with EXACT integer byte-5-gram
+    Jaccard, J >= 0.5 (ops/dedup.py).  The full dedup tier the brief asks
+    for: candidates are approximate, the SURVIVING PAIR SET is exact given
+    the candidates, and the whole composition is bit-replayed in SQL."""
+    from zeeklog_ray.ops.dedup import ngram_jaccard_dedup_pairs
+
+    return ngram_jaccard_dedup_pairs(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+        threshold_e4=_JACCARD_THRESHOLD_E4, num_perm=16, bands=4)
+
+
 def doc_simhash(sf_dir: str) -> "ray.data.Dataset":
     """64-bit SimHash signatures (ops/dedup.py)."""
     from zeeklog_ray.ops.dedup import simhash_signatures
@@ -1141,6 +1158,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "minhash_dedup_pairs": minhash_dedup_pairs,
     "minhash_dedup_pairs_small": minhash_dedup_pairs_small,
     "near_dup_components_small": near_dup_components_small,
+    "ngram_jaccard_dups": ngram_jaccard_dups,
     "doc_simhash": doc_simhash,
     "embedding_near_dups": embedding_near_dups,
     "event_sessions": event_sessions,
@@ -1402,6 +1420,34 @@ def _minhash_pairs_cte(num_perm: int = 16, bands: int = 4, k: int = 5,
         "FROM bandok a JOIN bandok b ON a.bb = b.bb AND a.doc_id < b.doc_id)")
 
 
+def _ngram_jaccard_oracle_sql(threshold_e4: int, k: int = 5) -> str:
+    """Bit-exact SQL replay of ops.dedup.ngram_jaccard_dedup_pairs: the
+    16-perm × 4-band LSH candidate CTE (shared with
+    minhash_dedup_pairs_small), then per-candidate-doc DISTINCT character
+    k-grams via substring (ASCII corpus ⇒ char grams == byte grams), exact
+    integer intersection/union, and the same fixed-point filter
+    ``10000*inter >= t_e4*union`` with ``j_e4 = (10000*inter) // union``
+    (DuckDB ``//`` == Python ``//`` for non-negative ints)."""
+    return (
+        "WITH " + _minhash_pairs_cte() + ", "
+        "cand_docs AS (SELECT doc_a AS doc_id FROM mh_pairs "
+        "UNION SELECT doc_b FROM mh_pairs), "
+        "g AS (SELECT DISTINCT d.doc_id, substring(d.text, s.i, "
+        f"{k}) AS gram FROM documents d JOIN cand_docs USING (doc_id), "
+        f"LATERAL (SELECT unnest(range(1, length(d.text) - {k - 2})) AS i) s "
+        f"WHERE length(d.text) >= {k}), "
+        "sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id), "
+        "it AS (SELECT p.doc_a, p.doc_b, count(*) AS inter "
+        "FROM mh_pairs p JOIN g ga ON ga.doc_id = p.doc_a "
+        "JOIN g gb ON gb.doc_id = p.doc_b AND gb.gram = ga.gram "
+        "GROUP BY 1, 2) "
+        "SELECT doc_a, doc_b, CAST((10000 * inter) // "
+        "(sa.n + sb.n - inter) AS BIGINT) AS j_e4 "
+        "FROM it JOIN sizes sa ON sa.doc_id = it.doc_a "
+        "JOIN sizes sb ON sb.doc_id = it.doc_b "
+        f"WHERE 10000 * inter >= {threshold_e4} * (sa.n + sb.n - inter)")
+
+
 def _geo_lookup_oracle_sql() -> str:
     """The E3 direct-IP lookup as a VALUES join over the deterministic geo
     dict (same dict build_geo_dict() gives the Ray side)."""
@@ -1521,6 +1567,7 @@ ORACLE_SQL: dict[str, str] = {
     "geo_ip_lookup": _geo_lookup_oracle_sql(),
     "minhash_dedup_pairs_small": (
         "WITH " + _minhash_pairs_cte() + " SELECT doc_a, doc_b FROM mh_pairs"),
+    "ngram_jaccard_dups": _ngram_jaccard_oracle_sql(_JACCARD_THRESHOLD_E4),
     # the same pair set resolved into components with a recursive-CTE
     # closure (the embedding_dup_components technique over MinHash pairs)
     "near_dup_components_small": (
