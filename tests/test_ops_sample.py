@@ -1,0 +1,152 @@
+"""Deterministic hash sampling / mixture resampling (ops/sample.py):
+partition independence, exact rate semantics, epoch numbering, and the
+bit-exact DuckDB splitmix64 replay the oracles rely on."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from zeeklog_ray.ops.sample import (
+    EPOCH_SALT,
+    _rate_threshold,
+    hash_sample,
+    hash_sample_sql,
+    mix64_sql,
+    mixture_resample,
+    mixture_resample_sql,
+)
+from zeeklog_ray.relational import _mix64
+
+
+def _docs(n=4_000, n_src=4):
+    return pd.DataFrame({
+        "doc_id": np.arange(n, dtype="int64"),
+        "source": [f"s{i % n_src}" for i in range(n)],
+        "val": np.arange(n, dtype="int64") * 7,
+    })
+
+
+def test_mix64_sql_replay_bit_exact():
+    """The HUGEINT CTE produces exactly relational._mix64 — including the
+    wraparound edges (0, 2^63, 2^64-1) and a salted variant."""
+    xs = np.array([0, 1, 2, 12345, 2**63, 2**64 - 1, 987654321987654321],
+                  dtype=np.uint64)
+    con = duckdb.connect()
+    con.sql("CREATE TABLE t(x HUGEINT)")
+    for v in xs.tolist():
+        con.sql(f"INSERT INTO t VALUES ({int(v)})")
+    for salt in (0, int(EPOCH_SALT)):
+        steps, final = mix64_sql("x", salt=salt)
+        sql = (f"WITH _m0 AS (SELECT x, {steps[0]} AS z0 FROM t), "
+               f"_m1 AS (SELECT x, {steps[1]} AS z1 FROM _m0), "
+               f"_m2 AS (SELECT x, {steps[2]} AS z2 FROM _m1) "
+               f"SELECT CAST(x AS VARCHAR), CAST({final} AS VARCHAR) FROM _m2")
+        got = {r[0]: int(r[1]) for r in con.sql(sql).fetchall()}
+        want = {str(int(x)): int(h)
+                for x, h in zip(xs, _mix64(xs + np.uint64(salt)))}
+        assert got == want
+
+
+def test_hash_sample_partition_independent(ray_session):
+    """Same rows selected regardless of block layout — the property that
+    makes the sample reproducible on any cluster shape."""
+    df = _docs()
+    picked = []
+    for parts in (1, 7):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        out = hash_sample(ds, "doc_id", rate=0.3).to_pandas()
+        picked.append(set(out["doc_id"]))
+    assert picked[0] == picked[1]
+    # rate is honored statistically (binomial 3σ at n=4000, p=.3: ±87)
+    assert abs(len(picked[0]) - 1200) < 90
+
+
+def test_hash_sample_rate_edges(ray_session):
+    df = _docs(500)
+    ds = ray.data.from_pandas(df)
+    assert hash_sample(ds, "doc_id", rate=1.0).count() == 500
+    assert hash_sample(ds, "doc_id", rate=0.0).count() == 0
+    with pytest.raises(ValueError):
+        hash_sample(ds, "doc_id", rate=1.5)
+    with pytest.raises(ValueError):
+        hash_sample(ds, "doc_id")  # neither rate nor rates
+
+
+def test_hash_sample_per_source_rates(ray_session):
+    df = _docs(4_000, n_src=4)
+    ds = ray.data.from_pandas(df)
+    out = hash_sample(ds, "doc_id", by="source",
+                      rates={"s0": 1.0, "s1": 0.0, "s2": 0.5},
+                      default_rate=0.25).to_pandas()
+    by = out.groupby("source").size()
+    assert by.get("s0", 0) == 1000          # rate 1.0: every row
+    assert by.get("s1", 0) == 0             # rate 0.0: none
+    assert abs(by.get("s2", 0) - 500) < 60  # ~3σ
+    assert abs(by.get("s3", 0) - 250) < 50  # default rate
+
+
+def test_hash_sample_rejects_float_keys(ray_session):
+    ds = ray.data.from_pandas(pd.DataFrame({"k": [1.5, 2.5]}))
+    with pytest.raises(Exception, match="integer"):
+        hash_sample(ds, "k", rate=0.5).materialize()
+
+
+def test_mixture_resample_copy_counts_and_epochs(ray_session):
+    df = _docs(3_000, n_src=3)
+    ds = ray.data.from_pandas(df).repartition(5)
+    out = mixture_resample(ds, "doc_id", "source",
+                           {"s0": 2.25, "s1": 1.0, "s2": 0.5}).to_pandas()
+    per_doc = out.groupby("doc_id").agg(n=("epoch", "size"),
+                                        mx=("epoch", "max"),
+                                        src=("source", "first"))
+    # epochs number 0..n-1 per doc
+    assert (per_doc["mx"] == per_doc["n"] - 1).all()
+    s0 = per_doc[per_doc["src"] == "s0"]["n"]
+    assert set(s0.unique()) <= {2, 3}
+    assert abs(s0.mean() - 2.25) < 0.1
+    assert (per_doc[per_doc["src"] == "s1"]["n"] == 1).all()
+    # rate<1 inside mixture: some docs absent entirely
+    n_s2 = per_doc[per_doc["src"] == "s2"]["n"]
+    assert (n_s2 == 1).all() and abs(len(n_s2) - 500) < 60
+    # value columns ride along unchanged
+    one = out[out["doc_id"] == int(s0.index[0])]
+    assert (one["val"] == one["doc_id"] * 7).all()
+
+
+def test_mixture_resample_fractional_independent_of_hash_sample():
+    """The salted epoch hash must not correlate with the plain sampling
+    hash: a doc kept by hash_sample(rate=r) is not systematically the doc
+    that gets the extra epoch copy."""
+    keys = np.arange(20_000, dtype=np.uint64)
+    kept = _mix64(keys) < np.uint64(_rate_threshold(0.5))
+    extra = _mix64(keys + EPOCH_SALT) < np.uint64(_rate_threshold(0.5))
+    joint = (kept & extra).mean()
+    assert abs(joint - 0.25) < 0.01  # independent ⇒ p·q
+
+
+def test_sample_sql_matches_ray_on_frame(ray_session):
+    """End-to-end parity on a synthetic frame (the registry queries cover
+    the documents table; this pins the generic SQL builders)."""
+    df = _docs(2_000, n_src=3)
+    con = duckdb.connect()
+    con.register("t", df)
+    rates = {"s0": 0.8, "s1": 0.2}
+    ds = ray.data.from_pandas(df)
+    mine = hash_sample(ds, "doc_id", by="source", rates=rates,
+                       default_rate=0.5).to_pandas()
+    orc = con.sql(hash_sample_sql("t", "doc_id", "doc_id, source, val",
+                                  "source", rates, default_rate=0.5)).df()
+    assert sorted(map(tuple, mine[["doc_id", "source", "val"]].values.tolist())) == \
+        sorted(map(tuple, orc.values.tolist()))
+
+    mrates = {"s0": 1.9, "s1": 3.0}
+    mine2 = mixture_resample(ds, "doc_id", "source", mrates,
+                             default_rate=0.25).to_pandas()
+    orc2 = con.sql(mixture_resample_sql("t", "doc_id", "doc_id, source, val",
+                                        "source", mrates,
+                                        default_rate=0.25)).df()
+    key = ["doc_id", "epoch"]
+    assert sorted(map(tuple, mine2[key].values.tolist())) == \
+        sorted(map(tuple, orc2[key].values.tolist()))

@@ -1,0 +1,253 @@
+"""Deterministic hash-based sampling and mixture re-weighting.
+
+The sampling a training-data pipeline needs is REPRODUCIBLE and
+PARTITION-INDEPENDENT: the same rows are selected no matter how the input
+is sharded, how many workers run, or in which order blocks arrive —
+``Dataset.random_sample`` gives none of that.  Both operators here decide
+per-row from a 64-bit mix of a stable integer key (splitmix64,
+``relational._mix64`` — one mixer definition engine-wide), so they are pure
+row-local ``map_batches`` filters: ZERO shuffle, embarrassingly parallel,
+and the 100 TB cost is exactly one streaming pass.
+
+Down-sampling:  keep row  ⇔  mix64(key) < rate·2^64.
+Mixture re-sampling (rates may exceed 1 — epoch oversampling, the
+Pile/Dolma-style source weighting): emit ``floor(rate)`` copies of every
+row plus one extra  ⇔  mix64(key + EPOCH_SALT) < frac(rate)·2^64, with an
+``epoch`` column numbering the copies.  The extra-copy hash is salted so
+it is independent of any down-sampling decision on the same key.
+
+Thresholds are computed ONCE in Python as exact integers
+(``_rate_threshold``) and embedded as literals in the DuckDB oracle
+(``sample_sql_parts``), which replays splitmix64 bit-exactly in HUGEINT
+arithmetic (32-bit split multiplication keeps products under 2^127).
+
+Reference tie-in: the reference samples nothing (it scans everything,
+zeek_log.rs:236-266); this family is part of the LLM-pipeline operator
+set the brief adds on top.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Mapping
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from zeeklog_ray.relational import _mix64
+
+# Salt for the fractional-epoch hash: an arbitrary odd 64-bit constant.
+# Adding it before mixing decorrelates the oversample decision from the
+# plain mix64(key) used by hash_sample on the same key column.
+EPOCH_SALT = np.uint64(0xA24BAED4963EE407)
+
+_M64 = 1 << 64
+
+
+def _rate_threshold(rate: float) -> int:
+    """rate ∈ [0,1] → exact integer threshold in [0, 2^64].
+
+    Computed once on the driver; the float product is deterministic and the
+    SAME literal is embedded in the SQL oracle, so Ray and DuckDB compare
+    against identical integers.
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    return min(_M64, int(rate * _M64))
+
+
+def hash_sample(ds: "ray.data.Dataset", key_col: str,
+                rate: float | None = None,
+                by: str | None = None,
+                rates: Mapping[str, float] | None = None,
+                default_rate: float = 0.0) -> "ray.data.Dataset":
+    """Deterministic down-sample: keep a row iff mix64(key) < rate·2^64.
+
+    * ``rate`` — one global rate, or
+    * ``by`` + ``rates`` — per-group rates keyed by the value of column
+      ``by`` (the mixture-weighting shape: different keep-rates per
+      ``source``), with ``default_rate`` for unlisted groups.
+
+    Row-local filter — no shuffle, no state; at 10^12 rows this is one
+    streaming pass whose output is immediately pipelined into the next
+    stage.  ``key_col`` must be integer-typed and stable across runs
+    (doc_id); float keys are refused (bit-pattern hashing would be
+    dtype-fragile).
+    """
+    if (rate is None) == (rates is None):
+        raise ValueError("pass exactly one of rate= or rates=")
+    if rates is not None and by is None:
+        raise ValueError("rates= needs by=<group column>")
+
+    if rate is not None:
+        thr = _rate_threshold(rate)
+
+        def keep_global(batch: pd.DataFrame) -> pd.DataFrame:
+            if not len(batch):
+                return batch
+            keys = batch[key_col].to_numpy()
+            if not np.issubdtype(keys.dtype, np.integer):
+                raise TypeError(f"{key_col} must be integer, got {keys.dtype}")
+            if thr >= _M64:
+                return batch
+            mask = _mix64(keys.astype(np.uint64, copy=False)) < np.uint64(thr)
+            return batch[mask]
+
+        return ds.map_batches(keep_global, batch_format="pandas",
+                              batch_size=None)
+
+    thr_map = {s: _rate_threshold(r) for s, r in rates.items()}
+    dflt_thr = _rate_threshold(default_rate)
+
+    def keep_grouped(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return batch
+        keys = batch[key_col].to_numpy()
+        if not np.issubdtype(keys.dtype, np.integer):
+            raise TypeError(f"{key_col} must be integer, got {keys.dtype}")
+        h = _mix64(keys.astype(np.uint64, copy=False))
+        thr = [thr_map.get(s, dflt_thr) for s in batch[by]]
+        # rate=1.0 (threshold 2^64) doesn't fit uint64: strict-< against
+        # the clamped value plus an explicit keep-all mask for exactness
+        full = np.array([t >= _M64 for t in thr])
+        thr_exact = np.array([min(t, _M64 - 1) for t in thr], dtype=np.uint64)
+        mask = (h < thr_exact) | full
+        return batch[mask]
+
+    return ds.map_batches(keep_grouped, batch_format="pandas",
+                          batch_size=None)
+
+
+def mixture_resample(ds: "ray.data.Dataset", key_col: str, by: str,
+                     rates: Mapping[str, float],
+                     default_rate: float = 1.0,
+                     epoch_col: str = "epoch") -> "ray.data.Dataset":
+    """Source-mixture re-weighting with rates that may EXCEED 1.
+
+    Every row is emitted ``floor(rate)`` times, plus one extra copy iff
+    mix64(key + EPOCH_SALT) < frac(rate)·2^64; copies are numbered in
+    ``epoch_col`` (0-based).  rate=2.3 ⇒ every row appears twice and a
+    deterministic 30% of rows a third time — the standard way to hit a
+    target token mixture (oversample small high-quality sources, keep big
+    ones at <1) without a shuffle: the expansion is ``np.repeat`` inside
+    one ``map_batches``, row-local and streaming.
+
+    Epoch numbering exists so downstream shuffles / packing can treat each
+    copy as a distinct row (doc_id, epoch) while lineage still points at
+    the original doc.
+    """
+    if any(r < 0 for r in rates.values()) or default_rate < 0:
+        raise ValueError("rates must be >= 0")
+    whole = {s: int(math.floor(r)) for s, r in rates.items()}
+    frac_thr = {s: _rate_threshold(r - math.floor(r))
+                for s, r in rates.items()}
+    dflt_whole = int(math.floor(default_rate))
+    dflt_frac = _rate_threshold(default_rate - math.floor(default_rate))
+
+    def expand(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            out = batch.copy()
+            out[epoch_col] = pd.Series([], dtype="int64")
+            return out
+        keys = batch[key_col].to_numpy()
+        if not np.issubdtype(keys.dtype, np.integer):
+            raise TypeError(f"{key_col} must be integer, got {keys.dtype}")
+        h = _mix64(keys.astype(np.uint64, copy=False) + EPOCH_SALT)
+        src = batch[by]
+        base = src.map(lambda s: whole.get(s, dflt_whole)).to_numpy(np.int64)
+        fthr = np.array([min(frac_thr.get(s, dflt_frac), _M64 - 1)
+                         for s in src], dtype=np.uint64)
+        full = np.array([frac_thr.get(s, dflt_frac) >= _M64 for s in src])
+        extra = ((h < fthr) | full).astype(np.int64)
+        copies = base + extra
+        out = batch.iloc[np.repeat(np.arange(len(batch)), copies)].copy()
+        # epoch = 0..copies-1 per row: global arange minus each row's start
+        starts = np.repeat(np.cumsum(copies) - copies, copies)
+        out[epoch_col] = np.arange(copies.sum()) - starts
+        return out.reset_index(drop=True)
+
+    return ds.map_batches(expand, batch_format="pandas", batch_size=None)
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracle construction: bit-exact splitmix64 in HUGEINT
+# --------------------------------------------------------------------------
+
+def _mulmod_sql(z: str, c: int) -> str:
+    """(z·c) mod 2^64 in HUGEINT via 32-bit split — z·c can reach 2^128
+    which overflows HUGEINT (max 2^127−1); lo·c and hi·c stay < 2^96."""
+    m32 = 1 << 32
+    return (f"((({z}) % {m32}::HUGEINT) * {c}::HUGEINT + "
+            f"(((({z}) // {m32}::HUGEINT) * {c}::HUGEINT) % {m32}::HUGEINT)"
+            f" * {m32}::HUGEINT) % {_M64}::HUGEINT")
+
+
+def mix64_sql(key_expr: str, salt: int = 0) -> tuple[list[str], str]:
+    """SQL replay of ``relational._mix64`` (splitmix64 finalizer).
+
+    Returns (cte_selects, final_col): three chained SELECT bodies to wrap
+    as CTE steps ``_m0 → _m1 → _m2`` plus the final expression over
+    ``_m2.z2``.  xor works on HUGEINT natively; ``//`` is the unsigned
+    right shift because z stays in [0, 2^64).  Verified bit-exact against
+    the numpy mixer in tests/test_ops_sample.py.
+    """
+    x = f"(({key_expr})::HUGEINT + {salt}::HUGEINT) % {_M64}::HUGEINT"
+    s0 = f"({x} + 11400714819323198485::HUGEINT) % {_M64}::HUGEINT"
+    s1 = _mulmod_sql(f"xor(z0, z0 // {1 << 30}::HUGEINT)",
+                     0xBF58476D1CE4E5B9)
+    s2 = _mulmod_sql(f"xor(z1, z1 // {1 << 27}::HUGEINT)",
+                     0x94D049BB133111EB)
+    final = f"xor(z2, z2 // {1 << 31}::HUGEINT)"
+    return [s0, s1, s2], final
+
+
+def hash_sample_sql(table_sql: str, key_col: str, select_cols: str,
+                    by: str | None, rates: Mapping[str, float] | None,
+                    rate: float | None = None,
+                    default_rate: float = 0.0) -> str:
+    """Oracle SQL equivalent of :func:`hash_sample` over ``table_sql``."""
+    steps, final = mix64_sql(key_col)
+    if rate is not None:
+        thr = f"{_rate_threshold(rate)}::HUGEINT"
+    else:
+        cases = " ".join(
+            f"WHEN '{s}' THEN {_rate_threshold(r)}::HUGEINT"
+            for s, r in rates.items())
+        thr = (f"CASE {by} {cases} ELSE "
+               f"{_rate_threshold(default_rate)}::HUGEINT END")
+    return (
+        f"WITH _m0 AS (SELECT *, {steps[0]} AS z0 FROM {table_sql}), "
+        f"_m1 AS (SELECT *, {steps[1]} AS z1 FROM _m0), "
+        f"_m2 AS (SELECT *, {steps[2]} AS z2 FROM _m1) "
+        f"SELECT {select_cols} FROM _m2 WHERE {final} < {thr}")
+
+
+def mixture_resample_sql(table_sql: str, key_col: str, select_cols: str,
+                         by: str, rates: Mapping[str, float],
+                         default_rate: float = 1.0) -> str:
+    """Oracle SQL equivalent of :func:`mixture_resample` (epoch column
+    included via generate_series)."""
+    steps, final = mix64_sql(key_col, salt=int(EPOCH_SALT))
+    max_copies = max(int(math.floor(r)) + 1 for r in
+                     list(rates.values()) + [default_rate])
+    whole_cases = " ".join(
+        f"WHEN '{s}' THEN {int(math.floor(r))}" for s, r in rates.items())
+    whole = (f"CASE {by} {whole_cases} ELSE "
+             f"{int(math.floor(default_rate))} END")
+    frac_cases = " ".join(
+        f"WHEN '{s}' THEN {_rate_threshold(r - math.floor(r))}::HUGEINT"
+        for s, r in rates.items())
+    frac = (f"CASE {by} {frac_cases} ELSE "
+            f"{_rate_threshold(default_rate - math.floor(default_rate))}"
+            f"::HUGEINT END")
+    return (
+        f"WITH _m0 AS (SELECT *, {steps[0]} AS z0 FROM {table_sql}), "
+        f"_m1 AS (SELECT *, {steps[1]} AS z1 FROM _m0), "
+        f"_m2 AS (SELECT *, {steps[2]} AS z2 FROM _m1), "
+        f"_cnt AS (SELECT *, {whole} + (CASE WHEN {final} < {frac} "
+        f"THEN 1 ELSE 0 END) AS _copies FROM _m2) "
+        f"SELECT {select_cols}, gs.epoch AS epoch FROM _cnt, "
+        f"generate_series(0, {max_copies - 1}) gs(epoch) "
+        f"WHERE gs.epoch < _copies")

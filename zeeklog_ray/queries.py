@@ -28,6 +28,7 @@ import pyarrow as pa
 
 import ray.data
 
+import zeeklog_ray.ops.sample as _sample_sql
 from zeeklog_ray.aggregate import HIST_COLUMNS, HIST_EDGES, distinct_column, grouped_stats
 from zeeklog_ray.corpus import GOLDEN_IP_0702_ONLY, corpus_for_sf_dir
 from zeeklog_ray.pipeline import PipelineConfig, build_dataset
@@ -1117,6 +1118,33 @@ def nation_order_counts_left(sf_dir: str) -> "ray.data.Dataset":
     return grouped_sum(prepped, ["n_name"], sums={"has_order": "n_orders"})
 
 
+_SAMPLE_RATES = {f"src{i}": round(0.05 + 0.045 * i, 3) for i in range(20)}
+_MIXTURE_RATES = {f"src{i}": (2.3, 1.0, 0.4, 1.75)[i % 4] for i in range(20)}
+
+
+def docs_hash_sample(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic per-source hash down-sampling (mixture weighting with
+    keep-rates < 1): keep a doc iff splitmix64(doc_id) < rate(source)·2^64.
+    Partition-independent and shuffle-free — the reproducible sampling a
+    training pipeline needs (ops/sample.py)."""
+    from zeeklog_ray.ops.sample import hash_sample
+
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "source", "lang", "n_chars"])
+    return hash_sample(ds, "doc_id", by="source", rates=_SAMPLE_RATES)
+
+
+def docs_mixture_resample(sf_dir: str) -> "ray.data.Dataset":
+    """Source-mixture re-weighting with rates ABOVE 1 (epoch oversampling):
+    floor(rate) copies per doc plus a salted-hash fractional copy, each
+    numbered in an ``epoch`` column — row-local np.repeat, no shuffle."""
+    from zeeklog_ray.ops.sample import mixture_resample
+
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "source", "n_chars"])
+    return mixture_resample(ds, "doc_id", "source", _MIXTURE_RATES)
+
+
 # --------------------------------------------------------------------------
 # Registry + oracle SQL
 # --------------------------------------------------------------------------
@@ -1181,6 +1209,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "event_type_quantiles": event_type_quantiles,
     "customers_without_orders": customers_without_orders,
     "docs_sample_mod": docs_sample_mod,
+    "docs_hash_sample": docs_hash_sample,
+    "docs_mixture_resample": docs_mixture_resample,
     "top_orders_per_customer": top_orders_per_customer,
     "building_revenue_q3": building_revenue_q3,
     "nation_order_counts_left": nation_order_counts_left,
@@ -1704,6 +1734,13 @@ ORACLE_SQL: dict[str, str] = {
         "WHERE o_orderpriority = '1-URGENT')"),
     "docs_sample_mod": (
         "SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 20 = 3"),
+    # bit-exact splitmix64 replay in HUGEINT (ops/sample.py builds the CTE)
+    "docs_hash_sample": _sample_sql.hash_sample_sql(
+        "documents", "doc_id", "doc_id, source, lang, n_chars",
+        "source", _SAMPLE_RATES),
+    "docs_mixture_resample": _sample_sql.mixture_resample_sql(
+        "documents", "doc_id", "doc_id, source, n_chars",
+        "source", _MIXTURE_RATES),
     "event_sliding_windows": (
         "SELECT user_id, epoch_us(ts) AS ts_us, "
         "CAST(COUNT(*) OVER w AS BIGINT) AS w_count, "
