@@ -158,6 +158,21 @@ def zeek_hourly_sink_counts(sf_dir: str) -> "ray.data.Dataset":
     return grouped_sum(bucketed, ["sink", "hour_bucket"], count_as="n")
 
 
+def zeek_seq_packing(sf_dir: str) -> "ray.data.Dataset":
+    """Sequence packing over the tokenized corpus: assign each doc to its
+    fixed-2048-token context bin via a two-level distributed prefix sum
+    (per-(source, date) subtotals → broadcast base offsets → one bucketed
+    shuffle), rolled up to (source, pack_id, n_docs, sum_tok).  Order
+    contract: doc_id embeds the date, so (date, doc_id) order == doc_id
+    order within a source (ops/packing.py)."""
+    from zeeklog_ray.ops.packing import pack_stats
+
+    corpus = corpus_for_sf_dir(sf_dir)
+    ds = ray.data.read_parquet(
+        corpus, columns=["doc_id", "n_tok", "source", "date"])
+    return pack_stats(ds, context_len=2048, num_buckets=64)
+
+
 def zeek_token_vocab(sf_dir: str) -> "ray.data.Dataset":
     """Token-level vocabulary: top-20 token ids by total frequency across
     the corpus — the vocabulary-stats pass a training pipeline runs over
@@ -1160,6 +1175,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "geo_ip_lookup": geo_ip_lookup,
     "zeek_hourly_sink_counts": zeek_hourly_sink_counts,
     "zeek_token_vocab": zeek_token_vocab,
+    "zeek_seq_packing": zeek_seq_packing,
     "zeek_token_remap": zeek_token_remap,
     "zeek_tsv_ingest": zeek_tsv_ingest,
     # oracle-checked relational/analytics operators
@@ -1328,6 +1344,16 @@ def _zeek_oracle_sql(sf_dir: str) -> dict[str, str]:
             f"UNION ALL SELECT 6, COUNT(*) FROM z WHERE date = '2024-07-02' AND source = 'dns' AND {ip_cond.format(ip=ip)} "
             f"UNION ALL SELECT 7, COUNT(*) FROM z WHERE date BETWEEN '2024-07-02' AND '2024-07-03' AND source = 'dns' AND {ip_cond.format(ip=ip)}"
             ") ORDER BY plan"),
+        # packing oracle: the window exclusive-prefix-sum over doc_id order
+        # replays the two-level prefix sum exactly (monotone date contract)
+        "zeek_seq_packing": (
+            "WITH w AS (SELECT source, n_tok, COALESCE(SUM(n_tok) OVER ("
+            "PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND 1 PRECEDING), 0) AS off FROM "
+            f"read_parquet('{corpus_glob}')) "
+            "SELECT source, CAST(off // 2048 AS BIGINT) AS pack_id, "
+            "CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(n_tok) AS BIGINT) AS sum_tok FROM w GROUP BY 1, 2"),
         "zeek_token_vocab": (
             "SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM "
             "(SELECT UNNEST(tokens) AS token FROM "
