@@ -107,3 +107,28 @@ def test_fingerprints_deterministic(docs_ds, ray_session):
     assert a.loc[1] != a.loc[2]
     # shorter than k → sentinel 0
     assert a.loc[4] == 0
+
+
+def test_top_terms_per_source_partition_independent(ray_session):
+    import pandas as pd
+    import ray.data
+    from zeeklog_ray.ops.text import top_terms_per_source
+
+    df = pd.DataFrame({
+        "doc_id": range(6),
+        "source": ["a", "a", "a", "b", "b", "b"],
+        "text": ["cat cat dog", "dog mouse", "Cat!", "x y", "y z", "z z y"],
+    })
+    counts = df.groupby("source").size().to_dict()
+    outs = []
+    for parts in (1, 3):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        out = top_terms_per_source(ds, counts, k=2).to_pandas()
+        outs.append(out.sort_values(["source", "term"])
+                    .reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    a = outs[0][outs[0]["source"] == "a"].set_index("term")
+    # "cat" appears 3x across 2 docs (case-folded); "dog" 2x across 2 docs
+    assert a.loc["cat", "tf"] == 3 and a.loc["cat", "df"] == 2
+    # score = tf*N*1e4//df with N=3 docs in source a
+    assert a.loc["cat", "score_e4"] == 3 * 3 * 10_000 // 2

@@ -275,3 +275,64 @@ def fingerprints(ds: "ray.data.Dataset", text_col: str = "text",
                              "fingerprint": out.astype(np.int64)})
 
     return ds.map_batches(fp, batch_format="pandas", batch_size=None)
+
+
+def top_terms_per_source(ds: "ray.data.Dataset",
+                         source_counts: dict[str, int],
+                         text_col: str = "text",
+                         source_col: str = "source",
+                         doc_col: str = "doc_id",
+                         k: int = 10) -> "ray.data.Dataset":
+    """Top-k characteristic terms per source by a LINEAR-idf tf-idf.
+
+    Terms are lowercase ``[a-z0-9]+`` runs.  Per (source, term):
+    ``tf`` = total occurrences, ``df`` = documents containing the term,
+    and ``score_e4 = (tf * n_docs(source) * 10^4) // df`` — linear idf
+    (tf·N/df) in EXACT integer arithmetic so the DuckDB oracle matches
+    bit-for-bit; log-idf would drag floats into the hash compare for no
+    ranking benefit at fixed N (float policy, relational.py).
+
+    Shuffle shape: the explode happens inside ``map_batches`` and each
+    batch emits per-(source, term) PARTIALS — ``tf`` as a count and ``df``
+    as a within-batch doc count (docs are rows, so batches partition docs
+    and the partials sum exactly).  Only (source, term, tf, df) rows cross
+    the wire, never term streams.  The final combine inherits
+    ``grouped_sum``'s one-block assumption — fine while distinct
+    (source, term) fits a block; shard by term hash first at web scale.
+
+    ``source_counts`` (docs per source) is computed by the caller — a tiny
+    separate aggregate — and broadcast into the scoring stage.
+    """
+    from zeeklog_ray.relational import grouped_sum
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        terms = batch[text_col].str.lower().str.findall(r"[a-z0-9]+")
+        e = pd.DataFrame({source_col: batch[source_col],
+                          doc_col: batch[doc_col],
+                          "term": terms}).explode("term")
+        e = e.dropna(subset=["term"])
+        return (e.groupby([source_col, "term"], sort=False)
+                .agg(tf=(doc_col, "size"), df=(doc_col, "nunique"))
+                .reset_index())
+
+    partials = ds.map_batches(partial, batch_format="pandas",
+                              batch_size=None)
+    combined = grouped_sum(partials, [source_col, "term"],
+                           sums={"tf": "tf", "df": "df"})
+
+    nd = dict(source_counts)
+
+    def score_and_rank(batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch[source_col].map(nd).astype("int64")
+        batch = batch.assign(
+            score_e4=(batch["tf"].astype("int64") * n * 10_000)
+            // batch["df"].astype("int64"))
+        batch = batch.sort_values(["score_e4", "term"],
+                                  ascending=[False, True], kind="mergesort")
+        out = batch.groupby(source_col, sort=False).head(k)
+        return out[[source_col, "term", "tf", "df", "score_e4"]]
+
+    # combined is a single block (grouped_sum contract), so the per-source
+    # head(k) sees every term of a source in one batch
+    return combined.map_batches(score_and_rank, batch_format="pandas",
+                                batch_size=None)

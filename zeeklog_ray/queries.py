@@ -528,6 +528,19 @@ def doc_word_counts(sf_dir: str) -> "ray.data.Dataset":
     return ds.map_batches(count, batch_format="pandas", batch_size=None)
 
 
+def docs_top_terms(sf_dir: str) -> "ray.data.Dataset":
+    """Top-10 characteristic terms per source by linear-idf tf-idf in
+    exact integer math (ops/text.top_terms_per_source); the per-source doc
+    counts are a tiny separate aggregate broadcast into scoring."""
+    from zeeklog_ray.ops.text import top_terms_per_source
+
+    counts = small_table(sf_dir, "documents", columns=["source"]) \
+        .value_counts("source").to_dict()
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "text", "source"])
+    return top_terms_per_source(ds, counts, k=10)
+
+
 def chars_histogram(sf_dir: str) -> "ray.data.Dataset":
     """Fixed-bucket histogram of document lengths (same buckets as the
     flagship n_tok histogram)."""
@@ -1191,6 +1204,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "distinct_event_types": distinct_event_types,
     "exact_dedup_docs": exact_dedup_docs,
     "doc_word_counts": doc_word_counts,
+    "docs_top_terms": docs_top_terms,
     "chars_histogram": chars_histogram,
     "similarity_topk": similarity_topk,
     # extended ops (dedup / similarity / text / temporal / multimodal)
@@ -1595,6 +1609,21 @@ ORACLE_SQL: dict[str, str] = {
     "doc_word_counts": (
         "SELECT doc_id, LENGTH(LIST_FILTER(STRING_SPLIT(text, ' '), "
         "x -> x <> '')) AS n_words FROM documents"),
+    # linear-idf in integer arithmetic: score = (tf * N * 10^4) // df
+    "docs_top_terms": (
+        "WITH n AS (SELECT source, COUNT(*) AS nd FROM documents "
+        "GROUP BY source), "
+        "e AS (SELECT source, doc_id, UNNEST(regexp_extract_all("
+        "lower(text), '[a-z0-9]+')) AS term FROM documents), "
+        "a AS (SELECT source, term, COUNT(*) AS tf, "
+        "COUNT(DISTINCT doc_id) AS df FROM e GROUP BY 1, 2), "
+        "s AS (SELECT a.source, term, CAST(tf AS BIGINT) AS tf, "
+        "CAST(df AS BIGINT) AS df, "
+        "CAST((tf * nd * 10000) // df AS BIGINT) AS score_e4, "
+        "ROW_NUMBER() OVER (PARTITION BY a.source ORDER BY "
+        "(tf * nd * 10000) // df DESC, term) AS rn "
+        "FROM a JOIN n ON a.source = n.source) "
+        "SELECT source, term, tf, df, score_e4 FROM s WHERE rn <= 10"),
     "chars_histogram": (
         f"SELECT {_HIST_CASE} AS bucket, COUNT(*) AS n "
         "FROM documents GROUP BY 1"),
