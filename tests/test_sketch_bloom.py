@@ -149,3 +149,60 @@ def test_bloom_semi_filter_superset_of_exact(ray_session):
     exact = fact[fact["k"].isin(set(keys))]
     assert set(exact["v"]) <= set(out["v"])            # superset (no FN)
     assert len(out) < len(fact)                        # actually pruned
+
+
+# ---- mergeable quantile sketch -------------------------------------------
+
+def _rank_of(sorted_vals, x):
+    return np.searchsorted(sorted_vals, x, side="right") / len(sorted_vals)
+
+
+def test_quantile_sketch_rank_error_bound():
+    from zeeklog_ray.ops.sketch import (
+        merge_quantile_sketches, quantile_sketch_of, sketch_quantiles)
+    rng = np.random.default_rng(5)
+    data = rng.lognormal(0, 2.0, 200_000)  # heavy-tailed continuous
+    blocks = np.array_split(data, 37)
+    sketches = [quantile_sketch_of(b, k=512) for b in blocks]
+    mv, mw = merge_quantile_sketches(sketches, k=512)
+    assert abs(mw.sum() - len(data)) < 1e-6  # weight preserved
+    qs = [0.01, 0.1, 0.5, 0.9, 0.99]
+    est = sketch_quantiles(mv, mw, qs)
+    svals = np.sort(data)
+    for q, e in zip(qs, est):
+        assert abs(_rank_of(svals, e) - q) < 3 / 512, (q, e)
+
+
+def test_quantile_sketch_merge_order_stable():
+    from zeeklog_ray.ops.sketch import (
+        merge_quantile_sketches, quantile_sketch_of, sketch_quantiles)
+    rng = np.random.default_rng(9)
+    data = rng.normal(0, 1, 50_000)
+    blocks = [quantile_sketch_of(b, 256) for b in np.array_split(data, 10)]
+    a = merge_quantile_sketches(blocks, 256)
+    b = merge_quantile_sketches(blocks[::-1], 256)
+    qa = sketch_quantiles(*a, [0.25, 0.5, 0.75])
+    qb = sketch_quantiles(*b, [0.25, 0.5, 0.75])
+    # identical multiset of centroids ⇒ identical post-merge summary
+    assert np.allclose(qa, qb)
+
+
+def test_quantile_sketch_small_input_exact():
+    from zeeklog_ray.ops.sketch import quantile_sketch_of, sketch_quantiles
+    v, w = quantile_sketch_of(np.array([3.0, 1.0, 2.0]), k=512)
+    assert v.tolist() == [1.0, 2.0, 3.0]
+    # n <= k keeps raw values: quantiles are exact quantile_disc
+    assert sketch_quantiles(v, w, [0.5])[0] == 2.0
+
+
+def test_approx_quantiles_dataset(ray_session):
+    import ray.data
+    from zeeklog_ray.ops.sketch import approx_quantiles
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"value": rng.exponential(10, 80_000)})
+    df.loc[::97, "value"] = np.nan  # nulls must be ignored
+    ds = ray.data.from_pandas(df).repartition(16)
+    out = approx_quantiles(ds, "value", [0.5, 0.95])
+    clean = np.sort(df["value"].dropna().to_numpy())
+    for q, e in zip(out["q"], out["value"]):
+        assert abs(_rank_of(clean, e) - q) < 3 / 512

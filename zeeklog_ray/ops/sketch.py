@@ -233,3 +233,101 @@ def heavy_hitters(ds: "ray.data.Dataset", col: str, k: int = 10,
     out["n"] = out["n"].astype("int64")
     return out.sort_values(["n", col], ascending=[False, True]) \
         .head(k).reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# Mergeable quantile sketch (rank-sampled summary — KLL/t-digest family)
+# --------------------------------------------------------------------------
+
+QSKETCH_K = 512
+
+
+def quantile_sketch_of(values: np.ndarray,
+                       k: int = QSKETCH_K) -> tuple[np.ndarray, np.ndarray]:
+    """Compress a value array to ≤k (value, weight) rank samples.
+
+    The sketch keeps the data value at each of k evenly spaced ranks
+    (rank (i+0.5)·n/k), carrying weight n/k each (exactly summing to n).
+    One compression step moves any rank estimate by at most n/(2k); a
+    merge-then-recompress adds another W/(2k), so per-batch sketches
+    merged once answer any quantile within ~1/k of true rank — the
+    mergeable-summary contract exact_quantiles points to for continuous
+    high-cardinality columns where the value-histogram method would hold
+    |distinct| driver-side rows.
+
+    Deterministic (no sampling randomness): same input ⇒ same sketch on
+    any node.  NaNs must be filtered by the caller.
+    """
+    v = np.sort(np.asarray(values))
+    n = len(v)
+    if n == 0:
+        return np.empty(0, dtype=np.float64), np.empty(0, dtype=np.float64)
+    if n <= k:
+        return v.astype(np.float64), np.ones(n, dtype=np.float64)
+    idx = np.minimum(((np.arange(k) + 0.5) * n / k).astype(np.int64), n - 1)
+    vals = v[idx].astype(np.float64)
+    w = np.full(k, n / k, dtype=np.float64)
+    return vals, w
+
+
+def merge_quantile_sketches(sketches: "list[tuple[np.ndarray, np.ndarray]]",
+                            k: int = QSKETCH_K) -> tuple[np.ndarray, np.ndarray]:
+    """Merge rank-sample sketches: concatenate, sort by value, re-sample at
+    k evenly spaced cumulative weights.  Associative up to the bounded
+    rank error; total weight is preserved exactly."""
+    pairs = [(v, w) for v, w in sketches if len(v)]
+    if not pairs:
+        return np.empty(0, dtype=np.float64), np.empty(0, dtype=np.float64)
+    vals = np.concatenate([v for v, _ in pairs])
+    wts = np.concatenate([w for _, w in pairs])
+    order = np.argsort(vals, kind="mergesort")
+    vals, wts = vals[order], wts[order]
+    if len(vals) <= k:
+        return vals, wts
+    total = wts.sum()
+    csum = np.cumsum(wts)
+    targets = (np.arange(k) + 0.5) * total / k
+    pos = np.searchsorted(csum, targets, side="left")
+    pos = np.minimum(pos, len(vals) - 1)
+    out_v = vals[pos]
+    out_w = np.full(k, total / k, dtype=np.float64)
+    return out_v, out_w
+
+
+def sketch_quantiles(vals: np.ndarray, wts: np.ndarray,
+                     qs: "list[float]") -> np.ndarray:
+    """Step-function quantiles from a (value, weight) summary (values
+    sorted ascending)."""
+    if not len(vals):
+        return np.full(len(qs), np.nan)
+    csum = np.cumsum(wts)
+    total = csum[-1]
+    out = np.empty(len(qs))
+    for i, q in enumerate(qs):
+        rank = max(q * total, 1e-12)
+        pos = int(np.searchsorted(csum, rank, side="left"))
+        out[i] = vals[min(pos, len(vals) - 1)]
+    return out
+
+
+def approx_quantiles(ds: "ray.data.Dataset", col: str, qs: "list[float]",
+                     k: int = QSKETCH_K) -> pd.DataFrame:
+    """Approximate quantiles of a continuous column via the mergeable
+    rank-sample sketch: each batch emits ONE (values, weights) row
+    (≤ 8 KB at k=512), the driver merges — |batches| × 8 KB crosses the
+    wire no matter the input size, the streaming-sketch shape HLL uses.
+    Rank error ≤ ~1/k after the single merge level (pytest-gated)."""
+
+    def sk(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[col].dropna().to_numpy(np.float64)
+        sv, sw = quantile_sketch_of(v, k)
+        return pd.DataFrame({"v": [sv.tobytes()], "w": [sw.tobytes()]})
+
+    parts = ds.select_columns([col]).map_batches(
+        sk, batch_format="pandas", batch_size=None).to_pandas()
+    sketches = [(np.frombuffer(r.v, dtype=np.float64),
+                 np.frombuffer(r.w, dtype=np.float64))
+                for r in parts.itertuples()]
+    mv, mw = merge_quantile_sketches(sketches, k)
+    est = sketch_quantiles(mv, mw, qs)
+    return pd.DataFrame({"q": [float(q) for q in qs], "value": est})

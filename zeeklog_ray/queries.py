@@ -528,6 +528,19 @@ def doc_word_counts(sf_dir: str) -> "ray.data.Dataset":
     return ds.map_batches(count, batch_format="pandas", batch_size=None)
 
 
+def event_value_quantiles_sketch(sf_dir: str) -> pd.DataFrame:
+    """Approximate quantiles of the continuous ``value`` column via the
+    mergeable rank-sample sketch (ops/sketch.approx_quantiles): one ≤8 KB
+    sketch row per batch, driver merge — the streaming shape for columns
+    whose distinct-value histogram would not fit the driver.  No oracle
+    (approximate by design); rank error ≤ ~3/512 pytest-gated, and the
+    exact twin ``event_value_quantiles`` pins the discrete semantics."""
+    from zeeklog_ray.ops.sketch import approx_quantiles
+
+    ds = read_table(sf_dir, "events", columns=["value"])
+    return approx_quantiles(ds, "value", [0.1, 0.5, 0.9, 0.99])
+
+
 def docs_top_terms(sf_dir: str) -> "ray.data.Dataset":
     """Top-10 characteristic terms per source by linear-idf tf-idf in
     exact integer math (ops/text.top_terms_per_source); the per-source doc
@@ -1236,6 +1249,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "building_orders_bloom": building_orders_bloom,
     "event_heavy_hitters": event_heavy_hitters,
     "event_value_quantiles": event_value_quantiles,
+    "event_value_quantiles_sketch": event_value_quantiles_sketch,
     "event_type_quantiles": event_type_quantiles,
     "customers_without_orders": customers_without_orders,
     "docs_sample_mod": docs_sample_mod,
