@@ -149,3 +149,51 @@ def test_cli_invalid_ip(tmp_path, corpus_dir):
          "--out", str(tmp_path / "o"), "--src-ip", "not-an-ip"],
         capture_output=True, text=True, cwd="/root/repo", timeout=120)
     assert res.returncode != 0
+
+
+def test_cli_dump_schemas_and_list_queries():
+    """--dump-schemas / --list-queries are metadata-only: no Ray session,
+    instant, and consistent with the in-process registries."""
+    from zeeklog_ray.queries import QUERIES
+    from zeeklog_ray.sources import sink_schemas
+
+    res = subprocess.run(
+        [sys.executable, "-m", "zeeklog_ray.cli", "--dump-schemas", "--enrich"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert json.loads(res.stdout) == sink_schemas(enrich=True)
+
+    res = subprocess.run(
+        [sys.executable, "-m", "zeeklog_ray.cli", "--list-queries"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert res.stdout.split() == sorted(QUERIES)
+
+
+def test_cli_run_query(tmp_path):
+    """--run-query executes a registry query over --sf-dir: JSON lines to
+    stdout, or Parquet via --query-out; unknown names fail fast."""
+    import pandas as pd
+
+    base = [sys.executable, "-m", "zeeklog_ray.cli",
+            "--run-query", "distinct_event_types",
+            "--sf-dir", "/root/testdata/sf0.001", "--num-cpus", "4"]
+    res = subprocess.run(base, capture_output=True, text=True,
+                         cwd="/root/repo", timeout=300)
+    assert res.returncode == 0, res.stderr[-2000:]
+    rows = [json.loads(l) for l in res.stdout.strip().splitlines()]
+    assert rows and all("event_type" in r for r in rows)
+
+    out = str(tmp_path / "q.parquet")
+    res2 = subprocess.run(base + ["--query-out", out], capture_output=True,
+                          text=True, cwd="/root/repo", timeout=300)
+    assert res2.returncode == 0, res2.stderr[-2000:]
+    rep = json.loads(res2.stdout.strip().splitlines()[-1])
+    assert rep["rows"] == len(rows)
+    back = pd.read_parquet(out)
+    assert len(back) == len(rows)
+
+    bad = subprocess.run(
+        [sys.executable, "-m", "zeeklog_ray.cli", "--run-query", "nope"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120)
+    assert bad.returncode != 0 and "unknown query" in bad.stderr

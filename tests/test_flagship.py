@@ -106,3 +106,31 @@ def test_flagship_deterministic_filenames(corpus_dir, tmp_path):
                    glob.glob(os.path.join(out, "sink=conn", "*.parquet")))
     # fragment-derived names (date + part stem), not uuids
     assert all(f.startswith("part-date=") for f in files), files[:3]
+
+
+def test_sink_schema_registry_matches_output(corpus_dir, tmp_path):
+    """sources.sink_schemas must report EXACTLY the columns the fused
+    writer produces per sink, in file order — it is the machine-readable
+    contract a downstream consumer reads instead of sniffing files."""
+    import pyarrow.parquet as pq
+
+    from zeeklog_ray.sources import sink_schemas
+
+    out = str(tmp_path / "routed")
+    run_flagship(PipelineConfig(corpus_dir=corpus_dir, enrich=True), out)
+    reg = sink_schemas(enrich=True)
+    seen = 0
+    for d in glob.glob(os.path.join(out, "sink=*")):
+        sink = os.path.basename(d).removeprefix("sink=")
+        f = glob.glob(os.path.join(d, "*.parquet"))[0]
+        assert pq.read_schema(f).names == reg[sink], sink
+        seen += 1
+    assert seen == 29
+
+    # non-enriched runs carry no geo_*/service_name columns
+    out2 = str(tmp_path / "routed_plain")
+    run_flagship(PipelineConfig(corpus_dir=corpus_dir), out2)
+    reg2 = sink_schemas(enrich=False)
+    f = glob.glob(os.path.join(out2, "sink=conn", "*.parquet"))[0]
+    assert pq.read_schema(f).names == reg2["conn"]
+    assert not any(c.startswith("geo_") for c in reg2["conn"])

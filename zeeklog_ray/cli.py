@@ -61,6 +61,21 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="routed-output Parquet codec (default: Arrow's"
                         " snappy; zstd ~halves output bytes on token"
                         " payloads — readers need no flag)")
+    p.add_argument("--dump-schemas", action="store_true",
+                   help="print the per-sink routed-output schema registry"
+                        " as JSON and exit (with --enrich: includes the"
+                        " geo_* enrichment columns); no Ray session")
+    p.add_argument("--run-query", metavar="NAME",
+                   help="run a registry query (zeeklog_ray.queries.QUERIES)"
+                        " over --sf-dir and print its rows as JSON lines;"
+                        " --query-out writes Parquet instead")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01",
+                   help="testdata table dir for --run-query")
+    p.add_argument("--query-out", metavar="PATH",
+                   help="with --run-query: write the result to this Parquet"
+                        " file instead of printing rows")
+    p.add_argument("--list-queries", action="store_true",
+                   help="list registry query names and exit")
     return p
 
 
@@ -69,6 +84,22 @@ def main(argv: list[str] | None = None) -> int:
     args = parser.parse_args(argv)
 
     from zeeklog_ray.compat import expand_path, parse_date, parse_ip
+
+    if args.dump_schemas:
+        from zeeklog_ray.sources import sink_schemas
+
+        print(json.dumps(sink_schemas(enrich=args.enrich), indent=2,
+                         sort_keys=True))
+        return 0
+
+    if args.list_queries:
+        from zeeklog_ray.queries import QUERIES
+
+        print("\n".join(sorted(QUERIES)))
+        return 0
+
+    if args.run_query:
+        return _run_query(args, parser)
 
     if args.lookup_ip:
         # direct-IP mode needs no corpus, no output dir, and no Ray
@@ -149,6 +180,54 @@ def main(argv: list[str] | None = None) -> int:
         report["ip_db"] = {"path": args.ip_db, "n_ips": len(ips)}
 
     print(json.dumps(report))
+    ray.shutdown()
+    return 0
+
+
+def _run_query(args, parser) -> int:
+    """``--run-query``: execute one registry query over the testdata tables
+    and stream the result out — the generic-relational-query CLI surface
+    (every SURVEY §2 operator is reachable from the shell, not just the
+    flagship)."""
+    from zeeklog_ray.compat import expand_path
+    from zeeklog_ray.queries import QUERIES
+
+    if args.run_query not in QUERIES:
+        parser.error(f"unknown query {args.run_query!r} "
+                     "(--list-queries shows the registry)")
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    result = QUERIES[args.run_query](expand_path(args.sf_dir))
+    import pandas as pd
+
+    if args.query_out and hasattr(result, "write_parquet"):
+        # Dataset result + file sink: stay distributed, never collect
+        result.write_parquet(args.query_out)
+        print(json.dumps({"mode": "query", "query": args.run_query,
+                          "out": args.query_out,
+                          "rows": result.count()}))
+        ray.shutdown()
+        return 0
+
+    # Dataset / pyarrow.Table → pandas (registry results are small —
+    # aggregates or capped top-k; event-scale queries return Datasets and
+    # take the write_parquet branch above when --query-out is given)
+    df = result if isinstance(result, pd.DataFrame) else result.to_pandas()
+    if args.query_out:
+        df.to_parquet(args.query_out)
+        print(json.dumps({"mode": "query", "query": args.run_query,
+                          "out": args.query_out, "rows": len(df)}))
+    else:
+        for rec in df.to_dict(orient="records"):
+            print(json.dumps(rec, default=str))
     ray.shutdown()
     return 0
 

@@ -102,3 +102,32 @@ def normalize_source(name: str) -> str:
     """
     s = name.lower()
     return s if s in SOURCE_FIELDS else UNKNOWN_SINK
+
+
+def sink_schemas(enrich: bool = False) -> dict[str, list[str]]:
+    """Per-sink routed-output column lists — the machine-readable schema
+    registry a downstream consumer needs to read the ``sink=*`` Parquet
+    partitions without sniffing files.
+
+    Derived from the same constants the writer prunes with
+    (``flagship.FusedRouteWriter.drop_for_sink``): each sink keeps the
+    payload base columns, then its OWN registry fields in parsed-schema
+    order (= ``EXTRACTED_COLUMNS`` order, NOT ``SOURCE_FIELDS`` order —
+    the writer drops columns from the full parsed table, it never
+    reorders), then — when the enrichment stage ran — the 12 ``geo_*``
+    columns plus ``service_name``.  ``sink`` itself is never a file
+    column (it is the ``sink=*`` directory name), and the quarantine
+    sink keeps only the base payload.  Truthfulness is pinned by
+    ``tests/test_flagship.py::test_sink_schema_registry_matches_output``.
+    """
+    from zeeklog_ray.enrich import GEO_FIELDS
+
+    base = ["doc_id", "tokens", "n_tok", "source", "date"]
+    extra = list(GEO_FIELDS) + ["service_name"] if enrich else []
+    out = {
+        s: base + [c for c in EXTRACTED_COLUMNS if c in set(SOURCE_FIELDS[s])]
+           + extra
+        for s in KNOWN_SOURCES
+    }
+    out[UNKNOWN_SINK] = base + extra
+    return out
