@@ -1186,6 +1186,41 @@ def docs_mixture_resample(sf_dir: str) -> "ray.data.Dataset":
     return mixture_resample(ds, "doc_id", "source", _MIXTURE_RATES)
 
 
+_CONTAM_K = 8          # byte-8-grams pack exactly into uint64
+_CONTAM_BENCH_MOD = 13  # doc_id % 13 == 0 plays the held-out benchmark set
+
+
+def docs_benchmark_contam(sf_dir: str) -> "ray.data.Dataset":
+    """Benchmark decontamination (ops/decontam.py): docs sharing any
+    distinct byte-8-gram with the "benchmark" subset (doc_id ≡ 0 mod 13),
+    with exact integer hit counts and ``contam_e4 = 10000*n_hit//n_grams``.
+    Broadcast semi-join shape: the benchmark gram set ships once via
+    ``ray.put``; the corpus side is one shuffle-free map scan."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    from zeeklog_ray.ops.decontam import benchmark_contamination
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def side(is_bench: bool):
+        def f(batch: _pa.Table) -> _pa.Table:
+            mod = _pc.subtract(
+                batch["doc_id"],
+                _pc.multiply(_pc.divide(batch["doc_id"], _CONTAM_BENCH_MOD),
+                             _CONTAM_BENCH_MOD))
+            keep = _pc.equal(mod, 0) if is_bench else _pc.not_equal(mod, 0)
+            return batch.filter(keep)
+
+        return f
+
+    bench = docs.map_batches(side(True), batch_format="pyarrow",
+                             batch_size=None)
+    train = docs.map_batches(side(False), batch_format="pyarrow",
+                             batch_size=None)
+    return benchmark_contamination(train, bench, k=_CONTAM_K)
+
+
 # --------------------------------------------------------------------------
 # Registry + oracle SQL
 # --------------------------------------------------------------------------
@@ -1258,6 +1293,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "top_orders_per_customer": top_orders_per_customer,
     "building_revenue_q3": building_revenue_q3,
     "nation_order_counts_left": nation_order_counts_left,
+    "docs_benchmark_contam": docs_benchmark_contam,
 }
 
 _HIST_CASE = ("CASE WHEN n_chars < 64 THEN 'hist_0_64' "
@@ -1835,6 +1871,27 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT n_name, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders "
         "FROM customer JOIN nation ON c_nationkey = n_nationkey "
         "LEFT JOIN orders ON o_custkey = c_custkey GROUP BY n_name"),
+    # bit-exact replay of ops.decontam.benchmark_contamination: distinct
+    # char-8-grams (ASCII corpus ⇒ char grams == byte grams), benchmark =
+    # doc_id ≡ 0 (mod 13), DuckDB // == Python // for non-negative ints
+    "docs_benchmark_contam": (
+        f"WITH bench AS (SELECT text FROM documents "
+        f"WHERE doc_id % {_CONTAM_BENCH_MOD} = 0), "
+        f"train AS (SELECT doc_id, text FROM documents "
+        f"WHERE doc_id % {_CONTAM_BENCH_MOD} <> 0), "
+        f"gb AS (SELECT DISTINCT substring(b.text, s.i, {_CONTAM_K}) AS gram "
+        f"FROM bench b, LATERAL (SELECT unnest(range(1, length(b.text) - "
+        f"{_CONTAM_K - 2})) AS i) s WHERE length(b.text) >= {_CONTAM_K}), "
+        f"gt AS (SELECT DISTINCT t.doc_id, substring(t.text, s.i, "
+        f"{_CONTAM_K}) AS gram FROM train t, LATERAL (SELECT "
+        f"unnest(range(1, length(t.text) - {_CONTAM_K - 2})) AS i) s "
+        f"WHERE length(t.text) >= {_CONTAM_K}), "
+        "sizes AS (SELECT doc_id, count(*) AS n_grams FROM gt GROUP BY doc_id), "
+        "hits AS (SELECT gt.doc_id, count(*) AS n_hit FROM gt "
+        "JOIN gb USING (gram) GROUP BY gt.doc_id) "
+        "SELECT h.doc_id, s.n_grams, h.n_hit, "
+        "CAST((10000 * h.n_hit) // s.n_grams AS BIGINT) AS contam_e4 "
+        "FROM hits h JOIN sizes s USING (doc_id)"),
 }
 
 # The flagship zeek_* oracles read the tokenized corpus by absolute path at
