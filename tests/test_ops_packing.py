@@ -95,3 +95,56 @@ def test_pack_stats_rollup(ray_session):
     brute_src = df.groupby("source")["n_tok"].sum()
     assert {k: int(v) for k, v in per_src.items()} == \
         {k: int(v) for k, v in brute_src.items()}
+
+
+def test_chunk_tokens_brute_force(ray_session):
+    """Random docs (incl. zero-length): chunk ids, lengths and Horner
+    hashes match a per-doc Python reference exactly."""
+    import pyarrow as pa
+
+    from zeeklog_ray.ops.packing import _HASH_BASE, chunk_tokens
+
+    rng = np.random.default_rng(11)
+    docs = [rng.integers(0, 256, int(n)).tolist()
+            for n in rng.integers(0, 900, 80)] + [[]]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": list(range(len(docs))), "tokens": docs}))
+    got = list(chunk_tokens(ds, window=256, stride=192).to_pandas()
+               .sort_values(["doc_id", "chunk_id"])
+               .itertuples(index=False, name=None))
+
+    exp = []
+    for i, toks in enumerate(docs):
+        n, k = len(toks), 0
+        while n > 0:
+            chunk = toks[k * 192:k * 192 + 256]
+            h = 0
+            for t in chunk:
+                h = (h * _HASH_BASE + t) % (1 << 64)
+            exp.append((i, k, len(chunk),
+                        h - (1 << 64) if h >= (1 << 63) else h))
+            if k * 192 + 256 >= n:
+                break
+            k += 1
+    assert got == exp
+
+
+def test_chunk_tokens_stride_equals_window(ray_session):
+    """stride == window: disjoint chunks covering every token once."""
+    import pyarrow as pa
+
+    from zeeklog_ray.ops.packing import chunk_tokens
+
+    ds = ray.data.from_arrow(pa.table({"doc_id": [1], "tokens": [list(range(10))]}))
+    out = chunk_tokens(ds, window=4, stride=4).to_pandas()
+    assert out["n_chunk_tok"].tolist() == [4, 4, 2]
+    assert out["chunk_id"].tolist() == [0, 1, 2]
+
+
+def test_chunk_tokens_invalid_stride(ray_session):
+    import pytest as _pytest
+
+    from zeeklog_ray.ops.packing import chunk_tokens
+
+    with _pytest.raises(ValueError, match="stride"):
+        chunk_tokens(None, window=4, stride=5)

@@ -1,4 +1,5 @@
-"""Sequence packing: assign tokenized docs to fixed-size context bins.
+"""Sequence shaping: packing (docs → fixed-size context bins) and
+chunking (doc → overlapping fixed-size windows).
 
 LLM pretraining concatenates documents in a deterministic order and slices
 the stream into ``context_len``-token examples; the pack id of a document
@@ -109,3 +110,91 @@ def pack_stats(ds: "ray.data.Dataset", *, group_col: str = "source",
 
     return grouped_sum(assigned, [group_col, "pack_id"],
                        sums={len_col: "sum_tok"}, count_as="n_docs")
+
+
+_HASH_BASE = 1000003           # odd ⇒ invertible mod 2^64
+_HASH_BASE_INV = pow(_HASH_BASE, -1, 1 << 64)
+
+
+def chunk_tokens(ds: "ray.data.Dataset", *, window: int = 256,
+                 stride: int = 192, id_col: str = "doc_id",
+                 tokens_col: str = "tokens") -> "ray.data.Dataset":
+    """Split each tokenized doc into overlapping windows — the chunking
+    side of sequence shaping (RAG / context-window preparation): chunk k
+    covers ``tokens[k*stride : k*stride + window]``.
+
+    Chunk-count contract (exact-integer, SQL-replayable): a doc with n > 0
+    tokens yields ``1 if n <= window else (n - window + stride - 1) //
+    stride + 1`` chunks — generation stops once a chunk reaches the end of
+    the doc, so every token is covered and no chunk is fully contained in
+    its predecessor.  Zero-token docs yield no chunks.
+
+    Output: ``(id_col, chunk_id, n_chunk_tok, chunk_hash)`` where
+    ``chunk_hash`` is the Horner hash ``((t0*B + t1)*B + ...) mod 2^64``
+    (B = 1000003) of the chunk's tokens, emitted as signed int64 — the
+    same hash family as ``ops.text.fingerprints``, so the oracle replays
+    it with a HUGEINT ``list_reduce``.
+
+    Scale shape: ROW-LOCAL — one ``map_batches`` over a column-pruned
+    read, no shuffle, output ≈ n/stride rows per doc produced inside the
+    same task.  The per-batch hash is O(total_tokens): a single Horner
+    prefix scan over the batch's flattened token stream (no per-doc
+    reset — slice hashes come out of the prefix via the modular inverse
+    of the base, ``h[s:e) = pw[e-1] * (C[e] - C[s])`` with ``C`` the
+    inverse-power-weighted cumsum, everything wrapping mod 2^64 in
+    uint64), then pure gather for every chunk.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    W, S = window, stride
+    if not (0 < S <= W):
+        raise ValueError(f"chunk_tokens: need 0 < stride <= window, "
+                         f"got stride={S} window={W}")
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        toks = batch[tokens_col]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        vals = toks.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+        offs = toks.offsets.to_numpy().astype(np.int64)
+        offs = offs - offs[0]          # flatten() starts at the chunk offset
+        n = np.diff(offs)
+        m = np.where(n == 0, 0,
+                     np.where(n <= W, 1, (n - W + S - 1) // S + 1))
+        total = int(m.sum())
+        if total == 0:
+            return pa.table({id_col: batch[id_col].take(pa.array([], pa.int32())),
+                             "chunk_id": pa.array([], pa.int64()),
+                             "n_chunk_tok": pa.array([], pa.int64()),
+                             "chunk_hash": pa.array([], pa.int64())})
+        doc_idx = np.repeat(np.arange(len(n)), m)
+        k = np.arange(total) - np.repeat(np.cumsum(m) - m, m)
+        start = k * S
+        length = np.minimum(W, n[doc_idx] - start)
+        s = offs[:-1][doc_idx] + start
+        e = s + length
+
+        # prefix machinery: pw[i] = B^i, C[i] = sum_{j<i} v[j] * B^-j
+        N = len(vals)
+        pw = np.ones(N + 1, dtype=np.uint64)
+        if N:
+            pw[1:] = np.multiply.accumulate(
+                np.full(N, _HASH_BASE, dtype=np.uint64))
+        ipw = np.ones(N, dtype=np.uint64)
+        if N > 1:
+            ipw[1:] = np.multiply.accumulate(
+                np.full(N - 1, _HASH_BASE_INV, dtype=np.uint64))
+        C = np.zeros(N + 1, dtype=np.uint64)
+        if N:
+            np.cumsum(vals * ipw, out=C[1:])
+        h = pw[e - 1] * (C[e] - C[s])            # uint64 wrap == mod 2^64
+
+        return pa.table({
+            id_col: batch[id_col].take(pa.array(doc_idx, pa.int64())),
+            "chunk_id": pa.array(k.astype(np.int64)),
+            "n_chunk_tok": pa.array(length.astype(np.int64)),
+            "chunk_hash": pa.array(h.astype(np.int64)),  # two's-complement
+        })
+
+    return ds.map_batches(chunks, batch_format="pyarrow", batch_size=None)

@@ -173,6 +173,21 @@ def zeek_seq_packing(sf_dir: str) -> "ray.data.Dataset":
     return pack_stats(ds, context_len=2048, num_buckets=64)
 
 
+_CHUNK_W, _CHUNK_S = 256, 192
+
+
+def zeek_token_chunks(sf_dir: str) -> "ray.data.Dataset":
+    """Overlapping token-window chunking over the tokenized corpus
+    (window 256, stride 192) — the split-side complement of
+    zeek_seq_packing.  Row-local, shuffle-free; per-chunk exact Horner
+    hash pins content, not just lengths (ops/packing.py)."""
+    from zeeklog_ray.ops.packing import chunk_tokens
+
+    corpus = corpus_for_sf_dir(sf_dir)
+    ds = ray.data.read_parquet(corpus, columns=["doc_id", "tokens"])
+    return chunk_tokens(ds, window=_CHUNK_W, stride=_CHUNK_S)
+
+
 def zeek_token_vocab(sf_dir: str) -> "ray.data.Dataset":
     """Token-level vocabulary: top-20 token ids by total frequency across
     the corpus — the vocabulary-stats pass a training pipeline runs over
@@ -1236,6 +1251,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "geo_ip_lookup": geo_ip_lookup,
     "zeek_hourly_sink_counts": zeek_hourly_sink_counts,
     "zeek_token_vocab": zeek_token_vocab,
+    "zeek_token_chunks": zeek_token_chunks,
     "zeek_seq_packing": zeek_seq_packing,
     "zeek_token_remap": zeek_token_remap,
     "zeek_tsv_ingest": zeek_tsv_ingest,
@@ -1423,6 +1439,27 @@ def _zeek_oracle_sql(sf_dir: str) -> dict[str, str]:
             "(SELECT UNNEST(tokens) AS token FROM "
             f"read_parquet('{corpus_glob}')) "
             "GROUP BY token ORDER BY n DESC, token LIMIT 20"),
+        # chunking replay: same chunk-count contract as ops.packing.
+        # chunk_tokens, per-chunk Horner hash over the 1-based list_slice,
+        # HUGEINT mod 2^64 folded to signed int64 like doc_fingerprints
+        "zeek_token_chunks": (
+            "WITH t AS (SELECT doc_id, tokens, n_tok FROM "
+            f"read_parquet('{corpus_glob}') WHERE n_tok > 0), "
+            "c AS (SELECT doc_id, n_tok, tokens, unnest(range(0, "
+            f"CASE WHEN n_tok <= {_CHUNK_W} THEN 1 ELSE "
+            f"(n_tok - {_CHUNK_W} + {_CHUNK_S - 1}) // {_CHUNK_S} + 1 END"
+            ")) AS k FROM t) "
+            "SELECT doc_id, CAST(k AS BIGINT) AS chunk_id, "
+            "CAST(n_chunk_tok AS BIGINT) AS n_chunk_tok, "
+            "CAST(CASE WHEN m >= 9223372036854775808::HUGEINT "
+            "THEN m - 18446744073709551616::HUGEINT ELSE m END AS BIGINT) "
+            "AS chunk_hash FROM ("
+            f"SELECT doc_id, k, LEAST({_CHUNK_W}, n_tok - k * {_CHUNK_S}) "
+            "AS n_chunk_tok, list_reduce(list_transform(list_slice(tokens, "
+            f"k * {_CHUNK_S} + 1, k * {_CHUNK_S} + "
+            f"LEAST({_CHUNK_W}, n_tok - k * {_CHUNK_S})), "
+            "x -> x::HUGEINT), (acc, c) -> (acc * 1000003::HUGEINT + c) % "
+            "18446744073709551616::HUGEINT) AS m FROM c)"),
         # vocab ranked by (count DESC, token), dense 0-based ids; per-doc
         # sum of remapped ids replays the np.take + reduceat pipeline.
         # LEFT JOIN from the docs table so an empty-token doc yields
