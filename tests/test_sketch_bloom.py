@@ -206,3 +206,33 @@ def test_approx_quantiles_dataset(ray_session):
     clean = np.sort(df["value"].dropna().to_numpy())
     for q, e in zip(out["q"], out["value"]):
         assert abs(_rank_of(clean, e) - q) < 3 / 512
+
+
+def test_grouped_interp_quantiles_matches_numpy(ray_session):
+    """value_x100/100 == np.percentile(..., 'linear') exactly, incl. null
+    values (ignored) and single-value keys."""
+    from zeeklog_ray.ops.sketch import grouped_interp_quantiles
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({"k": rng.choice(list("abc"), 2000),
+                       "v": rng.integers(0, 100_000, 2000).astype("float64")})
+    df.loc[df.sample(100, random_state=1).index, "v"] = np.nan
+    df = pd.concat([df, pd.DataFrame({"k": ["solo"], "v": [42.0]})],
+                   ignore_index=True)
+    dfi = df.dropna().assign(v=lambda d: d["v"].astype("int64"))
+    out = grouped_interp_quantiles(
+        ray.data.from_pandas(dfi), "k", "v", [0, 50, 99, 100],
+        num_buckets=8).to_pandas()
+    for k, sub in dfi.groupby("k"):
+        for p in [0, 50, 99, 100]:
+            exp = np.percentile(sub["v"], p, method="linear")
+            got = out[(out.k == k) & (out.q_pct == p)]["value_x100"].iloc[0]
+            assert got == round(exp * 100), (k, p)
+    assert set(out[out.k == "solo"]["value_x100"]) == {4200}
+
+
+def test_grouped_interp_quantiles_rejects_bad_pcts(ray_session):
+    from zeeklog_ray.ops.sketch import grouped_interp_quantiles
+
+    with pytest.raises(ValueError, match="integer percents"):
+        grouped_interp_quantiles(None, "k", "v", [0.5])

@@ -331,3 +331,67 @@ def approx_quantiles(ds: "ray.data.Dataset", col: str, qs: "list[float]",
     mv, mw = merge_quantile_sketches(sketches, k)
     est = sketch_quantiles(mv, mw, qs)
     return pd.DataFrame({"q": [float(q) for q in qs], "value": est})
+
+
+def grouped_interp_quantiles(ds: "ray.data.Dataset", key: str, col: str,
+                             q_pcts: list[int],
+                             num_buckets: int = 1024) -> "ray.data.Dataset":
+    """Per-key CONTINUOUS (linearly interpolated) quantiles in exact
+    integer math — ``quantile_cont`` / ``np.percentile(..., 'linear')``
+    semantics without the float round-trip.
+
+    For integer percent ``p`` over a key's sorted values ``x[0..n-1]``:
+    ``pos = p*(n-1)/100``, ``i = p*(n-1)//100``, ``r = p*(n-1) % 100``,
+    and the result is emitted PRE-SCALED ×100 so it stays integral::
+
+        value_x100 = x[i]*(100 - r) + x[i+1]*r        (x[i]*100 if r == 0)
+
+    i.e. ``value_x100 / 100 == quantile_cont(p/100)`` exactly.  Same
+    distributed shape as :func:`grouped_exact_quantiles`: a combiner-first
+    (key, value) histogram (only distinct pairs cross the wire), then
+    key-hash-bucketed selection vectorized ACROSS keys (per-key cumsum
+    offsets + two searchsorted per percentile — no per-key Python).
+
+    Contract: null VALUES are ignored (like ``quantile_cont``); a key with
+    no non-null values is omitted (the SQL twin filters ``col IS NOT
+    NULL`` before grouping).  Output: ``(key, q_pct, value_x100)``.
+    """
+    from zeeklog_ray.relational import grouped_sum, with_hash_bucket
+
+    if not all(isinstance(p, int) and 0 <= p <= 100 for p in q_pcts):
+        raise ValueError(f"grouped_interp_quantiles: q_pcts must be integer "
+                         f"percents in [0, 100], got {q_pcts!r}")
+
+    filtered = ds.select_columns([key, col]) \
+        .map_batches(lambda b: b.dropna(subset=[col]),
+                     batch_format="pandas", batch_size=None)
+    hist = grouped_sum(filtered, [key, col], count_as="_n")
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key, col], kind="mergesort")
+        counts = g["_n"].to_numpy(dtype=np.int64)
+        vals = g[col].to_numpy(dtype=np.int64)
+        codes = pd.factorize(g[key], use_na_sentinel=False)[0]
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        ends = np.r_[starts[1:], len(codes)]
+        csum = np.cumsum(counts)
+        offs = np.r_[0, csum[:-1]][starts]
+        n_k = csum[ends - 1] - offs
+        parts = []
+        for p in q_pcts:
+            t = p * (n_k - 1)
+            i, r = t // 100, t % 100
+            hi_rank = np.minimum(i + 1, n_k - 1)   # r==0 ⇒ coeff 0, safe
+            lo = vals[np.searchsorted(csum, offs + i + 1, side="left")]
+            hi = vals[np.searchsorted(csum, offs + hi_rank + 1, side="left")]
+            parts.append(pd.DataFrame({
+                key: g[key].iloc[starts].to_numpy(),
+                "q_pct": np.int64(p),
+                "value_x100": lo * (100 - r) + hi * r}))
+        return pd.concat(parts, ignore_index=True) if parts else \
+            pd.DataFrame({key: g[key].iloc[:0], "q_pct": np.zeros(0, np.int64),
+                          "value_x100": np.zeros(0, np.int64)})
+
+    bucketed = with_hash_bucket(hist, [key], num_buckets)
+    return bucketed.groupby("_bucket").map_groups(per_bucket,
+                                                  batch_format="pandas")

@@ -1035,6 +1035,27 @@ def event_type_quantiles(sf_dir: str) -> "ray.data.Dataset":
         "event_type", "value_cents", [0.5, 0.99])
 
 
+_CONT_Q_PCTS = [50, 90, 99]
+
+
+def event_type_quantiles_cont(sf_dir: str) -> "ray.data.Dataset":
+    """Per-event-type CONTINUOUS (linearly interpolated) quantiles of
+    value cents, in exact integer math — quantile_cont semantics with
+    the result pre-scaled ×100 so Ray and the SQL replay compare
+    bit-for-bit (ops/sketch.grouped_interp_quantiles)."""
+    from zeeklog_ray.ops.sketch import grouped_interp_quantiles
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": batch["event_type"],
+                             "value_cents": _round_half_away(batch["value"] * 100)})
+
+    return grouped_interp_quantiles(
+        ev.map_batches(prep, batch_format="pandas", batch_size=None),
+        "event_type", "value_cents", _CONT_Q_PCTS)
+
+
 def building_orders_bloom(sf_dir: str) -> "ray.data.Dataset":
     """Bloom-pruned semi-join (relational.bloom_semi_filter): same result
     as building_segment_orders, but the broadcast is a 128 KB bitset (10
@@ -1302,6 +1323,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "event_value_quantiles": event_value_quantiles,
     "event_value_quantiles_sketch": event_value_quantiles_sketch,
     "event_type_quantiles": event_type_quantiles,
+    "event_type_quantiles_cont": event_type_quantiles_cont,
     "customers_without_orders": customers_without_orders,
     "docs_sample_mod": docs_sample_mod,
     "docs_hash_sample": docs_hash_sample,
@@ -1870,6 +1892,23 @@ ORACLE_SQL: dict[str, str] = {
         f"SELECT event_type, CAST({q} AS DOUBLE) AS q, "
         f"quantile_disc(CAST(ROUND(value * 100) AS BIGINT), {q}) AS value "
         "FROM events GROUP BY event_type" for q in (0.5, 0.99))),
+    # continuous quantiles replayed in the SAME exact integer math as
+    # ops.sketch.grouped_interp_quantiles (quantile_cont itself computes in
+    # double — ×100-and-cast would be ulp-fragile): sorted value list per
+    # key, i = p*(n-1)//100, r = p*(n-1)%100, x[i]*(100-r) + x[i+1]*r
+    "event_type_quantiles_cont": (
+        "WITH s AS (SELECT event_type, "
+        "list(v ORDER BY v) AS l, count(*) AS n FROM "
+        "(SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v "
+        "FROM events WHERE value IS NOT NULL) GROUP BY event_type) "
+        "SELECT event_type, CAST(q_pct AS BIGINT) AS q_pct, "
+        "CAST(l[CAST(i AS INTEGER) + 1] * (100 - r) + "
+        "l[CAST(LEAST(i + 1, n - 1) AS INTEGER) + 1] * r AS BIGINT) "
+        "AS value_x100 FROM ("
+        "SELECT event_type, l, n, q_pct, "
+        "(q_pct * (n - 1)) // 100 AS i, (q_pct * (n - 1)) % 100 AS r "
+        "FROM s, (VALUES " +
+        ", ".join(f"({p})" for p in _CONT_Q_PCTS) + ") AS qq(q_pct))"),
     "customers_without_orders": (
         "SELECT c_custkey, c_name FROM customer "
         "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders "
