@@ -50,3 +50,24 @@ def test_with_hash_bucket_multikey_colocates(ray_session, pairs_df):
     n_buckets_per_key = out.groupby(["doc_a", "doc_b"])["_bucket"].nunique()
     assert (n_buckets_per_key == 1).all()
     assert out["_bucket"].between(0, 15).all()
+
+
+def test_pivot_sum_semantics(ray_session):
+    """PIVOT: zero-fill, out-of-list values count toward count_as but no
+    column, duplicate categories rejected."""
+    from zeeklog_ray.relational import pivot_sum
+
+    df = pd.DataFrame({
+        "u": [1, 1, 1, 2, 2],
+        "t": ["a", "a", "b", "b", "zzz"],   # 'zzz' not in the IN-list
+        "v": [10, 5, 7, 3, 100],
+    })
+    out = pivot_sum(ray.data.from_pandas(df), "u", "t", "v", ["a", "b"],
+                    prefix="s_", count_as="n").to_pandas() \
+        .sort_values("u").reset_index(drop=True)
+    assert out.columns.tolist() == ["u", "n", "s_a", "s_b"]
+    assert out.loc[0].tolist() == [1, 3, 15, 7]
+    assert out.loc[1].tolist() == [2, 2, 0, 3]    # zzz in n, not in columns
+
+    with pytest.raises(ValueError, match="duplicate"):
+        pivot_sum(ray.data.from_pandas(df), "u", "t", "v", ["a", "a"])

@@ -1035,6 +1035,29 @@ def event_type_quantiles(sf_dir: str) -> "ray.data.Dataset":
         "event_type", "value_cents", [0.5, 0.99])
 
 
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def user_event_pivot(sf_dir: str) -> "ray.data.Dataset":
+    """PIVOT: per-user wide table — one value-cents sum column per event
+    type plus a total event count (relational.pivot_sum).  The widening
+    is row-local; only |users| × 6 aggregated cells shuffle."""
+    from zeeklog_ray.relational import pivot_sum
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "event_type", "value"])
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"user_id": batch["user_id"],
+                             "event_type": batch["event_type"],
+                             "value_cents": _round_half_away(batch["value"] * 100)})
+
+    return pivot_sum(ev.map_batches(prep, batch_format="pandas",
+                                    batch_size=None),
+                     "user_id", "event_type", "value_cents", _PIVOT_TYPES,
+                     prefix="cents_", count_as="n_events")
+
+
 _CONT_Q_PCTS = [50, 90, 99]
 
 
@@ -1324,6 +1347,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "event_value_quantiles_sketch": event_value_quantiles_sketch,
     "event_type_quantiles": event_type_quantiles,
     "event_type_quantiles_cont": event_type_quantiles_cont,
+    "user_event_pivot": user_event_pivot,
     "customers_without_orders": customers_without_orders,
     "docs_sample_mod": docs_sample_mod,
     "docs_hash_sample": docs_hash_sample,
@@ -1909,6 +1933,13 @@ ORACLE_SQL: dict[str, str] = {
         "(q_pct * (n - 1)) // 100 AS i, (q_pct * (n - 1)) % 100 AS r "
         "FROM s, (VALUES " +
         ", ".join(f"({p})" for p in _CONT_Q_PCTS) + ") AS qq(q_pct))"),
+    "user_event_pivot": (
+        "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, " +
+        ", ".join(
+            f"CAST(SUM(CASE WHEN event_type = '{t}' THEN "
+            "CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) "
+            f"AS cents_{t}" for t in _PIVOT_TYPES) +
+        " FROM events GROUP BY user_id"),
     "customers_without_orders": (
         "SELECT c_custkey, c_name FROM customer "
         "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders "

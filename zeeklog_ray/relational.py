@@ -316,3 +316,41 @@ def top_k(ds: "ray.data.Dataset", by: list[str], descending: list[bool],
 
     pruned = ds.map_batches(partial, batch_format="pandas", batch_size=None)
     return coalesce_partials(pruned).sort(by, descending=descending).limit(k)
+
+
+def pivot_sum(ds: "ray.data.Dataset", index: str, pivot_col: str,
+              value_col: str, categories: Sequence[str],
+              prefix: str = "", count_as: str | None = None
+              ) -> "ray.data.Dataset":
+    """Wide conditional aggregation (SQL PIVOT ... IN (...)): one output
+    column per category holding the per-``index`` sum of ``value_col``
+    where ``pivot_col`` equals that category, zero elsewhere.
+
+    ``categories`` must be a KNOWN small list — the fixed-schema
+    requirement every distributed pivot has (same as SQL PIVOT's IN
+    list); values outside it contribute nothing to the category columns
+    but still count toward ``count_as``, exactly like
+    ``SUM(CASE WHEN ... ELSE 0 END)`` + ``COUNT(*)``.
+
+    Scale shape: the widening is ROW-LOCAL (one ``where`` mask per
+    category inside ``map_batches``), then :func:`grouped_sum` reduces —
+    only |index| × (|categories| + 1) aggregated cells ever shuffle, not
+    rows.  Output column order: ``index``, ``count_as`` (if set), then
+    one ``{prefix}{category}`` per category in the given order.
+    """
+    cats = list(categories)
+    if len(set(cats)) != len(cats):
+        raise ValueError(f"pivot_sum: duplicate categories in {cats!r}")
+
+    def widen(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({index: batch[index]})
+        for c in cats:
+            out[f"{prefix}{c}"] = batch[value_col].where(
+                batch[pivot_col] == c, 0)
+        return out
+
+    wide = ds.select_columns([index, pivot_col, value_col]).map_batches(
+        widen, batch_format="pandas", batch_size=None)
+    return grouped_sum(wide, [index],
+                       sums={f"{prefix}{c}": f"{prefix}{c}" for c in cats},
+                       count_as=count_as)
