@@ -71,3 +71,25 @@ def test_lsh_topk_recall(emb):
     # every returned score is a true score (no fabrication)
     for _, r in approx.iterrows():
         assert r["cos_e4"] == int(e4[int(r["vec_id"])])
+
+
+def test_label_centroids_matches_numpy(ray_session):
+    """Long-format centroids equal the per-label numpy mean (floored e6),
+    including split across many blocks (partial-sum merge path)."""
+    import pyarrow as pa
+
+    from zeeklog_ray.ops.similarity import label_centroids
+
+    rng = np.random.default_rng(9)
+    labels = rng.integers(0, 4, 300)
+    mat = rng.normal(size=(300, 8)).astype(np.float32)
+    ds = ray.data.from_arrow(pa.table({
+        "label": labels, "embedding": list(mat)})).repartition(7)
+    out = label_centroids(ds).to_pandas()
+    assert len(out) == 4 * 8
+    for lb in range(4):
+        mean = mat[labels == lb].astype(np.float64).mean(axis=0)
+        sub = out[out.label == lb].sort_values("pos")
+        assert sub["n"].unique().tolist() == [int((labels == lb).sum())]
+        assert sub["centroid_e6"].tolist() == \
+            np.floor(mean * 1e6).astype("int64").tolist()

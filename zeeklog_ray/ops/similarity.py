@@ -196,3 +196,55 @@ def ivf_topk(ds: "ray.data.Dataset", query: np.ndarray, k: int = 10,
     filtered = ds.map_batches(assign_and_filter, batch_format="pyarrow",
                               batch_size=None)
     return brute_force_topk(filtered, q, k, vec_col, id_col)
+
+
+def label_centroids(ds: "ray.data.Dataset", label_col: str = "label",
+                    vec_col: str = "embedding",
+                    scale: int = 1_000_000) -> "ray.data.Dataset":
+    """Per-label embedding centroid in LONG format: one row per (label,
+    dimension) — ``(label, pos, n, centroid_e6)`` with ``centroid_e6 =
+    floor(mean_component * 1e6)`` (the repo's floored-DOUBLE float policy,
+    same as the cos_e4 scores).
+
+    Scale shape: per-batch partial — one vectorized pandas groupby-sum
+    over the stacked (rows × dim) matrix, emitting |labels|·dim partial
+    rows per batch regardless of batch row count — then the tree-combine
+    :func:`relational.grouped_sum` on (label, pos).  The mean and floor
+    happen in a final row-local map.  No shuffle ever carries vectors,
+    only per-(label, pos) float64 sums.
+    """
+    import pandas as pd
+
+    from zeeklog_ray.relational import grouped_sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mat = _matrix(batch[vec_col]).astype(np.float64)
+        labels = batch[label_col].to_numpy(zero_copy_only=False)
+        n, dim = mat.shape
+        codes, uniq = pd.factorize(labels)
+        sums = np.zeros((len(uniq), dim), dtype=np.float64)
+        np.add.at(sums, codes, mat)
+        cnt = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            label_col: pa.array(np.repeat(uniq, dim)),
+            "pos": pa.array(np.tile(np.arange(dim, dtype=np.int64), len(uniq))),
+            "_s": pa.array(sums.ravel()),
+            "n": pa.array(np.repeat(cnt, dim)),
+        })
+
+    partials = ds.select_columns([label_col, vec_col]).map_batches(
+        partial, batch_format="pyarrow", batch_size=None)
+    summed = grouped_sum(partials, [label_col, "pos"],
+                         sums={"_s": "_s", "n": "n"})
+
+    def finish(batch: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame({
+            label_col: batch[label_col],
+            "pos": batch["pos"].astype("int64"),
+            "n": batch["n"].astype("int64"),
+            "centroid_e6": np.floor(
+                batch["_s"].to_numpy() / batch["n"].to_numpy()
+                * scale).astype("int64"),
+        })
+
+    return summed.map_batches(finish, batch_format="pandas", batch_size=None)

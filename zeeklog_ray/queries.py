@@ -1035,6 +1035,17 @@ def event_type_quantiles(sf_dir: str) -> "ray.data.Dataset":
         "event_type", "value_cents", [0.5, 0.99])
 
 
+def embedding_label_centroids(sf_dir: str) -> "ray.data.Dataset":
+    """Per-label embedding centroid, long format (label, pos, n,
+    centroid_e6) — cluster-quality stats over the embedding column with
+    only per-(label, dim) float64 sums ever shuffling
+    (ops/similarity.label_centroids)."""
+    from zeeklog_ray.ops.similarity import label_centroids
+
+    return label_centroids(
+        read_table(sf_dir, "embeddings", columns=["label", "embedding"]))
+
+
 _PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -1348,6 +1359,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "event_type_quantiles": event_type_quantiles,
     "event_type_quantiles_cont": event_type_quantiles_cont,
     "user_event_pivot": user_event_pivot,
+    "embedding_label_centroids": embedding_label_centroids,
     "customers_without_orders": customers_without_orders,
     "docs_sample_mod": docs_sample_mod,
     "docs_hash_sample": docs_hash_sample,
@@ -1933,6 +1945,14 @@ ORACLE_SQL: dict[str, str] = {
         "(q_pct * (n - 1)) // 100 AS i, (q_pct * (n - 1)) % 100 AS r "
         "FROM s, (VALUES " +
         ", ".join(f"({p})" for p in _CONT_Q_PCTS) + ") AS qq(q_pct))"),
+    # floored-DOUBLE float policy (like cos_e4): AVG and the Ray-side
+    # sum/n agree to ~1e-10 of the 1e6 scale, far from any floor boundary
+    "embedding_label_centroids": (
+        "SELECT label, pos, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(FLOOR(AVG(CAST(embedding[CAST(pos AS INTEGER) + 1] AS DOUBLE))"
+        " * 1000000) AS BIGINT) AS centroid_e6 "
+        "FROM embeddings e, LATERAL (SELECT unnest(range(0, "
+        "len(e.embedding))) AS pos) p GROUP BY label, pos"),
     "user_event_pivot": (
         "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, " +
         ", ".join(
