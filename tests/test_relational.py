@@ -71,3 +71,18 @@ def test_pivot_sum_semantics(ray_session):
 
     with pytest.raises(ValueError, match="duplicate"):
         pivot_sum(ray.data.from_pandas(df), "u", "t", "v", ["a", "a"])
+
+
+def test_set_op_intersect_except(ray_session):
+    from zeeklog_ray.relational import set_op
+
+    a = ray.data.from_pandas(pd.DataFrame({"k": [1, 2, 3, 3, 4],
+                                           "s": list("aabbc")}))
+    b = ray.data.from_pandas(pd.DataFrame({"k": [3, 4, 5],
+                                           "s": list("bcd")}))
+    inter = set_op(a, b, ["k", "s"], "intersect").to_pandas()
+    assert sorted(map(tuple, inter.itertuples(index=False))) == [(3, "b"), (4, "c")]
+    exc = set_op(a, b, ["k", "s"], "except").to_pandas()
+    assert sorted(map(tuple, exc.itertuples(index=False))) == [(1, "a"), (2, "a")]
+    with pytest.raises(ValueError, match="intersect"):
+        set_op(a, b, ["k"], "union")

@@ -1035,6 +1035,49 @@ def event_type_quantiles(sf_dir: str) -> "ray.data.Dataset":
         "event_type", "value_cents", [0.5, 0.99])
 
 
+_BIG_EVENT_CENTS = 20_000     # $200 — sparse enough that EXCEPT is nonempty
+
+
+def _event_users(sf_dir: str, kind: str,
+                 min_cents: int | None = None) -> "ray.data.Dataset":
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "event_type", "value"])
+
+    def keep(batch: _pa.Table) -> _pa.Table:
+        mask = _pc.equal(batch["event_type"], kind)
+        if min_cents is not None:
+            # DuckDB ROUND parity: half away from zero is Arrow's
+            # 'half_towards_infinity'
+            cents = _pc.round(_pc.multiply(batch["value"], 100),
+                              round_mode="half_towards_infinity")
+            mask = _pc.and_(mask, _pc.greater_equal(cents, min_cents))
+        return batch.filter(mask)
+
+    return ev.map_batches(keep, batch_format="pyarrow", batch_size=None)
+
+
+def users_click_and_purchase(sf_dir: str) -> "ray.data.Dataset":
+    """INTERSECT: distinct users who both clicked and purchased
+    (relational.set_op — tagged union + one bucketed shuffle)."""
+    from zeeklog_ray.relational import set_op
+
+    return set_op(_event_users(sf_dir, "click"),
+                  _event_users(sf_dir, "purchase"), ["user_id"], "intersect")
+
+
+def users_big_view_no_big_purchase(sf_dir: str) -> "ray.data.Dataset":
+    """EXCEPT: distinct users with a ≥$200 view event but no ≥$200
+    purchase (relational.set_op)."""
+    from zeeklog_ray.relational import set_op
+
+    return set_op(_event_users(sf_dir, "view", _BIG_EVENT_CENTS),
+                  _event_users(sf_dir, "purchase", _BIG_EVENT_CENTS),
+                  ["user_id"], "except")
+
+
 def embedding_label_centroids(sf_dir: str) -> "ray.data.Dataset":
     """Per-label embedding centroid, long format (label, pos, n,
     centroid_e6) — cluster-quality stats over the embedding column with
@@ -1360,6 +1403,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "event_type_quantiles_cont": event_type_quantiles_cont,
     "user_event_pivot": user_event_pivot,
     "embedding_label_centroids": embedding_label_centroids,
+    "users_click_and_purchase": users_click_and_purchase,
+    "users_big_view_no_big_purchase": users_big_view_no_big_purchase,
     "customers_without_orders": customers_without_orders,
     "docs_sample_mod": docs_sample_mod,
     "docs_hash_sample": docs_hash_sample,
@@ -1945,6 +1990,14 @@ ORACLE_SQL: dict[str, str] = {
         "(q_pct * (n - 1)) // 100 AS i, (q_pct * (n - 1)) % 100 AS r "
         "FROM s, (VALUES " +
         ", ".join(f"({p})" for p in _CONT_Q_PCTS) + ") AS qq(q_pct))"),
+    "users_click_and_purchase": (
+        "SELECT user_id FROM events WHERE event_type = 'click' "
+        "INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase'"),
+    "users_big_view_no_big_purchase": (
+        "SELECT user_id FROM events WHERE event_type = 'view' "
+        "AND CAST(ROUND(value * 100) AS BIGINT) >= 20000 "
+        "EXCEPT SELECT user_id FROM events WHERE event_type = 'purchase' "
+        "AND CAST(ROUND(value * 100) AS BIGINT) >= 20000"),
     # floored-DOUBLE float policy (like cos_e4): AVG and the Ray-side
     # sum/n agree to ~1e-10 of the 1e6 scale, far from any floor boundary
     "embedding_label_centroids": (

@@ -354,3 +354,48 @@ def pivot_sum(ds: "ray.data.Dataset", index: str, pivot_col: str,
     return grouped_sum(wide, [index],
                        sums={f"{prefix}{c}": f"{prefix}{c}" for c in cats},
                        count_as=count_as)
+
+
+def set_op(a: "ray.data.Dataset", b: "ray.data.Dataset",
+           cols: Sequence[str], op: str,
+           num_buckets: int = 256) -> "ray.data.Dataset":
+    """Distinct set operations — SQL ``INTERSECT`` / ``EXCEPT`` over the
+    ``cols`` tuples of two datasets.
+
+    Scale shape: tag each side with a ``_side`` bit (row-local), union,
+    then ONE hash-bucketed shuffle on the tuple; inside a bucket a
+    C-level pandas groupby min/max of the side bit decides membership
+    (min==0 ⇒ in A; max==1 ⇒ in B).  Equal-key rows always land in the
+    same bucket, so the decision is local; only distinct-ish tuples need
+    to coexist in a bucket, never whole tables on one node.  For a
+    HUGELY larger B side, prefer :func:`bloom_semi_filter` (EXCEPT ≈
+    anti-join) — this operator is the exact symmetric form.
+    """
+    if op not in ("intersect", "except"):
+        raise ValueError(f"set_op: op must be 'intersect' or 'except', "
+                         f"got {op!r}")
+    cols = list(cols)
+
+    def tag(side: int):
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch[cols].copy()
+            out["_side"] = np.int8(side)
+            return out
+
+        return f
+
+    tagged = a.select_columns(cols).map_batches(
+        tag(0), batch_format="pandas", batch_size=None).union(
+        b.select_columns(cols).map_batches(
+            tag(1), batch_format="pandas", batch_size=None))
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby(cols, sort=False, dropna=False)["_side"] \
+            .agg(["min", "max"]).reset_index()
+        keep = (g["min"] == 0) & \
+            ((g["max"] == 1) if op == "intersect" else (g["max"] == 0))
+        return g.loc[keep, cols]
+
+    bucketed = with_hash_bucket(tagged, cols, num_buckets)
+    return bucketed.groupby("_bucket").map_groups(per_bucket,
+                                                  batch_format="pandas")
