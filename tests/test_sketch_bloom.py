@@ -236,3 +236,38 @@ def test_grouped_interp_quantiles_rejects_bad_pcts(ray_session):
 
     with pytest.raises(ValueError, match="integer percents"):
         grouped_interp_quantiles(None, "k", "v", [0.5])
+
+
+def test_countmin_never_underestimates_and_merges(ray_session):
+    """Adversarially small width forces collisions: estimates are always
+    >= truth; the distributed per-batch merge equals a single-pass
+    sketch."""
+    from zeeklog_ray.ops.sketch import (
+        countmin_estimate,
+        countmin_from_dataset,
+        countmin_of,
+    )
+
+    rng = np.random.default_rng(4)
+    vals = pd.Series(rng.zipf(1.3, 30_000).astype(str))
+    ds = ray.data.from_pandas(pd.DataFrame({"v": vals})).repartition(9)
+    sk = countmin_from_dataset(ds, "v", width=64, depth=4)
+    assert (sk == countmin_of(vals, width=64, depth=4)).all()   # mergeable
+    true = vals.value_counts()
+    probes = pd.Series(true.index[:200])
+    est = countmin_estimate(sk, probes)
+    truth = true[probes].to_numpy()
+    assert (est >= truth).all()                                  # one-sided
+    # error bound: over by < 2e/width * n with prob 1-2^-depth; allow the
+    # deterministic seed some slack but stay in the right regime
+    assert (est - truth).max() < 6 * len(vals) / 64
+
+
+def test_countmin_registry_config_exact(ray_session):
+    """The registry configuration (5 keys, width 2048) is collision-free:
+    estimates equal exact counts."""
+    from zeeklog_ray.ops.sketch import countmin_counts
+
+    df = pd.DataFrame({"t": ["a"] * 10 + ["b"] * 3 + ["c"] * 7})
+    out = countmin_counts(ray.data.from_pandas(df), "t", ["a", "b", "c", "zz"])
+    assert dict(zip(out["t"], out["n"])) == {"a": 10, "b": 3, "c": 7, "zz": 0}

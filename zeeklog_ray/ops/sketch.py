@@ -395,3 +395,76 @@ def grouped_interp_quantiles(ds: "ray.data.Dataset", key: str, col: str,
     bucketed = with_hash_bucket(hist, [key], num_buckets)
     return bucketed.groupby("_bucket").map_groups(per_bucket,
                                                   batch_format="pandas")
+
+
+# ---- Count-Min sketch: mergeable approximate frequencies ------------------
+
+CM_WIDTH, CM_DEPTH = 2048, 4
+
+
+def countmin_of(values: pd.Series, width: int = CM_WIDTH,
+                depth: int = CM_DEPTH) -> np.ndarray:
+    """``depth × width`` int64 count matrix for one batch of values.
+
+    Row probes are Kirsch-Mitzenmacher ``(h1 + r·h2) % width`` with
+    ``h2 = _mix64(h1)`` (the bloom lesson: pandas' hash_key is ignored
+    for numeric dtypes, so the second hash must be DERIVED, not
+    re-keyed).  Deterministic across processes and batch splits.
+    """
+    from zeeklog_ray.relational import _mix64
+
+    sk = np.zeros((depth, width), dtype=np.int64)
+    if not len(values):
+        return sk
+    h1 = pd.util.hash_pandas_object(values, index=False).to_numpy(np.uint64)
+    h2 = _mix64(h1)
+    for r in range(depth):
+        idx = ((h1 + np.uint64(r) * h2) % np.uint64(width)).astype(np.int64)
+        np.add.at(sk[r], idx, 1)
+    return sk
+
+
+def countmin_estimate(sketch: np.ndarray, items: pd.Series) -> np.ndarray:
+    """Point-frequency estimates (int64): min over rows — never
+    underestimates; overestimates by < e·n/width with prob 1-(1/2)^depth."""
+    from zeeklog_ray.relational import _mix64
+
+    depth, width = sketch.shape
+    h1 = pd.util.hash_pandas_object(pd.Series(items),
+                                    index=False).to_numpy(np.uint64)
+    h2 = _mix64(h1)
+    ests = np.stack([
+        sketch[r][((h1 + np.uint64(r) * h2) % np.uint64(width)).astype(np.int64)]
+        for r in range(depth)])
+    return ests.min(axis=0)
+
+
+def countmin_from_dataset(ds: "ray.data.Dataset", col: str,
+                          width: int = CM_WIDTH,
+                          depth: int = CM_DEPTH) -> np.ndarray:
+    """Distributed Count-Min build: ONE flattened sketch row per batch
+    crosses the wire (64 KB at the defaults, input-size independent); the
+    merge is an elementwise sum — the same mergeable-sketch exchange
+    pattern as the HLL above.  At multi-node scale the driver-side merge
+    is |batches| tiny arrays; persist the merged sketch and reuse it for
+    any number of point queries without rescanning."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        sk = countmin_of(batch[col], width, depth)
+        return pd.DataFrame({"sk": [sk.ravel()]})
+
+    parts = ds.select_columns([col]).map_batches(
+        partial, batch_format="pandas", batch_size=None).to_pandas()
+    out = np.zeros(depth * width, dtype=np.int64)
+    for arr in parts["sk"]:
+        out += np.asarray(arr, dtype=np.int64)
+    return out.reshape(depth, width)
+
+
+def countmin_counts(ds: "ray.data.Dataset", col: str,
+                    items: "list", width: int = CM_WIDTH,
+                    depth: int = CM_DEPTH) -> pd.DataFrame:
+    """Frequency report for a known probe list: ``(col, n)`` rows."""
+    sk = countmin_from_dataset(ds, col, width, depth)
+    return pd.DataFrame({col: items,
+                         "n": countmin_estimate(sk, pd.Series(items))})

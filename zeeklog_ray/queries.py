@@ -1112,6 +1112,19 @@ def user_event_pivot(sf_dir: str) -> "ray.data.Dataset":
                      prefix="cents_", count_as="n_events")
 
 
+def event_type_counts_cm(sf_dir: str) -> pd.DataFrame:
+    """Count-Min sketch frequencies for the known event types
+    (ops/sketch.countmin_counts).  The sketch is approximate in general
+    (never under, over by < e·n/width w.h.p.), but at this deterministic
+    configuration — 5 probed keys, width 2048, depth 4, fixed hash — it is
+    collision-free, so the oracle is the exact GROUP BY count: the gate
+    verifies both the plumbing and the no-collision claim."""
+    from zeeklog_ray.ops.sketch import countmin_counts
+
+    ev = read_table(sf_dir, "events", columns=["event_type"])
+    return countmin_counts(ev, "event_type", _PIVOT_TYPES)
+
+
 _CONT_Q_PCTS = [50, 90, 99]
 
 
@@ -1405,6 +1418,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "embedding_label_centroids": embedding_label_centroids,
     "users_click_and_purchase": users_click_and_purchase,
     "users_big_view_no_big_purchase": users_big_view_no_big_purchase,
+    "event_type_counts_cm": event_type_counts_cm,
     "customers_without_orders": customers_without_orders,
     "docs_sample_mod": docs_sample_mod,
     "docs_hash_sample": docs_hash_sample,
@@ -1993,6 +2007,10 @@ ORACLE_SQL: dict[str, str] = {
     "users_click_and_purchase": (
         "SELECT user_id FROM events WHERE event_type = 'click' "
         "INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase'"),
+    "event_type_counts_cm": (
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events "
+        "WHERE event_type IN ('click', 'error', 'purchase', 'signup', "
+        "'view') GROUP BY event_type"),
     "users_big_view_no_big_purchase": (
         "SELECT user_id FROM events WHERE event_type = 'view' "
         "AND CAST(ROUND(value * 100) AS BIGINT) >= 20000 "
