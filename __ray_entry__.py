@@ -8,7 +8,7 @@ the library) calls ``ray.init`` / ``ray.shutdown``.
 * ``queries()`` — one entry per implemented operator/pipeline
   (registry: ``zeeklog_ray/queries.py``; inventory: SURVEY.md §2).
 * ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
-  (53 of 58), INCLUDING the ``zeek_*`` flagship pipeline (the token codec
+  (66 of 72), INCLUDING the ``zeek_*`` flagship pipeline (the token codec
   decodes in SQL via ``array_to_string(list_transform(tokens, x -> chr(x)),
   '')`` + ``string_split(line, chr(9))`` over the corpus Parquet), the gzip
   TSV ingest (``read_csv`` over the same ``.log.gz``), the custom-hash

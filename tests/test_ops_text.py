@@ -132,3 +132,20 @@ def test_top_terms_per_source_partition_independent(ray_session):
     assert a.loc["cat", "tf"] == 3 and a.loc["cat", "df"] == 2
     # score = tf*N*1e4//df with N=3 docs in source a
     assert a.loc["cat", "score_e4"] == 3 * 3 * 10_000 // 2
+
+
+def test_term_scrub_whole_words_only(ray_session):
+    from zeeklog_ray.ops.text import term_scrub
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["spark sparkly dup", "no hits here", "dup dup spark-ish"],
+    })
+    out = term_scrub(ray.data.from_pandas(df), ["spark", "dup"]) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # 'sparkly' untouched (word boundary); 'spark-ish' hits 'spark'
+    assert out["n_redactions"].tolist() == [2, 0, 3]
+    assert out["text_clean"].tolist() == [
+        "<TERM> sparkly <TERM>", "no hits here", "<TERM> <TERM> <TERM>-ish"]
+    with pytest.raises(ValueError, match="blocklist"):
+        term_scrub(ray.data.from_pandas(df), [])

@@ -336,3 +336,37 @@ def top_terms_per_source(ds: "ray.data.Dataset",
     # head(k) sees every term of a source in one batch
     return combined.map_batches(score_and_rank, batch_format="pandas",
                                 batch_size=None)
+
+
+def term_scrub(ds: "ray.data.Dataset", terms: "list[str]",
+               replacement: str = "<TERM>", text_col: str = "text",
+               id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Blocklist redaction: replace every whole-word occurrence of
+    ``terms`` with ``replacement`` and count the redactions — the
+    PII-scrub operator shape (on real data the compiled pattern is an
+    email/phone/SSN alternation; the plumbing is identical).
+
+    Row-local ``map_batches`` (no shuffle); the alternation is compiled
+    once per pattern object and applied via pandas' C string loop
+    (``str.count`` + ``str.replace``).  Word boundaries are regex ``\\b``
+    — RE2 (DuckDB) and Python ``re`` agree on them over ASCII, which is
+    what makes the SQL replay exact.
+
+    Output: ``(id_col, n_redactions, text_clean)``.
+    """
+    import re
+
+    if not terms:
+        raise ValueError("term_scrub: empty blocklist")
+    pat = re.compile(r"\b(?:" + "|".join(re.escape(t) for t in terms) + r")\b")
+
+    def scrub(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[text_col]
+        return pd.DataFrame({
+            id_col: batch[id_col],
+            "n_redactions": s.str.count(pat).astype("int64"),
+            "text_clean": s.str.replace(pat, replacement, regex=True),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        scrub, batch_format="pandas", batch_size=None)

@@ -1112,6 +1112,20 @@ def user_event_pivot(sf_dir: str) -> "ray.data.Dataset":
                      prefix="cents_", count_as="n_events")
 
 
+_SCRUB_TERMS = ["spark", "dup", "slow"]
+
+
+def docs_term_scrub(sf_dir: str) -> "ray.data.Dataset":
+    """Blocklist redaction over the documents table (ops/text.term_scrub):
+    whole-word occurrences of the blocklist become ``<TERM>``, with exact
+    redaction counts.  The PII-scrub operator shape with a swappable
+    pattern; row-local, shuffle-free."""
+    from zeeklog_ray.ops.text import term_scrub
+
+    return term_scrub(read_table(sf_dir, "documents",
+                                 columns=["doc_id", "text"]), _SCRUB_TERMS)
+
+
 def event_type_counts_cm(sf_dir: str) -> pd.DataFrame:
     """Count-Min sketch frequencies for the known event types
     (ops/sketch.countmin_counts).  The sketch is approximate in general
@@ -1419,6 +1433,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "users_click_and_purchase": users_click_and_purchase,
     "users_big_view_no_big_purchase": users_big_view_no_big_purchase,
     "event_type_counts_cm": event_type_counts_cm,
+    "docs_term_scrub": docs_term_scrub,
     "customers_without_orders": customers_without_orders,
     "docs_sample_mod": docs_sample_mod,
     "docs_hash_sample": docs_hash_sample,
@@ -2007,6 +2022,12 @@ ORACLE_SQL: dict[str, str] = {
     "users_click_and_purchase": (
         "SELECT user_id FROM events WHERE event_type = 'click' "
         "INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase'"),
+    # \b agrees between RE2 and Python re over this ASCII corpus
+    "docs_term_scrub": (
+        r"SELECT doc_id, CAST(length(regexp_extract_all(text, "
+        r"'\b(?:spark|dup|slow)\b')) AS BIGINT) AS n_redactions, "
+        r"regexp_replace(text, '\b(?:spark|dup|slow)\b', '<TERM>', 'g') "
+        "AS text_clean FROM documents"),
     "event_type_counts_cm": (
         "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events "
         "WHERE event_type IN ('click', 'error', 'purchase', 'signup', "
