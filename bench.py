@@ -53,6 +53,9 @@ BENCH_QUERIES = [
     "minhash_dedup_pairs",
     "media_features",
     "salted_events_sum",
+    "zeek_token_chunks",
+    "docs_benchmark_contam",
+    "user_event_pivot",
 ]
 
 
@@ -91,6 +94,30 @@ def _run_scale_ops(timings: dict) -> None:
     pairs = minhash_lsh_pairs(ray.data.read_parquet(dc), text_col="text")
     connected_components(pairs).count()
     timings[f"scale_near_dup_components_{dtag}"] = round(time.monotonic() - t0, 3)
+
+    # decontamination at 1M docs: benchmark = doc_id % 1000 == 0 (~1k
+    # docs), the broadcast shape's intended regime — tiny probe side,
+    # full-corpus map scan
+    import pyarrow.compute as pc
+
+    from zeeklog_ray.ops.decontam import benchmark_contamination
+
+    def side(is_bench):
+        def f(b):
+            mod = pc.subtract(b["doc_id"],
+                              pc.multiply(pc.divide(b["doc_id"], 1000), 1000))
+            keep = pc.equal(mod, 0) if is_bench else pc.not_equal(mod, 0)
+            return b.filter(keep)
+
+        return f
+
+    t0 = time.monotonic()
+    docs = ray.data.read_parquet(dc)
+    benchmark_contamination(
+        docs.map_batches(side(False), batch_format="pyarrow", batch_size=None),
+        docs.map_batches(side(True), batch_format="pyarrow", batch_size=None),
+    ).count()
+    timings[f"scale_benchmark_contam_{dtag}"] = round(time.monotonic() - t0, 3)
 
 
 def _sf_tag(sf_dir: str) -> str:

@@ -33,7 +33,37 @@ import pandas as pd
 
 import ray
 
-from zeeklog_ray.ops.dedup import _packed_kgram_sets
+def _packed_kgram_pairs(texts: pd.Series, k: int
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """DISTINCT (doc_index, packed_gram) pairs for a batch, fully
+    vectorized: one global sliding window over the concatenated bytes
+    (same packing as ``dedup._packed_kgram_sets``), then ONE lexsort +
+    adjacent-diff dedup across the whole batch — no per-text
+    ``np.unique`` Python loop, which dominates wall time when the
+    operator scans the full corpus rather than a candidate list."""
+    if k > 8:
+        raise ValueError(f"_packed_kgram_pairs: k={k} > 8 bytes cannot "
+                         "pack into uint64")
+    enc = texts.str.encode("utf-8")
+    lengths = enc.str.len().to_numpy()
+    data = np.frombuffer(b"".join(enc.to_numpy()), dtype=np.uint8)
+    bounds = np.zeros(len(texts) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=bounds[1:])
+    n_win = np.maximum(lengths - (k - 1), 0)
+    if len(data) < k or not n_win.sum():
+        return np.zeros(0, np.int64), np.zeros(0, np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
+    powers = np.uint64(256) ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+    packed = win @ powers
+    # valid window start positions per doc (mask out boundary windows)
+    seg = np.repeat(np.arange(len(texts), dtype=np.int64), n_win)
+    starts = np.repeat(bounds[:-1], n_win) + \
+        (np.arange(len(seg)) - np.repeat(np.cumsum(n_win) - n_win, n_win))
+    grams = packed[starts]
+    order = np.lexsort((grams, seg))
+    s, g = seg[order], grams[order]
+    keep = np.r_[True, (s[1:] != s[:-1]) | (g[1:] != g[:-1])]
+    return s[keep], g[keep]
 
 
 def collect_benchmark_grams(bench_ds: "ray.data.Dataset",
@@ -50,10 +80,8 @@ def collect_benchmark_grams(bench_ds: "ray.data.Dataset",
     """
 
     def batch_grams(batch: pd.DataFrame) -> pd.DataFrame:
-        sets = _packed_kgram_sets(batch[text_col], k)
-        uniq = np.unique(np.concatenate(sets)) if sets else \
-            np.empty(0, np.uint64)
-        return pd.DataFrame({"grams": [uniq]})
+        _, grams = _packed_kgram_pairs(batch[text_col], k)
+        return pd.DataFrame({"grams": [np.unique(grams)]})
 
     parts = bench_ds.map_batches(batch_grams, batch_format="pandas",
                                  batch_size=None).to_pandas()
@@ -81,10 +109,8 @@ class ContamProbe:
         self._text_col, self._id_col, self._k = text_col, id_col, k
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sets = _packed_kgram_sets(batch[self._text_col], self._k)
-        lens = np.fromiter((len(s) for s in sets), dtype=np.int64,
-                           count=len(sets))
-        allg = np.concatenate(sets) if sets else np.empty(0, np.uint64)
+        seg, allg = _packed_kgram_pairs(batch[self._text_col], self._k)
+        lens = np.bincount(seg, minlength=len(batch)).astype(np.int64)
         bench = self._grams
         if len(bench) and len(allg):
             idx = np.searchsorted(bench, allg)
@@ -92,11 +118,8 @@ class ContamProbe:
             hit = bench[idx] == allg
         else:
             hit = np.zeros(len(allg), dtype=bool)
-        # segment-sum that is safe for zero-gram docs (reduceat repeats
-        # rows on empty segments; bincount over repeated segment ids does
-        # not)
-        seg = np.repeat(np.arange(len(sets)), lens)
-        n_hit = np.bincount(seg[hit], minlength=len(sets)).astype(np.int64)
+        # bincount segment-sum is safe for zero-gram docs (unlike reduceat)
+        n_hit = np.bincount(seg[hit], minlength=len(batch)).astype(np.int64)
         out = pd.DataFrame({
             self._id_col: batch[self._id_col].to_numpy(),
             "n_grams": lens,
