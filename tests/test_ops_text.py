@@ -149,3 +149,32 @@ def test_term_scrub_whole_words_only(ray_session):
         "<TERM> sparkly <TERM>", "no hits here", "<TERM> <TERM> <TERM>-ish"]
     with pytest.raises(ValueError, match="blocklist"):
         term_scrub(ray.data.from_pandas(df), [])
+
+
+def test_df_census_and_token_scrub(ray_session):
+    from zeeklog_ray.ops.text import df_census, df_token_scrub
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["the cat sat", "the the dog", "the fish", "owl"],
+    })
+    for parts in (1, 3):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        census = df_census(ds).to_pandas().set_index("token")["df"]
+        # df counts DOCUMENTS, not occurrences ('the' twice in doc 2)
+        assert census["the"] == 3 and census["cat"] == 1
+        out = df_token_scrub(ds, frozenset({"the"})) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert out["n_removed"].tolist() == [1, 2, 1, 0]
+        assert out["text_clean"].tolist() == [
+            "cat sat", "dog", "fish", "owl"]
+
+
+def test_df_token_scrub_all_removed_yields_empty(ray_session):
+    from zeeklog_ray.ops.text import df_token_scrub
+
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["a a a", "b keep"]})
+    out = df_token_scrub(ray.data.from_pandas(df), frozenset({"a", "b"})) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["text_clean"].tolist() == ["", "keep"]
+    assert out["n_removed"].tolist() == [3, 1]

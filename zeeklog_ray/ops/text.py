@@ -338,6 +338,76 @@ def top_terms_per_source(ds: "ray.data.Dataset",
                                 batch_size=None)
 
 
+def df_census(ds: "ray.data.Dataset", text_col: str = "text",
+              id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Corpus-wide DOCUMENT FREQUENCY census of space-split tokens:
+    one row per distinct token with the number of documents containing
+    it.  Tokenization is exactly ``string_split(text, ' ')`` (empties
+    included) so the SQL replay is bit-exact.
+
+    Shuffle shape: each batch emits per-token PARTIAL doc counts
+    (explode → within-batch (doc, token) distinct → size) — batches
+    partition documents, so partials sum exactly; only
+    ``(token, df)`` rows cross the wire, never token streams.  The
+    final combine is the combiner-first ``grouped_sum`` (vocabulary
+    must fit one block — true for natural-language vocabularies;
+    shard by token hash first at web scale).
+    """
+    from zeeklog_ray.relational import grouped_sum
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        e = pd.DataFrame({id_col: batch[id_col],
+                          "token": batch[text_col].str.split(" ")}) \
+            .explode("token").drop_duplicates([id_col, "token"])
+        return (e.groupby("token", sort=False).size()
+                .rename("df").reset_index())
+
+    partials = ds.map_batches(partial, batch_format="pandas",
+                              batch_size=None)
+    return grouped_sum(partials, ["token"], sums={"df": "df"})
+
+
+def df_token_scrub(ds: "ray.data.Dataset", frequent: "frozenset[str]",
+                   text_col: str = "text", id_col: str = "doc_id"
+                   ) -> "ray.data.Dataset":
+    """Data-driven boilerplate removal: drop every token that is in the
+    ``frequent`` set (discovered by :func:`df_census` — tokens present
+    in more than a threshold fraction of documents) and re-join the
+    survivors with single spaces, preserving order.  The line-level
+    analog (split on newline, scrub lines shared by many documents) is
+    the same operator with a different separator — this corpus is
+    single-line, so the registry exercises the token granularity.
+
+    Row-local ``map_batches`` over a BROADCAST frequent set (tiny by
+    construction: only tokens above the df threshold ride the closure);
+    no shuffle.  Vectorized: one explode + isin mask + bincount for the
+    removal counts; the per-document re-join is one C-allocated
+    ``str.join`` call per doc (O(docs) Python calls, not O(tokens)).
+
+    Output: ``(id_col, n_removed, text_clean)``; documents whose every
+    token is scrubbed yield ``text_clean = ''``.
+    """
+
+    def scrub(batch: pd.DataFrame) -> pd.DataFrame:
+        n = len(batch)
+        toks = batch[text_col].reset_index(drop=True).str.split(" ")
+        ex = toks.explode()
+        rows = ex.index.to_numpy().astype(np.int64)
+        drop = ex.isin(frequent).to_numpy()
+        n_removed = np.bincount(rows[drop], minlength=n).astype("int64")
+        kept = ex[~drop]
+        joined = kept.groupby(level=0).agg(" ".join)
+        clean = joined.reindex(range(n), fill_value="")
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy(),
+            "n_removed": n_removed,
+            "text_clean": clean.to_numpy(),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        scrub, batch_format="pandas", batch_size=None)
+
+
 def term_scrub(ds: "ray.data.Dataset", terms: "list[str]",
                replacement: str = "<TERM>", text_col: str = "text",
                id_col: str = "doc_id") -> "ray.data.Dataset":

@@ -1126,6 +1126,29 @@ def docs_term_scrub(sf_dir: str) -> "ray.data.Dataset":
                                  columns=["doc_id", "text"]), _SCRUB_TERMS)
 
 
+_BOILER_DF_PCT = 78  # tokens in >= 78% of documents are boilerplate
+# (78 splits this corpus's df distribution — common tokens cluster at
+# 75-80%; 15/31 tokens scrub at sf0.01, 3/31 at sf0.1)
+
+
+def docs_df_boilerplate(sf_dir: str) -> "ray.data.Dataset":
+    """Document-frequency boilerplate scrub (ops/text.df_census +
+    df_token_scrub): census the corpus for tokens present in >=78% of
+    documents (exact integer predicate ``df * 100 >= n_docs * 78``),
+    broadcast that tiny set, and strip those tokens from every document
+    with exact removal counts.  Census partials pre-aggregate per batch
+    (only (token, df) shuffles); the scrub pass is shuffle-free."""
+    from zeeklog_ray.ops.text import df_census, df_token_scrub
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = docs.count()  # parquet metadata, no scan
+    census = df_census(docs).to_pandas()  # full vocab is small; at web
+    # scale filter to the frequent slice inside the combine instead
+    freq = frozenset(
+        census.loc[census["df"] * 100 >= n_docs * _BOILER_DF_PCT, "token"])
+    return df_token_scrub(docs, freq)
+
+
 def event_type_counts_cm(sf_dir: str) -> pd.DataFrame:
     """Count-Min sketch frequencies for the known event types
     (ops/sketch.countmin_counts).  The sketch is approximate in general
@@ -1434,6 +1457,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "users_big_view_no_big_purchase": users_big_view_no_big_purchase,
     "event_type_counts_cm": event_type_counts_cm,
     "docs_term_scrub": docs_term_scrub,
+    "docs_df_boilerplate": docs_df_boilerplate,
     "customers_without_orders": customers_without_orders,
     "docs_sample_mod": docs_sample_mod,
     "docs_hash_sample": docs_hash_sample,
@@ -2028,6 +2052,19 @@ ORACLE_SQL: dict[str, str] = {
         r"'\b(?:spark|dup|slow)\b')) AS BIGINT) AS n_redactions, "
         r"regexp_replace(text, '\b(?:spark|dup|slow)\b', '<TERM>', 'g') "
         "AS text_clean FROM documents"),
+    # same tokenization as the Ray side: string_split(' '), empties kept
+    "docs_df_boilerplate": (
+        "WITH toks AS (SELECT doc_id, l[CAST(i AS INTEGER)] AS tok, i AS ord "
+        "FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) d, "
+        "LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i) s), "
+        "freq AS (SELECT tok FROM toks GROUP BY tok "
+        f"HAVING COUNT(DISTINCT doc_id) * 100 >= "
+        f"(SELECT COUNT(*) FROM documents) * {_BOILER_DF_PCT}) "
+        "SELECT t.doc_id, "
+        "CAST(COUNT(*) FILTER (f.tok IS NOT NULL) AS BIGINT) AS n_removed, "
+        "COALESCE(string_agg(CASE WHEN f.tok IS NULL THEN t.tok END, ' ' "
+        "ORDER BY t.ord), '') AS text_clean "
+        "FROM toks t LEFT JOIN freq f ON t.tok = f.tok GROUP BY t.doc_id"),
     "event_type_counts_cm": (
         "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events "
         "WHERE event_type IN ('click', 'error', 'purchase', 'signup', "
