@@ -223,3 +223,43 @@ def test_asof_join_rejects_key_in_right_cols(ray_session):
     with pytest.raises(ValueError, match="right_cols"):
         asof_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
                   key="user_id", ts="ts", right_cols=["user_id"])
+
+
+@pytest.mark.parametrize("nb", [1, 7])
+def test_lead_lag(ray_session, nb):
+    from zeeklog_ray.ops.sessionize import lead_lag
+
+    t = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, None],
+        "ts": [t, t + pd.Timedelta(minutes=5), t + pd.Timedelta(hours=1),
+               t, t + pd.Timedelta(minutes=1)],
+        "event_id": [10, 11, 12, 20, 30],
+    })
+    out = lead_lag(ray.data.from_pandas(df).repartition(3),
+                   key="user_id", ts="ts", order_extra=["event_id"],
+                   num_buckets=nb).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    # user 1: chain of 3; user 2: singleton; null key: no sequence
+    assert out.loc[0, "prev_ts"] is pd.NaT
+    assert out.loc[0, "next_ts"] == t + pd.Timedelta(minutes=5)
+    assert out.loc[1, "prev_ts"] == t
+    assert out.loc[2, "next_ts"] is pd.NaT
+    assert out.loc[3, "prev_ts"] is pd.NaT and out.loc[3, "next_ts"] is pd.NaT
+    assert out.loc[4, "prev_ts"] is pd.NaT and out.loc[4, "next_ts"] is pd.NaT
+    assert "_bucket" not in out.columns
+
+
+def test_lead_lag_tie_break_deterministic(ray_session):
+    from zeeklog_ray.ops.sessionize import lead_lag
+
+    t = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame({"user_id": [1, 1], "ts": [t, t], "event_id": [2, 1]})
+    for parts in (1, 2):
+        out = lead_lag(ray.data.from_pandas(df).repartition(parts),
+                       key="user_id", ts="ts", order_extra=["event_id"]) \
+            .to_pandas().sort_values("event_id").reset_index(drop=True)
+        # event 1 precedes event 2 (ts tie broken by event_id)
+        assert out.loc[0, "prev_ts"] is pd.NaT
+        assert out.loc[0, "next_ts"] == t
+        assert out.loc[1, "prev_ts"] == t

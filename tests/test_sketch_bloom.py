@@ -271,3 +271,23 @@ def test_countmin_registry_config_exact(ray_session):
     df = pd.DataFrame({"t": ["a"] * 10 + ["b"] * 3 + ["c"] * 7})
     out = countmin_counts(ray.data.from_pandas(df), "t", ["a", "b", "c", "zz"])
     assert dict(zip(out["t"], out["n"])) == {"a": 10, "b": 3, "c": 7, "zz": 0}
+
+
+def test_grouped_iqr_outliers(ray_session):
+    import ray.data
+    from zeeklog_ray.ops.sketch import grouped_iqr_outliers
+
+    # key 'a': values 0..99 plus one wild point; key 'b': all-null values
+    df = pd.DataFrame({
+        "k": ["a"] * 101 + ["b"] * 2,
+        "v": list(range(100)) + [10_000] + [None, None],
+    })
+    df["v"] = df["v"].astype("Int64")
+    out = grouped_iqr_outliers(ray.data.from_pandas(df).repartition(4),
+                               "k", "v").to_pandas()
+    assert out["k"].tolist() == ["a"]        # all-null key dropped
+    r = out.iloc[0]
+    # quantile_disc ranks over 101 non-null values: q25=ceil(.25*101)-1=25
+    # → 25, q75=ceil(.75*101)-1=75 → 75; fence = (3*50)//2 = 75
+    assert (r["lo"], r["hi"]) == (25 - 75, 75 + 75)
+    assert r["n"] == 101 and r["n_outliers"] == 1

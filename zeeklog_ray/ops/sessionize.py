@@ -82,6 +82,36 @@ def session_counts(ds: "ray.data.Dataset", key: str = "user_id", ts: str = "ts",
                                                   batch_format="pandas")
 
 
+def lead_lag(ds: "ray.data.Dataset", key: str = "user_id", ts: str = "ts",
+             order_extra: list[str] | None = None,
+             num_buckets: int = 1024) -> "ray.data.Dataset":
+    """Per-key LAG/LEAD: append ``prev_<ts>`` / ``next_<ts>`` — the
+    neighboring event timestamps of the same key in ``(ts, *order_extra)``
+    order (``order_extra`` makes ties deterministic; pass a unique id).
+    First/last event of a key gets null; null-key rows form no sequence
+    (both neighbors null — the asof_join null-key semantic).
+
+    Same shape as :func:`sessionize`: one key-hash-bucket shuffle, then a
+    C-level per-bucket pass (sort + shift + key-change mask) — no per-key
+    Python.  SQL equivalent: ``LAG/LEAD(ts) OVER (PARTITION BY key ORDER
+    BY ts, ...)``.
+    """
+    extra = order_extra or []
+    prev_col, next_col = f"prev_{ts}", f"next_{ts}"
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key, ts] + extra, kind="mergesort")
+        same_prev = g[key].eq(g[key].shift())          # False on NaN keys
+        same_next = g[key].eq(g[key].shift(-1))
+        g = g.assign(**{prev_col: g[ts].shift().where(same_prev),
+                        next_col: g[ts].shift(-1).where(same_next)})
+        return g.drop(columns=["_bucket"])
+
+    bucketed = with_hash_bucket(ds, key, num_buckets)
+    return bucketed.groupby("_bucket").map_groups(per_bucket,
+                                                  batch_format="pandas")
+
+
 def range_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
                key: str, ts: str, start: str, end: str,
                right_cols: list[str] | None = None,

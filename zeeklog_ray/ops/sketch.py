@@ -164,7 +164,10 @@ def grouped_exact_quantiles(ds: "ray.data.Dataset", key: str, col: str,
             k = len(only_null)
 
             def _nulls():
-                if isinstance(vdt, str):         # nullable extension dtype
+                # nullable extension dtype — by _nullable name or because
+                # the input column was ALREADY an extension dtype (e.g.
+                # Int64 riding out of a tagged-union join)
+                if isinstance(vdt, (str, pd.core.dtypes.base.ExtensionDtype)):
                     return pd.array([pd.NA] * k, dtype=vdt)
                 if np.issubdtype(vdt, np.floating):
                     return np.full(k, np.nan, dtype=vdt)
@@ -181,6 +184,49 @@ def grouped_exact_quantiles(ds: "ray.data.Dataset", key: str, col: str,
 
     return with_hash_bucket(hist, key, num_buckets) \
         .groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+def grouped_iqr_outliers(ds: "ray.data.Dataset", key: str, col: str,
+                         k_num: int = 3, k_den: int = 2,
+                         num_buckets: int = 1024) -> "ray.data.Dataset":
+    """Per-key Tukey-fence outlier counts in EXACT integer math: fences
+    are ``q25 - (k_num·IQR)//k_den`` and ``q75 + (k_num·IQR)//k_den``
+    (floor division — keeps everything int64 so the SQL replay is
+    bit-exact; the classic 1.5·IQR fence is ``k_num=3, k_den=2``).
+
+    Composition shape: :func:`grouped_exact_quantiles` (distributed
+    value-histogram, only (key, value, count) rows shuffle) → the tiny
+    per-key bounds table collects on the driver and BROADCASTS into a
+    row-local flag pass → combiner-first ``grouped_sum`` rollup.  Two
+    corpus scans, zero wide shuffles of row data.
+
+    Keys whose values are all null have no quantiles and are dropped
+    (inner merge); the output is one row per surviving key:
+    ``(key, lo, hi, n, n_outliers)``.
+    """
+    from zeeklog_ray.relational import grouped_sum
+
+    q = grouped_exact_quantiles(ds, key, col, [0.25, 0.75],
+                                num_buckets=num_buckets).to_pandas()
+    w = q.pivot(index=key, columns="q", values="value").reset_index()
+    w.columns.name = None
+    w = w.dropna(subset=[0.25, 0.75])
+    q25 = w[0.25].astype("int64")
+    q75 = w[0.75].astype("int64")
+    fence = (k_num * (q75 - q25)) // k_den
+    bounds = pd.DataFrame({key: w[key], "lo": q25 - fence,
+                           "hi": q75 + fence})
+
+    def flag(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch[[key, col]].merge(bounds, on=key, how="inner")
+        out = (m[col] < m["lo"]) | (m[col] > m["hi"])
+        return pd.DataFrame({key: m[key], "lo": m["lo"], "hi": m["hi"],
+                             "_o": out.to_numpy().astype("int64")})
+
+    flagged = ds.select_columns([key, col]).map_batches(
+        flag, batch_format="pandas", batch_size=None)
+    return grouped_sum(flagged, [key, "lo", "hi"],
+                       sums={"_o": "n_outliers"}, count_as="n")
 
 
 def heavy_hitters(ds: "ray.data.Dataset", col: str, k: int = 10,

@@ -740,6 +740,38 @@ def event_sessions(sf_dir: str) -> "ray.data.Dataset":
     return session_counts(read_table(sf_dir, "events", columns=["user_id", "ts"]))
 
 
+def event_lead_lag(sf_dir: str) -> "ray.data.Dataset":
+    """Per-user LAG/LEAD inter-arrival gaps (ops/sessionize.lead_lag):
+    for every event, microsecond gaps to the previous and next event of
+    the same user in (ts, event_id) order, -1 at sequence boundaries so
+    the output stays pure int64 for the bit-exact SQL window replay."""
+    from zeeklog_ray.ops.sessionize import lead_lag
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    out = lead_lag(ev, key="user_id", ts="ts", order_extra=["event_id"])
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        # unit-safe epoch-us (the event_sliding_windows pattern); NaT
+        # neighbors → -1 via the notna mask, keeping pure int64 output
+        ts_us = batch["ts"].to_numpy("datetime64[us]").astype("int64")
+
+        def gap(col: str, sign: int) -> np.ndarray:
+            v = batch[col]
+            vi = v.to_numpy("datetime64[us]").astype("int64")
+            d = (vi - ts_us) if sign > 0 else (ts_us - vi)
+            return np.where(v.notna().to_numpy(), d, -1)
+
+        return pd.DataFrame({
+            "event_id": batch["event_id"].astype("int64"),
+            "user_id": batch["user_id"].astype("int64"),
+            "ts_us": ts_us,
+            "prev_gap_us": gap("prev_ts", -1),
+            "next_gap_us": gap("next_ts", +1),
+        })
+
+    return out.map_batches(finish, batch_format="pandas", batch_size=None)
+
+
 def purchase_prior_view(sf_dir: str) -> "ray.data.Dataset":
     """As-of join: for each purchase event, the value (cents) of the same
     user's latest prior view event (ops/sessionize.py).
@@ -1033,6 +1065,24 @@ def event_type_quantiles(sf_dir: str) -> "ray.data.Dataset":
     return grouped_exact_quantiles(
         ev.map_batches(prep, batch_format="pandas", batch_size=None),
         "event_type", "value_cents", [0.5, 0.99])
+
+
+def event_value_outliers(sf_dir: str) -> "ray.data.Dataset":
+    """Per-event-type Tukey-fence outlier counts on value cents
+    (ops/sketch.grouped_iqr_outliers): exact grouped quantiles → tiny
+    broadcast bounds → row-local flag → combiner rollup, all in exact
+    integer math against the quantile_disc SQL replay."""
+    from zeeklog_ray.ops.sketch import grouped_iqr_outliers
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": batch["event_type"],
+                             "value_cents": _round_half_away(batch["value"] * 100)})
+
+    return grouped_iqr_outliers(
+        ev.map_batches(prep, batch_format="pandas", batch_size=None),
+        "event_type", "value_cents")
 
 
 _BIG_EVENT_CENTS = 20_000     # $200 — sparse enough that EXCEPT is nonempty
@@ -1432,6 +1482,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_simhash": doc_simhash,
     "embedding_near_dups": embedding_near_dups,
     "event_sessions": event_sessions,
+    "event_lead_lag": event_lead_lag,
     "purchase_prior_view": purchase_prior_view,
     "events_first_day": events_first_day,
     "ann_lsh_topk": ann_lsh_topk,
@@ -1450,6 +1501,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "event_value_quantiles": event_value_quantiles,
     "event_value_quantiles_sketch": event_value_quantiles_sketch,
     "event_type_quantiles": event_type_quantiles,
+    "event_value_outliers": event_value_outliers,
     "event_type_quantiles_cont": event_type_quantiles_cont,
     "user_event_pivot": user_event_pivot,
     "embedding_label_centroids": embedding_label_centroids,
@@ -2022,6 +2074,20 @@ ORACLE_SQL: dict[str, str] = {
         f"SELECT CAST({q} AS DOUBLE) AS q, "
         f"quantile_disc(CAST(ROUND(value * 100) AS BIGINT), {q}) AS value "
         "FROM events" for q in _QUANTILE_QS)),
+    # same integer fence arithmetic: (3 * IQR) // 2, DuckDB // = floor
+    "event_value_outliers": (
+        "WITH prep AS (SELECT event_type, "
+        "CAST(ROUND(value * 100) AS BIGINT) AS v FROM events), "
+        "q AS (SELECT event_type, quantile_disc(v, 0.25) AS q25, "
+        "quantile_disc(v, 0.75) AS q75 FROM prep GROUP BY event_type), "
+        "b AS (SELECT event_type, q25 - (3 * (q75 - q25)) // 2 AS lo, "
+        "q75 + (3 * (q75 - q25)) // 2 AS hi FROM q) "
+        "SELECT p.event_type, CAST(b.lo AS BIGINT) AS lo, "
+        "CAST(b.hi AS BIGINT) AS hi, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(CASE WHEN p.v < b.lo OR p.v > b.hi THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_outliers "
+        "FROM prep p JOIN b USING (event_type) "
+        "GROUP BY p.event_type, b.lo, b.hi"),
     "event_type_quantiles": (" UNION ALL ".join(
         f"SELECT event_type, CAST({q} AS DOUBLE) AS q, "
         f"quantile_disc(CAST(ROUND(value * 100) AS BIGINT), {q}) AS value "
@@ -2102,6 +2168,13 @@ ORACLE_SQL: dict[str, str] = {
     "docs_mixture_resample": _sample_sql.mixture_resample_sql(
         "documents", "doc_id", "doc_id, source, n_chars",
         "source", _MIXTURE_RATES),
+    "event_lead_lag": (
+        "SELECT event_id, user_id, epoch_us(ts) AS ts_us, "
+        "COALESCE(epoch_us(ts) - LAG(epoch_us(ts)) OVER w, -1) "
+        "AS prev_gap_us, "
+        "COALESCE(LEAD(epoch_us(ts)) OVER w - epoch_us(ts), -1) "
+        "AS next_gap_us FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"),
     "event_sliding_windows": (
         "SELECT user_id, epoch_us(ts) AS ts_us, "
         "CAST(COUNT(*) OVER w AS BIGINT) AS w_count, "
