@@ -86,3 +86,39 @@ def test_set_op_intersect_except(ray_session):
     assert sorted(map(tuple, exc.itertuples(index=False))) == [(1, "a"), (2, "a")]
     with pytest.raises(ValueError, match="intersect"):
         set_op(a, b, ["k"], "union")
+
+
+def test_rollup_sum(ray_session):
+    from zeeklog_ray.relational import rollup_sum
+
+    df = pd.DataFrame({
+        "r": ["eu", "eu", "us"],
+        "n": ["de", "fr", "ny"],
+        "v": [1, 2, 4],
+    })
+    out = rollup_sum(ray.data.from_pandas(df).repartition(2), ["r", "n"],
+                     sums={"v": "v"}, count_as="c")
+    # levels: (r,n) finest ×3, (r) ×2, grand total ×1
+    assert len(out) == 6
+    fine = out[out["n"].notna()].set_index(["r", "n"])
+    assert fine.loc[("eu", "de"), "v"] == 1
+    sub = out[out["n"].isna() & out["r"].notna()].set_index("r")
+    assert sub.loc["eu", "v"] == 3 and sub.loc["eu", "c"] == 2
+    assert sub.loc["us", "v"] == 4
+    total = out[out["r"].isna()]
+    assert len(total) == 1
+    assert total["v"].iloc[0] == 7 and total["c"].iloc[0] == 3
+    assert out["v"].dtype == "int64" and out["c"].dtype == "int64"
+
+
+def test_hash_join_full_outer(ray_session):
+    from zeeklog_ray.relational import hash_join
+
+    l = ray.data.from_pandas(pd.DataFrame({"k": [1, 2], "x": [10, 20]}))
+    r = ray.data.from_pandas(pd.DataFrame({"k": [2, 3], "y": [200, 300]}))
+    out = hash_join(l, r, on="k", how="full_outer").to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    # key coalesced into one column; unmatched sides null-filled
+    assert out["k"].tolist() == [1, 2, 3]
+    assert out["x"].fillna(-1).tolist() == [10, 20, -1]
+    assert out["y"].fillna(-1).tolist() == [-1, 200, 300]

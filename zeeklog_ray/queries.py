@@ -455,6 +455,77 @@ def customers_by_region(sf_dir: str) -> "ray.data.Dataset":
     return grouped_sum(joined, ["r_name"], count_as="n")
 
 
+def region_nation_rollup(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP(r_name, n_name) over customer balances
+    (relational.rollup_sum): broadcast dim chain → ONE distributed
+    finest-level grouped sum; the nation/region/grand-total levels
+    re-combine that tiny result exactly (algebraic sums), zero extra
+    scans.  NULL key cells mark super-aggregate rows."""
+    from zeeklog_ray.relational import rollup_sum
+
+    nation = small_table(sf_dir, "nation",
+                         columns=["n_nationkey", "n_name", "n_regionkey"])
+    region = small_table(sf_dir, "region", columns=["r_regionkey", "r_name"])
+    dim = nation.merge(region, left_on="n_regionkey",
+                       right_on="r_regionkey")
+    dim = dim.rename(columns={"n_nationkey": "c_nationkey"})[
+        ["c_nationkey", "r_name", "n_name"]]
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch.merge(dim, on="c_nationkey")
+        return pd.DataFrame({
+            "r_name": m["r_name"], "n_name": m["n_name"],
+            "acctbal_cents": _round_half_away(m["c_acctbal"] * 100)})
+
+    prepped = cust.map_batches(prep, batch_format="pandas", batch_size=None)
+    return rollup_sum(prepped, ["r_name", "n_name"],
+                      sums={"acctbal_cents": "acctbal_cents"},
+                      count_as="n_cust")
+
+
+_OUTER_MIN_CENTS = 30_000  # $300 — sparse enough that BOTH outer sides
+# are non-empty at sf0.01 (4 click-only, 5 purchase-only users)
+
+
+def user_click_purchase_outer(sf_dir: str) -> "ray.data.Dataset":
+    """FULL OUTER join of per-user big-click counts vs big-purchase
+    counts (relational.hash_join how=full_outer): users with only one
+    side survive with a 0 on the other — the join type the semi/anti
+    family lacked.  Both sides are pre-aggregated (combiner-first)
+    before the shuffle join, so only |users| rows move per side."""
+    from zeeklog_ray.relational import grouped_sum, hash_join
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "event_type", "value"])
+
+    def side(kind: str, out: str) -> "ray.data.Dataset":
+        def pick(batch: pd.DataFrame) -> pd.DataFrame:
+            cents = _round_half_away(batch["value"] * 100)
+            keep = (batch["event_type"] == kind) & \
+                (cents >= _OUTER_MIN_CENTS)
+            return batch.loc[keep, ["user_id"]]
+
+        f = ev.map_batches(pick, batch_format="pandas", batch_size=None)
+        return grouped_sum(f, ["user_id"], count_as=out)
+
+    # Ray's full_outer COALESCEs the key into the left key column and
+    # null-promotes count columns to float64 — safe below 2^53
+    joined = hash_join(side("click", "n_clicks"),
+                       side("purchase", "n_purchases"),
+                       on="user_id", how="full_outer")
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": batch["user_id"].astype("int64"),
+            "n_clicks": batch["n_clicks"].fillna(0).astype("int64"),
+            "n_purchases": batch["n_purchases"].fillna(0).astype("int64"),
+        })
+
+    return joined.map_batches(finish, batch_format="pandas", batch_size=None)
+
+
 def order_priority_items(sf_dir: str) -> "ray.data.Dataset":
     """orders ⨝ lineitem — both sides large → partitioned hash join
     (Dataset.join), then grouped aggregate."""
@@ -1462,6 +1533,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "top_suppliers": top_suppliers,
     "top_customers": top_customers,
     "customers_by_region": customers_by_region,
+    "region_nation_rollup": region_nation_rollup,
+    "user_click_purchase_outer": user_click_purchase_outer,
     "order_priority_items": order_priority_items,
     "distinct_event_types": distinct_event_types,
     "exact_dedup_docs": exact_dedup_docs,
@@ -1888,6 +1961,28 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT o_custkey, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
         "AS total_cents FROM orders GROUP BY o_custkey "
         "ORDER BY total_cents DESC, o_custkey LIMIT 10"),
+    "region_nation_rollup": (
+        "SELECT r_name, n_name, "
+        "CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) "
+        "AS acctbal_cents, CAST(COUNT(*) AS BIGINT) AS n_cust "
+        "FROM customer "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "GROUP BY ROLLUP(r_name, n_name)"),
+    "user_click_purchase_outer": (
+        "SELECT COALESCE(c.user_id, p.user_id) AS user_id, "
+        "COALESCE(c.n_clicks, 0) AS n_clicks, "
+        "COALESCE(p.n_purchases, 0) AS n_purchases FROM "
+        "(SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_clicks "
+        "FROM events WHERE event_type = 'click' "
+        "AND CAST(ROUND(value * 100) AS BIGINT) >= 30000 "
+        "GROUP BY user_id) c "
+        "FULL OUTER JOIN "
+        "(SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purchases "
+        "FROM events WHERE event_type = 'purchase' "
+        "AND CAST(ROUND(value * 100) AS BIGINT) >= 30000 "
+        "GROUP BY user_id) p "
+        "ON c.user_id = p.user_id"),
     "customers_by_region": (
         "SELECT r_name, COUNT(*) AS n FROM customer "
         "JOIN nation ON c_nationkey = n_nationkey "

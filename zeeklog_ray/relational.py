@@ -150,14 +150,16 @@ def sized_join_partitions(n_rows: int,
 
 def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
               on: str, right_on: str | None = None,
-              num_partitions: int | None = None) -> "ray.data.Dataset":
-    """Partitioned hash join for two large sides (``Dataset.join``).
+              num_partitions: int | None = None,
+              how: str = "inner") -> "ray.data.Dataset":
+    """Partitioned hash join for two large sides (``Dataset.join``);
+    ``how`` ∈ inner / left_outer / right_outer / full_outer.
 
     Both sides shuffle on the key; at multi-node scale pass ``num_partitions``
     ≈ 2–4 × total CPUs — locally it is capped at the CPU count (see
     :func:`default_join_partitions`).
     """
-    return left.join(right, join_type="inner",
+    return left.join(right, join_type=how,
                      num_partitions=default_join_partitions(num_partitions),
                      on=(on,), right_on=(right_on or on,))
 
@@ -298,6 +300,40 @@ def grouped_sum(ds: "ray.data.Dataset", keys: Sequence[str],
         combine, batch_format="pandas", batch_size=None)
     return mid.repartition(1).map_batches(combine, batch_format="pandas",
                                           batch_size=None)
+
+
+def rollup_sum(ds: "ray.data.Dataset", keys: Sequence[str],
+               sums: dict[str, str] | None = None,
+               count_as: str | None = None) -> pd.DataFrame:
+    """``GROUP BY ROLLUP(keys...)``: the finest level runs ONCE as the
+    distributed combiner-first :func:`grouped_sum`; every super-aggregate
+    level then re-combines the finest result on the driver — sums and
+    counts are algebraic, so re-aggregating the (report-shaped, tiny)
+    finest table is exact and costs zero extra corpus scans or shuffles.
+
+    Super-aggregate rows carry NULL in the rolled-up key columns (the SQL
+    ROLLUP convention — ambiguous if real null key values exist; this
+    corpus has none, and callers with null keys should pre-fill a
+    sentinel).  Returns a driver DataFrame (|finest| + |prefix levels|
+    rows).
+    """
+    keys = list(keys)
+    vals = ([count_as] if count_as else []) + list((sums or {}).values())
+    finest = grouped_sum(ds, keys, sums=sums, count_as=count_as).to_pandas()
+    parts = [finest[keys + vals]]
+    for lvl in range(len(keys) - 1, -1, -1):
+        sub = keys[:lvl]
+        if sub:
+            g = finest.groupby(sub, sort=False, dropna=False)[vals] \
+                .sum().reset_index()
+        else:
+            g = finest[vals].sum().to_frame().T
+        for k in keys[lvl:]:
+            g[k] = None
+        parts.append(g[keys + vals])
+    out = pd.concat(parts, ignore_index=True)
+    out[vals] = out[vals].astype("int64")
+    return out
 
 
 def top_k(ds: "ray.data.Dataset", by: list[str], descending: list[bool],
