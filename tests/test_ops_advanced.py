@@ -197,3 +197,25 @@ def test_trailing_windows_matches_bruteforce(ray_session, nb):
         .sort_values(["user_id", "ts", "w_count"]).reset_index(drop=True)
     assert got["w_count"].tolist() == exp["w_count"].tolist()
     assert got["w_sum"].tolist() == exp["w_sum"].tolist()
+
+
+def test_canonical_per_component(ray_session):
+    import pandas as pd
+    import ray.data
+    from zeeklog_ray.ops.graph import canonical_per_component
+
+    comp = ray.data.from_pandas(pd.DataFrame({
+        "node": [1, 2, 3, 7, 8],
+        "component": [1, 1, 1, 7, 7],
+    }))
+    meta = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3, 7, 8, 9],
+        "n_chars": [10, 99, 99, 5, 5, 1000],   # 9 is not in any component
+    }))
+    out = canonical_per_component(comp, meta).to_pandas() \
+        .sort_values("component").reset_index(drop=True)
+    assert out["component"].tolist() == [1, 7]
+    # component 1: max score 99 tie between 2 and 3 → min id 2
+    assert out["canonical"].tolist() == [2, 7]
+    assert out["canonical_score"].tolist() == [99, 5]
+    assert out["n_members"].tolist() == [3, 2]

@@ -122,3 +122,44 @@ def test_hash_join_full_outer(ray_session):
     assert out["k"].tolist() == [1, 2, 3]
     assert out["x"].fillna(-1).tolist() == [10, 20, -1]
     assert out["y"].fillna(-1).tolist() == [-1, 200, 300]
+
+
+def test_hash_join_empty_side_and_empty_first_block(ray_session):
+    """Regression for the Ray 2.49 hash-shuffle schema-broadcast defect
+    (raypatch.py): a join side that is entirely empty, or whose first
+    bundle is an empty block, must not crash the aggregator with
+    ``KeyError: <key>`` when sparse partitions finalize."""
+    import pyarrow as pa
+
+    from zeeklog_ray.relational import grouped_sum, hash_join
+
+    # side B matches NOTHING -> entirely empty aggregate; the schema seed
+    # keeps it joinable
+    ev = ray.data.from_pandas(pd.DataFrame({
+        "user_id": [1, 2, 3], "kind": ["a", "a", "b"]}))
+
+    def pick(kind, out):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            return b.loc[b["kind"] == kind, ["user_id"]]
+        seed = pa.schema([("user_id", pa.int64()), (out, pa.int64())])
+        return grouped_sum(ev.map_batches(f, batch_format="pandas",
+                                          batch_size=None),
+                           ["user_id"], count_as=out, empty_schema=seed)
+
+    out = hash_join(pick("a", "n_a"), pick("zzz", "n_z"),
+                    on="user_id", how="full_outer").to_pandas()
+    out = out.sort_values("user_id").reset_index(drop=True)
+    assert out["user_id"].tolist() == [1, 2]
+    assert out["n_a"].tolist() == [1, 1]
+    assert out["n_z"].isna().all()
+
+    # empty FIRST block on one side (repartition manufactures zero-column
+    # empties when rows < partitions) must not eat the schema broadcast
+    sparse = ray.data.from_pandas(
+        pd.DataFrame({"user_id": [7], "m": [70]})).repartition(4)
+    dense = ray.data.from_pandas(
+        pd.DataFrame({"user_id": [1, 7], "x": [10, 20]}))
+    j = hash_join(dense, sparse, on="user_id", how="left_outer").to_pandas()
+    j = j.sort_values("user_id").reset_index(drop=True)
+    assert j["user_id"].tolist() == [1, 7]
+    assert j["m"].fillna(-1).tolist() == [-1, 70]

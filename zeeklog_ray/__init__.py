@@ -18,7 +18,11 @@ The ``tokens`` column is an opaque payload that must round-trip exactly
 (per-row invariant: token-array equality per ``doc_id``).
 """
 
-from zeeklog_ray.pipeline import PipelineConfig, build_dataset  # noqa: F401
+from zeeklog_ray.raypatch import apply_patches as _apply_ray_patches
+
+_apply_ray_patches()
+
+from zeeklog_ray.pipeline import PipelineConfig, build_dataset  # noqa: E402,F401
 
 __all__ = ["PipelineConfig", "build_dataset"]
 __version__ = "0.1.0"

@@ -123,3 +123,44 @@ def dedup_keep_canonical(pairs: "ray.data.Dataset") -> pd.DataFrame:
     canonical (min id) is not itself — the rows a dedup pass would remove."""
     comp = connected_components(pairs).to_pandas()
     return comp[comp["node"] != comp["component"]].reset_index(drop=True)
+
+
+def canonical_per_component(components: "ray.data.Dataset",
+                            meta: "ray.data.Dataset",
+                            meta_key: str = "doc_id",
+                            score_col: str = "n_chars",
+                            num_buckets: int = 1024) -> "ray.data.Dataset":
+    """Quality-aware canonical selection: for each duplicate component,
+    keep the member with the highest ``score_col`` (ties → smallest
+    node id) — the dedup policy a training pipeline actually wants
+    (keep the best copy, not the arbitrary min-id one).
+
+    Shape: one hash join attaches each member's score (components ⋈
+    meta on node id — both sides shuffle only (id, score) columns),
+    then a component-hash-bucketed groupby picks the winner with ONE
+    C-level sort + drop_duplicates per bucket (the repo's standard
+    escape from Ray's per-group Python).  Output: one row per
+    component — ``(component, canonical, canonical_score, n_members)``.
+    """
+    from zeeklog_ray.relational import hash_join, with_hash_bucket
+
+    scored = hash_join(components, meta.select_columns([meta_key, score_col]),
+                       on="node", right_on=meta_key)
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["component", score_col, "node"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+        sizes = g.groupby("component", sort=False).size()
+        win = g.drop_duplicates("component", keep="first")
+        return pd.DataFrame({
+            "component": win["component"].to_numpy(),
+            "canonical": win["node"].to_numpy(),
+            "canonical_score": win[score_col].to_numpy(),
+            "n_members": sizes.loc[win["component"]].to_numpy()
+            .astype("int64"),
+        })
+
+    bucketed = with_hash_bucket(scored, "component", num_buckets)
+    return bucketed.groupby("_bucket").map_groups(per_bucket,
+                                                  batch_format="pandas")

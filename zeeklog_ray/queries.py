@@ -19,6 +19,8 @@ Two families:
 
 from __future__ import annotations
 
+import os
+
 from collections.abc import Callable
 from typing import Any
 
@@ -508,7 +510,10 @@ def user_click_purchase_outer(sf_dir: str) -> "ray.data.Dataset":
             return batch.loc[keep, ["user_id"]]
 
         f = ev.map_batches(pick, batch_format="pandas", batch_size=None)
-        return grouped_sum(f, ["user_id"], count_as=out)
+        # a side can match NOTHING at small scale — the schema seed keeps
+        # the empty aggregate joinable (see relational.grouped_sum)
+        schema = pa.schema([("user_id", pa.int64()), (out, pa.int64())])
+        return grouped_sum(f, ["user_id"], count_as=out, empty_schema=schema)
 
     # Ray's full_outer COALESCEs the key into the left key column and
     # null-promotes count columns to float64 — safe below 2^53
@@ -960,6 +965,25 @@ def embedding_dup_components(sf_dir: str) -> "ray.data.Dataset":
     return connected_components(pairs, a_col="id_a", b_col="id_b")
 
 
+def dup_cluster_canonical(sf_dir: str) -> "ray.data.Dataset":
+    """Quality-aware dedup policy (ops/graph.canonical_per_component):
+    embedding-cosine dup components → keep the member with the most
+    characters per cluster (tie → min id).  Oracle = the same recursive
+    closure + a ROW_NUMBER window argmax."""
+    from zeeklog_ray.ops.dedup import embedding_cosine_pairs
+    from zeeklog_ray.ops.graph import (canonical_per_component,
+                                       connected_components)
+
+    emb = read_table(sf_dir, "embeddings",
+                     columns=["vec_id", "embedding", "label"])
+    pairs = embedding_cosine_pairs(emb, _NEAR_DUP_THRESHOLD_E4,
+                                   block_col="label")
+    comp = connected_components(pairs, a_col="id_a", b_col="id_b")
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return canonical_per_component(comp, docs, meta_key="doc_id",
+                                   score_col="n_chars")
+
+
 def near_dup_components(sf_dir: str) -> "ray.data.Dataset":
     """MinHash-LSH candidate pairs resolved into duplicate groups via
     distributed min-label propagation (ops/graph.py)."""
@@ -1270,6 +1294,29 @@ def docs_df_boilerplate(sf_dir: str) -> "ray.data.Dataset":
     return df_token_scrub(docs, freq)
 
 
+def docs_jsonl_roundtrip(sf_dir: str) -> "ray.data.Dataset":
+    """JSONL sink/source round-trip (jsonio.write_jsonl / read_jsonl):
+    export the integer/string document projection as JSONL shards (one
+    file per block, no driver materialization), read the shard directory
+    back, and aggregate per source — the oracle compares against the
+    ORIGINAL parquet, so any type-fidelity loss in the JSON hop fails
+    the hash."""
+    import shutil
+
+    from zeeklog_ray.jsonio import read_jsonl, write_jsonl
+    from zeeklog_ray.relational import grouped_sum
+
+    out_dir = "/tmp/zeeklog_jsonl/" + \
+        os.path.basename(os.path.normpath(sf_dir))
+    shutil.rmtree(out_dir, ignore_errors=True)
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "source", "n_chars"])
+    write_jsonl(docs, out_dir)
+    back = read_jsonl(out_dir)
+    return grouped_sum(back, ["source"], sums={"n_chars": "sum_chars"},
+                       count_as="n_docs")
+
+
 def event_type_counts_cm(sf_dir: str) -> pd.DataFrame:
     """Count-Min sketch frequencies for the known event types
     (ops/sketch.countmin_counts).  The sketch is approximate in general
@@ -1526,6 +1573,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "zeek_tsv_ingest": zeek_tsv_ingest,
     # oracle-checked relational/analytics operators
     "docs_by_source": docs_by_source,
+    "docs_jsonl_roundtrip": docs_jsonl_roundtrip,
     "docs_lang_stats": docs_lang_stats,
     "events_hourly": events_hourly,
     "lineitem_pricing": lineitem_pricing,
@@ -1562,6 +1610,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "media_features": media_features,
     "zeek_multiday_first_wins": zeek_multiday_first_wins,
     "embedding_dup_components": embedding_dup_components,
+    "dup_cluster_canonical": dup_cluster_canonical,
     "near_dup_components": near_dup_components,
     "approx_distinct_users": approx_distinct_users,
     "salted_events_sum": salted_events_sum,
@@ -1926,7 +1975,30 @@ def _langid_oracle_sql() -> str:
             "'[a-zäöüßéèàùâêîôûñ]+') AS ws FROM documents))")
 
 
+# Shared recursive-CTE closure over the embedding-cosine pair graph —
+# `comp` is (node, component=min reachable id); consumed by the
+# embedding_dup_components and dup_cluster_canonical oracles.
+_EMB_COMP_CTE = (
+    "WITH RECURSIVE pairs AS ("
+    "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+    "FROM embeddings a JOIN embeddings b "
+    "ON a.label = b.label AND a.vec_id < b.vec_id "
+    "WHERE CAST(FLOOR(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+    "CAST(b.embedding AS DOUBLE[])) * 10000) AS BIGINT) >= 3500), "
+    "ed AS (SELECT id_a AS a, id_b AS b FROM pairs "
+    "UNION ALL SELECT id_b, id_a FROM pairs), "
+    "nodes AS (SELECT DISTINCT a AS node FROM ed), "
+    "walk(node, label) AS ("
+    "SELECT node, node FROM nodes "
+    "UNION "
+    "SELECT e.b, w.label FROM walk w JOIN ed e ON e.a = w.node), "
+    "comp AS (SELECT node, CAST(MIN(label) AS BIGINT) AS component "
+    "FROM walk GROUP BY node)")
+
 ORACLE_SQL: dict[str, str] = {
+    "docs_jsonl_roundtrip": (
+        "SELECT source, CAST(SUM(n_chars) AS BIGINT) AS sum_chars, "
+        "CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source"),
     "docs_by_source": (
         "SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars, "
         "MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars "
@@ -2114,21 +2186,17 @@ ORACLE_SQL: dict[str, str] = {
         "WHERE CAST(FLOOR(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
         "CAST(b.embedding AS DOUBLE[])) * 10000) AS BIGINT) >= 3500"),
     "embedding_dup_components": (
-        "WITH RECURSIVE pairs AS ("
-        "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
-        "FROM embeddings a JOIN embeddings b "
-        "ON a.label = b.label AND a.vec_id < b.vec_id "
-        "WHERE CAST(FLOOR(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
-        "CAST(b.embedding AS DOUBLE[])) * 10000) AS BIGINT) >= 3500), "
-        "ed AS (SELECT id_a AS a, id_b AS b FROM pairs "
-        "UNION ALL SELECT id_b, id_a FROM pairs), "
-        "nodes AS (SELECT DISTINCT a AS node FROM ed), "
-        "walk(node, label) AS ("
-        "SELECT node, node FROM nodes "
-        "UNION "
-        "SELECT e.b, w.label FROM walk w JOIN ed e ON e.a = w.node) "
-        "SELECT node, CAST(MIN(label) AS BIGINT) AS component "
-        "FROM walk GROUP BY node"),
+        _EMB_COMP_CTE + " SELECT node, component FROM comp"),
+    "dup_cluster_canonical": (
+        _EMB_COMP_CTE +
+        " SELECT component, canonical, canonical_score, n_members FROM ("
+        "SELECT c.component, d.doc_id AS canonical, "
+        "d.n_chars AS canonical_score, "
+        "CAST(COUNT(*) OVER (PARTITION BY c.component) AS BIGINT) "
+        "AS n_members, "
+        "ROW_NUMBER() OVER (PARTITION BY c.component "
+        "ORDER BY d.n_chars DESC, d.doc_id) AS rn "
+        "FROM comp c JOIN documents d ON c.node = d.doc_id) WHERE rn = 1"),
     "event_sessions": (
         "SELECT user_id, CAST(1 + SUM(CASE WHEN prev_ts IS NOT NULL AND "
         "ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS BIGINT) "

@@ -1,0 +1,150 @@
+"""Targeted, documented workarounds for Ray Data 2.49 defects we hit in
+production paths.  Applied once at package import (idempotent, and every
+patch degrades to a no-op if the internals it touches have moved).
+
+THE DEFECT — hash-shuffle schema broadcast lost on empty blocks
+---------------------------------------------------------------
+``HashShufflingOperatorBase`` (the engine under ``Dataset.join``, hash
+repartition, and hash aggregations) broadcasts each input sequence's
+schema to every aggregator exactly ONCE, riding the first block it
+shuffles (``hash_shuffle.py:548,584-589``).  Two holes:
+
+1. ``_shuffle_block`` returns early for a zero-row block
+   (``hash_shuffle.py:223-225``) without fanning anything out — while
+   the caller unconditionally flips ``_has_schemas_broadcasted``.  So
+   an empty FIRST block (Ray's own ``repartition`` manufactures
+   zero-column empties whenever rows < partitions, and the streaming
+   executor passes empties through map stages untouched) silently
+   consumes the one-shot broadcast.
+2. A join side that is legitimately EMPTY (e.g. a filter matched
+   nothing) never broadcasts its schema at all, because its only block
+   has zero rows.
+
+Either way, every aggregator partition that receives no real rows for
+that side finalizes a ZERO-COLUMN table and ``pyarrow.Table.join``
+raises ``KeyError: <key column>``.  Observed as a flaky-to-permanent
+crash of a full-outer join whose right side is sparse (most of the hash
+partitions see no right rows).  At cluster scale ANY sparse/skewed join
+side reproduces it.
+
+THE FIX — two cooperating patches
+---------------------------------
+A. ``_shuffle_block`` wrapper: when asked to broadcast schemas and the
+   block is empty but CARRIES a schema, fan an empty shard out to every
+   aggregator (what the flag already claims happened) instead of
+   early-returning.
+B. ``_do_add_input_inner`` wrapper: prune zero-row blocks from incoming
+   bundles so real blocks carry the broadcast; keep exactly one empty
+   block as a schema carrier when the broadcast is still pending and
+   the bundle has a schema; drop schema-LESS empty bundles entirely
+   WITHOUT consuming the broadcast flag.
+
+A third, engine-level piece lives in ``relational.grouped_sum``
+(``empty_schema=`` seed) so that an aggregate over zero rows still
+emits a schema-bearing empty block for patch A to broadcast.
+"""
+
+from __future__ import annotations
+
+import logging
+
+logger = logging.getLogger(__name__)
+
+_APPLIED = False
+
+
+def apply_patches() -> None:
+    """Install all workarounds (idempotent; safe on unknown Ray versions —
+    each patch is skipped with a debug log if Ray's internals moved)."""
+    global _APPLIED
+    if _APPLIED:
+        return
+    _APPLIED = True
+    _patch_hash_shuffle_schema_broadcast()
+
+
+def _patch_hash_shuffle_schema_broadcast() -> None:
+    try:
+        import ray
+        import ray.data._internal.execution.operators.hash_shuffle as hs
+        from ray.data._internal.execution.interfaces.ref_bundle import RefBundle
+
+        orig_add = hs.HashShufflingOperatorBase._do_add_input_inner
+        orig_shuffle_fn = hs._shuffle_block._function
+    except (ImportError, AttributeError):  # pragma: no cover - other Ray
+        logger.debug("hash-shuffle internals moved; schema-broadcast "
+                     "patch not applied")
+        return
+
+    if getattr(orig_add, "_zeeklog_patched", False):  # pragma: no cover
+        return
+
+    # ---- patch A: schema-bearing empty blocks DO broadcast -------------
+    def _shuffle_block_schema_safe(block, input_index, key_columns, pool,
+                                   block_transformer=None,
+                                   send_empty_blocks=False,
+                                   override_partition_id=None):
+        import ray as _ray
+        import ray.data._internal.execution.operators.hash_shuffle as _hs
+        from ray.data.block import BlockAccessor, BlockExecStats
+        from ray.data.block import BlockType
+        from ray.data._internal.table_block import TableBlockAccessor
+
+        if block_transformer is not None:
+            block = block_transformer(block)
+            block_transformer = None
+        block = TableBlockAccessor.try_convert_block_type(
+            block, block_type=BlockType.ARROW)
+
+        if (block.num_rows == 0 and send_empty_blocks
+                and len(block.schema.names) > 0):
+            stats = BlockExecStats.builder()
+            shard = _hs._create_empty_table(block.schema)
+            pending = []
+            for pid in range(pool.num_partitions):
+                aggregator = pool.get_aggregator_for_partition(pid)
+                ref = _ray.put(shard)
+                pending.append(aggregator.submit.remote(input_index, pid, ref))
+            # mirror the original's submission barrier: aggregations must
+            # not finalize before the shards are accepted
+            while pending:
+                _, pending = _ray.wait(pending, num_returns=len(pending),
+                                       timeout=1)
+            meta = BlockAccessor.for_block(block).get_metadata(
+                exec_stats=stats.build())
+            return meta, {}
+
+        return orig_shuffle_fn(block, input_index, key_columns, pool,
+                               block_transformer=None,
+                               send_empty_blocks=send_empty_blocks,
+                               override_partition_id=override_partition_id)
+
+    hs._shuffle_block = ray.remote(_shuffle_block_schema_safe)
+
+    # ---- patch B: bundle hygiene + broadcast-flag integrity ------------
+    def _do_add_input_inner(self, input_bundle, input_index):
+        kept = tuple(
+            (ref, meta)
+            for ref, meta in input_bundle.blocks
+            # num_rows=None (unknown) is treated as non-empty: worst case
+            # is the pre-patch behavior, never a new failure mode
+            if meta.num_rows is None or meta.num_rows > 0
+        )
+        if len(kept) == len(input_bundle.blocks):
+            return orig_add(self, input_bundle, input_index)
+
+        if not kept:
+            names = getattr(input_bundle.schema, "names", None)
+            if not names or self._has_schemas_broadcasted[input_index]:
+                # schema-less or redundant empties: drop them WITHOUT
+                # consuming the one-shot schema broadcast
+                return None
+            # keep one empty block as the schema carrier for patch A
+            kept = input_bundle.blocks[:1]
+
+        pruned = RefBundle(kept, owns_blocks=input_bundle.owns_blocks,
+                           schema=input_bundle.schema)
+        return orig_add(self, pruned, input_index)
+
+    _do_add_input_inner._zeeklog_patched = True
+    hs.HashShufflingOperatorBase._do_add_input_inner = _do_add_input_inner

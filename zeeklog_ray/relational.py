@@ -264,7 +264,8 @@ def to_cents(batch: pa.Table, cols: dict[str, str]) -> pa.Table:
 
 def grouped_sum(ds: "ray.data.Dataset", keys: Sequence[str],
                 sums: dict[str, str] | None = None,
-                count_as: str | None = None) -> "ray.data.Dataset":
+                count_as: str | None = None,
+                empty_schema: "pa.Schema | None" = None) -> "ray.data.Dataset":
     """Grouped sum/count as a vectorized TREE-COMBINE: per-batch pandas
     partials → coalesce → per-block combine → single-block final combine.
 
@@ -275,6 +276,14 @@ def grouped_sum(ds: "ray.data.Dataset", keys: Sequence[str],
     distinct key tuple) fits one block — true for report-shaped aggregates;
     for very high-cardinality keys use ``Dataset.groupby`` directly and
     accept the per-group cost, or shard by key-hash first.
+
+    ``empty_schema``: optional pyarrow schema of the OUTPUT.  When the
+    input can be entirely empty (e.g. a filter that may match nothing),
+    Ray's executor passes empty blocks through every map stage untouched
+    and ``repartition`` strips their column metadata, so the aggregate
+    would emit a ZERO-COLUMN block — which a downstream ``Dataset.join``
+    cannot take (no schema to broadcast; see raypatch.py).  Passing the
+    expected schema unions in a zero-row seed block that pins it.
     """
     keys = list(keys)
     sums = sums or {}
@@ -298,8 +307,15 @@ def grouped_sum(ds: "ray.data.Dataset", keys: Sequence[str],
         partial, batch_format="pandas", batch_size=None)
     mid = coalesce_partials(partial_ds).map_batches(
         combine, batch_format="pandas", batch_size=None)
-    return mid.repartition(1).map_batches(combine, batch_format="pandas",
-                                          batch_size=None)
+    out = mid.repartition(1).map_batches(combine, batch_format="pandas",
+                                         batch_size=None)
+    if empty_schema is not None:
+        import pyarrow as pa  # noqa: F811
+        import ray.data
+
+        seed = ray.data.from_arrow(empty_schema.empty_table())
+        out = out.union(seed)
+    return out
 
 
 def rollup_sum(ds: "ray.data.Dataset", keys: Sequence[str],
