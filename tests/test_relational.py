@@ -163,3 +163,56 @@ def test_hash_join_empty_side_and_empty_first_block(ray_session):
     j = j.sort_values("user_id").reset_index(drop=True)
     assert j["user_id"].tolist() == [1, 7]
     assert j["m"].fillna(-1).tolist() == [-1, 70]
+
+
+def test_cube_sum(ray_session):
+    from zeeklog_ray.relational import cube_sum
+
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "a": ["x", "x", "y"], "b": ["p", "q", "p"], "v": [1, 2, 4]}))
+    out = cube_sum(ds, ["a", "b"], sums={"v": "v"}, count_as="c")
+    # 3 finest + 2 (a) + 2 (b) + 1 grand total = 8 rows
+    assert len(out) == 8
+    grand = out[out["a"].isna() & out["b"].isna()]
+    assert grand["v"].iloc[0] == 7 and grand["c"].iloc[0] == 3
+    only_b = out[out["a"].isna() & out["b"].notna()].set_index("b")
+    assert only_b.loc["p", "v"] == 5 and only_b.loc["q", "v"] == 2
+    only_a = out[out["b"].isna() & out["a"].notna()].set_index("a")
+    assert only_a.loc["x", "c"] == 2 and only_a.loc["y", "v"] == 4
+
+
+def test_latest_per_key_and_seq_index(ray_session):
+    from zeeklog_ray.relational import latest_per_key, seq_index_per_key
+
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 2, 2],
+        "ts": [10, 30, 20, 5, 5],
+        "id": [100, 101, 102, 200, 201],
+        "payload": list("abcde")})
+    ds = ray.data.from_pandas([df.iloc[:2], df.iloc[2:]])  # multi-block
+
+    latest = latest_per_key(ds, ["k"], ["ts", "id"]).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    # k=1 -> ts 30 (id 101); k=2 -> ts tie 5, max id 201
+    assert latest["id"].tolist() == [101, 201]
+    assert latest["payload"].tolist() == ["b", "e"]
+
+    seq = seq_index_per_key(ds, "k", ["ts", "id"]).to_pandas() \
+        .sort_values(["k", "seq"]).reset_index(drop=True)
+    assert seq[seq["k"] == 1]["id"].tolist() == [100, 102, 101]
+    assert seq[seq["k"] == 1]["seq"].tolist() == [1, 2, 3]
+    assert seq[seq["k"] == 2]["id"].tolist() == [200, 201]
+
+
+def test_grouped_var_exact(ray_session):
+    from zeeklog_ray.relational import grouped_var_exact
+
+    df = pd.DataFrame({"g": ["a"] * 4 + ["b"] * 2 + ["c"],
+                       "x": [1, 2, 3, 4, 10, 10, 99]})
+    out = grouped_var_exact(ray.data.from_pandas(df), ["g"], "x") \
+        .sort_values("g").reset_index(drop=True)
+    # group c has n=1 -> dropped
+    assert out["g"].tolist() == ["a", "b"]
+    # var([1,2,3,4]) = 5/3 -> floor(5e6/3); var([10,10]) = 0
+    assert out["var_scaled"].tolist() == [5 * 10**6 // 3, 0]
+    assert out["n"].tolist() == [4, 2]

@@ -487,6 +487,86 @@ def region_nation_rollup(sf_dir: str) -> pd.DataFrame:
                       count_as="n_cust")
 
 
+def order_cube(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY CUBE(o_orderstatus, o_orderpriority) over order totals
+    (relational.cube_sum): one distributed finest grouped sum, then all
+    2^2 key subsets re-combined exactly on the driver."""
+    from zeeklog_ray.relational import cube_sum
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderstatus", "o_orderpriority",
+                                 "o_totalprice"])
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderstatus": batch["o_orderstatus"],
+            "o_orderpriority": batch["o_orderpriority"],
+            "total_cents": _round_half_away(batch["o_totalprice"] * 100)})
+
+    prepped = orders.map_batches(prep, batch_format="pandas",
+                                 batch_size=None)
+    return cube_sum(prepped, ["o_orderstatus", "o_orderpriority"],
+                    sums={"total_cents": "total_cents"}, count_as="n_orders")
+
+
+def events_latest_per_user(sf_dir: str) -> "ray.data.Dataset":
+    """Log-compaction "latest wins" (relational.latest_per_key): each
+    user's single most recent event by (ts, event_id) — the upsert/SCD
+    read-side a telemetry pipeline compacts to.  Two-level argmax: a
+    row-local per-batch prune, then a bucketed final over the pruned
+    survivors only."""
+    from zeeklog_ray.relational import latest_per_key
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id", "event_type"])
+    latest = latest_per_key(ev, ["user_id"], ["ts", "event_id"])
+    return latest.select_columns(["user_id", "event_id", "event_type"])
+
+
+def event_user_seq(sf_dir: str) -> "ray.data.Dataset":
+    """Per-user ROW_NUMBER over the event stream
+    (relational.seq_index_per_key): every event tagged with its 1-based
+    index within its user's timeline ordered by (ts, event_id) — the
+    event-scale window op (full table shuffles once on the user-hash
+    bucket; numbering is C-level per bucket)."""
+    from zeeklog_ray.relational import seq_index_per_key
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id"])
+    seq = seq_index_per_key(ev, "user_id", ["ts", "event_id"], out="seq")
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[["event_id", "user_id", "seq"]]
+
+    return seq.map_batches(finish, batch_format="pandas", batch_size=None)
+
+
+def lineitem_qty_variance(sf_dir: str) -> pd.DataFrame:
+    """Per-(returnflag, linestatus) sample variance of line quantity in
+    EXACT integer arithmetic (relational.grouped_var_exact): only
+    per-group (n, Σx, Σx²) partials shuffle — the algebraic-aggregate
+    decomposition that merges across any partitioning — and the driver
+    finish computes ``(n·Σx²−(Σx)²)·10^6 // (n·(n−1))`` in Python ints.
+    Hash-comparable against the same HUGEINT formula in SQL, where float
+    VAR_SAMP could differ in the last ulp."""
+    from zeeklog_ray.relational import grouped_var_exact
+
+    items = read_table(sf_dir, "lineitem",
+                       columns=["l_returnflag", "l_linestatus",
+                                "l_quantity"])
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "qty": _round_half_away(batch["l_quantity"])})
+
+    prepped = items.map_batches(prep, batch_format="pandas",
+                                batch_size=None)
+    return grouped_var_exact(prepped, ["l_returnflag", "l_linestatus"],
+                             "qty")
+
+
 _OUTER_MIN_CENTS = 30_000  # $300 — sparse enough that BOTH outer sides
 # are non-empty at sf0.01 (4 click-only, 5 purchase-only users)
 
@@ -1582,6 +1662,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "top_customers": top_customers,
     "customers_by_region": customers_by_region,
     "region_nation_rollup": region_nation_rollup,
+    "order_cube": order_cube,
+    "events_latest_per_user": events_latest_per_user,
+    "event_user_seq": event_user_seq,
+    "lineitem_qty_variance": lineitem_qty_variance,
     "user_click_purchase_outer": user_click_purchase_outer,
     "order_priority_items": order_priority_items,
     "distinct_event_types": distinct_event_types,
@@ -2041,6 +2125,31 @@ ORACLE_SQL: dict[str, str] = {
         "JOIN nation ON c_nationkey = n_nationkey "
         "JOIN region ON n_regionkey = r_regionkey "
         "GROUP BY ROLLUP(r_name, n_name)"),
+    "order_cube": (
+        "SELECT o_orderstatus, o_orderpriority, "
+        "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+        "AS total_cents, CAST(COUNT(*) AS BIGINT) AS n_orders "
+        "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"),
+    "events_latest_per_user": (
+        "SELECT user_id, event_id, event_type FROM ("
+        "SELECT user_id, event_id, event_type, "
+        "ROW_NUMBER() OVER (PARTITION BY user_id "
+        "ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1"),
+    "event_user_seq": (
+        "SELECT event_id, user_id, CAST(ROW_NUMBER() OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS seq "
+        "FROM events"),
+    "lineitem_qty_variance": (
+        "SELECT l_returnflag, l_linestatus, CAST(n AS BIGINT) AS n, CAST("
+        "(n * sx2 - sx * sx) * 1000000 // (n * (n - 1)) AS BIGINT) "
+        "AS var_scaled FROM ("
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(COUNT(*) AS HUGEINT) AS n, "
+        "CAST(SUM(q) AS HUGEINT) AS sx, "
+        "CAST(SUM(q * q) AS HUGEINT) AS sx2 FROM ("
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(ROUND(l_quantity) AS BIGINT) AS q FROM lineitem) "
+        "GROUP BY l_returnflag, l_linestatus) WHERE n >= 2"),
     "user_click_purchase_outer": (
         "SELECT COALESCE(c.user_id, p.user_id) AS user_id, "
         "COALESCE(c.n_clicks, 0) AS n_clicks, "

@@ -352,6 +352,130 @@ def rollup_sum(ds: "ray.data.Dataset", keys: Sequence[str],
     return out
 
 
+def cube_sum(ds: "ray.data.Dataset", keys: Sequence[str],
+             sums: dict[str, str] | None = None,
+             count_as: str | None = None) -> pd.DataFrame:
+    """``GROUP BY CUBE(keys...)``: every subset of the key columns, not
+    just the prefixes :func:`rollup_sum` covers.  Same execution shape —
+    the finest level runs ONCE distributed, then each of the 2^|keys|-1
+    remaining subsets re-combines the (report-shaped, tiny) finest table
+    on the driver; sums/counts are algebraic so the re-aggregation is
+    exact and costs zero extra corpus scans.  NULL marks a rolled-up key
+    column (same caveat as rollup_sum: callers with real null key values
+    should pre-fill a sentinel)."""
+    from itertools import combinations
+
+    keys = list(keys)
+    vals = ([count_as] if count_as else []) + list((sums or {}).values())
+    finest = grouped_sum(ds, keys, sums=sums, count_as=count_as).to_pandas()
+    parts = [finest[keys + vals]]
+    for r in range(len(keys) - 1, -1, -1):
+        for sub in combinations(keys, r):
+            sub = list(sub)
+            if sub:
+                g = finest.groupby(sub, sort=False, dropna=False)[vals] \
+                    .sum().reset_index()
+            else:
+                g = finest[vals].sum().to_frame().T
+            for k in keys:
+                if k not in sub:
+                    g[k] = None
+            parts.append(g[keys + vals])
+    out = pd.concat(parts, ignore_index=True)
+    out[vals] = out[vals].astype("int64")
+    return out
+
+
+def latest_per_key(ds: "ray.data.Dataset", keys: Sequence[str],
+                   order_cols: Sequence[str],
+                   num_buckets: int = 1024) -> "ray.data.Dataset":
+    """Log-compaction / SCD "latest wins": keep, per key tuple, the single
+    row that is greatest by ``order_cols`` (compared in order, descending
+    — ties broken by the next column, so make the last column unique for
+    determinism).
+
+    Two-level argmax: a per-batch prune first reduces each block to at
+    most one row per key IT contains (row-local, no shuffle), then the
+    survivors — bounded by |blocks| × |keys-per-block| — go through one
+    bucketed groupby where the final winner is a C-level sort +
+    ``drop_duplicates`` per bucket.  Only pruned survivors shuffle."""
+    keys = list(keys)
+    order_cols = list(order_cols)
+
+    def prune(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.sort_values(order_cols, ascending=False, kind="mergesort")
+        return g.drop_duplicates(keys, keep="first")
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(order_cols, ascending=False, kind="mergesort")
+        return g.drop_duplicates(keys, keep="first").drop(columns=["_bucket"])
+
+    pruned = ds.map_batches(prune, batch_format="pandas", batch_size=None)
+    return with_hash_bucket(pruned, keys, num_buckets) \
+        .groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+def seq_index_per_key(ds: "ray.data.Dataset", key: str,
+                      order_cols: Sequence[str],
+                      out: str = "seq",
+                      num_buckets: int = 1024) -> "ray.data.Dataset":
+    """Per-key ROW_NUMBER: for every row, its 1-based rank within its key
+    partition ordered ascending by ``order_cols`` (make the last column
+    unique for a deterministic total order).
+
+    Unlike :func:`latest_per_key` every row survives, so the full table
+    shuffles once on the key-hash bucket; inside each bucket the
+    numbering is one C-level sort + ``groupby(...).cumcount()``.  Same
+    partitioning assumption as the repo's other windowed ops: a key's
+    rows fit one bucket's pandas group (size ``num_buckets`` to the
+    data — with_hash_bucket docstring)."""
+    order_cols = list(order_cols)
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key] + order_cols, kind="mergesort")
+        g[out] = g.groupby(key, sort=False).cumcount().to_numpy() + 1
+        return g.drop(columns=["_bucket"])
+
+    return with_hash_bucket(ds, key, num_buckets) \
+        .groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+def grouped_var_exact(ds: "ray.data.Dataset", keys: Sequence[str],
+                      val: str, scale: int = 10**6) -> pd.DataFrame:
+    """Per-group sample variance of an INTEGER column in exact arithmetic:
+    ``var_scaled = (n·Σx² − (Σx)²) · scale // (n·(n−1))`` (floor division,
+    groups with n<2 dropped).
+
+    Shape: one combiner-first :func:`grouped_sum` ships only per-group
+    ``(n, Σx, Σx²)`` partials — the classic algebraic-aggregate
+    decomposition, mergeable across any partitioning — and the final
+    formula runs on the report-shaped result in PYTHON ints (the
+    ``n·Σx²·scale`` product overflows int64 long before the partials do,
+    so the driver finish deliberately leaves int64).  Exactness makes the
+    result hash-comparable against an oracle computing the same integer
+    formula in HUGEINT, where float VAR_SAMP could differ in the last ulp.
+    """
+    keys = list(keys)
+
+    def add_sq(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[keys + [val]].copy()
+        batch["_sq"] = batch[val] * batch[val]
+        return batch
+
+    partials = grouped_sum(
+        ds.map_batches(add_sq, batch_format="pandas", batch_size=None),
+        keys, sums={val: "_sx", "_sq": "_sx2"}, count_as="_n").to_pandas()
+    rows = partials[partials["_n"] >= 2]
+    n = rows["_n"].astype(object)
+    sx = rows["_sx"].astype(object)
+    sx2 = rows["_sx2"].astype(object)
+    var = (n * sx2 - sx * sx) * scale // (n * (n - 1))
+    out = rows[keys].copy()
+    out["n"] = rows["_n"].to_numpy()
+    out["var_scaled"] = var.astype("int64").to_numpy()
+    return out.reset_index(drop=True)
+
+
 def top_k(ds: "ray.data.Dataset", by: list[str], descending: list[bool],
           k: int) -> "ray.data.Dataset":
     """Global top-k: per-batch partial top-k → coalesce → sort + limit.
