@@ -8,7 +8,9 @@ the library) calls ``ray.init`` / ``ray.shutdown``.
 * ``queries()`` — one entry per implemented operator/pipeline
   (registry: ``zeeklog_ray/queries.py``; inventory: SURVEY.md §2).
 * ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
-  (66 of 72), INCLUDING the ``zeek_*`` flagship pipeline (the token codec
+  (all but the six approximate/oracle-infeasible ones listed below —
+  count the registries for the current totals), INCLUDING the ``zeek_*``
+  flagship pipeline (the token codec
   decodes in SQL via ``array_to_string(list_transform(tokens, x -> chr(x)),
   '')`` + ``string_split(line, chr(9))`` over the corpus Parquet), the gzip
   TSV ingest (``read_csv`` over the same ``.log.gz``), the custom-hash

@@ -93,3 +93,19 @@ def test_label_centroids_matches_numpy(ray_session):
         assert sub["n"].unique().tolist() == [int((labels == lb).sum())]
         assert sub["centroid_e6"].tolist() == \
             np.floor(mean * 1e6).astype("int64").tolist()
+
+
+def test_label_centroids_null_labels_dropped(ray_session):
+    import pandas as pd
+    import ray.data
+    from zeeklog_ray.ops.similarity import label_centroids
+
+    df = pd.DataFrame({
+        "label": pd.array([0, 0, None, 1], dtype="Int64"),
+        "embedding": [[1.0, 0.0], [3.0, 0.0], [99.0, 99.0], [0.0, 2.0]]})
+    out = label_centroids(ray.data.from_pandas(df)).to_pandas()
+    # null-label row excluded: label 0 centroid is mean([1,3])=2, not
+    # polluted by the 99s; label 1 present
+    l0 = out[(out["label"] == 0) & (out["pos"] == 0)]
+    assert l0["centroid_e6"].iloc[0] == 2_000_000
+    assert set(out["label"].unique()) == {0, 1}

@@ -216,3 +216,18 @@ def test_grouped_var_exact(ray_session):
     # var([1,2,3,4]) = 5/3 -> floor(5e6/3); var([10,10]) = 0
     assert out["var_scaled"].tolist() == [5 * 10**6 // 3, 0]
     assert out["n"].tolist() == [4, 2]
+
+
+def test_seq_index_null_keys_numbered(ray_session):
+    from zeeklog_ray.relational import seq_index_per_key
+
+    df = pd.DataFrame({"k": [1.0, None, None, 1.0],
+                       "ts": [1, 2, 3, 4],
+                       "id": [10, 20, 30, 40]})
+    out = seq_index_per_key(ray.data.from_pandas(df), "k", ["ts", "id"]) \
+        .to_pandas()
+    # null keys form ONE partition numbered 1..n (SQL ROW_NUMBER), and
+    # seq stays integral
+    nulls = out[out["k"].isna()].sort_values("seq")
+    assert nulls["seq"].tolist() == [1, 2]
+    assert not out["seq"].isna().any()

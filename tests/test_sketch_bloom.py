@@ -291,3 +291,18 @@ def test_grouped_iqr_outliers(ray_session):
     # → 25, q75=ceil(.75*101)-1=75 → 75; fence = (3*50)//2 = 75
     assert (r["lo"], r["hi"]) == (25 - 75, 75 + 75)
     assert r["n"] == 101 and r["n_outliers"] == 1
+
+
+def test_grouped_iqr_outliers_empty_input(ray_session):
+    import pandas as pd
+    import ray.data
+    from zeeklog_ray.ops.sketch import grouped_iqr_outliers
+
+    empty = ray.data.from_pandas(pd.DataFrame({
+        "k": pd.Series([], dtype="object"),
+        "v": pd.Series([], dtype="int64")}))
+    out = grouped_iqr_outliers(empty, "k", "v")
+    assert out.count() == 0
+    # block-level schema survives (to_pandas() on an empty Dataset strips
+    # columns — the repo's documented empty-result quirk)
+    assert set(out.schema().names) >= {"lo", "hi", "n", "n_outliers"}

@@ -209,7 +209,11 @@ def _run_query(args, parser) -> int:
     import pandas as pd
 
     if args.query_out and hasattr(result, "write_parquet"):
-        # Dataset result + file sink: stay distributed, never collect
+        # Dataset result + file sink: stay distributed, never collect on
+        # the driver.  materialize() pins the executed blocks in the
+        # (spillable) object store so the write and the row-count report
+        # share ONE execution instead of re-running the whole pipeline
+        result = result.materialize()
         result.write_parquet(args.query_out)
         print(json.dumps({"mode": "query", "query": args.run_query,
                           "out": args.query_out,

@@ -21,9 +21,11 @@ Scale shape — a pure broadcast semi-join, ZERO shuffle:
   all-to-all — cost is a single read-scan of the corpus.
 
 Grams are packed EXACTLY into uint64 (k ≤ 8, base-256 — injective, the
-true gram set, not a hash), reusing :func:`ops.dedup._packed_kgram_sets`,
-so the contamination counts are exact integers and the whole operator is
-bit-replayable in SQL (``queries._decontam_oracle_sql``).
+true gram set, not a hash), via the shared kernel
+:func:`ops.dedup.packed_byte_windows` (one encoding for the dedup
+verifiers and this scanner), so the contamination counts are exact
+integers and the whole operator is bit-replayable in SQL
+(``queries._decontam_oracle_sql``).
 """
 
 from __future__ import annotations
@@ -36,25 +38,17 @@ import ray
 def _packed_kgram_pairs(texts: pd.Series, k: int
                         ) -> tuple[np.ndarray, np.ndarray]:
     """DISTINCT (doc_index, packed_gram) pairs for a batch, fully
-    vectorized: one global sliding window over the concatenated bytes
-    (same packing as ``dedup._packed_kgram_sets``), then ONE lexsort +
+    vectorized: the shared packing kernel
+    (:func:`ops.dedup.packed_byte_windows`), then ONE lexsort +
     adjacent-diff dedup across the whole batch — no per-text
     ``np.unique`` Python loop, which dominates wall time when the
     operator scans the full corpus rather than a candidate list."""
-    if k > 8:
-        raise ValueError(f"_packed_kgram_pairs: k={k} > 8 bytes cannot "
-                         "pack into uint64")
-    enc = texts.str.encode("utf-8")
-    lengths = enc.str.len().to_numpy()
-    data = np.frombuffer(b"".join(enc.to_numpy()), dtype=np.uint8)
-    bounds = np.zeros(len(texts) + 1, dtype=np.int64)
-    np.cumsum(lengths, out=bounds[1:])
+    from zeeklog_ray.ops.dedup import packed_byte_windows
+
+    packed, bounds, lengths = packed_byte_windows(texts, k)
     n_win = np.maximum(lengths - (k - 1), 0)
-    if len(data) < k or not n_win.sum():
+    if not len(packed) or not n_win.sum():
         return np.zeros(0, np.int64), np.zeros(0, np.uint64)
-    win = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
-    powers = np.uint64(256) ** np.arange(k - 1, -1, -1, dtype=np.uint64)
-    packed = win @ powers
     # valid window start positions per doc (mask out boundary windows)
     seg = np.repeat(np.arange(len(texts), dtype=np.int64), n_win)
     starts = np.repeat(bounds[:-1], n_win) + \

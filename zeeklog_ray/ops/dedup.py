@@ -279,14 +279,19 @@ def ngram_jaccard(texts_a: pd.Series, texts_b: pd.Series, k: int = 5) -> np.ndar
     return out
 
 
-def _packed_kgram_sets(texts: pd.Series, k: int) -> list[np.ndarray]:
-    """Per-text set of byte k-grams, each gram PACKED EXACTLY into a uint64
-    (base-256 positional value — injective for k ≤ 8, so this is the true
-    gram set, not a hash approximation).  Vectorized: one global sliding
-    window over the concatenated bytes, boundary windows masked out, then
-    one C-level ``np.unique`` per text."""
+def packed_byte_windows(texts: pd.Series, k: int
+                        ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Shared exact-gram packing preamble: every k-byte window of the
+    concatenated utf-8 bytes packed into uint64 (base-256 positional
+    value — injective for k ≤ 8, the true gram, not a hash), plus the
+    per-text byte ``bounds`` (len+1 exclusive prefix) and ``lengths``.
+    Boundary windows spanning two texts are NOT masked here — consumers
+    slice/select valid windows with ``bounds``/``lengths``.  The single
+    source of truth for the packing used by both the dedup verifiers and
+    the decontamination scanner (their SQL bit-replays assume one
+    encoding)."""
     if k > 8:
-        raise ValueError(f"_packed_kgram_sets: k={k} > 8 bytes cannot pack "
+        raise ValueError(f"packed_byte_windows: k={k} > 8 bytes cannot pack "
                          "into uint64 — use the hashed shingle path instead")
     enc = texts.str.encode("utf-8")
     lengths = enc.str.len().to_numpy()
@@ -299,6 +304,13 @@ def _packed_kgram_sets(texts: pd.Series, k: int) -> list[np.ndarray]:
         packed = win @ powers
     else:
         packed = np.zeros(0, dtype=np.uint64)
+    return packed, bounds, lengths
+
+
+def _packed_kgram_sets(texts: pd.Series, k: int) -> list[np.ndarray]:
+    """Per-text set of exactly-packed byte k-grams
+    (:func:`packed_byte_windows`), one C-level ``np.unique`` per text."""
+    packed, bounds, _ = packed_byte_windows(texts, k)
     starts = bounds[:-1]
     ends = np.maximum(bounds[1:] - (k - 1), starts)
     return [np.unique(packed[s:e]) for s, e in zip(starts, ends)]

@@ -68,9 +68,10 @@ def pack_assignments(ds: "ray.data.Dataset", *, group_col: str = "source",
                                       kind="mergesort")
     csum = subtotals.groupby(group_col, sort=False)["_sub"].cumsum()
     subtotals["_base"] = (csum - subtotals["_sub"]).astype("int64")
-    bases = {(g, r): int(b) for g, r, b in zip(
-        subtotals[group_col], subtotals[range_col], subtotals["_base"])}
-    bases_ref = ray.put(bases)
+    # broadcast the base offsets as a MultiIndex Series: the per-bucket
+    # join is then one C-level reindex, not a per-row Python dict probe
+    bases_ref = ray.put(
+        subtotals.set_index([group_col, range_col])["_base"])
 
     # ---- pass 2: one bucketed shuffle, per-cell sort + cumsum + base
     def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
@@ -81,8 +82,8 @@ def pack_assignments(ds: "ray.data.Dataset", *, group_col: str = "source",
         csum = lens.groupby(
             [g[group_col], g[range_col]], sort=False).cumsum()
         start = (csum - lens).to_numpy()
-        base = [b[(gr, rr)] for gr, rr in zip(g[group_col], g[range_col])]
-        off = start + pd.Series(base, index=g.index).to_numpy()
+        idx = pd.MultiIndex.from_arrays([g[group_col], g[range_col]])
+        off = start + b.reindex(idx).to_numpy()
         out = pd.DataFrame({
             group_col: g[group_col].to_numpy(),
             order_col: g[order_col].to_numpy(),

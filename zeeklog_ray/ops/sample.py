@@ -108,11 +108,15 @@ def hash_sample(ds: "ray.data.Dataset", key_col: str,
         if not np.issubdtype(keys.dtype, np.integer):
             raise TypeError(f"{key_col} must be integer, got {keys.dtype}")
         h = _mix64(keys.astype(np.uint64, copy=False))
-        thr = [thr_map.get(s, dflt_thr) for s in batch[by]]
+        # factorize → per-UNIQUE-source thresholds → np.take: the Python
+        # dict probes run once per distinct source, not once per row
+        codes, uniq = pd.factorize(batch[by], use_na_sentinel=False)
+        u_thr = [thr_map.get(s, dflt_thr) for s in uniq]
         # rate=1.0 (threshold 2^64) doesn't fit uint64: strict-< against
         # the clamped value plus an explicit keep-all mask for exactness
-        full = np.array([t >= _M64 for t in thr])
-        thr_exact = np.array([min(t, _M64 - 1) for t in thr], dtype=np.uint64)
+        full = np.array([t >= _M64 for t in u_thr], dtype=bool)[codes]
+        thr_exact = np.array([min(t, _M64 - 1) for t in u_thr],
+                             dtype=np.uint64)[codes]
         mask = (h < thr_exact) | full
         return batch[mask]
 
@@ -155,11 +159,15 @@ def mixture_resample(ds: "ray.data.Dataset", key_col: str, by: str,
         if not np.issubdtype(keys.dtype, np.integer):
             raise TypeError(f"{key_col} must be integer, got {keys.dtype}")
         h = _mix64(keys.astype(np.uint64, copy=False) + EPOCH_SALT)
-        src = batch[by]
-        base = src.map(lambda s: whole.get(s, dflt_whole)).to_numpy(np.int64)
-        fthr = np.array([min(frac_thr.get(s, dflt_frac), _M64 - 1)
-                         for s in src], dtype=np.uint64)
-        full = np.array([frac_thr.get(s, dflt_frac) >= _M64 for s in src])
+        # factorize → per-UNIQUE-source rates → np.take (dict probes once
+        # per distinct source, not once per row)
+        codes, uniq = pd.factorize(batch[by], use_na_sentinel=False)
+        base = np.array([whole.get(s, dflt_whole) for s in uniq],
+                        dtype=np.int64)[codes]
+        u_frac = [frac_thr.get(s, dflt_frac) for s in uniq]
+        fthr = np.array([min(t, _M64 - 1) for t in u_frac],
+                        dtype=np.uint64)[codes]
+        full = np.array([t >= _M64 for t in u_frac], dtype=bool)[codes]
         extra = ((h < fthr) | full).astype(np.int64)
         copies = base + extra
         out = batch.iloc[np.repeat(np.arange(len(batch)), copies)].copy()

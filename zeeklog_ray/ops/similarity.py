@@ -220,6 +220,13 @@ def label_centroids(ds: "ray.data.Dataset", label_col: str = "label",
     def partial(batch: pa.Table) -> pa.Table:
         mat = _matrix(batch[vec_col]).astype(np.float64)
         labels = batch[label_col].to_numpy(zero_copy_only=False)
+        # null labels factorize to code -1, which would corrupt the LAST
+        # label's sums via np.add.at and crash bincount — drop them (SQL
+        # GROUP BY keeps a NULL group, but a centroid of unlabeled vectors
+        # is meaningless; callers wanting it should pre-fill a sentinel)
+        valid = ~pd.isna(labels)
+        if not valid.all():
+            mat, labels = mat[valid], labels[valid]
         n, dim = mat.shape
         codes, uniq = pd.factorize(labels)
         sums = np.zeros((len(uniq), dim), dtype=np.float64)

@@ -208,6 +208,19 @@ def grouped_iqr_outliers(ds: "ray.data.Dataset", key: str, col: str,
 
     q = grouped_exact_quantiles(ds, key, col, [0.25, 0.75],
                                 num_buckets=num_buckets).to_pandas()
+    if q.empty or key not in q.columns:
+        # no key survived the quantile pass (empty input or all-null
+        # values — an empty Dataset's to_pandas also loses columns): the
+        # contract is an empty result, not a KeyError from the pivot
+        import ray.data
+
+        empty = pd.DataFrame({
+            key: pd.Series([], dtype=q[key].dtype if key in q else object),
+            "lo": pd.Series([], dtype="int64"),
+            "hi": pd.Series([], dtype="int64"),
+            "n": pd.Series([], dtype="int64"),
+            "n_outliers": pd.Series([], dtype="int64")})
+        return ray.data.from_pandas(empty)
     w = q.pivot(index=key, columns="q", values="value").reset_index()
     w.columns.name = None
     w = w.dropna(subset=[0.25, 0.75])

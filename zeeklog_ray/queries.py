@@ -1386,8 +1386,11 @@ def docs_jsonl_roundtrip(sf_dir: str) -> "ray.data.Dataset":
     from zeeklog_ray.jsonio import read_jsonl, write_jsonl
     from zeeklog_ray.relational import grouped_sum
 
-    out_dir = "/tmp/zeeklog_jsonl/" + \
-        os.path.basename(os.path.normpath(sf_dir))
+    # pid-scoped dir: two concurrent runs (bench + oracle gate) must not
+    # rmtree each other's in-flight shards; left on disk because the
+    # returned Dataset reads it LAZILY (tiny at test scale)
+    out_dir = (f"/tmp/zeeklog_jsonl/"
+               f"{os.path.basename(os.path.normpath(sf_dir))}-{os.getpid()}")
     shutil.rmtree(out_dir, ignore_errors=True)
     docs = read_table(sf_dir, "documents",
                       columns=["doc_id", "source", "n_chars"])

@@ -100,10 +100,12 @@ def _patch_hash_shuffle_schema_broadcast() -> None:
                 and len(block.schema.names) > 0):
             stats = BlockExecStats.builder()
             shard = _hs._create_empty_table(block.schema)
+            # one put, shared by every aggregator — the shards are
+            # identical (unlike the original's per-partition slices)
+            ref = _ray.put(shard)
             pending = []
             for pid in range(pool.num_partitions):
                 aggregator = pool.get_aggregator_for_partition(pid)
-                ref = _ray.put(shard)
                 pending.append(aggregator.submit.remote(input_index, pid, ref))
             # mirror the original's submission barrier: aggregations must
             # not finalize before the shards are accepted

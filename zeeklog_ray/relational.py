@@ -433,7 +433,11 @@ def seq_index_per_key(ds: "ray.data.Dataset", key: str,
 
     def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values([key] + order_cols, kind="mergesort")
-        g[out] = g.groupby(key, sort=False).cumcount().to_numpy() + 1
+        # dropna=False: null keys form ONE partition numbered 1..n, the
+        # SQL ROW_NUMBER semantics — pandas' default would emit NaN seq
+        # for them and degrade the column to float64
+        g[out] = g.groupby(key, sort=False,
+                           dropna=False).cumcount().to_numpy() + 1
         return g.drop(columns=["_bucket"])
 
     return with_hash_bucket(ds, key, num_buckets) \
