@@ -95,6 +95,17 @@ def _run_scale_ops(timings: dict) -> None:
     connected_components(pairs).count()
     timings[f"scale_near_dup_components_{dtag}"] = round(time.monotonic() - t0, 3)
 
+    # per-key ROW_NUMBER (full-table window) and latest-wins compaction
+    # at the same 5M-event scale — both ride the bucketed-groupby pattern
+    from zeeklog_ray.relational import latest_per_key, seq_index_per_key
+
+    t0 = time.monotonic()
+    seq_index_per_key(ray.data.read_parquet(ev), "user_id", ["ts"]).count()
+    timings[f"scale_user_seq_{mtag}"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    latest_per_key(ray.data.read_parquet(ev), ["user_id"], ["ts"]).count()
+    timings[f"scale_latest_per_key_{mtag}"] = round(time.monotonic() - t0, 3)
+
     # decontamination at 1M docs: benchmark = doc_id % 1000 == 0 (~1k
     # docs), the broadcast shape's intended regime — tiny probe side,
     # full-corpus map scan
