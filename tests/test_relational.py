@@ -231,3 +231,18 @@ def test_seq_index_null_keys_numbered(ray_session):
     nulls = out[out["k"].isna()].sort_values("seq")
     assert nulls["seq"].tolist() == [1, 2]
     assert not out["seq"].isna().any()
+
+
+def test_grouped_sum_bucketed_matches_pandas(ray_session):
+    from zeeklog_ray.relational import grouped_sum_bucketed
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({"k": rng.integers(0, 500, 5000),
+                       "v": rng.integers(-10, 100, 5000)})
+    ds = ray.data.from_pandas([df.iloc[:2500], df.iloc[2500:]])
+    got = grouped_sum_bucketed(ds, ["k"], sums={"v": "s"}, count_as="c") \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    exp = df.groupby("k")["v"].agg(["sum", "size"]).reset_index()
+    assert got["k"].tolist() == exp["k"].tolist()
+    assert got["s"].tolist() == exp["sum"].tolist()
+    assert got["c"].tolist() == exp["size"].tolist()

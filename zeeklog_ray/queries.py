@@ -1400,6 +1400,60 @@ def docs_jsonl_roundtrip(sf_dir: str) -> "ray.data.Dataset":
                        count_as="n_docs")
 
 
+def docs_csv_roundtrip(sf_dir: str) -> "ray.data.Dataset":
+    """CSV sink/source round-trip (jsonio.write_csv / read_csv): same
+    gate as docs_jsonl_roundtrip — one headered shard per block out, a
+    parallel shard-directory scan back, aggregate compared against the
+    ORIGINAL parquet so any type loss through the CSV hop fails the
+    hash."""
+    import shutil
+
+    from zeeklog_ray.jsonio import read_csv, write_csv
+    from zeeklog_ray.relational import grouped_sum
+
+    out_dir = (f"/tmp/zeeklog_csv/"
+               f"{os.path.basename(os.path.normpath(sf_dir))}-{os.getpid()}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "source", "n_chars"])
+    write_csv(docs, out_dir)
+    back = read_csv(out_dir)
+    return grouped_sum(back, ["source"], sums={"n_chars": "sum_chars"},
+                       count_as="n_docs")
+
+
+def user_value_sums(sf_dir: str) -> "ray.data.Dataset":
+    """ENTITY-shaped aggregate (relational.grouped_sum_bucketed): per-user
+    event-value totals — output cardinality scales with the user count,
+    so the result stays distributed across key-hash buckets instead of
+    collapsing onto one block like the report-shaped grouped_sum."""
+    from zeeklog_ray.relational import grouped_sum_bucketed
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "value"])
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": batch["user_id"],
+            "value_cents": _round_half_away(batch["value"] * 100)})
+
+    prepped = ev.map_batches(prep, batch_format="pandas", batch_size=None)
+    return grouped_sum_bucketed(prepped, ["user_id"],
+                                sums={"value_cents": "sum_cents"},
+                                count_as="n_events")
+
+
+def event_type_user_counts(sf_dir: str) -> "ray.data.Dataset":
+    """COUNT(DISTINCT user_id) per event_type: bucketed distinct on the
+    (event_type, user_id) pair (relational.bucketed_distinct — only the
+    pair columns shuffle, dedup is C-level per bucket), then the
+    report-shaped grouped count."""
+    from zeeklog_ray.relational import bucketed_distinct, grouped_sum
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    pairs = bucketed_distinct(ev, ["event_type", "user_id"])
+    return grouped_sum(pairs, ["event_type"], count_as="n_users")
+
+
 def event_type_counts_cm(sf_dir: str) -> pd.DataFrame:
     """Count-Min sketch frequencies for the known event types
     (ops/sketch.countmin_counts).  The sketch is approximate in general
@@ -1657,6 +1711,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # oracle-checked relational/analytics operators
     "docs_by_source": docs_by_source,
     "docs_jsonl_roundtrip": docs_jsonl_roundtrip,
+    "docs_csv_roundtrip": docs_csv_roundtrip,
+    "user_value_sums": user_value_sums,
+    "event_type_user_counts": event_type_user_counts,
     "docs_lang_stats": docs_lang_stats,
     "events_hourly": events_hourly,
     "lineitem_pricing": lineitem_pricing,
@@ -2086,6 +2143,17 @@ ORACLE_SQL: dict[str, str] = {
     "docs_jsonl_roundtrip": (
         "SELECT source, CAST(SUM(n_chars) AS BIGINT) AS sum_chars, "
         "CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source"),
+    "docs_csv_roundtrip": (
+        "SELECT source, CAST(SUM(n_chars) AS BIGINT) AS sum_chars, "
+        "CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source"),
+    "user_value_sums": (
+        "SELECT user_id, "
+        "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) "
+        "AS sum_cents, CAST(COUNT(*) AS BIGINT) AS n_events "
+        "FROM events GROUP BY user_id"),
+    "event_type_user_counts": (
+        "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) "
+        "AS n_users FROM events GROUP BY event_type"),
     "docs_by_source": (
         "SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars, "
         "MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars "

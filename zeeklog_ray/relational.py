@@ -318,6 +318,41 @@ def grouped_sum(ds: "ray.data.Dataset", keys: Sequence[str],
     return out
 
 
+def grouped_sum_bucketed(ds: "ray.data.Dataset", keys: Sequence[str],
+                         sums: dict[str, str] | None = None,
+                         count_as: str | None = None,
+                         num_buckets: int = 1024) -> "ray.data.Dataset":
+    """ENTITY-shaped grouped sum/count: one output row per key tuple at
+    arbitrary cardinality.  :func:`grouped_sum` assumes the final result
+    fits one block (report-shaped: per-source, per-status, ...); per-user
+    / per-document aggregates scale with the entity count, so here the
+    per-batch combiner partials shuffle ONCE on the key-hash bucket and
+    each bucket finishes with a C-level pandas groupby-sum — the result
+    stays distributed (≈rows/num_buckets per output block; size
+    ``num_buckets`` per the with_hash_bucket rule)."""
+    keys = list(keys)
+    sums = sums or {}
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(keys, sort=False, observed=True, dropna=False)
+        out = pd.DataFrame(index=g.size().index)
+        if count_as:
+            out[count_as] = g.size()
+        for src, dst in sums.items():
+            out[dst] = g[src].sum()
+        return out.reset_index()
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        return (group.drop(columns=["_bucket"])
+                .groupby(keys, sort=False, dropna=False).sum().reset_index())
+
+    partials = ds.select_columns(
+        list(dict.fromkeys(keys + list(sums)))).map_batches(
+        partial, batch_format="pandas", batch_size=None)
+    return with_hash_bucket(partials, keys, num_buckets) \
+        .groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
+
+
 def rollup_sum(ds: "ray.data.Dataset", keys: Sequence[str],
                sums: dict[str, str] | None = None,
                count_as: str | None = None) -> pd.DataFrame:
