@@ -246,3 +246,14 @@ def test_grouped_sum_bucketed_matches_pandas(ray_session):
     assert got["k"].tolist() == exp["k"].tolist()
     assert got["s"].tolist() == exp["sum"].tolist()
     assert got["c"].tolist() == exp["size"].tolist()
+
+
+def test_melt_inverts_pivot(ray_session):
+    from zeeklog_ray.relational import melt
+
+    df = pd.DataFrame({"id": [1, 2], "a": [10, 30], "b": [20, 40]})
+    out = melt(ray.data.from_pandas(df), ["id"], ["a", "b"]).to_pandas() \
+        .sort_values(["id", "variable"]).reset_index(drop=True)
+    assert len(out) == 4
+    assert out["value"].tolist() == [10, 20, 30, 40]
+    assert out["variable"].tolist() == ["a", "b", "a", "b"]

@@ -306,3 +306,23 @@ def test_grouped_iqr_outliers_empty_input(ray_session):
     # block-level schema survives (to_pandas() on an empty Dataset strips
     # columns — the repo's documented empty-result quirk)
     assert set(out.schema().names) >= {"lo", "hi", "n", "n_outliers"}
+
+
+def test_grouped_approx_distinct_accuracy(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from zeeklog_ray.ops.sketch import grouped_approx_distinct
+
+    rng = np.random.default_rng(11)
+    # two keys with very different true cardinalities, multi-block
+    df = pd.DataFrame({
+        "k": ["big"] * 60000 + ["small"] * 5000,
+        "v": np.concatenate([rng.integers(0, 40000, 60000),
+                             rng.integers(0, 300, 5000)])})
+    ds = ray.data.from_pandas([df.iloc[:30000], df.iloc[30000:]])
+    got = grouped_approx_distinct(ds, "k", "v").set_index("k")["approx_n"]
+    true = df.groupby("k")["v"].nunique()
+    for k in ("big", "small"):
+        rel = abs(got[k] - true[k]) / true[k]
+        assert rel < 0.05, (k, got[k], true[k])

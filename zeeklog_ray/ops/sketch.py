@@ -71,6 +71,53 @@ def approx_distinct(ds: "ray.data.Dataset", col: str) -> int:
     return round(hll_estimate(merged))
 
 
+def grouped_approx_distinct(ds: "ray.data.Dataset", key: str, col: str,
+                            num_buckets: int = 256) -> pd.DataFrame:
+    """Approximate COUNT(DISTINCT col) PER KEY — the grouped twin of
+    :func:`approx_distinct`, for when the exact pair-distinct
+    (``relational.bucketed_distinct`` + count) would shuffle every
+    (key, value) pair at 10^12-row scale.
+
+    Shape: each batch emits one 4 KB sketch per key IT contains (≤
+    |keys-in-batch| rows, never row-scale); the sketches merge
+    DISTRIBUTED via a key-hash-bucketed groupby whose per-bucket merge is
+    one C-level ``np.maximum.reduce`` per key; only the final one-row-
+    per-key table reaches the driver for estimation.  Error ~1.6%
+    (2^12 registers).  Intended for report-to-entity key cardinalities;
+    the exchange is |blocks| × |keys-per-block| × 4 KB."""
+
+    def sketch(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.dropna(subset=[col])
+        codes, uniq = pd.factorize(b[key], use_na_sentinel=False)
+        h = _hash64(b[col])
+        out_keys, out_sk = [], []
+        for i, k in enumerate(uniq):
+            out_keys.append(k)
+            out_sk.append(_sketch_of(h[codes == i]).tobytes())
+        return pd.DataFrame({key: out_keys, "_sk": out_sk})
+
+    def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        out_keys, out_sk = [], []
+        for k, g in group.groupby(key, sort=False, dropna=False):
+            regs = np.maximum.reduce(
+                [np.frombuffer(b, dtype=np.uint8) for b in g["_sk"]])
+            out_keys.append(k)
+            out_sk.append(regs.tobytes())
+        return pd.DataFrame({key: out_keys, "_sk": out_sk})
+
+    from zeeklog_ray.relational import with_hash_bucket
+
+    parts = ds.select_columns([key, col]).map_batches(
+        sketch, batch_format="pandas", batch_size=None)
+    merged = with_hash_bucket(parts, key, num_buckets) \
+        .groupby("_bucket").map_groups(merge_bucket, batch_format="pandas") \
+        .to_pandas()
+    merged["approx_n"] = [
+        round(hll_estimate(np.frombuffer(b, dtype=np.uint8)))
+        for b in merged["_sk"]]
+    return merged[[key, "approx_n"]].reset_index(drop=True)
+
+
 def exact_quantiles(ds: "ray.data.Dataset", col: str,
                     qs: list[float]) -> pd.DataFrame:
     """EXACT discrete quantiles via the value-histogram method: a

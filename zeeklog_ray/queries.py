@@ -1337,6 +1337,67 @@ def user_event_pivot(sf_dir: str) -> "ray.data.Dataset":
                      prefix="cents_", count_as="n_events")
 
 
+def event_pivot_unpivot(sf_dir: str) -> "ray.data.Dataset":
+    """PIVOT → UNPIVOT round-trip (relational.melt): the per-user wide
+    table melts back to long and re-aggregates per variable — the oracle
+    compares against a direct per-type aggregation of the raw events, so
+    any loss through the widen/melt hop fails the hash.  Both hops are
+    row-local; only aggregated cells ever shuffle."""
+    from zeeklog_ray.relational import grouped_sum, melt, pivot_sum
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "event_type", "value"])
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"user_id": batch["user_id"],
+                             "event_type": batch["event_type"],
+                             "value_cents": _round_half_away(batch["value"] * 100)})
+
+    wide = pivot_sum(ev.map_batches(prep, batch_format="pandas",
+                                    batch_size=None),
+                     "user_id", "event_type", "value_cents", _PIVOT_TYPES,
+                     prefix="cents_")
+    long = melt(wide, ["user_id"], [f"cents_{c}" for c in _PIVOT_TYPES],
+                var_name="variable", value_name="cents")
+    return grouped_sum(long, ["variable"], sums={"cents": "total_cents"})
+
+
+def docs_length_buckets(sf_dir: str) -> "ray.data.Dataset":
+    """Length-quartile bucketing — the curriculum / batch-shape prep op:
+    EXACT quartile thresholds (ops/sketch.exact_quantiles, distributed
+    value histogram) broadcast into a row-local ``np.searchsorted``
+    bucketize, then a report-shaped rollup per bucket.  Two scans, no
+    row-data shuffle."""
+    from zeeklog_ray.ops.sketch import exact_quantiles
+    from zeeklog_ray.relational import grouped_sum
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    q = exact_quantiles(docs, "n_chars", [0.25, 0.5, 0.75])
+    thr = q["value"].to_numpy()
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        b = np.searchsorted(thr, batch["n_chars"].to_numpy(), side="left")
+        return pd.DataFrame({"bucket": b.astype("int64"),
+                             "n_chars": batch["n_chars"]})
+
+    bucketed = docs.map_batches(bucketize, batch_format="pandas",
+                                batch_size=None)
+    return grouped_sum(bucketed, ["bucket"], sums={"n_chars": "sum_chars"},
+                       count_as="n_docs")
+
+
+def event_type_users_hll(sf_dir: str) -> pd.DataFrame:
+    """Approximate COUNT(DISTINCT user) per event type
+    (ops/sketch.grouped_approx_distinct): per-batch per-key HLL sketches,
+    distributed register-max merge — the 10^12-row tier of the EXACT
+    twin `event_type_user_counts` (oracle-gated); this one is approximate
+    by design (~1.6% error, pytest-gated)."""
+    from zeeklog_ray.ops.sketch import grouped_approx_distinct
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    return grouped_approx_distinct(ev, "event_type", "user_id")
+
+
 _SCRUB_TERMS = ["spark", "dup", "slow"]
 
 
@@ -1714,6 +1775,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "docs_csv_roundtrip": docs_csv_roundtrip,
     "user_value_sums": user_value_sums,
     "event_type_user_counts": event_type_user_counts,
+    "event_pivot_unpivot": event_pivot_unpivot,
+    "docs_length_buckets": docs_length_buckets,
+    "event_type_users_hll": event_type_users_hll,
     "docs_lang_stats": docs_lang_stats,
     "events_hourly": events_hourly,
     "lineitem_pricing": lineitem_pricing,
@@ -2154,6 +2218,23 @@ ORACLE_SQL: dict[str, str] = {
     "event_type_user_counts": (
         "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) "
         "AS n_users FROM events GROUP BY event_type"),
+    "event_pivot_unpivot": (
+        "SELECT 'cents_' || t.et AS variable, "
+        "CAST(COALESCE(SUM(CAST(ROUND(e.value * 100) AS BIGINT)), 0) "
+        "AS BIGINT) AS total_cents "
+        "FROM (VALUES ('click'), ('error'), ('purchase'), ('signup'), "
+        "('view')) t(et) LEFT JOIN events e ON e.event_type = t.et "
+        "GROUP BY t.et"),
+    "docs_length_buckets": (
+        "WITH t AS (SELECT quantile_disc(n_chars, 0.25) AS q1, "
+        "quantile_disc(n_chars, 0.5) AS q2, "
+        "quantile_disc(n_chars, 0.75) AS q3 FROM documents) "
+        "SELECT CAST(CASE WHEN n_chars <= q1 THEN 0 "
+        "WHEN n_chars <= q2 THEN 1 WHEN n_chars <= q3 THEN 2 "
+        "ELSE 3 END AS BIGINT) AS bucket, "
+        "CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(n_chars) AS BIGINT) AS sum_chars "
+        "FROM documents, t GROUP BY 1"),
     "docs_by_source": (
         "SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars, "
         "MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars "

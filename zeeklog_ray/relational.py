@@ -479,6 +479,23 @@ def seq_index_per_key(ds: "ray.data.Dataset", key: str,
         .groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
 
 
+def melt(ds: "ray.data.Dataset", id_cols: Sequence[str],
+         value_cols: Sequence[str], var_name: str = "variable",
+         value_name: str = "value") -> "ray.data.Dataset":
+    """UNPIVOT — the inverse of :func:`pivot_sum`'s widening: each input
+    row becomes |value_cols| long rows ``(id_cols..., variable, value)``.
+    Purely row-local (one C-level ``DataFrame.melt`` per batch, no
+    shuffle); output is |value_cols|× the input row count, so follow with
+    a filter/aggregate rather than materializing wide×long blowups."""
+    id_cols, value_cols = list(id_cols), list(value_cols)
+
+    def per_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.melt(id_vars=id_cols, value_vars=value_cols,
+                          var_name=var_name, value_name=value_name)
+
+    return ds.map_batches(per_batch, batch_format="pandas", batch_size=None)
+
+
 def grouped_var_exact(ds: "ray.data.Dataset", keys: Sequence[str],
                       val: str, scale: int = 10**6) -> pd.DataFrame:
     """Per-group sample variance of an INTEGER column in exact arithmetic:
