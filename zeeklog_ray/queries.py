@@ -350,6 +350,117 @@ def events_hourly(sf_dir: str) -> "ray.data.Dataset":
                        sums={"value_cents": "sum_value_cents"}, count_as="n")
 
 
+_HOP_STEP_S = 900          # 15-min hop
+_HOP_WINDOW_S = 3600       # 1-h window → each event lands in 4 hops
+
+
+def events_hopping_windows(sf_dir: str) -> "ray.data.Dataset":
+    """HOPPING (overlapping) 1-hour windows advancing every 15 min, per
+    event type: each event belongs to window_s/step_s = 4 hops, expanded
+    ROW-LOCALLY (one vectorized ``np.repeat`` per batch — the streaming
+    hopping-window semantics mapped to batch, complementing the tumbling
+    `events_hourly`), then the combiner-first grouped count.  Only
+    aggregated (type, window) cells shuffle — ×4 row expansion never
+    crosses the wire."""
+    k = _HOP_WINDOW_S // _HOP_STEP_S
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def expand(batch: pd.DataFrame) -> pd.DataFrame:
+        epoch = batch["ts"].astype("int64").to_numpy() // 1_000_000
+        last_hop = epoch // _HOP_STEP_S  # newest window containing the event
+        idx = np.repeat(np.arange(len(batch)), k)
+        starts = (np.repeat(last_hop, k) -
+                  np.tile(np.arange(k, dtype=np.int64), len(batch))) \
+            * _HOP_STEP_S
+        return pd.DataFrame({
+            "event_type": batch["event_type"].to_numpy()[idx],
+            "window_start": starts})
+
+    expanded = ds.map_batches(expand, batch_format="pandas", batch_size=None)
+    return grouped_sum(expanded, ["event_type", "window_start"],
+                       count_as="n")
+
+
+def event_type_share(sf_dir: str) -> pd.DataFrame:
+    """Percent-of-total in exact fixed point: each event type's share of
+    the global cent sum as ``share_e6 = type_cents * 10^6 // grand_cents``
+    — the two-pass broadcast-scalar pattern (one distributed aggregate,
+    the grand total re-derived from the same report-shaped result, zero
+    extra scans), hash-comparable where a float ratio could drift."""
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": batch["event_type"],
+                             "cents": _round_half_away(batch["value"] * 100)})
+
+    per_type = grouped_sum(
+        ev.map_batches(prep, batch_format="pandas", batch_size=None),
+        ["event_type"], sums={"cents": "type_cents"}).to_pandas()
+    grand = int(per_type["type_cents"].sum())
+    share = (per_type["type_cents"].astype(object) * 10**6 // grand)
+    out = per_type[["event_type", "type_cents"]].copy()
+    out["share_e6"] = share.astype("int64").to_numpy()
+    return out.reset_index(drop=True)
+
+
+def user_funnel_counts(sf_dir: str) -> pd.DataFrame:
+    """Two-step funnel: users whose FIRST click precedes their LAST
+    purchase (click→purchase conversion).  Per-user min/max timestamps
+    per step are algebraic — combiner-first grouped min/max partials,
+    then one row-local compare; no per-user Python, no row shuffle."""
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "event_type", "ts"])
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["event_type"].isin(["click", "purchase"])]
+        epoch = b["ts"].astype("int64")
+        big = np.int64(2**62)
+        is_click = (b["event_type"] == "click").to_numpy()
+        return pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(),
+            # min over clicks only: purchases neutralized with +inf
+            "_click_ts": np.where(is_click, epoch, big),
+            # max over purchases only: clicks neutralized with -inf
+            "_purch_ts": np.where(is_click, np.int64(-1), epoch)})
+
+    prepped = ev.map_batches(prep, batch_format="pandas", batch_size=None)
+
+    # per-user MIN(click)/MAX(purchase): per-batch combiner partials, then
+    # a bucketed min/max finish (extrema are algebraic but not sums, so
+    # grouped_sum_bucketed doesn't apply directly)
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("user_id", sort=False)
+        return pd.DataFrame({
+            "user_id": g.size().index,
+            "_click_ts": g["_click_ts"].min().to_numpy(),
+            "_purch_ts": g["_purch_ts"].max().to_numpy()})
+
+    from zeeklog_ray.relational import with_hash_bucket
+
+    parts = prepped.map_batches(partial, batch_format="pandas",
+                                batch_size=None)
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("user_id", sort=False)
+        out = pd.DataFrame({
+            "_click_ts": g["_click_ts"].min(),
+            "_purch_ts": g["_purch_ts"].max()}).reset_index()
+        return out
+
+    per_user = with_hash_bucket(parts, "user_id", 256) \
+        .groupby("_bucket").map_groups(per_bucket, batch_format="pandas") \
+        .to_pandas()
+    big = np.int64(2**62)
+    has_click = per_user["_click_ts"] < big
+    has_purch = per_user["_purch_ts"] >= 0
+    converted = has_click & has_purch & \
+        (per_user["_click_ts"] < per_user["_purch_ts"])
+    return pd.DataFrame({
+        "n_users_clicked": [int(has_click.sum())],
+        "n_users_purchased": [int(has_purch.sum())],
+        "n_converted": [int(converted.sum())]})
+
+
 def lineitem_pricing(sf_dir: str) -> "ray.data.Dataset":
     """TPC-H Q1-shaped pricing summary; integer-cent exact sums."""
     import pyarrow.compute as pc
@@ -1778,6 +1889,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "event_pivot_unpivot": event_pivot_unpivot,
     "docs_length_buckets": docs_length_buckets,
     "event_type_users_hll": event_type_users_hll,
+    "events_hopping_windows": events_hopping_windows,
+    "event_type_share": event_type_share,
+    "user_funnel_counts": user_funnel_counts,
     "docs_lang_stats": docs_lang_stats,
     "events_hourly": events_hourly,
     "lineitem_pricing": lineitem_pricing,
@@ -2225,6 +2339,28 @@ ORACLE_SQL: dict[str, str] = {
         "FROM (VALUES ('click'), ('error'), ('purchase'), ('signup'), "
         "('view')) t(et) LEFT JOIN events e ON e.event_type = t.et "
         "GROUP BY t.et"),
+    "events_hopping_windows": (
+        "SELECT event_type, "
+        "(CAST(FLOOR(epoch(ts)) AS BIGINT) // 900 - t.i) * 900 "
+        "AS window_start, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM events CROSS JOIN (SELECT UNNEST(range(4)) AS i) t "
+        "GROUP BY event_type, window_start"),
+    "event_type_share": (
+        "WITH s AS (SELECT event_type, "
+        "SUM(CAST(ROUND(value * 100) AS BIGINT)) AS tc "
+        "FROM events GROUP BY event_type), "
+        "g AS (SELECT SUM(tc) AS grand FROM s) "
+        "SELECT event_type, CAST(tc AS BIGINT) AS type_cents, "
+        "CAST(tc * 1000000 // grand AS BIGINT) AS share_e6 FROM s, g"),
+    "user_funnel_counts": (
+        "WITH u AS (SELECT user_id, "
+        "MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click, "
+        "MAX(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purch "
+        "FROM events GROUP BY user_id) "
+        "SELECT CAST(COUNT(first_click) AS BIGINT) AS n_users_clicked, "
+        "CAST(COUNT(last_purch) AS BIGINT) AS n_users_purchased, "
+        "CAST(COALESCE(SUM(CASE WHEN first_click < last_purch "
+        "THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_converted FROM u"),
     "docs_length_buckets": (
         "WITH t AS (SELECT quantile_disc(n_chars, 0.25) AS q1, "
         "quantile_disc(n_chars, 0.5) AS q2, "
