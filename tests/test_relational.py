@@ -257,3 +257,17 @@ def test_melt_inverts_pivot(ray_session):
     assert len(out) == 4
     assert out["value"].tolist() == [10, 20, 30, 40]
     assert out["variable"].tolist() == ["a", "b", "a", "b"]
+
+
+def test_partitioned_write_prune_roundtrip(ray_session, tmp_path):
+    from zeeklog_ray.partitioned import read_partition, write_partitioned
+
+    df = pd.DataFrame({"t": ["a", "b", "a", "c"] * 50,
+                       "v": np.arange(200, dtype="int64")})
+    root = str(tmp_path / "part")
+    write_partitioned(ray.data.from_pandas(df), root, ["t"])
+    back = read_partition(root, "t", "a").to_pandas()
+    exp = df[df["t"] == "a"]
+    assert len(back) == len(exp)
+    assert sorted(back["v"]) == sorted(exp["v"])
+    assert (back["t"] == "a").all()   # hive scheme restores the column

@@ -350,6 +350,37 @@ def events_hourly(sf_dir: str) -> "ray.data.Dataset":
                        sums={"value_cents": "sum_value_cents"}, count_as="n")
 
 
+def events_partitioned_prune(sf_dir: str) -> "ray.data.Dataset":
+    """Hive-partitioned export + partition-pruned read-back
+    (zeeklog_ray.partitioned): events written as ``event_type=<v>/``
+    directories, then ONLY the ``click`` partition's directory is
+    scanned (path-level pruning — no listing, no bytes from the other
+    partitions) and aggregated per day.  The oracle filters the ORIGINAL
+    table, so a row leaking across partitions fails the hash."""
+    import shutil
+
+    from zeeklog_ray.partitioned import read_partition, write_partitioned
+
+    root = (f"/tmp/zeeklog_part/"
+            f"{os.path.basename(os.path.normpath(sf_dir))}-{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    ev = read_table(sf_dir, "events",
+                    columns=["event_type", "ts", "value"])
+    write_partitioned(ev, root, ["event_type"])
+
+    clicks = read_partition(root, "event_type", "click")
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "day": batch["ts"].dt.strftime("%Y-%m-%d"),
+            "cents": _round_half_away(batch["value"] * 100)})
+
+    prepped = clicks.map_batches(prep, batch_format="pandas",
+                                 batch_size=None)
+    return grouped_sum(prepped, ["day"], sums={"cents": "sum_cents"},
+                       count_as="n")
+
+
 _HOP_STEP_S = 900          # 15-min hop
 _HOP_WINDOW_S = 3600       # 1-h window → each event lands in 4 hops
 
@@ -1892,6 +1923,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_hopping_windows": events_hopping_windows,
     "event_type_share": event_type_share,
     "user_funnel_counts": user_funnel_counts,
+    "events_partitioned_prune": events_partitioned_prune,
     "docs_lang_stats": docs_lang_stats,
     "events_hourly": events_hourly,
     "lineitem_pricing": lineitem_pricing,
@@ -2339,6 +2371,11 @@ ORACLE_SQL: dict[str, str] = {
         "FROM (VALUES ('click'), ('error'), ('purchase'), ('signup'), "
         "('view')) t(et) LEFT JOIN events e ON e.event_type = t.et "
         "GROUP BY t.et"),
+    "events_partitioned_prune": (
+        "SELECT strftime(ts, '%Y-%m-%d') AS day, "
+        "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) "
+        "AS sum_cents, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM events WHERE event_type = 'click' GROUP BY day"),
     "events_hopping_windows": (
         "SELECT event_type, "
         "(CAST(FLOOR(epoch(ts)) AS BIGINT) // 900 - t.i) * 900 "
