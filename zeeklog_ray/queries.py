@@ -350,6 +350,125 @@ def events_hourly(sf_dir: str) -> "ray.data.Dataset":
                        sums={"value_cents": "sum_value_cents"}, count_as="n")
 
 
+def orders_fk_violations(sf_dir: str) -> pd.DataFrame:
+    """Referential-integrity audit — the data-validation stage a pipeline
+    runs before training joins: orders whose o_custkey has no customer
+    row.  Broadcast key-set anti-semantics (the dimension's key set ships
+    once via ray.put; the fact side never shuffles); returns total vs
+    violating counts."""
+    cust = read_table(sf_dir, "customer", columns=["c_custkey"])
+    keys = set(cust.to_pandas()["c_custkey"])
+    import ray as _ray
+
+    keys_ref = _ray.put(keys)
+    orders = read_table(sf_dir, "orders", columns=["o_custkey"])
+
+    def count_bad(batch: pd.DataFrame) -> pd.DataFrame:
+        ks = _ray.get(keys_ref)
+        bad = (~batch["o_custkey"].isin(ks)).sum()
+        return pd.DataFrame({"_n": [len(batch)], "_bad": [int(bad)]})
+
+    parts = orders.map_batches(count_bad, batch_format="pandas",
+                               batch_size=None).to_pandas()
+    return pd.DataFrame({"n_orders": [int(parts["_n"].sum())],
+                         "n_violations": [int(parts["_bad"].sum())]})
+
+
+def events_column_profile(sf_dir: str) -> pd.DataFrame:
+    """Column-profile / data-quality report over the events table's
+    numeric + timestamp columns: per column, row count, null count, and
+    min/max in exact integers (cents for money, epoch-µs for timestamps)
+    — all algebraic, one combiner-first pass, |columns| rows out.
+    (ROUND is monotone, so min(round(v·100)) == round(min(v)·100) and the
+    per-batch extreme-of-cents merges exactly.)"""
+    cols = ("event_id", "user_id", "value", "ts")
+    ev = read_table(sf_dir, "events", columns=list(cols))
+
+    def profile(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in cols:
+            col = batch[c]
+            nn = col.dropna()
+            if not len(nn):
+                lo = hi = None
+            elif c == "value":
+                lo = int(_round_half_away(nn.min() * 100))
+                hi = int(_round_half_away(nn.max() * 100))
+            elif c == "ts":
+                lo = int(nn.min().value // 1000)   # ns → µs
+                hi = int(nn.max().value // 1000)
+            else:
+                lo, hi = int(nn.min()), int(nn.max())
+            rows.append((c, len(col), int(col.isna().sum()), lo, hi))
+        return pd.DataFrame(rows, columns=["column", "_n", "_nulls",
+                                           "_lo", "_hi"])
+
+    parts = ev.map_batches(profile, batch_format="pandas",
+                           batch_size=None).to_pandas()
+    g = parts.groupby("column", sort=False)
+    out = pd.DataFrame({
+        "column": g.size().index,
+        "n_rows": g["_n"].sum().to_numpy().astype("int64"),
+        "n_nulls": g["_nulls"].sum().to_numpy().astype("int64"),
+        "min_i": g["_lo"].min().to_numpy().astype("int64"),
+        "max_i": g["_hi"].max().to_numpy().astype("int64")})
+    return out.sort_values("column").reset_index(drop=True)
+
+
+def docs_snapshot_diff(sf_dir: str) -> pd.DataFrame:
+    """CDC-shaped snapshot diff: documents vs a deterministically mutated
+    second snapshot (doc_id % 10 == 0 deleted, % 10 == 1 added with a new
+    id, % 7 == 0 content changed) — counts added / removed / changed /
+    unchanged.  Shape: tagged union of (key, content-digest) rows — only
+    scalars shuffle — then one bucketed per-key compare."""
+    from zeeklog_ray.ops.dedup import content_digest128
+    from zeeklog_ray.relational import with_hash_bucket
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tag(side: int):
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            b = batch
+            if side == 1:  # synthesize snapshot B row-locally
+                b = b[b["doc_id"] % 10 != 0].copy()       # deletions
+                changed = b["doc_id"] % 7 == 0
+                b.loc[changed, "text"] = b.loc[changed, "text"] + " [v2]"
+                adds = batch[batch["doc_id"] % 10 == 1].copy()
+                adds["doc_id"] = adds["doc_id"] + 10_000_000
+                b = pd.concat([b, adds], ignore_index=True)
+            h1, h2 = content_digest128(b["text"])
+            return pd.DataFrame({"doc_id": b["doc_id"].to_numpy(),
+                                 "_h1": h1, "_h2": h2,
+                                 "_side": np.int64(side)})
+        return f
+
+    a = docs.map_batches(tag(0), batch_format="pandas", batch_size=None)
+    b = docs.map_batches(tag(1), batch_format="pandas", batch_size=None)
+    union = a.union(b)
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        p = group.pivot_table(index="doc_id", columns="_side",
+                              values="_h1", aggfunc="first") \
+            .reindex(columns=[0, 1])
+        p2 = group.pivot_table(index="doc_id", columns="_side",
+                               values="_h2", aggfunc="first") \
+            .reindex(columns=[0, 1])
+        in_a, in_b = p[0].notna(), p[1].notna()
+        same = (p[0] == p[1]) & (p2[0] == p2[1])
+        return pd.DataFrame({
+            "added": [int((~in_a & in_b).sum())],
+            "removed": [int((in_a & ~in_b).sum())],
+            "changed": [int((in_a & in_b & ~same).sum())],
+            "unchanged": [int((in_a & in_b & same).sum())]})
+
+    parts = with_hash_bucket(union, "doc_id", 64) \
+        .groupby("_bucket").map_groups(per_bucket, batch_format="pandas") \
+        .to_pandas()
+    return pd.DataFrame({c: [int(parts[c].sum())]
+                         for c in ("added", "removed", "changed",
+                                   "unchanged")})
+
+
 def events_partitioned_prune(sf_dir: str) -> "ray.data.Dataset":
     """Hive-partitioned export + partition-pruned read-back
     (zeeklog_ray.partitioned): events written as ``event_type=<v>/``
@@ -1924,6 +2043,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "event_type_share": event_type_share,
     "user_funnel_counts": user_funnel_counts,
     "events_partitioned_prune": events_partitioned_prune,
+    "orders_fk_violations": orders_fk_violations,
+    "events_column_profile": events_column_profile,
+    "docs_snapshot_diff": docs_snapshot_diff,
     "docs_lang_stats": docs_lang_stats,
     "events_hourly": events_hourly,
     "lineitem_pricing": lineitem_pricing,
@@ -2371,6 +2493,38 @@ ORACLE_SQL: dict[str, str] = {
         "FROM (VALUES ('click'), ('error'), ('purchase'), ('signup'), "
         "('view')) t(et) LEFT JOIN events e ON e.event_type = t.et "
         "GROUP BY t.et"),
+    "orders_fk_violations": (
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_orders, "
+        "CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_violations "
+        "FROM orders LEFT JOIN customer ON o_custkey = c_custkey"),
+    "events_column_profile": (
+        "SELECT 'event_id' AS \"column\", CAST(COUNT(*) AS BIGINT) "
+        "AS n_rows, CAST(COUNT(*) - COUNT(event_id) AS BIGINT) AS n_nulls, "
+        "CAST(MIN(event_id) AS BIGINT) AS min_i, "
+        "CAST(MAX(event_id) AS BIGINT) AS max_i FROM events "
+        "UNION ALL SELECT 'ts', CAST(COUNT(*) AS BIGINT), "
+        "CAST(COUNT(*) - COUNT(ts) AS BIGINT), "
+        "CAST(epoch_us(MIN(ts)) AS BIGINT), "
+        "CAST(epoch_us(MAX(ts)) AS BIGINT) FROM events "
+        "UNION ALL SELECT 'user_id', CAST(COUNT(*) AS BIGINT), "
+        "CAST(COUNT(*) - COUNT(user_id) AS BIGINT), "
+        "CAST(MIN(user_id) AS BIGINT), CAST(MAX(user_id) AS BIGINT) "
+        "FROM events "
+        "UNION ALL SELECT 'value', CAST(COUNT(*) AS BIGINT), "
+        "CAST(COUNT(*) - COUNT(value) AS BIGINT), "
+        "CAST(ROUND(MIN(value) * 100) AS BIGINT), "
+        "CAST(ROUND(MAX(value) * 100) AS BIGINT) FROM events"),
+    "docs_snapshot_diff": (
+        "SELECT "
+        "CAST(SUM(CASE WHEN doc_id % 10 = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS added, "
+        "CAST(SUM(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS removed, "
+        "CAST(SUM(CASE WHEN doc_id % 10 <> 0 AND doc_id % 7 = 0 "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS changed, "
+        "CAST(SUM(CASE WHEN doc_id % 10 <> 0 AND doc_id % 7 <> 0 "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS unchanged FROM documents"),
     "events_partitioned_prune": (
         "SELECT strftime(ts, '%Y-%m-%d') AS day, "
         "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) "
