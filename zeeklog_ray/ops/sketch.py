@@ -90,10 +90,18 @@ def grouped_approx_distinct(ds: "ray.data.Dataset", key: str, col: str,
         b = batch.dropna(subset=[col])
         codes, uniq = pd.factorize(b[key], use_na_sentinel=False)
         h = _hash64(b[col])
+        # sorted-segment sweep: one argsort, then contiguous slices per
+        # key — NOT a per-key boolean re-mask of the whole batch, which
+        # would be O(rows × distinct keys)
+        order = np.argsort(codes, kind="stable")
+        sc, sh = codes[order], h[order]
+        bounds = np.flatnonzero(
+            np.r_[True, sc[1:] != sc[:-1], True])
         out_keys, out_sk = [], []
-        for i, k in enumerate(uniq):
-            out_keys.append(k)
-            out_sk.append(_sketch_of(h[codes == i]).tobytes())
+        for j in range(len(bounds) - 1):
+            seg = sh[bounds[j]:bounds[j + 1]]
+            out_keys.append(uniq[sc[bounds[j]]])
+            out_sk.append(_sketch_of(seg).tobytes())
         return pd.DataFrame({key: out_keys, "_sk": out_sk})
 
     def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:

@@ -410,8 +410,12 @@ def events_column_profile(sf_dir: str) -> pd.DataFrame:
         "column": g.size().index,
         "n_rows": g["_n"].sum().to_numpy().astype("int64"),
         "n_nulls": g["_nulls"].sum().to_numpy().astype("int64"),
-        "min_i": g["_lo"].min().to_numpy().astype("int64"),
-        "max_i": g["_hi"].max().to_numpy().astype("int64")})
+        # nullable Int64: an entirely-null column must report a MISSING
+        # extreme (a bare int64 cast would mint INT64_MIN garbage);
+        # epoch-µs values (~1.7e15) are exact through the float64 partials
+        "min_i": pd.Series(g["_lo"].min().to_numpy()).round().astype("Int64"),
+        "max_i": pd.Series(g["_hi"].max().to_numpy()).round().astype("Int64"),
+    })
     return out.sort_values("column").reset_index(drop=True)
 
 
@@ -419,32 +423,35 @@ def docs_snapshot_diff(sf_dir: str) -> pd.DataFrame:
     """CDC-shaped snapshot diff: documents vs a deterministically mutated
     second snapshot (doc_id % 10 == 0 deleted, % 10 == 1 added with a new
     id, % 7 == 0 content changed) — counts added / removed / changed /
-    unchanged.  Shape: tagged union of (key, content-digest) rows — only
-    scalars shuffle — then one bucketed per-key compare."""
+    unchanged.  Shape: ONE corpus scan emits both sides' tagged
+    (key, content-digest) rows — only scalars shuffle — then one bucketed
+    per-key compare."""
     from zeeklog_ray.ops.dedup import content_digest128
     from zeeklog_ray.relational import with_hash_bucket
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def tag(side: int):
-        def f(batch: pd.DataFrame) -> pd.DataFrame:
-            b = batch
-            if side == 1:  # synthesize snapshot B row-locally
-                b = b[b["doc_id"] % 10 != 0].copy()       # deletions
-                changed = b["doc_id"] % 7 == 0
-                b.loc[changed, "text"] = b.loc[changed, "text"] + " [v2]"
-                adds = batch[batch["doc_id"] % 10 == 1].copy()
-                adds["doc_id"] = adds["doc_id"] + 10_000_000
-                b = pd.concat([b, adds], ignore_index=True)
-            h1, h2 = content_digest128(b["text"])
-            return pd.DataFrame({"doc_id": b["doc_id"].to_numpy(),
-                                 "_h1": h1, "_h2": h2,
-                                 "_side": np.int64(side)})
-        return f
+    def digests(frame: pd.DataFrame, side: int) -> pd.DataFrame:
+        h1, h2 = content_digest128(frame["text"])
+        return pd.DataFrame({"doc_id": frame["doc_id"].to_numpy(),
+                             "_h1": h1, "_h2": h2, "_side": np.int64(side)})
 
-    a = docs.map_batches(tag(0), batch_format="pandas", batch_size=None)
-    b = docs.map_batches(tag(1), batch_format="pandas", batch_size=None)
-    union = a.union(b)
+    def tag_both(batch: pd.DataFrame) -> pd.DataFrame:
+        # snapshot B synthesized row-locally from the same batch — one
+        # read of the corpus feeds both diff sides
+        b = batch[batch["doc_id"] % 10 != 0].copy()       # deletions
+        changed = b["doc_id"] % 7 == 0
+        b.loc[changed, "text"] = b.loc[changed, "text"] + " [v2]"
+        adds = batch[batch["doc_id"] % 10 == 1].copy()
+        # additions live in a DISJOINT (negative) id space — an offset
+        # scheme would collide with real ids once the corpus outgrows it
+        adds["doc_id"] = -(adds["doc_id"] + 1)
+        b = pd.concat([b, adds], ignore_index=True)
+        return pd.concat([digests(batch, 0), digests(b, 1)],
+                         ignore_index=True)
+
+    union = docs.map_batches(tag_both, batch_format="pandas",
+                             batch_size=None)
 
     def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
         p = group.pivot_table(index="doc_id", columns="_side",
@@ -516,7 +523,10 @@ def events_hopping_windows(sf_dir: str) -> "ray.data.Dataset":
     ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
 
     def expand(batch: pd.DataFrame) -> pd.DataFrame:
-        epoch = batch["ts"].astype("int64").to_numpy() // 1_000_000
+        # explicit µs unit: a ns-backed ts column would make a bare
+        # astype('int64') yield nanoseconds and 0.9-second "hops"
+        epoch = batch["ts"].to_numpy("datetime64[us]").astype("int64") \
+            // 1_000_000
         last_hop = epoch // _HOP_STEP_S  # newest window containing the event
         idx = np.repeat(np.arange(len(batch)), k)
         starts = (np.repeat(last_hop, k) -
@@ -547,9 +557,18 @@ def event_type_share(sf_dir: str) -> pd.DataFrame:
         ev.map_batches(prep, batch_format="pandas", batch_size=None),
         ["event_type"], sums={"cents": "type_cents"}).to_pandas()
     grand = int(per_type["type_cents"].sum())
-    share = (per_type["type_cents"].astype(object) * 10**6 // grand)
+    # TRUNCATING division (toward zero) to match SQL's `//`: Python's //
+    # floors, which differs by 1 for a negative numerator (net-refund
+    # event types are legal input even though this corpus has none)
+    def trunc_div(tc: int) -> int:
+        q = tc * 10**6 // grand
+        if q < 0 and (tc * 10**6) % grand != 0:
+            q += 1
+        return q
+
     out = per_type[["event_type", "type_cents"]].copy()
-    out["share_e6"] = share.astype("int64").to_numpy()
+    out["share_e6"] = np.array(
+        [trunc_div(int(t)) for t in per_type["type_cents"]], dtype="int64")
     return out.reset_index(drop=True)
 
 
@@ -1595,7 +1614,8 @@ def user_event_pivot(sf_dir: str) -> "ray.data.Dataset":
     return pivot_sum(ev.map_batches(prep, batch_format="pandas",
                                     batch_size=None),
                      "user_id", "event_type", "value_cents", _PIVOT_TYPES,
-                     prefix="cents_", count_as="n_events")
+                     prefix="cents_", count_as="n_events",
+                     bucketed=True)  # per-user index is entity-shaped
 
 
 def event_pivot_unpivot(sf_dir: str) -> "ray.data.Dataset":
@@ -1617,7 +1637,7 @@ def event_pivot_unpivot(sf_dir: str) -> "ray.data.Dataset":
     wide = pivot_sum(ev.map_batches(prep, batch_format="pandas",
                                     batch_size=None),
                      "user_id", "event_type", "value_cents", _PIVOT_TYPES,
-                     prefix="cents_")
+                     prefix="cents_", bucketed=True)
     long = melt(wide, ["user_id"], [f"cents_{c}" for c in _PIVOT_TYPES],
                 var_name="variable", value_name="cents")
     return grouped_sum(long, ["variable"], sums={"cents": "total_cents"})
@@ -1772,6 +1792,14 @@ def event_type_user_counts(sf_dir: str) -> "ray.data.Dataset":
     from zeeklog_ray.relational import bucketed_distinct, grouped_sum
 
     ev = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def drop_null_users(batch: pd.DataFrame) -> pd.DataFrame:
+        # COUNT(DISTINCT user_id) ignores NULLs; bucketed_distinct would
+        # keep the (type, NaN) pair and over-count by one
+        return batch.dropna(subset=["user_id"])
+
+    ev = ev.map_batches(drop_null_users, batch_format="pandas",
+                        batch_size=None)
     pairs = bucketed_distinct(ev, ["event_type", "user_id"])
     return grouped_sum(pairs, ["event_type"], count_as="n_users")
 

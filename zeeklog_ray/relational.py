@@ -344,7 +344,8 @@ def grouped_sum_bucketed(ds: "ray.data.Dataset", keys: Sequence[str],
 
     def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
         return (group.drop(columns=["_bucket"])
-                .groupby(keys, sort=False, dropna=False).sum().reset_index())
+                .groupby(keys, sort=False, observed=True, dropna=False)
+                .sum().reset_index())
 
     partials = ds.select_columns(
         list(dict.fromkeys(keys + list(sums)))).map_batches(
@@ -552,8 +553,8 @@ def top_k(ds: "ray.data.Dataset", by: list[str], descending: list[bool],
 
 def pivot_sum(ds: "ray.data.Dataset", index: str, pivot_col: str,
               value_col: str, categories: Sequence[str],
-              prefix: str = "", count_as: str | None = None
-              ) -> "ray.data.Dataset":
+              prefix: str = "", count_as: str | None = None,
+              bucketed: bool = False) -> "ray.data.Dataset":
     """Wide conditional aggregation (SQL PIVOT ... IN (...)): one output
     column per category holding the per-``index`` sum of ``value_col``
     where ``pivot_col`` equals that category, zero elsewhere.
@@ -583,9 +584,13 @@ def pivot_sum(ds: "ray.data.Dataset", index: str, pivot_col: str,
 
     wide = ds.select_columns([index, pivot_col, value_col]).map_batches(
         widen, batch_format="pandas", batch_size=None)
-    return grouped_sum(wide, [index],
-                       sums={f"{prefix}{c}": f"{prefix}{c}" for c in cats},
-                       count_as=count_as)
+    # entity-shaped index (per-user, per-doc): bucketed=True keeps the
+    # wide result distributed; the default one-block finish is for
+    # report-shaped indexes only
+    reducer = grouped_sum_bucketed if bucketed else grouped_sum
+    return reducer(wide, [index],
+                   sums={f"{prefix}{c}": f"{prefix}{c}" for c in cats},
+                   count_as=count_as)
 
 
 def set_op(a: "ray.data.Dataset", b: "ray.data.Dataset",
