@@ -630,6 +630,40 @@ def user_funnel_counts(sf_dir: str) -> pd.DataFrame:
         "n_converted": [int(converted.sum())]})
 
 
+def events_hourly_dense(sf_dir: str) -> "ray.data.Dataset":
+    """GAP-FILLED hourly counts per event type: every hour in the
+    table's [min, max] range appears for every type, missing hours as
+    zero — the dense time-series a monitoring/altering consumer needs
+    (a plain groupby silently omits empty hours).  Shape: the sparse
+    hourly aggregate (combiner-first) LEFT-joins a driver-generated
+    (type × hour) spine — the spine is report-shaped (|types| × |hours|)
+    so the join is a broadcast merge, no row-data shuffle."""
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        hour = pc.strftime(pc.floor_temporal(batch["ts"], unit="hour"),
+                           format="%Y-%m-%d %H:00:00")
+        return pa.table({"event_type": batch["event_type"], "hour": hour})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
+    sparse = grouped_sum(prepped, ["event_type", "hour"],
+                         count_as="n").to_pandas()
+
+    lo = pd.Timestamp(sparse["hour"].min())
+    hi = pd.Timestamp(sparse["hour"].max())
+    hours = pd.date_range(lo, hi, freq="1h").strftime("%Y-%m-%d %H:00:00")
+    types = sorted(sparse["event_type"].unique())
+    spine = pd.MultiIndex.from_product(
+        [types, hours], names=["event_type", "hour"]).to_frame(index=False)
+    dense = spine.merge(sparse, on=["event_type", "hour"], how="left")
+    dense["n"] = dense["n"].fillna(0).astype("int64")
+    import ray.data as _rd
+
+    return _rd.from_pandas(dense)
+
+
 def lineitem_pricing(sf_dir: str) -> "ray.data.Dataset":
     """TPC-H Q1-shaped pricing summary; integer-cent exact sums."""
     import pyarrow.compute as pc
@@ -2071,6 +2105,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "event_type_share": event_type_share,
     "user_funnel_counts": user_funnel_counts,
     "events_partitioned_prune": events_partitioned_prune,
+    "events_hourly_dense": events_hourly_dense,
     "orders_fk_violations": orders_fk_violations,
     "events_column_profile": events_column_profile,
     "docs_snapshot_diff": docs_snapshot_diff,
@@ -2521,6 +2556,18 @@ ORACLE_SQL: dict[str, str] = {
         "FROM (VALUES ('click'), ('error'), ('purchase'), ('signup'), "
         "('view')) t(et) LEFT JOIN events e ON e.event_type = t.et "
         "GROUP BY t.et"),
+    "events_hourly_dense": (
+        "WITH h AS (SELECT unnest(generate_series("
+        "date_trunc('hour', (SELECT MIN(ts) FROM events)), "
+        "date_trunc('hour', (SELECT MAX(ts) FROM events)), "
+        "INTERVAL 1 HOUR)) AS hr), "
+        "t AS (SELECT DISTINCT event_type FROM events), "
+        "s AS (SELECT event_type, date_trunc('hour', ts) AS hr, "
+        "COUNT(*) AS n FROM events GROUP BY 1, 2) "
+        "SELECT t.event_type, strftime(h.hr, '%Y-%m-%d %H:00:00') AS hour, "
+        "CAST(COALESCE(s.n, 0) AS BIGINT) AS n "
+        "FROM t CROSS JOIN h "
+        "LEFT JOIN s ON s.event_type = t.event_type AND s.hr = h.hr"),
     "orders_fk_violations": (
         "SELECT CAST(COUNT(*) AS BIGINT) AS n_orders, "
         "CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) "
