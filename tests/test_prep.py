@@ -1,0 +1,67 @@
+"""End-to-end training-data prep chain (zeeklog_ray.prep): dedup,
+mixture expansion, and packing invariants on planted inputs."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from zeeklog_ray.prep import MAX_EPOCHS, prep_export, prep_manifest
+
+GOOD = ("the data is in the stream and it is good for that test of the "
+        "pipeline and it is fine to keep")          # passes quality gates
+BAD = "tiny"                                        # fails min_words
+
+
+def _docs():
+    rows = []
+    for i in range(40):
+        rows.append((i, f"{GOOD} variant {i}", "web"))
+    rows.append((100, GOOD + " dupme", "web"))
+    rows.append((101, GOOD + " dupme", "web"))      # exact dup of 100
+    rows.append((102, BAD, "web"))                  # quality-filtered
+    for i in range(200, 210):
+        rows.append((i, f"{GOOD} book {i}", "book"))
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    half = len(df) // 2
+    return ray.data.from_pandas([df.iloc[:half], df.iloc[half:]])
+
+
+def test_prep_manifest_invariants(ray_session):
+    m = prep_manifest(_docs(), rates={"book": 2.0}, context_len=64) \
+        .to_pandas()
+    # dedup: exactly one of 100/101 survives (the min id), BAD dropped
+    assert 100 in set(m["doc_id"]) and 101 not in set(m["doc_id"])
+    assert 102 not in set(m["doc_id"])
+    # mixture: every book doc appears exactly twice (epochs 0 and 1)
+    book = m[m["source"] == "book"]
+    assert (book.groupby("doc_id").size() == 2).all()
+    assert set(book["epoch"]) == {0, 1}
+    assert (m[m["source"] == "web"]["epoch"] == 0).all()
+    # packing: within each (source, pack), offsets are contiguous
+    # (next offset = prev offset + prev len) and start at 0
+    for (_, _), g in m.groupby(["source", "pack_id"]):
+        g = g.sort_values("pack_offset")
+        starts = g["pack_offset"].to_numpy()
+        lens = g["n_bpe"].to_numpy()
+        assert starts[0] == 0 or starts[0] == g["pack_offset"].min()
+        assert (starts[1:] == starts[:-1] + lens[:-1]).all()
+        assert starts[-1] + lens[-1] <= 64 + lens.max()  # spill ≤ one doc
+
+
+def test_prep_manifest_rate_cap(ray_session):
+    with pytest.raises(ValueError, match="rates must be <"):
+        prep_manifest(_docs(), rates={"web": float(MAX_EPOCHS)})
+
+
+def test_prep_export_roundtrip(ray_session, tmp_path):
+    out = str(tmp_path / "manifest")
+    summary = prep_export(_docs(), out, rates={"book": 2.0},
+                          context_len=64)
+    assert set(summary["sources"]) == {"web", "book"}
+    assert summary["sources"]["book"]["n_rows"] == 20       # 10 docs × 2
+    # written output re-reads to the same totals
+    back = ray.data.read_parquet(out).to_pandas()
+    assert len(back) == sum(v["n_rows"] for v in summary["sources"].values())
+    assert int(back["n_bpe"].sum()) == sum(
+        v["sum_tokens"] for v in summary["sources"].values())

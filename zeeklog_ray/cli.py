@@ -46,6 +46,18 @@ def build_argparser() -> argparse.ArgumentParser:
                         " a warning instead of aborting the run")
     p.add_argument("--out", help="output dir (sink=* partitions; required"
                                  " unless --lookup-ip)")
+    p.add_argument("--prep-export", metavar="DOCS_PARQUET",
+                   help="training-data prep mode: run quality filter → "
+                        "exact dedup → mixture resample → sequence packing "
+                        "over this documents parquet (file or dir) and "
+                        "write the hive-partitioned manifest to --out "
+                        "(zeeklog_ray.prep)")
+    p.add_argument("--mix", action="append", default=[],
+                   metavar="SOURCE=RATE",
+                   help="prep-export mixture rate per source (repeatable; "
+                        "rate may exceed 1 to oversample)")
+    p.add_argument("--context-len", type=int, default=2048,
+                   help="prep-export packing context length")
     p.add_argument("--start-date")
     p.add_argument("--end-date")
     p.add_argument("--src-ip")
@@ -100,6 +112,34 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.run_query:
         return _run_query(args, parser)
+
+    if args.prep_export:
+        if not args.out:
+            parser.error("--prep-export requires --out")
+        import ray
+
+        if not ray.is_initialized():
+            ray.init(address="local", num_cpus=args.num_cpus,
+                     include_dashboard=False, logging_level="ERROR")
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+        import ray.data
+
+        from zeeklog_ray.prep import prep_export
+
+        rates = {}
+        for spec in args.mix:
+            s, _, r = spec.partition("=")
+            if not r:
+                parser.error(f"--mix expects SOURCE=RATE, got {spec!r}")
+            rates[s] = float(r)
+        docs = ray.data.read_parquet(expand_path(args.prep_export))
+        summary = prep_export(docs, expand_path(args.out), rates=rates,
+                              context_len=args.context_len)
+        print(json.dumps({"mode": "prep-export", **summary}, sort_keys=True))
+        ray.shutdown()
+        return 0
 
     if args.lookup_ip:
         # direct-IP mode needs no corpus, no output dir, and no Ray

@@ -1,0 +1,158 @@
+"""End-to-end training-data preparation & export — the pipeline a user
+runs to turn a raw document corpus into a training-ready manifest:
+
+    quality filter → exact dedup (first-wins by content) → source-mixture
+    resample → sequence packing → hive-partitioned manifest export
+
+Everything after the first row-local stage moves ONLY scalars
+(doc_id, source, n_bpe, digests): the text never shuffles, so the
+chain's exchange volume is independent of document size.  The exported
+MANIFEST (doc_id, epoch, source, n_bpe, pack_id, pack_offset) is
+how petabyte pipelines stage training data: a loader joins the manifest
+back to the raw text store by doc_id instead of rewriting the corpus.
+
+Every stage has a bit-exact SQL replay (quality/dedup CTE, splitmix64
+resample via :func:`ops.sample.mixture_resample_sql`, packing via a
+window cumsum), so the registry query `docs_prep_export` gates the whole
+chain's rollup against DuckDB.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+# epoch numbering must stay below this for the packing order key
+# (order = doc_id·MAX_EPOCHS + epoch, monotone in (doc_id, epoch))
+MAX_EPOCHS = 8
+
+
+def prep_manifest(docs: "ray.data.Dataset",
+                  rates: dict[str, float] | None = None,
+                  default_rate: float = 1.0,
+                  context_len: int = 2048,
+                  min_words: int = 15,
+                  min_stop_ratio_e4: int = 200,
+                  num_buckets: int = 2048) -> "ray.data.Dataset":
+    """The manifest Dataset: one row per (kept doc × epoch copy) with its
+    pack placement.  Columns: doc_id, epoch, source, n_bpe, pack_id,
+    pack_offset."""
+    from zeeklog_ray.ops.sample import mixture_resample
+    from zeeklog_ray.ops.text import STOPWORDS, _BPE_RE, _E4, _member_counts
+    from zeeklog_ray.ops.packing import pack_assignments
+
+    rates = rates or {}
+    if any(r >= MAX_EPOCHS for r in list(rates.values()) + [default_rate]):
+        raise ValueError(f"mixture rates must be < {MAX_EPOCHS} "
+                         "(packing order-key headroom)")
+
+    en_stop = frozenset(STOPWORDS["en"])
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        # row-local: quality metrics + filter + 128-bit digest + BPE-ish
+        # token count — the ONLY stage that touches text
+        text = batch["text"].reset_index(drop=True)
+        n_words = text.str.count(r"[^ ]+").astype("int64")
+        n_stop = pd.Series(_member_counts(text.str.split(" "), en_stop,
+                                          len(text)))
+        ratio_e4 = np.floor(n_stop * _E4 /
+                            n_words.replace(0, 1)).astype("int64")
+        keep = ((n_words >= min_words) &
+                (ratio_e4 >= min_stop_ratio_e4)).to_numpy()
+        kept = text[keep]
+        h1 = pd.util.hash_pandas_object(kept, index=False).astype("uint64")
+        h2 = pd.util.hash_pandas_object(
+            kept, index=False, hash_key="zeeklog-dedup-02").astype("uint64")
+        return pd.DataFrame({
+            "h1": h1.to_numpy(), "h2": h2.to_numpy(),
+            "doc_id": batch["doc_id"].to_numpy()[keep],
+            "source": batch["source"].to_numpy()[keep],
+            "n_bpe": kept.str.count(_BPE_RE).astype("int64").to_numpy()})
+
+    prepped = docs.map_batches(prep, batch_format="pandas", batch_size=None)
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["_bucket"] = (batch["h1"] %
+                            np.uint64(num_buckets)).astype("int64")
+        return batch
+
+    def dedup_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        # first-wins: MIN over every carried attribute (algebraic; n_bpe
+        # is constant per content group) — same semantics as corpus_prep
+        g = group.groupby(["h1", "h2"], sort=False)
+        return g.agg(doc_id=("doc_id", "min"), source=("source", "min"),
+                     n_bpe=("n_bpe", "min")).reset_index() \
+            .drop(columns=["h1", "h2"])
+
+    deduped = (prepped.map_batches(bucketize, batch_format="pandas",
+                                   batch_size=None)
+               .groupby("_bucket").map_groups(dedup_bucket,
+                                              batch_format="pandas"))
+
+    resampled = mixture_resample(deduped, key_col="doc_id", by="source",
+                                 rates=rates, default_rate=default_rate)
+
+    def add_order(batch: pd.DataFrame) -> pd.DataFrame:
+        # packing needs a UNIQUE total order per source; (doc_id, epoch)
+        # folded into one monotone key, plus the constant range column
+        # pack_assignments' contract requires
+        batch["_ord"] = (batch["doc_id"] * MAX_EPOCHS + batch["epoch"]) \
+            .astype("int64")
+        batch["_r"] = np.int64(0)
+        return batch
+
+    ordered = resampled.map_batches(add_order, batch_format="pandas",
+                                    batch_size=None)
+    assigned = pack_assignments(ordered, group_col="source",
+                                order_col="_ord", len_col="n_bpe",
+                                range_col="_r", context_len=context_len)
+
+    # pack_assignments returns only (group, order, len, pack placement);
+    # recover doc_id/epoch from the monotone order key row-locally (no join)
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        ordk = batch["_ord"].to_numpy()
+        return pd.DataFrame({
+            "doc_id": ordk // MAX_EPOCHS,
+            "epoch": ordk % MAX_EPOCHS,
+            "source": batch["source"].to_numpy(),
+            "n_bpe": batch["n_bpe"].to_numpy(),
+            "pack_id": batch["pack_id"].to_numpy(),
+            "pack_offset": batch["pack_offset"].to_numpy()})
+
+    return assigned.map_batches(finish, batch_format="pandas",
+                                batch_size=None)
+
+
+def prep_export(docs: "ray.data.Dataset", out_dir: str,
+                rates: dict[str, float] | None = None,
+                default_rate: float = 1.0,
+                context_len: int = 2048,
+                **kwargs) -> dict:
+    """Run :func:`prep_manifest` and write it hive-partitioned by source
+    (`source=<v>/` dirs — independently re-readable, resumable output
+    shape).  Returns a summary dict (rows, packs, tokens per source)."""
+    from zeeklog_ray.partitioned import write_partitioned
+    from zeeklog_ray.relational import bucketed_distinct, grouped_sum
+
+    manifest = prep_manifest(docs, rates=rates, default_rate=default_rate,
+                             context_len=context_len, **kwargs)
+    write_partitioned(manifest, out_dir, ["source"])
+
+    # summary from the WRITTEN output (gates the round-trip, not just the
+    # in-memory plan)
+    written = ray.data.read_parquet(out_dir)
+    stats = grouped_sum(written, ["source"], sums={"n_bpe": "sum_tokens"},
+                        count_as="n_rows").to_pandas().set_index("source")
+    pk = grouped_sum(bucketed_distinct(written, ["source", "pack_id"]),
+                     ["source"], count_as="n_packs").to_pandas() \
+        .set_index("source")
+    return {
+        "out_dir": out_dir,
+        "sources": {
+            str(s): {"n_rows": int(stats.loc[s, "n_rows"]),
+                     "sum_tokens": int(stats.loc[s, "sum_tokens"]),
+                     "n_packs": int(pk.loc[s, "n_packs"])}
+            for s in stats.index},
+    }

@@ -1838,6 +1838,66 @@ def event_type_user_counts(sf_dir: str) -> "ray.data.Dataset":
     return grouped_sum(pairs, ["event_type"], count_as="n_users")
 
 
+_PREP_RATES = {"src0": 2.5, "src1": 0.5}  # oversample + downsample mix
+
+
+def docs_prep_export(sf_dir: str) -> pd.DataFrame:
+    """The FULL training-data export chain (zeeklog_ray.prep): quality
+    filter → exact dedup → source-mixture resample (src0 ×2.5, src1
+    ×0.5) → sequence packing → hive-partitioned manifest write → summary
+    read-back.  The oracle replays every stage bit-exactly in SQL
+    (quality/dedup CTE + splitmix64 resample + window-cumsum packing) and
+    compares the per-source rollup — gating the chain end to end,
+    INCLUDING the written output."""
+    import shutil
+
+    from zeeklog_ray.prep import prep_export
+
+    out = (f"/tmp/zeeklog_prep/"
+           f"{os.path.basename(os.path.normpath(sf_dir))}-{os.getpid()}")
+    shutil.rmtree(out, ignore_errors=True)
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "text", "source"])
+    summary = prep_export(docs, out, rates=_PREP_RATES)
+    rows = [(s, v["n_rows"], v["sum_tokens"], v["n_packs"])
+            for s, v in summary["sources"].items()]
+    return pd.DataFrame(rows, columns=["source", "n_rows", "sum_tokens",
+                                       "n_packs"]) \
+        .sort_values("source").reset_index(drop=True)
+
+
+def _prep_export_oracle_sql() -> str:
+    """Composed SQL replay of the prep-export chain (see prep.py)."""
+    import zeeklog_ray.ops.sample as sample_sql
+
+    dedup = (
+        "(WITH q AS (SELECT doc_id, source, text, "
+        "CAST(LENGTH(LIST_FILTER(STRING_SPLIT(text, ' '), "
+        "x -> x <> '')) AS BIGINT) AS n_words, "
+        "CAST(LENGTH(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x IN "
+        "('a','and','for','in','is','it','of','that','the','to'))) "
+        "AS BIGINT) AS n_stop FROM documents), "
+        "f AS (SELECT * FROM q WHERE n_words >= 15 AND "
+        "CAST(FLOOR(n_stop * 10000.0 / CASE WHEN n_words = 0 THEN 1 "
+        "ELSE n_words END) AS BIGINT) >= 200), "
+        "d AS (SELECT MIN(doc_id) AS doc_id, MIN(source) AS source, "
+        "CAST(LENGTH(REGEXP_EXTRACT_ALL(text, "
+        "'[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe "
+        "FROM f GROUP BY text) SELECT doc_id, source, n_bpe FROM d) dd")
+    resample = sample_sql.mixture_resample_sql(
+        dedup, key_col="doc_id", select_cols="doc_id, source, n_bpe",
+        by="source", rates=_PREP_RATES, default_rate=1.0)
+    return (
+        f"WITH rs AS ({resample}), "
+        "p AS (SELECT source, n_bpe, "
+        "(SUM(n_bpe) OVER (PARTITION BY source ORDER BY doc_id, epoch "
+        "ROWS UNBOUNDED PRECEDING) - n_bpe) // 2048 AS pack_id FROM rs) "
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "CAST(SUM(n_bpe) AS BIGINT) AS sum_tokens, "
+        "CAST(COUNT(DISTINCT pack_id) AS BIGINT) AS n_packs "
+        "FROM p GROUP BY source")
+
+
 def event_type_counts_cm(sf_dir: str) -> pd.DataFrame:
     """Count-Min sketch frequencies for the known event types
     (ops/sketch.countmin_counts).  The sketch is approximate in general
@@ -2096,6 +2156,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "docs_by_source": docs_by_source,
     "docs_jsonl_roundtrip": docs_jsonl_roundtrip,
     "docs_csv_roundtrip": docs_csv_roundtrip,
+    "docs_prep_export": docs_prep_export,
     "user_value_sums": user_value_sums,
     "event_type_user_counts": event_type_user_counts,
     "event_pivot_unpivot": event_pivot_unpivot,
@@ -2541,6 +2602,7 @@ ORACLE_SQL: dict[str, str] = {
     "docs_csv_roundtrip": (
         "SELECT source, CAST(SUM(n_chars) AS BIGINT) AS sum_chars, "
         "CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source"),
+    "docs_prep_export": _prep_export_oracle_sql(),
     "user_value_sums": (
         "SELECT user_id, "
         "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) "
