@@ -95,6 +95,22 @@ def _run_scale_ops(timings: dict) -> None:
     connected_components(pairs).count()
     timings[f"scale_near_dup_components_{dtag}"] = round(time.monotonic() - t0, 3)
 
+    # full training-data prep chain (filter → dedup → resample → pack) at
+    # 1M docs; the bench pool has no English stopwords, so the stopword
+    # gate is relaxed to keep the chain's volume realistic
+    from zeeklog_ray.prep import prep_manifest
+
+    def add_src(b):
+        b["source"] = "s" + (b["doc_id"] % 4).astype(str)
+        return b
+
+    t0 = time.monotonic()
+    docs1m = ray.data.read_parquet(dc).map_batches(
+        add_src, batch_format="pandas", batch_size=None)
+    prep_manifest(docs1m, rates={"s0": 2.5}, min_words=5,
+                  min_stop_ratio_e4=0).count()
+    timings[f"scale_prep_manifest_{dtag}"] = round(time.monotonic() - t0, 3)
+
     # per-key ROW_NUMBER (full-table window) and latest-wins compaction
     # at the same 5M-event scale — both ride the bucketed-groupby pattern
     from zeeklog_ray.relational import latest_per_key, seq_index_per_key
