@@ -199,6 +199,51 @@ def test_trailing_windows_matches_bruteforce(ray_session, nb):
     assert got["w_sum"].tolist() == exp["w_sum"].tolist()
 
 
+@pytest.mark.parametrize("nb", [1024, 1])
+def test_rows_window_matches_bruteforce(ray_session, nb):
+    """Bucketed ROWS-frame window == O(n^2) reference: row i's frame is
+    the `preceding` rows immediately before it (in total order) plus
+    itself, never crossing the key boundary; nb=1 packs every key into
+    one bucket to exercise the segment-start algebra."""
+    from zeeklog_ray.ops.streaming import rows_window
+
+    rng = np.random.default_rng(29)
+    n = 300
+    df = pd.DataFrame({"k": rng.integers(0, 5, n),
+                       "ts": rng.integers(0, 50, n),   # heavy ties
+                       "id": np.arange(n, dtype="int64"),
+                       "v": rng.integers(-50, 100, n).astype("int64")})
+    got = rows_window(ray.data.from_pandas(
+        df.sample(frac=1, random_state=7).reset_index(drop=True)),
+        key="k", order_cols=["ts", "id"], value="v", preceding=3,
+        num_buckets=nb).to_pandas().sort_values("id").reset_index(drop=True)
+
+    s = df.sort_values(["k", "ts", "id"]).reset_index(drop=True)
+    rows = {}
+    for kv, g in s.groupby("k"):
+        vals = g["v"].tolist()
+        for pos, (_, r) in enumerate(g.iterrows()):
+            lo = max(0, pos - 3)
+            rows[r["id"]] = (pos - lo + 1, sum(vals[lo:pos + 1]))
+    assert got["w_count"].tolist() == [rows[i][0] for i in got["id"]]
+    assert got["w_sum"].tolist() == [rows[i][1] for i in got["id"]]
+    assert got["w_sum"].dtype == np.int64   # int preserved through cumsum
+
+
+def test_rows_window_preserves_big_ints(ray_session):
+    """2^53+1 is not float64-representable: the ROWS window must keep the
+    integer dtype through its cumsum (same contract as trailing_windows)."""
+    from zeeklog_ray.ops.streaming import rows_window
+
+    big = (1 << 53) + 1
+    df = pd.DataFrame({"k": ["a", "a"], "id": [0, 1],
+                       "v": np.array([big, 1], dtype=np.int64)})
+    out = rows_window(ray.data.from_pandas(df), key="k", order_cols=["id"],
+                      value="v", preceding=5, num_buckets=2).to_pandas() \
+        .sort_values("id")
+    assert out["w_sum"].tolist() == [big, big + 1]
+
+
 def test_canonical_per_component(ray_session):
     import pandas as pd
     import ray.data

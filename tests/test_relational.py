@@ -218,6 +218,68 @@ def test_grouped_var_exact(ray_session):
     assert out["n"].tolist() == [4, 2]
 
 
+def test_grouped_cov_exact(ray_session):
+    """Exact covariance/slope with TRUNCATING division: group 'b' has a
+    NEGATIVE covariance, where Python's floor // would differ from the
+    DuckDB-// semantics the oracle uses; group 'c' (n=1) and group 'd'
+    (zero x-variance) are dropped."""
+    from zeeklog_ray.relational import grouped_cov_exact
+
+    df = pd.DataFrame({
+        "g": ["a"] * 3 + ["b"] * 3 + ["c"] + ["d"] * 2,
+        "x": [1, 2, 3, 1, 2, 3, 5, 7, 7],
+        "y": [2, 4, 6, 6, 4, 2, 1, 1, 2]})
+    out = grouped_cov_exact(ray.data.from_pandas(df), ["g"], "x", "y",
+                            scale=10) \
+        .sort_values("g").reset_index(drop=True)
+    assert out["g"].tolist() == ["a", "b"]
+    # a: cov=2, slope=2 -> scaled 20/20.  b: cov=-2, slope=-2:
+    # numerator n·Σxy−Σx·Σy = 3·20−6·12 = -12; ÷ n(n−1)=6 → -2 exactly
+    assert out["cov_scaled"].tolist() == [20, -20]
+    assert out["slope_scaled"].tolist() == [20, -20]
+    # truncation sign check: scale=3 → (-12·3)/6 = -6 exact; use an
+    # inexact case via direct helper
+    from zeeklog_ray.relational import _trunc_div
+    assert _trunc_div(-7, 2) == -3        # DuckDB -7//2; Python floor = -4
+    assert _trunc_div(7, 2) == 3
+
+
+def test_ranks_per_key_matches_sql_semantics(ray_session):
+    """RANK leaves gaps after ties, DENSE_RANK doesn't, NTILE splits the
+    segment into balanced position-based tiles; tie_cols must be a prefix
+    of order_cols."""
+    import pytest
+    from zeeklog_ray.relational import ranks_per_key
+
+    df = pd.DataFrame({
+        "k": ["a"] * 5 + ["b"] * 2,
+        "v": [10, 10, 20, 20, 30, 7, 7],
+        "id": [1, 2, 3, 4, 5, 6, 7]})
+    out = ranks_per_key(ray.data.from_pandas([df.iloc[:3], df.iloc[3:]]),
+                        "k", ["v", "id"], tie_cols=["v"], ntile=2,
+                        num_buckets=4).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    assert out["rnk"].tolist() == [1, 1, 3, 3, 5, 1, 1]
+    assert out["drnk"].tolist() == [1, 1, 2, 2, 3, 1, 1]
+    # NTILE(2) over 5 rows -> tiles of 3 and 2 by position; over 2 -> 1,1
+    assert out["tile"].tolist() == [1, 1, 1, 2, 2, 1, 2]
+
+    with pytest.raises(ValueError, match="prefix"):
+        ranks_per_key(ray.data.from_pandas(df), "k", ["v", "id"],
+                      tie_cols=["id"])
+
+
+def test_ranks_per_key_ntile_small_segments(ray_session):
+    """m < ntile: every row its own tile 1..m (the base==0 branch)."""
+    from zeeklog_ray.relational import ranks_per_key
+
+    df = pd.DataFrame({"k": ["a", "a", "b"], "id": [1, 2, 3]})
+    out = ranks_per_key(ray.data.from_pandas(df), "k", ["id"], ntile=4) \
+        .to_pandas().sort_values("id")
+    assert out["tile"].tolist() == [1, 2, 1]
+    assert out["rnk"].tolist() == [1, 2, 1]
+
+
 def test_seq_index_null_keys_numbered(ray_session):
     from zeeklog_ray.relational import seq_index_per_key
 

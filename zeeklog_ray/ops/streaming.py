@@ -82,6 +82,60 @@ def trailing_windows(ds: "ray.data.Dataset", key: str = "user_id",
         .groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
 
 
+def rows_window(ds: "ray.data.Dataset", key: str,
+                order_cols: "list[str]", value: str,
+                preceding: int,
+                keep_cols: "list[str] | None" = None,
+                num_buckets: int = 1024) -> "ray.data.Dataset":
+    """Per-row trailing window (count, sum) per key, ROWS semantics:
+    row i's window is the ``preceding`` rows immediately before it plus
+    itself, in ``order_cols`` order within the key partition (SQL:
+    ``SUM(value) OVER (PARTITION BY key ORDER BY order_cols ROWS BETWEEN
+    <preceding> PRECEDING AND CURRENT ROW)``).  Make the last order
+    column unique for a deterministic frame — unlike the RANGE tier
+    (:func:`trailing_windows`) equal-sort-key peers are NOT merged.
+
+    Same bucketed shape as the RANGE tier: one key-hash shuffle, then one
+    C-level sort + prefix-sum per bucket — the frame arithmetic is pure
+    numpy index algebra (no per-key loop at all, unlike the two-pointer
+    RANGE scan).  The value's integer dtype is preserved through the
+    cumsum, so cent-exact sums stay exact.
+
+    Output: ``keep_cols`` (default: key + order_cols) + ``w_count``,
+    ``w_sum``.
+    """
+    from zeeklog_ray.relational import with_hash_bucket
+
+    if preceding < 0:
+        raise ValueError(f"rows_window: preceding must be >= 0, got {preceding}")
+    order_cols = list(order_cols)
+    out_cols = list(keep_cols) if keep_cols is not None \
+        else [key] + order_cols
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key] + order_cols, kind="mergesort")
+        n = len(g)
+        v = g[value].to_numpy()
+        # factorize (not !=) so null keys form ONE partition, matching
+        # SQL PARTITION BY null-grouping
+        codes, _ = pd.factorize(g[key], use_na_sentinel=False)
+        idx = np.arange(n, dtype=np.int64)
+        new_seg = np.r_[True, codes[1:] != codes[:-1]]
+        # index of the first row of each row's key segment, forward-filled
+        seg_start = np.maximum.accumulate(np.where(new_seg, idx, 0))
+        start = np.maximum(seg_start, idx - preceding)
+        csum = np.cumsum(v, dtype=np.cumsum(np.zeros(1, dtype=v.dtype)).dtype)
+        # frames never cross seg_start, so the global cumsum is safe
+        w_sum = csum - np.where(start > 0, csum[start - 1], 0)
+        out = g[out_cols].copy()
+        out["w_count"] = idx - start + 1
+        out["w_sum"] = w_sum
+        return out
+
+    return with_hash_bucket(ds, key, num_buckets) \
+        .groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
+
+
 @ray.remote
 class WindowBucketActor:
     """Holds sliding-window state for every key hashed to this bucket.

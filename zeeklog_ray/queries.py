@@ -881,6 +881,82 @@ def lineitem_qty_variance(sf_dir: str) -> pd.DataFrame:
                              "qty")
 
 
+def lineitem_price_cov(sf_dir: str) -> pd.DataFrame:
+    """Per-(returnflag, linestatus) sample covariance and OLS slope of
+    (quantity, price cents) in EXACT integer arithmetic
+    (relational.grouped_cov_exact): only per-group (n, Σx, Σy, Σxy, Σx²)
+    partials shuffle; the driver finish is Python-int with TRUNCATING
+    division to match the HUGEINT oracle's ``//``."""
+    from zeeklog_ray.relational import grouped_cov_exact
+
+    items = read_table(sf_dir, "lineitem",
+                       columns=["l_returnflag", "l_linestatus",
+                                "l_quantity", "l_extendedprice"])
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "qty": _round_half_away(batch["l_quantity"]),
+            "price_cents": _round_half_away(batch["l_extendedprice"] * 100)})
+
+    prepped = items.map_batches(prep, batch_format="pandas",
+                                batch_size=None)
+    return grouped_cov_exact(prepped, ["l_returnflag", "l_linestatus"],
+                             "qty", "price_cents")
+
+
+def lineitem_qty_ranks(sf_dir: str) -> "ray.data.Dataset":
+    """Per-order RANK / DENSE_RANK over quantity (integer, so real ties)
+    plus NTILE(4) over the (quantity, linenumber) total order — one
+    bucketed pass (relational.ranks_per_key), full table survives, one
+    key-hash shuffle, numpy index algebra per bucket."""
+    from zeeklog_ray.relational import ranks_per_key
+
+    items = read_table(sf_dir, "lineitem",
+                       columns=["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": batch["l_orderkey"],
+            "l_linenumber": batch["l_linenumber"],
+            "qty": _round_half_away(batch["l_quantity"])})
+
+    prepped = items.map_batches(prep, batch_format="pandas",
+                                batch_size=None)
+    return ranks_per_key(prepped, "l_orderkey", ["qty", "l_linenumber"],
+                         tie_cols=["qty"], ntile=4)
+
+
+def event_rows_window(sf_dir: str) -> "ray.data.Dataset":
+    """Per-event trailing 6-row window (count, cents sum) per user — ROWS
+    frame semantics complementing event_sliding_windows' RANGE frame
+    (ops/streaming.rows_window): one key-hash shuffle, pure numpy frame
+    algebra per bucket, integer dtype preserved through the cumsum."""
+    from zeeklog_ray.ops.streaming import rows_window
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "event_id", "ts", "value"])
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["value_cents"] = _round_half_away(batch["value"] * 100)
+        return batch[["user_id", "event_id", "ts", "value_cents"]]
+
+    prepped = ev.map_batches(prep, batch_format="pandas", batch_size=None)
+    out = rows_window(prepped, key="user_id", order_cols=["ts", "event_id"],
+                      value="value_cents", preceding=5,
+                      keep_cols=["user_id", "event_id"])
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": batch["user_id"],
+            "event_id": batch["event_id"],
+            "w_count": batch["w_count"].astype("int64"),
+            "w_sum_cents": batch["w_sum"].astype("int64")})
+
+    return out.map_batches(finish, batch_format="pandas", batch_size=None)
+
+
 _OUTER_MIN_CENTS = 30_000  # $300 — sparse enough that BOTH outer sides
 # are non-empty at sf0.01 (4 click-only, 5 purchase-only users)
 
@@ -2182,6 +2258,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_latest_per_user": events_latest_per_user,
     "event_user_seq": event_user_seq,
     "lineitem_qty_variance": lineitem_qty_variance,
+    "lineitem_price_cov": lineitem_price_cov,
+    "lineitem_qty_ranks": lineitem_qty_ranks,
+    "event_rows_window": event_rows_window,
     "user_click_purchase_outer": user_click_purchase_outer,
     "order_priority_items": order_priority_items,
     "distinct_event_types": distinct_event_types,
@@ -2766,6 +2845,39 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT l_returnflag, l_linestatus, "
         "CAST(ROUND(l_quantity) AS BIGINT) AS q FROM lineitem) "
         "GROUP BY l_returnflag, l_linestatus) WHERE n >= 2"),
+    "lineitem_price_cov": (
+        "SELECT l_returnflag, l_linestatus, CAST(n AS BIGINT) AS n, "
+        "CAST((n * sxy - sx * sy) * 1000000 // (n * (n - 1)) AS BIGINT) "
+        "AS cov_scaled, "
+        "CAST((n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx) "
+        "AS BIGINT) AS slope_scaled FROM ("
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(COUNT(*) AS HUGEINT) AS n, "
+        "CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy, "
+        "CAST(SUM(x * y) AS HUGEINT) AS sxy, "
+        "CAST(SUM(x * x) AS HUGEINT) AS sxx FROM ("
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(ROUND(l_quantity) AS BIGINT) AS x, "
+        "CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y FROM lineitem) "
+        "GROUP BY l_returnflag, l_linestatus) "
+        "WHERE n >= 2 AND (n * sxx - sx * sx) <> 0"),
+    "lineitem_qty_ranks": (
+        "SELECT l_orderkey, l_linenumber, qty, "
+        "CAST(RANK() OVER (PARTITION BY l_orderkey ORDER BY qty) "
+        "AS BIGINT) AS rnk, "
+        "CAST(DENSE_RANK() OVER (PARTITION BY l_orderkey ORDER BY qty) "
+        "AS BIGINT) AS drnk, "
+        "CAST(NTILE(4) OVER (PARTITION BY l_orderkey "
+        "ORDER BY qty, l_linenumber) AS BIGINT) AS tile FROM ("
+        "SELECT l_orderkey, l_linenumber, "
+        "CAST(ROUND(l_quantity) AS BIGINT) AS qty FROM lineitem)"),
+    "event_rows_window": (
+        "SELECT user_id, event_id, "
+        "CAST(COUNT(*) OVER w AS BIGINT) AS w_count, "
+        "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT) "
+        "AS w_sum_cents FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)"),
     "user_click_purchase_outer": (
         "SELECT COALESCE(c.user_id, p.user_id) AS user_id, "
         "COALESCE(c.n_clicks, 0) AS n_clicks, "

@@ -480,6 +480,72 @@ def seq_index_per_key(ds: "ray.data.Dataset", key: str,
         .groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
 
 
+def ranks_per_key(ds: "ray.data.Dataset", key: str,
+                  order_cols: Sequence[str],
+                  tie_cols: Sequence[str] | None = None,
+                  ntile: int | None = None,
+                  num_buckets: int = 1024) -> "ray.data.Dataset":
+    """Per-key SQL ranking functions in one bucketed pass: ``rnk`` = RANK()
+    and ``drnk`` = DENSE_RANK() over ``tie_cols`` (ties share a rank; RANK
+    leaves gaps, DENSE_RANK doesn't), plus ``tile`` = NTILE(ntile) over the
+    full ``order_cols`` total order when ``ntile`` is given.
+
+    ``tie_cols`` (default: all of ``order_cols``) must be a PREFIX of
+    ``order_cols`` — the sort arranges equal-tie rows contiguously only
+    then.  Make the last order column unique so NTILE (which is
+    position-based, not value-based) is deterministic; RANK/DENSE_RANK are
+    deterministic regardless since ties map to equal outputs.
+
+    Same scale shape as :func:`seq_index_per_key`: every row survives, one
+    key-hash-bucket shuffle, then C-level sort + numpy index algebra per
+    bucket (no per-key Python).  Null keys form ONE partition (factorize,
+    matching SQL PARTITION BY) and null tie values one tie group."""
+    order_cols = list(order_cols)
+    tie_cols = order_cols if tie_cols is None else list(tie_cols)
+    if order_cols[:len(tie_cols)] != tie_cols:
+        raise ValueError(f"ranks_per_key: tie_cols {tie_cols!r} must be a "
+                         f"prefix of order_cols {order_cols!r}")
+    if ntile is not None and ntile < 1:
+        raise ValueError(f"ranks_per_key: ntile must be >= 1, got {ntile}")
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key] + order_cols, kind="mergesort")
+        n = len(g)
+        idx = np.arange(n, dtype=np.int64)
+        kcodes, _ = pd.factorize(g[key], use_na_sentinel=False)
+        new_seg = np.r_[True, kcodes[1:] != kcodes[:-1]]
+        new_tie = new_seg.copy()
+        for c in tie_cols:
+            # factorize so nulls compare equal to each other (one tie
+            # group), and adjacency comparison works for any dtype
+            oc, _ = pd.factorize(g[c], use_na_sentinel=False)
+            new_tie[1:] |= oc[1:] != oc[:-1]
+        seg_start = np.maximum.accumulate(np.where(new_seg, idx, 0))
+        tie_start = np.maximum.accumulate(np.where(new_tie, idx, 0))
+        out = g.drop(columns=["_bucket"])
+        out["rnk"] = tie_start - seg_start + 1
+        d = np.cumsum(new_tie)
+        out["drnk"] = d - d[seg_start] + 1
+        if ntile is not None:
+            # NTILE: the first (m mod k) tiles get ceil(m/k) rows, the
+            # rest floor(m/k), by row position within the key segment
+            seg_id = np.cumsum(new_seg) - 1
+            m = np.bincount(seg_id)[seg_id]
+            p = idx - seg_start
+            base, rem = m // ntile, m % ntile
+            boundary = rem * (base + 1)
+            in_big = p < boundary
+            # base==0 only when m < ntile, and then boundary == m > p,
+            # so the small-tile branch (and its divisor) is never taken
+            out["tile"] = np.where(
+                in_big, p // (base + 1),
+                rem + (p - boundary) // np.maximum(base, 1)) + 1
+        return out
+
+    return with_hash_bucket(ds, key, num_buckets) \
+        .groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
+
+
 def melt(ds: "ray.data.Dataset", id_cols: Sequence[str],
          value_cols: Sequence[str], var_name: str = "variable",
          value_name: str = "value") -> "ray.data.Dataset":
@@ -530,6 +596,65 @@ def grouped_var_exact(ds: "ray.data.Dataset", keys: Sequence[str],
     out = rows[keys].copy()
     out["n"] = rows["_n"].to_numpy()
     out["var_scaled"] = var.astype("int64").to_numpy()
+    return out.reset_index(drop=True)
+
+
+def _trunc_div(num: int, den: int) -> int:
+    """Truncating integer division (toward zero) on Python ints — DuckDB's
+    ``//`` semantics; Python's ``//`` FLOORS, which differs for negative
+    numerators, so any oracle-compared fixed-point ratio must go through
+    this."""
+    q = abs(num) // abs(den)
+    return q if (num >= 0) == (den > 0) else -q
+
+
+def grouped_cov_exact(ds: "ray.data.Dataset", keys: Sequence[str],
+                      x: str, y: str, scale: int = 10**6) -> pd.DataFrame:
+    """Per-group sample covariance and OLS regression slope of two INTEGER
+    columns in exact arithmetic:
+
+    - ``cov_scaled``   = (n·Σxy − Σx·Σy) · scale ÷ (n·(n−1))
+    - ``slope_scaled`` = (n·Σxy − Σx·Σy) · scale ÷ (n·Σx² − (Σx)²)
+
+    with TRUNCATING division (:func:`_trunc_div`) because the numerator can
+    be negative and the HUGEINT oracle's ``//`` truncates.  Groups with
+    n < 2 or zero x-variance are dropped (the ratios are undefined there).
+
+    Same shape as :func:`grouped_var_exact`: one combiner-first
+    :func:`grouped_sum` ships only per-group ``(n, Σx, Σy, Σxy, Σx²)``
+    partials — mergeable across any partitioning — and the final formulas
+    run on the report-shaped result in Python ints (the ``n·Σxy·scale``
+    product overflows int64 long before the partials do)."""
+    keys = list(keys)
+
+    def add_prods(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[keys + [x, y]].copy()
+        out["_xy"] = batch[x] * batch[y]
+        out["_xx"] = batch[x] * batch[x]
+        return out
+
+    partials = grouped_sum(
+        ds.map_batches(add_prods, batch_format="pandas", batch_size=None),
+        keys, sums={x: "_sx", y: "_sy", "_xy": "_sxy", "_xx": "_sxx"},
+        count_as="_n").to_pandas()
+    rows = partials[partials["_n"] >= 2]
+    n = rows["_n"].astype(object)
+    sx = rows["_sx"].astype(object)
+    sy = rows["_sy"].astype(object)
+    sxy = rows["_sxy"].astype(object)
+    sxx = rows["_sxx"].astype(object)
+    num = n * sxy - sx * sy
+    var_den = n * sxx - sx * sx
+    keep = var_den != 0
+    rows, n, num, var_den = rows[keep], n[keep], num[keep], var_den[keep]
+    out = rows[keys].copy()
+    out["n"] = rows["_n"].to_numpy()
+    out["cov_scaled"] = np.fromiter(
+        (_trunc_div(v * scale, c * (c - 1)) for v, c in zip(num, n)),
+        dtype="int64", count=len(rows))
+    out["slope_scaled"] = np.fromiter(
+        (_trunc_div(v * scale, d) for v, d in zip(num, var_den)),
+        dtype="int64", count=len(rows))
     return out.reset_index(drop=True)
 
 
