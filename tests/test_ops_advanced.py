@@ -244,6 +244,21 @@ def test_rows_window_preserves_big_ints(ray_session):
     assert out["w_sum"].tolist() == [big, big + 1]
 
 
+def test_rows_window_unbounded_is_running_total(ray_session):
+    """preceding=None == SQL ROWS UNBOUNDED PRECEDING: a per-key prefix
+    sum that never resets inside the key but does across keys."""
+    from zeeklog_ray.ops.streaming import rows_window
+
+    df = pd.DataFrame({"k": ["a", "a", "a", "b", "b"],
+                       "id": [1, 2, 3, 4, 5],
+                       "v": [10, 20, 30, 1, 2]})
+    out = rows_window(ray.data.from_pandas(df), key="k", order_cols=["id"],
+                      value="v", preceding=None, num_buckets=4).to_pandas() \
+        .sort_values("id")
+    assert out["w_count"].tolist() == [1, 2, 3, 1, 2]
+    assert out["w_sum"].tolist() == [10, 30, 60, 1, 3]
+
+
 def test_canonical_per_component(ray_session):
     import pandas as pd
     import ray.data

@@ -244,6 +244,28 @@ def test_grouped_cov_exact(ray_session):
     assert _trunc_div(7, 2) == 3
 
 
+def test_grouped_cov_exact_corr2(ray_session):
+    """corr2_scale emits squared Pearson r in fixed point (both perfectly
+    correlated groups → exactly scale, sign-independent) and drops
+    zero-y-variance groups — which survive without corr2_scale."""
+    from zeeklog_ray.relational import grouped_cov_exact
+
+    df = pd.DataFrame({
+        "g": ["a"] * 3 + ["b"] * 3 + ["e"] * 2,
+        "x": [1, 2, 3, 1, 2, 3, 1, 2],
+        "y": [2, 4, 6, 6, 4, 2, 5, 5]})
+    out = grouped_cov_exact(ray.data.from_pandas(df), ["g"], "x", "y",
+                            scale=10, corr2_scale=100) \
+        .sort_values("g").reset_index(drop=True)
+    assert out["g"].tolist() == ["a", "b"]     # e: zero y-variance dropped
+    assert out["corr2_scaled"].tolist() == [100, 100]
+
+    no_corr = grouped_cov_exact(ray.data.from_pandas(df), ["g"], "x", "y",
+                                scale=10)
+    assert sorted(no_corr["g"]) == ["a", "b", "e"]
+    assert "corr2_scaled" not in no_corr.columns
+
+
 def test_ranks_per_key_matches_sql_semantics(ray_session):
     """RANK leaves gaps after ties, DENSE_RANK doesn't, NTILE splits the
     segment into balanced position-based tiles; tie_cols must be a prefix
@@ -257,12 +279,15 @@ def test_ranks_per_key_matches_sql_semantics(ray_session):
         "id": [1, 2, 3, 4, 5, 6, 7]})
     out = ranks_per_key(ray.data.from_pandas([df.iloc[:3], df.iloc[3:]]),
                         "k", ["v", "id"], tie_cols=["v"], ntile=2,
-                        num_buckets=4).to_pandas() \
+                        percent_scale=100, num_buckets=4).to_pandas() \
         .sort_values("id").reset_index(drop=True)
     assert out["rnk"].tolist() == [1, 1, 3, 3, 5, 1, 1]
     assert out["drnk"].tolist() == [1, 1, 2, 2, 3, 1, 1]
     # NTILE(2) over 5 rows -> tiles of 3 and 2 by position; over 2 -> 1,1
     assert out["tile"].tolist() == [1, 1, 1, 2, 2, 1, 2]
+    # percent_rank = (rnk-1)*100 // (m-1); cume = tie-group-end count *100 // m
+    assert out["pr_scaled"].tolist() == [0, 0, 50, 50, 100, 0, 0]
+    assert out["cume_scaled"].tolist() == [40, 40, 80, 80, 100, 100, 100]
 
     with pytest.raises(ValueError, match="prefix"):
         ranks_per_key(ray.data.from_pandas(df), "k", ["v", "id"],

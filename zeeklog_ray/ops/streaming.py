@@ -84,14 +84,15 @@ def trailing_windows(ds: "ray.data.Dataset", key: str = "user_id",
 
 def rows_window(ds: "ray.data.Dataset", key: str,
                 order_cols: "list[str]", value: str,
-                preceding: int,
+                preceding: "int | None",
                 keep_cols: "list[str] | None" = None,
                 num_buckets: int = 1024) -> "ray.data.Dataset":
     """Per-row trailing window (count, sum) per key, ROWS semantics:
     row i's window is the ``preceding`` rows immediately before it plus
     itself, in ``order_cols`` order within the key partition (SQL:
     ``SUM(value) OVER (PARTITION BY key ORDER BY order_cols ROWS BETWEEN
-    <preceding> PRECEDING AND CURRENT ROW)``).  Make the last order
+    <preceding> PRECEDING AND CURRENT ROW)``); ``preceding=None`` is the
+    UNBOUNDED frame, i.e. a per-key running total.  Make the last order
     column unique for a deterministic frame — unlike the RANGE tier
     (:func:`trailing_windows`) equal-sort-key peers are NOT merged.
 
@@ -106,7 +107,7 @@ def rows_window(ds: "ray.data.Dataset", key: str,
     """
     from zeeklog_ray.relational import with_hash_bucket
 
-    if preceding < 0:
+    if preceding is not None and preceding < 0:
         raise ValueError(f"rows_window: preceding must be >= 0, got {preceding}")
     order_cols = list(order_cols)
     out_cols = list(keep_cols) if keep_cols is not None \
@@ -123,7 +124,8 @@ def rows_window(ds: "ray.data.Dataset", key: str,
         new_seg = np.r_[True, codes[1:] != codes[:-1]]
         # index of the first row of each row's key segment, forward-filled
         seg_start = np.maximum.accumulate(np.where(new_seg, idx, 0))
-        start = np.maximum(seg_start, idx - preceding)
+        start = seg_start if preceding is None \
+            else np.maximum(seg_start, idx - preceding)
         csum = np.cumsum(v, dtype=np.cumsum(np.zeros(1, dtype=v.dtype)).dtype)
         # frames never cross seg_start, so the global cumsum is safe
         w_sum = csum - np.where(start > 0, csum[start - 1], 0)

@@ -957,6 +957,81 @@ def event_rows_window(sf_dir: str) -> "ray.data.Dataset":
     return out.map_batches(finish, batch_format="pandas", batch_size=None)
 
 
+def event_running_total(sf_dir: str) -> "ray.data.Dataset":
+    """Per-user running (count, cents sum) in event order — the UNBOUNDED
+    ROWS frame of ops/streaming.rows_window (SQL ROWS UNBOUNDED
+    PRECEDING).  Same single key-hash shuffle + per-bucket prefix sum."""
+    from zeeklog_ray.ops.streaming import rows_window
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "event_id", "ts", "value"])
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["value_cents"] = _round_half_away(batch["value"] * 100)
+        return batch[["user_id", "event_id", "ts", "value_cents"]]
+
+    prepped = ev.map_batches(prep, batch_format="pandas", batch_size=None)
+    out = rows_window(prepped, key="user_id", order_cols=["ts", "event_id"],
+                      value="value_cents", preceding=None,
+                      keep_cols=["user_id", "event_id"])
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": batch["user_id"],
+            "event_id": batch["event_id"],
+            "rt_count": batch["w_count"].astype("int64"),
+            "rt_sum_cents": batch["w_sum"].astype("int64")})
+
+    return out.map_batches(finish, batch_format="pandas", batch_size=None)
+
+
+def event_value_pct_rank(sf_dir: str) -> "ray.data.Dataset":
+    """Per-user PERCENT_RANK and CUME_DIST of the event's cents value in
+    fixed-point e4 integers (relational.ranks_per_key percent_scale) —
+    exact, so hash-comparable where the SQL double forms could differ in
+    the last ulp."""
+    from zeeklog_ray.relational import ranks_per_key
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "event_id", "value"])
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": batch["user_id"],
+            "event_id": batch["event_id"],
+            "value_cents": _round_half_away(batch["value"] * 100)})
+
+    prepped = ev.map_batches(prep, batch_format="pandas", batch_size=None)
+    ranked = ranks_per_key(prepped, "user_id", ["value_cents", "event_id"],
+                           tie_cols=["value_cents"], percent_scale=10**4)
+    return ranked.select_columns(["user_id", "event_id", "value_cents",
+                                  "pr_scaled", "cume_scaled"])
+
+
+def event_type_value_corr(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type value-vs-time trend: exact-integer covariance, OLS
+    slope, and squared Pearson correlation between the event's hour index
+    (epoch hours) and its cents value (relational.grouped_cov_exact with
+    corr2_scale) — only six-number partials shuffle."""
+    from zeeklog_ray.relational import grouped_cov_exact
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        # epoch hours keep x² sums far inside int64 (epoch-us squares
+        # would overflow even HUGEINT); ts ≥ 1970 so floor == trunc
+        hours = batch["ts"].to_numpy("datetime64[us]").astype("int64") \
+            // 3_600_000_000
+        return pd.DataFrame({
+            "event_type": batch["event_type"],
+            "hour_x": hours,
+            "value_cents": _round_half_away(batch["value"] * 100)})
+
+    prepped = ev.map_batches(prep, batch_format="pandas", batch_size=None)
+    return grouped_cov_exact(prepped, ["event_type"], "hour_x",
+                             "value_cents", corr2_scale=10**4)
+
+
 _OUTER_MIN_CENTS = 30_000  # $300 — sparse enough that BOTH outer sides
 # are non-empty at sf0.01 (4 click-only, 5 purchase-only users)
 
@@ -2261,6 +2336,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "lineitem_price_cov": lineitem_price_cov,
     "lineitem_qty_ranks": lineitem_qty_ranks,
     "event_rows_window": event_rows_window,
+    "event_running_total": event_running_total,
+    "event_value_pct_rank": event_value_pct_rank,
+    "event_type_value_corr": event_type_value_corr,
     "user_click_purchase_outer": user_click_purchase_outer,
     "order_priority_items": order_priority_items,
     "distinct_event_types": distinct_event_types,
@@ -2878,6 +2956,47 @@ ORACLE_SQL: dict[str, str] = {
         "AS w_sum_cents FROM events "
         "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
         "ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)"),
+    "event_running_total": (
+        "SELECT user_id, event_id, "
+        "CAST(COUNT(*) OVER w AS BIGINT) AS rt_count, "
+        "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT) "
+        "AS rt_sum_cents FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"),
+    # exact fixed-point PERCENT_RANK / CUME_DIST: the double-valued SQL
+    # builtins are replayed as integer formulas over RANK and the
+    # peers-inclusive running count (the default RANGE frame)
+    "event_value_pct_rank": (
+        "SELECT user_id, event_id, value_cents, "
+        "CASE WHEN m = 1 THEN 0 ELSE "
+        "CAST((rnk - 1) * 10000 // (m - 1) AS BIGINT) END AS pr_scaled, "
+        "CAST(c * 10000 // m AS BIGINT) AS cume_scaled FROM ("
+        "SELECT user_id, event_id, value_cents, "
+        "CAST(RANK() OVER (PARTITION BY user_id ORDER BY value_cents) "
+        "AS HUGEINT) AS rnk, "
+        "CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY value_cents) "
+        "AS HUGEINT) AS c, "
+        "CAST(COUNT(*) OVER (PARTITION BY user_id) AS HUGEINT) AS m "
+        "FROM (SELECT user_id, event_id, "
+        "CAST(ROUND(value * 100) AS BIGINT) AS value_cents FROM events))"),
+    "event_type_value_corr": (
+        "SELECT event_type, CAST(n AS BIGINT) AS n, "
+        "CAST((n * sxy - sx * sy) * 1000000 // (n * (n - 1)) AS BIGINT) "
+        "AS cov_scaled, "
+        "CAST((n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx) "
+        "AS BIGINT) AS slope_scaled, "
+        "CAST((n * sxy - sx * sy) * (n * sxy - sx * sy) * 10000 // "
+        "((n * sxx - sx * sx) * (n * syy - sy * sy)) AS BIGINT) "
+        "AS corr2_scaled FROM ("
+        "SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n, "
+        "CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy, "
+        "CAST(SUM(x * y) AS HUGEINT) AS sxy, "
+        "CAST(SUM(x * x) AS HUGEINT) AS sxx, "
+        "CAST(SUM(y * y) AS HUGEINT) AS syy FROM ("
+        "SELECT event_type, epoch_us(ts) // 3600000000 AS x, "
+        "CAST(ROUND(value * 100) AS BIGINT) AS y FROM events) "
+        "GROUP BY event_type) WHERE n >= 2 "
+        "AND (n * sxx - sx * sx) <> 0 AND (n * syy - sy * sy) <> 0"),
     "user_click_purchase_outer": (
         "SELECT COALESCE(c.user_id, p.user_id) AS user_id, "
         "COALESCE(c.n_clicks, 0) AS n_clicks, "

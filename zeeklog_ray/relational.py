@@ -484,11 +484,19 @@ def ranks_per_key(ds: "ray.data.Dataset", key: str,
                   order_cols: Sequence[str],
                   tie_cols: Sequence[str] | None = None,
                   ntile: int | None = None,
+                  percent_scale: int | None = None,
                   num_buckets: int = 1024) -> "ray.data.Dataset":
     """Per-key SQL ranking functions in one bucketed pass: ``rnk`` = RANK()
     and ``drnk`` = DENSE_RANK() over ``tie_cols`` (ties share a rank; RANK
     leaves gaps, DENSE_RANK doesn't), plus ``tile`` = NTILE(ntile) over the
     full ``order_cols`` total order when ``ntile`` is given.
+
+    ``percent_scale`` adds fixed-point PERCENT_RANK / CUME_DIST columns in
+    exact integer math (truncating division, matching a HUGEINT oracle):
+    ``pr_scaled = (rnk−1)·scale // (m−1)`` (0 for single-row partitions,
+    the SQL convention) and ``cume_scaled = c·scale // m`` where ``m`` is
+    the key-partition size and ``c`` the number of rows whose tie tuple
+    sorts ≤ the current row's.
 
     ``tie_cols`` (default: all of ``order_cols``) must be a PREFIX of
     ``order_cols`` — the sort arranges equal-tie rows contiguously only
@@ -507,6 +515,9 @@ def ranks_per_key(ds: "ray.data.Dataset", key: str,
                          f"prefix of order_cols {order_cols!r}")
     if ntile is not None and ntile < 1:
         raise ValueError(f"ranks_per_key: ntile must be >= 1, got {ntile}")
+    if percent_scale is not None and percent_scale < 1:
+        raise ValueError(f"ranks_per_key: percent_scale must be >= 1, "
+                         f"got {percent_scale}")
 
     def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values([key] + order_cols, kind="mergesort")
@@ -526,11 +537,23 @@ def ranks_per_key(ds: "ray.data.Dataset", key: str,
         out["rnk"] = tie_start - seg_start + 1
         d = np.cumsum(new_tie)
         out["drnk"] = d - d[seg_start] + 1
+        if ntile is not None or percent_scale is not None:
+            seg_id = np.cumsum(new_seg) - 1
+            m = np.bincount(seg_id)[seg_id]
+        if percent_scale is not None:
+            rnk = tie_start - seg_start + 1
+            out["pr_scaled"] = np.where(
+                m > 1, (rnk - 1) * percent_scale // np.maximum(m - 1, 1), 0)
+            # index of the LAST row of each tie group: nearest tie-group
+            # end at or after the row (sentinel n, reverse min-accumulate)
+            ends_here = np.r_[new_tie[1:], True]
+            tie_end = np.minimum.accumulate(
+                np.where(ends_here, idx, n)[::-1])[::-1]
+            out["cume_scaled"] = (tie_end - seg_start + 1) * \
+                percent_scale // m
         if ntile is not None:
             # NTILE: the first (m mod k) tiles get ceil(m/k) rows, the
             # rest floor(m/k), by row position within the key segment
-            seg_id = np.cumsum(new_seg) - 1
-            m = np.bincount(seg_id)[seg_id]
             p = idx - seg_start
             base, rem = m // ntile, m % ntile
             boundary = rem * (base + 1)
@@ -609,19 +632,27 @@ def _trunc_div(num: int, den: int) -> int:
 
 
 def grouped_cov_exact(ds: "ray.data.Dataset", keys: Sequence[str],
-                      x: str, y: str, scale: int = 10**6) -> pd.DataFrame:
+                      x: str, y: str, scale: int = 10**6,
+                      corr2_scale: int | None = None) -> pd.DataFrame:
     """Per-group sample covariance and OLS regression slope of two INTEGER
     columns in exact arithmetic:
 
     - ``cov_scaled``   = (n·Σxy − Σx·Σy) · scale ÷ (n·(n−1))
     - ``slope_scaled`` = (n·Σxy − Σx·Σy) · scale ÷ (n·Σx² − (Σx)²)
+    - ``corr2_scaled`` = (n·Σxy − Σx·Σy)² · corr2_scale ÷
+      ((n·Σx² − (Σx)²)·(n·Σy² − (Σy)²))  — squared Pearson r, emitted
+      only when ``corr2_scale`` is given (r itself needs a sqrt, which
+      has no exact integer form; r² is a polynomial and stays exact).
+      Keep ``corr2_scale`` modest (1e4): the oracle's HUGEINT numerator
+      is num²·scale, and num² alone can reach ~1e28 on cents columns.
 
     with TRUNCATING division (:func:`_trunc_div`) because the numerator can
     be negative and the HUGEINT oracle's ``//`` truncates.  Groups with
-    n < 2 or zero x-variance are dropped (the ratios are undefined there).
+    n < 2 or zero x-variance are dropped (the ratios are undefined there);
+    with ``corr2_scale``, zero y-variance groups are dropped too.
 
     Same shape as :func:`grouped_var_exact`: one combiner-first
-    :func:`grouped_sum` ships only per-group ``(n, Σx, Σy, Σxy, Σx²)``
+    :func:`grouped_sum` ships only per-group ``(n, Σx, Σy, Σxy, Σx², Σy²)``
     partials — mergeable across any partitioning — and the final formulas
     run on the report-shaped result in Python ints (the ``n·Σxy·scale``
     product overflows int64 long before the partials do)."""
@@ -631,11 +662,13 @@ def grouped_cov_exact(ds: "ray.data.Dataset", keys: Sequence[str],
         out = batch[keys + [x, y]].copy()
         out["_xy"] = batch[x] * batch[y]
         out["_xx"] = batch[x] * batch[x]
+        out["_yy"] = batch[y] * batch[y]
         return out
 
     partials = grouped_sum(
         ds.map_batches(add_prods, batch_format="pandas", batch_size=None),
-        keys, sums={x: "_sx", y: "_sy", "_xy": "_sxy", "_xx": "_sxx"},
+        keys, sums={x: "_sx", y: "_sy", "_xy": "_sxy", "_xx": "_sxx",
+                    "_yy": "_syy"},
         count_as="_n").to_pandas()
     rows = partials[partials["_n"] >= 2]
     n = rows["_n"].astype(object)
@@ -643,10 +676,15 @@ def grouped_cov_exact(ds: "ray.data.Dataset", keys: Sequence[str],
     sy = rows["_sy"].astype(object)
     sxy = rows["_sxy"].astype(object)
     sxx = rows["_sxx"].astype(object)
+    syy = rows["_syy"].astype(object)
     num = n * sxy - sx * sy
     var_den = n * sxx - sx * sx
+    vary_den = n * syy - sy * sy
     keep = var_den != 0
-    rows, n, num, var_den = rows[keep], n[keep], num[keep], var_den[keep]
+    if corr2_scale is not None:
+        keep &= vary_den != 0
+    rows, n, num = rows[keep], n[keep], num[keep]
+    var_den, vary_den = var_den[keep], vary_den[keep]
     out = rows[keys].copy()
     out["n"] = rows["_n"].to_numpy()
     out["cov_scaled"] = np.fromiter(
@@ -655,6 +693,11 @@ def grouped_cov_exact(ds: "ray.data.Dataset", keys: Sequence[str],
     out["slope_scaled"] = np.fromiter(
         (_trunc_div(v * scale, d) for v, d in zip(num, var_den)),
         dtype="int64", count=len(rows))
+    if corr2_scale is not None:
+        out["corr2_scaled"] = np.fromiter(
+            (_trunc_div(v * v * corr2_scale, dx * dy)
+             for v, dx, dy in zip(num, var_den, vary_den)),
+            dtype="int64", count=len(rows))
     return out.reset_index(drop=True)
 
 
