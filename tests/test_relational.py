@@ -305,6 +305,39 @@ def test_ranks_per_key_ntile_small_segments(ray_session):
     assert out["rnk"].tolist() == [1, 2, 1]
 
 
+def test_mode_per_key(ray_session):
+    """Mode merges partial counts across blocks; ties pick the smallest
+    value; null values are countable like SQL GROUP BY (dropna=False)."""
+    from zeeklog_ray.relational import mode_per_key
+
+    df = pd.DataFrame({
+        "k": ["a"] * 5 + ["b"] * 4 + ["c"] * 2,
+        "v": ["x", "y", "x", "y", "x",      # a: x=3 > y=2
+              "q", "p", "q", "p",           # b: tie 2-2 -> p
+              None, None]})                 # c: mode is null, count 2
+    # split so a's counts straddle blocks (forces the merge path)
+    ds = ray.data.from_pandas([df.iloc[:3], df.iloc[3:]])
+    out = mode_per_key(ds, "k", "v", num_buckets=4).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert out["mode_v"].tolist()[:2] == ["x", "p"]
+    assert out["mode_v"].isna().tolist() == [False, False, True]
+    assert out["n_mode"].tolist() == [3, 2, 2]
+
+
+def test_string_agg_per_key(ray_session):
+    from zeeklog_ray.relational import string_agg_per_key
+
+    df = pd.DataFrame({"k": ["u", "u", "u", "w"],
+                       "ts": [3, 1, 2, 9],
+                       "id": [30, 10, 20, 90],
+                       "e": ["c", "a", "b", "z"]})
+    out = string_agg_per_key(
+        ray.data.from_pandas([df.iloc[:2], df.iloc[2:]]), "k", "e",
+        ["ts", "id"], sep=">", out="j", num_buckets=4).to_pandas() \
+        .sort_values("k")
+    assert out["j"].tolist() == ["a>b>c", "z"]
+
+
 def test_seq_index_null_keys_numbered(ray_session):
     from zeeklog_ray.relational import seq_index_per_key
 

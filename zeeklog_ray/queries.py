@@ -1032,6 +1032,29 @@ def event_type_value_corr(sf_dir: str) -> pd.DataFrame:
                              "value_cents", corr2_scale=10**4)
 
 
+def user_mode_event_type(sf_dir: str) -> "ray.data.Dataset":
+    """Per-user most frequent event type (ties → lexicographically
+    smallest) with its count — combiner-first mode
+    (relational.mode_per_key): raw events collapse to (user, type)
+    partial counts per batch before the single key-hash shuffle."""
+    from zeeklog_ray.relational import mode_per_key
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    return mode_per_key(ev, "user_id", "event_type")
+
+
+def user_event_journey(sf_dir: str) -> "ray.data.Dataset":
+    """Per-user ordered event-type sequence string (the "journey"
+    feature) — relational.string_agg_per_key, one key-hash shuffle,
+    deterministic via the (ts, event_id) total order."""
+    from zeeklog_ray.relational import string_agg_per_key
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "event_id", "ts", "event_type"])
+    return string_agg_per_key(ev, "user_id", "event_type",
+                              ["ts", "event_id"], sep=">", out="journey")
+
+
 _OUTER_MIN_CENTS = 30_000  # $300 — sparse enough that BOTH outer sides
 # are non-empty at sf0.01 (4 click-only, 5 purchase-only users)
 
@@ -2339,6 +2362,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "event_running_total": event_running_total,
     "event_value_pct_rank": event_value_pct_rank,
     "event_type_value_corr": event_type_value_corr,
+    "user_mode_event_type": user_mode_event_type,
+    "user_event_journey": user_event_journey,
     "user_click_purchase_outer": user_click_purchase_outer,
     "order_priority_items": order_priority_items,
     "distinct_event_types": distinct_event_types,
@@ -2997,6 +3022,15 @@ ORACLE_SQL: dict[str, str] = {
         "CAST(ROUND(value * 100) AS BIGINT) AS y FROM events) "
         "GROUP BY event_type) WHERE n >= 2 "
         "AND (n * sxx - sx * sx) <> 0 AND (n * syy - sy * sy) <> 0"),
+    "user_mode_event_type": (
+        "SELECT user_id, event_type AS mode_event_type, n_mode FROM ("
+        "SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_mode, "
+        "ROW_NUMBER() OVER (PARTITION BY user_id "
+        "ORDER BY COUNT(*) DESC, event_type) AS rn "
+        "FROM events GROUP BY user_id, event_type) WHERE rn = 1"),
+    "user_event_journey": (
+        "SELECT user_id, STRING_AGG(event_type, '>' "
+        "ORDER BY ts, event_id) AS journey FROM events GROUP BY user_id"),
     "user_click_purchase_outer": (
         "SELECT COALESCE(c.user_id, p.user_id) AS user_id, "
         "COALESCE(c.n_clicks, 0) AS n_clicks, "

@@ -569,6 +569,68 @@ def ranks_per_key(ds: "ray.data.Dataset", key: str,
         .groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
 
 
+def mode_per_key(ds: "ray.data.Dataset", key: str, val: str,
+                 out: str | None = None,
+                 num_buckets: int = 256) -> "ray.data.Dataset":
+    """Per-key MODE: the most frequent ``val`` per ``key`` (ties → the
+    smallest value, so the result is deterministic), plus its count
+    ``n_mode``.
+
+    Scale shape: counts are MERGEABLE, so each batch first collapses to
+    per-(key, val) partial counts row-locally (the combiner — raw rows
+    never shuffle), then ONE key-hash-bucket shuffle merges the partials
+    and a C-level sort + drop_duplicates picks the winner per key.  Only
+    |distinct (key, val)| rows move, not |rows|."""
+    out = out or f"mode_{val}"
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby([key, val], sort=False, dropna=False) \
+            .size().reset_index(name="_cnt")
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby([key, val], sort=False, dropna=False)["_cnt"] \
+            .sum().reset_index()
+        g = g.sort_values([key, "_cnt", val],
+                          ascending=[True, False, True], kind="mergesort")
+        g = g.drop_duplicates([key], keep="first")
+        return pd.DataFrame({key: g[key], out: g[val],
+                             "n_mode": g["_cnt"].astype("int64")})
+
+    partials = ds.map_batches(partial, batch_format="pandas",
+                              batch_size=None)
+    return with_hash_bucket(partials, key, num_buckets) \
+        .groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+def string_agg_per_key(ds: "ray.data.Dataset", key: str, val: str,
+                       order_cols: Sequence[str], sep: str = ">",
+                       out: str = "agg",
+                       num_buckets: int = 256) -> "ray.data.Dataset":
+    """Per-key ordered string concatenation — SQL ``STRING_AGG(val, sep
+    ORDER BY order_cols)``; the "user journey" feature-building shape
+    (event-type sequences per user).  Make the last order column unique
+    for a deterministic string.
+
+    Scale shape: one key-hash-bucket shuffle of (key, order, val), then a
+    C-level sort per bucket; the join itself is per-key Python but over
+    string data that is Python-object-backed in pandas anyway.  The
+    output is one row per key — assume a key's rows fit one bucket (same
+    contract as the repo's other windowed ops), and remember each output
+    string is O(rows-per-key) long: follow with a hash/fingerprint stage
+    rather than shipping giant strings onward at 100 TB."""
+    order_cols = list(order_cols)
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key] + order_cols, kind="mergesort")
+        agg = g.groupby(key, sort=False, dropna=False)[val] \
+            .agg(sep.join).reset_index(name=out)
+        return agg
+
+    cols = [key] + order_cols + [val]
+    return with_hash_bucket(ds.select_columns(cols), key, num_buckets) \
+        .groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
+
+
 def melt(ds: "ray.data.Dataset", id_cols: Sequence[str],
          value_cols: Sequence[str], var_name: str = "variable",
          value_name: str = "value") -> "ray.data.Dataset":
