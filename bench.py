@@ -31,6 +31,11 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # --scaling uses a larger corpus (cached one-time generation) so the timed
 # region is dominated by distributed work, not per-run fixed costs (actor
 # startup, pipeline spin-up) — the sandbox stand-in for cluster-scale input.
+# 8M rows: large enough that the ~3 s fixed cost (ray.init + actor warmup
+# + first-wave scheduling) is <25% of the 8-CPU wall, small enough that
+# the routed write stays within the single virtio disk's bandwidth at 8
+# CPUs — at 16M rows the 8-CPU run goes disk-bound (measured eff 0.53)
+# and the measurement stops reflecting CPU scaling at all
 SCALING_ROWS = int(os.environ.get("ZEEKLOG_SCALING_ROWS", "8000000"))
 _BENCH_ROWS_ENV = "ZEEKLOG_BENCH_ROWS"          # override corpus size
 _FLAGSHIP_ONLY_ENV = "ZEEKLOG_BENCH_ONLY_FLAGSHIP"
@@ -121,6 +126,25 @@ def _run_scale_ops(timings: dict) -> None:
     t0 = time.monotonic()
     latest_per_key(ray.data.read_parquet(ev), ["user_id"], ["ts"]).count()
     timings[f"scale_latest_per_key_{mtag}"] = round(time.monotonic() - t0, 3)
+
+    # the round-3 window/rank family at the same 5M-event scale: ROWS
+    # frame (prefix-sum algebra), RANK/DENSE_RANK/NTILE + fixed-point
+    # percentiles, and combiner-first mode
+    from zeeklog_ray.ops.streaming import rows_window
+    from zeeklog_ray.relational import mode_per_key, ranks_per_key
+
+    t0 = time.monotonic()
+    rows_window(ray.data.read_parquet(ev), key="user_id",
+                order_cols=["ts"], value="value", preceding=5).count()
+    timings[f"scale_rows_window_{mtag}"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    ranks_per_key(ray.data.read_parquet(ev), "user_id", ["value", "ts"],
+                  tie_cols=["value"], ntile=10,
+                  percent_scale=10**4).count()
+    timings[f"scale_ranks_{mtag}"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    mode_per_key(ray.data.read_parquet(ev), "user_id", "value").count()
+    timings[f"scale_mode_{mtag}"] = round(time.monotonic() - t0, 3)
 
     # decontamination at 1M docs: benchmark = doc_id % 1000 == 0 (~1k
     # docs), the broadcast shape's intended regime — tiny probe side,
@@ -231,7 +255,12 @@ def run_scaling(lo: int = 2, hi: int = 8) -> dict:
                              cwd=os.path.dirname(os.path.abspath(__file__))).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    r_lo, r_hi = run(lo), run(hi)
+    # best-of-2 per level: one stray scheduler/disk hiccup in a single
+    # 10-50 s run moves measured efficiency by ±0.1 (observed 0.83-1.14
+    # across single-shot runs); the min is the standard variance guard
+    # and both levels get the same treatment
+    r_lo = min(run(lo), run(lo), key=lambda r: r["value"])
+    r_hi = min(run(hi), run(hi), key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     return {

@@ -178,3 +178,39 @@ def test_df_token_scrub_all_removed_yields_empty(ray_session):
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert out["text_clean"].tolist() == ["", "keep"]
     assert out["n_removed"].tolist() == [3, 1]
+
+
+def test_pii_patterns_duckdb_python_parity():
+    """The PII scrub patterns must match IDENTICALLY under Python re
+    (leftmost-first) and DuckDB's RE2 (leftmost-longest) — guaranteed here
+    by alternation-free greedy patterns, verified on edge strings."""
+    import re
+
+    import duckdb
+
+    from zeeklog_ray.queries import _PII_EMAIL, _PII_IPV4, _PII_LONGNUM
+
+    cases = [
+        "mail a.b+c_d%e@sub.domain.co and x@y.io.",
+        "ips 1.2.3.4, 255.255.255.255 and not 1.2.3 or 1234.5.6.7",
+        "num 123456789 and 12345678 and 99999999999999999999",
+        "mixed u9@ex.com 10.0.0.1 900000000",
+        "no pii here",
+        "double@at@ex.com edge.@ex.com",
+        "unicode digits \u0660\u0661\u0662\u0663\u0664\u0665"
+        "\u0666\u0667\u0668 stay, 123456789 goes",
+    ]
+    con = duckdb.connect()
+    for pat, repl in [(_PII_EMAIL, "[EMAIL]"), (_PII_IPV4, "[IP]"),
+                      (_PII_LONGNUM, "[NUM]")]:
+        py = [re.sub(pat, repl, s, flags=re.ASCII) for s in cases]
+        sql = [con.execute(
+            "SELECT regexp_replace(?, ?, ?, 'g')", [s, pat, repl]
+        ).fetchone()[0] for s in cases]
+        assert py == sql, pat
+        py_n = [len(re.findall(pat, s, flags=re.ASCII)) for s in cases]
+        sql_n = [con.execute(
+            "SELECT len(regexp_extract_all(?, ?))", [s, pat]
+        ).fetchone()[0] for s in cases]
+        assert py_n == sql_n, pat
+    con.close()

@@ -391,3 +391,56 @@ def test_partitioned_write_prune_roundtrip(ray_session, tmp_path):
     assert len(back) == len(exp)
     assert sorted(back["v"]) == sorted(exp["v"])
     assert (back["t"] == "a").all()   # hive scheme restores the column
+
+
+@pytest.mark.parametrize("nb", [1, 16])
+def test_cap_per_key_matches_pandas_replay(ray_session, nb):
+    from zeeklog_ray.relational import CAP_SALT, _mix64, cap_per_key
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"k": rng.integers(0, 5, 300),
+                       "id": np.arange(300, dtype=np.int64),
+                       "v": rng.integers(0, 9, 300)})
+    ds = ray.data.from_pandas([df.iloc[:100], df.iloc[100:]])  # multi-block
+    out = cap_per_key(ds, "k", 4, "id", num_buckets=nb).to_pandas()
+
+    h = _mix64(df["id"].to_numpy(np.uint64)
+               + np.uint64(CAP_SALT % (1 << 64)))
+    exp = df.assign(_h=h).sort_values(["_h", "id"]) \
+        .groupby("k", sort=False).head(4)
+    assert sorted(out["id"]) == sorted(exp["id"])
+    assert (out.groupby("k").size() <= 4).all()
+    assert list(out.columns) == ["k", "id", "v"]          # _h/_bucket gone
+
+
+def test_cap_per_key_edges(ray_session):
+    from zeeklog_ray.relational import cap_per_key
+
+    df = pd.DataFrame({"k": ["a"] * 3 + ["b"],
+                       "id": np.arange(4, dtype=np.int64)})
+    ds = ray.data.from_pandas(df)
+    # n >= every group size keeps all rows
+    assert cap_per_key(ds, "k", 10, "id").count() == 4
+    # under-n keys keep all their rows
+    out = cap_per_key(ds, "k", 2, "id").to_pandas()
+    assert (out["k"] == "b").sum() == 1
+    with pytest.raises(ValueError):
+        cap_per_key(ds, "k", 0, "id")
+    with pytest.raises(Exception):      # float ids refused (TypeError in task)
+        cap_per_key(ray.data.from_pandas(
+            pd.DataFrame({"k": ["a"], "id": [1.5]})), "k", 1, "id").count()
+
+
+def test_cap_per_key_partition_independent(ray_session):
+    """Same winners regardless of block layout — the reproducibility
+    contract a training-data cap needs."""
+    from zeeklog_ray.relational import cap_per_key
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({"k": rng.integers(0, 7, 200),
+                       "id": rng.permutation(200).astype(np.int64)})
+    one = cap_per_key(ray.data.from_pandas(df), "k", 3, "id").to_pandas()
+    many = cap_per_key(ray.data.from_pandas(
+        [df.iloc[i:i + 20] for i in range(0, 200, 20)]),
+        "k", 3, "id").to_pandas()
+    assert sorted(one["id"]) == sorted(many["id"])

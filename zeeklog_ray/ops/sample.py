@@ -259,3 +259,18 @@ def mixture_resample_sql(table_sql: str, key_col: str, select_cols: str,
         f"SELECT {select_cols}, gs.epoch AS epoch FROM _cnt, "
         f"generate_series(0, {max_copies - 1}) gs(epoch) "
         f"WHERE gs.epoch < _copies")
+
+
+def cap_per_key_sql(table_sql: str, key_cols: str, id_col: str,
+                    select_cols: str, n: int, salt: int) -> str:
+    """Oracle SQL equivalent of :func:`relational.cap_per_key`:
+    ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY mix64(id+salt), id)``
+    kept while ≤ n — the splitmix64 draw replayed bit-exact in HUGEINT."""
+    steps, final = mix64_sql(id_col, salt=salt)
+    return (
+        f"WITH _m0 AS (SELECT *, {steps[0]} AS z0 FROM {table_sql}), "
+        f"_m1 AS (SELECT *, {steps[1]} AS z1 FROM _m0), "
+        f"_m2 AS (SELECT *, {steps[2]} AS z2 FROM _m1), "
+        f"_r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY {key_cols} "
+        f"ORDER BY {final}, {id_col}) AS rn FROM _m2) "
+        f"SELECT {select_cols} FROM _r WHERE rn <= {n}")

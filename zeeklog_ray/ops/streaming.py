@@ -100,7 +100,9 @@ def rows_window(ds: "ray.data.Dataset", key: str,
     C-level sort + prefix-sum per bucket — the frame arithmetic is pure
     numpy index algebra (no per-key loop at all, unlike the two-pointer
     RANGE scan).  The value's integer dtype is preserved through the
-    cumsum, so cent-exact sums stay exact.
+    cumsum, so cent-exact sums stay exact.  Float NaNs are skipped like
+    SQL SUM (a frame with no non-null value yields NULL); integer
+    inputs are null-free by dtype.
 
     Output: ``keep_cols`` (default: key + order_cols) + ``w_count``,
     ``w_sum``.
@@ -126,11 +128,20 @@ def rows_window(ds: "ray.data.Dataset", key: str,
         seg_start = np.maximum.accumulate(np.where(new_seg, idx, 0))
         start = seg_start if preceding is None \
             else np.maximum(seg_start, idx - preceding)
-        csum = np.cumsum(v, dtype=np.cumsum(np.zeros(1, dtype=v.dtype)).dtype)
+        # SQL SUM() OVER skips NULLs: zero them out of the cumsum (a raw
+        # NaN would poison every later row in the bucket, unrelated keys
+        # included) and emit NULL where the frame has no non-null value
+        valid = ~np.isnan(v) if v.dtype.kind == "f" else None
+        v0 = np.where(valid, v, 0.0) if valid is not None else v
+        csum = np.cumsum(v0, dtype=np.cumsum(np.zeros(1, dtype=v0.dtype)).dtype)
         # frames never cross seg_start, so the global cumsum is safe
         w_sum = csum - np.where(start > 0, csum[start - 1], 0)
         out = g[out_cols].copy()
         out["w_count"] = idx - start + 1
+        if valid is not None:
+            vcnt = np.cumsum(valid.astype(np.int64))
+            w_valid = vcnt - np.where(start > 0, vcnt[start - 1], 0)
+            w_sum = np.where(w_valid > 0, w_sum, np.nan)
         out["w_sum"] = w_sum
         return out
 

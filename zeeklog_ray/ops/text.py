@@ -142,6 +142,74 @@ def token_counts(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     return ds.map_batches(count, batch_format="pandas", batch_size=None)
 
 
+def prep_digest_stage(attr_col: str, min_words: int = 15,
+                      min_stop_ratio_e4: int = 200):
+    """The shared ROW-LOCAL stage of the corpus-prep family (one source of
+    truth for :func:`corpus_prep` and ``prep.prep_manifest``): quality
+    metrics + filter + 128-bit content digest + BPE-ish token count,
+    carrying ``attr_col`` (lang / source / …) through.  Returns a
+    ``map_batches``-ready callable emitting
+    ``(h1, h2, doc_id, attr_col, n_bpe)`` — the only stage that touches
+    text; everything downstream moves scalars."""
+    import numpy as np
+
+    en_stop = frozenset(STOPWORDS["en"])
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].reset_index(drop=True)
+        n_words = text.str.count(r"[^ ]+").astype("int64")
+        n_stop = pd.Series(_member_counts(text.str.split(" "), en_stop,
+                                          len(text)))
+        ratio_e4 = np.floor(n_stop * _E4 /
+                            n_words.replace(0, 1)).astype("int64")
+        keep = ((n_words >= min_words) &
+                (ratio_e4 >= min_stop_ratio_e4)).to_numpy()
+        kept = text[keep]
+        # 128-bit content digest (two independent 64-bit hashes — the
+        # exact_dedup_docs collision argument)
+        h1 = pd.util.hash_pandas_object(kept, index=False).astype("uint64")
+        h2 = pd.util.hash_pandas_object(
+            kept, index=False, hash_key="zeeklog-dedup-02").astype("uint64")
+        return pd.DataFrame({
+            "h1": h1.to_numpy(), "h2": h2.to_numpy(),
+            "doc_id": batch["doc_id"].to_numpy()[keep],
+            attr_col: batch[attr_col].to_numpy()[keep],
+            "n_bpe": kept.str.count(_BPE_RE).astype("int64").to_numpy()})
+
+    return prep
+
+
+def digest_dedup(prepped: "ray.data.Dataset", attr_col: str,
+                 num_buckets: int = 2048) -> "ray.data.Dataset":
+    """First-wins exact dedup on the 128-bit content digest, shared by the
+    prep chains: MIN over every carried attribute per (h1, h2) group
+    (algebraic — ``n_bpe`` is constant per content group; for identical
+    texts with different ``attr_col`` values this keeps MIN(attr), by
+    design: Min vectorizes where arg-min would pay per-group Python).
+
+    Bucketed on ``h1 % num_buckets`` so the per-group Python cost is paid
+    per BUCKET (measured 189 s → 17 s at 1M docs); same h1 ⇒ same bucket
+    keeps every copy co-located.  Output drops the digests:
+    ``(doc_id, attr_col, n_bpe)``."""
+    import numpy as np
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["_bucket"] = (batch["h1"] %
+                            np.uint64(num_buckets)).astype("int64")
+        return batch
+
+    def dedup_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby(["h1", "h2"], sort=False)
+        return g.agg(doc_id=("doc_id", "min"), **{attr_col: (attr_col, "min")},
+                     n_bpe=("n_bpe", "min")).reset_index() \
+            .drop(columns=["h1", "h2"])
+
+    return (prepped.map_batches(bucketize, batch_format="pandas",
+                                batch_size=None)
+            .groupby("_bucket").map_groups(dedup_bucket,
+                                           batch_format="pandas"))
+
+
 def corpus_prep(ds: "ray.data.Dataset", min_words: int = 15,
                 min_stop_ratio_e4: int = 200,
                 num_buckets: int = 2048) -> "ray.data.Dataset":

@@ -35,6 +35,7 @@ from zeeklog_ray.aggregate import HIST_COLUMNS, HIST_EDGES, distinct_column, gro
 from zeeklog_ray.corpus import GOLDEN_IP_0702_ONLY, corpus_for_sf_dir
 from zeeklog_ray.pipeline import PipelineConfig, build_dataset
 from zeeklog_ray.relational import (
+    CAP_SALT as _CAP_SALT,
     broadcast_merge,
     grouped_sum,
     hash_join,
@@ -2147,6 +2148,87 @@ def docs_sample_mod(sf_dir: str) -> "ray.data.Dataset":
     return ds.map_batches(keep, batch_format="pyarrow", batch_size=None)
 
 
+def docs_cap_per_source(sf_dir: str) -> "ray.data.Dataset":
+    """Per-source document cap (relational.cap_per_key): at most 10 docs
+    per source, chosen by the deterministic mix64 draw — the "max
+    documents per domain" operator of a training-data pipeline (exact cap
+    per key, unbiased winners, reproducible on any partitioning).  Hash-
+    checked against the bit-exact HUGEINT splitmix64 ROW_NUMBER replay
+    (ops/sample.cap_per_key_sql)."""
+    from zeeklog_ray.relational import cap_per_key
+
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "source", "n_chars"])
+    capped = cap_per_key(ds, "source", 10, "doc_id")
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[["doc_id", "source", "n_chars"]]
+
+    return capped.map_batches(finish, batch_format="pandas",
+                              batch_size=None)
+
+
+# PII-scrub patterns: shared between the Ray scrubber and the DuckDB
+# oracle.  Kept alternation-free so RE2 (leftmost-longest) and Python re
+# (leftmost-first backtracking) produce IDENTICAL matches — with greedy
+# quantifiers and no '|' the two semantics coincide.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_LONGNUM = r"\d{9,}"
+
+
+def docs_pii_scrub(sf_dir: str) -> "ray.data.Dataset":
+    """PII redaction over the corpus: emails → [EMAIL], IPv4 literals →
+    [IP], ≥9-digit runs → [NUM], with per-doc match counts — the
+    pre-training scrub pass every public corpus pipeline runs.  The
+    synthetic corpus contains no PII, so the query PLANTS deterministic
+    PII first (conditional on doc_id, identically in Ray and SQL — the
+    planting is fixture construction; the scrubber is the operator under
+    test).  Row-local map, no shuffle: at 10^12 docs this streams.
+
+    Scrub order matters and is part of the contract: emails first (their
+    local parts may contain digit runs), then dotted quads (never inside
+    a remaining email), then bare long digit runs."""
+    import re
+
+    # re.ASCII: Python's \d/\b are Unicode-aware by default but RE2's
+    # (DuckDB's) are ASCII-only — without the flag, nine Arabic-Indic
+    # digits would be scrubbed here and kept by the oracle
+    email_re = re.compile(_PII_EMAIL, re.ASCII)
+    ipv4_re = re.compile(_PII_IPV4, re.ASCII)
+    num_re = re.compile(_PII_LONGNUM, re.ASCII)
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def scrub(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy()
+        planted = [
+            t
+            + ((" contact user%d@example.com" % i) if i % 3 else "")
+            + ((" from 10.%d.%d.7" % (i % 200, i % 250)) if i % 2 == 0
+               else "")
+            + " ref 9%012d" % i
+            for i, t in zip(ids, batch["text"])
+        ]
+        n_email = np.empty(len(planted), dtype=np.int64)
+        n_ip = np.empty(len(planted), dtype=np.int64)
+        n_num = np.empty(len(planted), dtype=np.int64)
+        out = []
+        # per-string compiled-regex subn — same cost shape as the
+        # .str.count/.str.replace pandas string methods (which also
+        # iterate per string), but ONE pass gets count + replacement
+        for j, t in enumerate(planted):
+            t, n_email[j] = email_re.subn("[EMAIL]", t)
+            t, n_ip[j] = ipv4_re.subn("[IP]", t)
+            t, n_num[j] = num_re.subn("[NUM]", t)
+            out.append(t)
+        return pd.DataFrame({"doc_id": ids, "scrubbed": out,
+                             "n_email": n_email, "n_ip": n_ip,
+                             "n_num": n_num})
+
+    return ds.map_batches(scrub, batch_format="pandas", batch_size=None)
+
+
 def top_orders_per_customer(sf_dir: str) -> "ray.data.Dataset":
     """Per-group top-N (window-rank shape): each customer's 2 highest-value
     orders.  Bucketed-groupby pattern (relational.with_hash_bucket): one
@@ -2416,6 +2498,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "docs_df_boilerplate": docs_df_boilerplate,
     "customers_without_orders": customers_without_orders,
     "docs_sample_mod": docs_sample_mod,
+    "docs_cap_per_source": docs_cap_per_source,
+    "docs_pii_scrub": docs_pii_scrub,
     "docs_hash_sample": docs_hash_sample,
     "docs_mixture_resample": docs_mixture_resample,
     "top_orders_per_customer": top_orders_per_customer,
@@ -3314,6 +3398,35 @@ ORACLE_SQL: dict[str, str] = {
         "WHERE o_orderpriority = '1-URGENT')"),
     "docs_sample_mod": (
         "SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 20 = 3"),
+    # bit-exact splitmix64 ROW_NUMBER replay (ops/sample.py builds the CTE)
+    "docs_cap_per_source": _sample_sql.cap_per_key_sql(
+        "documents", "source", "doc_id", "doc_id, source, n_chars",
+        10, _CAP_SALT),
+    # sequential-scrub replay: each count runs on the text AFTER the
+    # previous pattern's replacement, mirroring the Ray side's subn chain
+    "docs_pii_scrub": (
+        f"WITH planted AS (SELECT doc_id, text "
+        f"|| (CASE WHEN doc_id % 3 <> 0 THEN ' contact user' || "
+        f"CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END) "
+        f"|| (CASE WHEN doc_id % 2 = 0 THEN ' from 10.' || "
+        f"CAST(doc_id % 200 AS VARCHAR) || '.' || "
+        f"CAST(doc_id % 250 AS VARCHAR) || '.7' ELSE '' END) "
+        f"|| ' ref 9' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS t "
+        f"FROM documents), "
+        f"s1 AS (SELECT doc_id, "
+        f"CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) "
+        f"AS n_email, "
+        f"regexp_replace(t, '{_PII_EMAIL}', '[EMAIL]', 'g') AS t "
+        f"FROM planted), "
+        f"s2 AS (SELECT doc_id, n_email, "
+        f"CAST(len(regexp_extract_all(t, '{_PII_IPV4}')) AS BIGINT) "
+        f"AS n_ip, "
+        f"regexp_replace(t, '{_PII_IPV4}', '[IP]', 'g') AS t FROM s1) "
+        f"SELECT doc_id, "
+        f"regexp_replace(t, '{_PII_LONGNUM}', '[NUM]', 'g') AS scrubbed, "
+        f"n_email, n_ip, "
+        f"CAST(len(regexp_extract_all(t, '{_PII_LONGNUM}')) AS BIGINT) "
+        f"AS n_num FROM s2"),
     # bit-exact splitmix64 replay in HUGEINT (ops/sample.py builds the CTE)
     "docs_hash_sample": _sample_sql.hash_sample_sql(
         "documents", "doc_id", "doc_id, source, lang, n_chars",

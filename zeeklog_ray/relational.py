@@ -620,10 +620,16 @@ def string_agg_per_key(ds: "ray.data.Dataset", key: str, val: str,
     rather than shipping giant strings onward at 100 TB."""
     order_cols = list(order_cols)
 
+    def join_non_null(s: pd.Series):
+        # SQL STRING_AGG skips NULL elements and yields NULL (not "")
+        # for an all-null group; a raw sep.join would TypeError on None
+        s = s.dropna()
+        return sep.join(s) if len(s) else None
+
     def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values([key] + order_cols, kind="mergesort")
         agg = g.groupby(key, sort=False, dropna=False)[val] \
-            .agg(sep.join).reset_index(name=out)
+            .agg(join_non_null).reset_index(name=out)
         return agg
 
     cols = [key] + order_cols + [val]
@@ -714,39 +720,70 @@ def grouped_cov_exact(ds: "ray.data.Dataset", keys: Sequence[str],
     with ``corr2_scale``, zero y-variance groups are dropped too.
 
     Same shape as :func:`grouped_var_exact`: one combiner-first
-    :func:`grouped_sum` ships only per-group ``(n, Σx, Σy, Σxy, Σx², Σy²)``
-    partials — mergeable across any partitioning — and the final formulas
-    run on the report-shaped result in Python ints (the ``n·Σxy·scale``
-    product overflows int64 long before the partials do)."""
+    :func:`grouped_sum` ships only per-group partials — mergeable across
+    any partitioning — and the final formulas run on the report-shaped
+    result in Python ints.  The product sums (Σxy, Σx², Σy²) are
+    accumulated as SPLIT 32-bit halves (Σ(p>>32) and Σ(p&0xFFFFFFFF)
+    separately, recombined in Python ints at the finish): a plain int64
+    Σx² wraps at ~10^6 rows of cents-scale values (x² ≈ 2.5·10^13 each),
+    while the split form is exact up to ~2·10^9 rows per group — and
+    each per-row product must fit int64, guarded per batch (max|x|·max|y|
+    < 2^62).  Σy² is only computed/shipped when ``corr2_scale`` is set."""
     keys = list(keys)
+    want_yy = corr2_scale is not None
+    _LO = np.int64(0xFFFFFFFF)
 
     def add_prods(batch: pd.DataFrame) -> pd.DataFrame:
         out = batch[keys + [x, y]].copy()
-        out["_xy"] = batch[x] * batch[y]
-        out["_xx"] = batch[x] * batch[x]
-        out["_yy"] = batch[y] * batch[y]
+        xv = batch[x].to_numpy(np.int64)
+        yv = batch[y].to_numpy(np.int64)
+        if len(xv):
+            mx, my = np.abs(xv).max(), np.abs(yv).max()
+            if max(int(mx), int(my)) ** 2 >= 1 << 62 or \
+                    int(mx) * int(my) >= 1 << 62:
+                raise OverflowError(
+                    f"grouped_cov_exact: |{x}|·|{y}| up to {mx}·{my} "
+                    f"does not fit a per-row int64 product — rescale "
+                    f"the inputs first")
+        prods = [("_xy", xv * yv), ("_xx", xv * xv)]
+        if want_yy:
+            prods.append(("_yy", yv * yv))
+        for name, p in prods:
+            out[name + "h"] = p >> 32          # arithmetic shift: exact
+            out[name + "l"] = p & _LO          # for negative p too
         return out
 
+    sums = {x: "_sx", y: "_sy", "_xyh": "_sxyh", "_xyl": "_sxyl",
+            "_xxh": "_sxxh", "_xxl": "_sxxl"}
+    if want_yy:
+        sums.update({"_yyh": "_syyh", "_yyl": "_syyl"})
     partials = grouped_sum(
         ds.map_batches(add_prods, batch_format="pandas", batch_size=None),
-        keys, sums={x: "_sx", y: "_sy", "_xy": "_sxy", "_xx": "_sxx",
-                    "_yy": "_syy"},
-        count_as="_n").to_pandas()
+        keys, sums=sums, count_as="_n").to_pandas()
     rows = partials[partials["_n"] >= 2]
+    two32 = 1 << 32
+
+    def recombine(hi: pd.Series, lo: pd.Series) -> pd.Series:
+        return hi.astype(object) * two32 + lo.astype(object)
+
     n = rows["_n"].astype(object)
     sx = rows["_sx"].astype(object)
     sy = rows["_sy"].astype(object)
-    sxy = rows["_sxy"].astype(object)
-    sxx = rows["_sxx"].astype(object)
-    syy = rows["_syy"].astype(object)
+    sxy = recombine(rows["_sxyh"], rows["_sxyl"])
+    sxx = recombine(rows["_sxxh"], rows["_sxxl"])
     num = n * sxy - sx * sy
     var_den = n * sxx - sx * sx
-    vary_den = n * syy - sy * sy
+    vary_den = None
+    if want_yy:
+        syy = recombine(rows["_syyh"], rows["_syyl"])
+        vary_den = n * syy - sy * sy
     keep = var_den != 0
     if corr2_scale is not None:
         keep &= vary_den != 0
     rows, n, num = rows[keep], n[keep], num[keep]
-    var_den, vary_den = var_den[keep], vary_den[keep]
+    var_den = var_den[keep]
+    if want_yy:
+        vary_den = vary_den[keep]
     out = rows[keys].copy()
     out["n"] = rows["_n"].to_numpy()
     out["cov_scaled"] = np.fromiter(
@@ -866,3 +903,62 @@ def set_op(a: "ray.data.Dataset", b: "ray.data.Dataset",
     bucketed = with_hash_bucket(tagged, cols, num_buckets)
     return bucketed.groupby("_bucket").map_groups(per_bucket,
                                                   batch_format="pandas")
+
+
+# Default salt for cap_per_key's draw hash: an arbitrary odd 64-bit
+# constant so the cap's "random" order is DECORRELATED from
+# ops.sample.hash_sample's unsalted mix64 on the same id column (else the
+# same low-hash rows would win both the sample and the cap).
+CAP_SALT = 0x6C62272E07BB0142
+
+
+def cap_per_key(ds: "ray.data.Dataset", key: str | Sequence[str], n: int,
+                id_col: str, salt: int = CAP_SALT,
+                num_buckets: int = 1024) -> "ray.data.Dataset":
+    """Deterministic per-key CAP: keep at most ``n`` rows per key — the
+    ``n`` with the smallest ``mix64(id + salt)`` (ties broken by the id
+    itself, so a unique ``id_col`` gives a total order).  The "max
+    documents per domain" operator of a training-data pipeline: unlike a
+    rate sample (:func:`ops.sample.hash_sample`) the cap is EXACT per
+    key, and unlike top-N-by-value the winners are an unbiased
+    deterministic draw — the same rows survive on any cluster layout or
+    partitioning.  ``id_col`` must be non-negative integers (doc_id);
+    the SQL replay treats ids as HUGEINT in [0, 2^63).
+
+    Scale shape: a row-local per-batch prune first cuts every block to
+    ≤ n rows per key IT contains, so at most |blocks|·n·|keys-per-block|
+    rows shuffle — a hot key (half the corpus one domain) still ships
+    only n rows per block, never the full table.  One key-hash-bucketed
+    pass then picks the global winners with a C-level sort +
+    ``groupby.head``.  SQL replay: ``ROW_NUMBER() OVER (PARTITION BY key
+    ORDER BY mix64(id+salt), id) <= n`` via ops.sample.mix64_sql
+    (bit-exact splitmix64 in HUGEINT)."""
+    if n < 1:
+        raise ValueError(f"cap_per_key: n must be >= 1, got {n}")
+    keys = [key] if isinstance(key, str) else list(key)
+    salt64 = np.uint64(salt % (1 << 64))
+
+    def draw_order(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy()
+        if not np.issubdtype(ids.dtype, np.integer):
+            raise TypeError(f"{id_col} must be integer, got {ids.dtype}")
+        if len(ids) and ids.min() < 0:
+            # the HUGEINT oracle replay and the id tiebreak both assume
+            # non-negative ids; a silent uint64 wrap would diverge
+            raise ValueError(f"cap_per_key: {id_col} must be "
+                             f"non-negative, saw {ids.min()}")
+        batch["_h"] = _mix64(ids.astype(np.uint64, copy=False) + salt64)
+        return batch.sort_values(["_h", id_col], kind="mergesort")
+
+    def prune(batch: pd.DataFrame) -> pd.DataFrame:
+        b = draw_order(batch)
+        return b.groupby(keys, sort=False, dropna=False).head(n)
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["_h", id_col], kind="mergesort")
+        return g.groupby(keys, sort=False, dropna=False).head(n) \
+            .drop(columns=["_bucket", "_h"])
+
+    pruned = ds.map_batches(prune, batch_format="pandas", batch_size=None)
+    return with_hash_bucket(pruned, keys, num_buckets) \
+        .groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
