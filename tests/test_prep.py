@@ -38,15 +38,14 @@ def test_prep_manifest_invariants(ray_session):
     assert (book.groupby("doc_id").size() == 2).all()
     assert set(book["epoch"]) == {0, 1}
     assert (m[m["source"] == "web"]["epoch"] == 0).all()
-    # packing: within each (source, pack), offsets are contiguous
-    # (next offset = prev offset + prev len) and start at 0
-    for (_, _), g in m.groupby(["source", "pack_id"]):
-        g = g.sort_values("pack_offset")
-        starts = g["pack_offset"].to_numpy()
-        lens = g["n_bpe"].to_numpy()
-        assert starts[0] == 0 or starts[0] == g["pack_offset"].min()
-        assert (starts[1:] == starts[:-1] + lens[:-1]).all()
-        assert starts[-1] + lens[-1] <= 64 + lens.max()  # spill ≤ one doc
+    # packing: replay the concat-and-chunk contract independently per
+    # source — pack_id/pack_offset must equal the (doc_id, epoch)-ordered
+    # exclusive token cumsum's //64 and %64 exactly
+    for _, g in m.groupby("source"):
+        g = g.sort_values(["doc_id", "epoch"], kind="mergesort")
+        off = g["n_bpe"].cumsum().shift(fill_value=0).to_numpy()
+        assert (g["pack_id"].to_numpy() == off // 64).all()
+        assert (g["pack_offset"].to_numpy() == off % 64).all()
 
 
 def test_prep_manifest_rate_cap(ray_session):

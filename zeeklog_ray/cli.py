@@ -128,12 +128,20 @@ def main(argv: list[str] | None = None) -> int:
 
         from zeeklog_ray.prep import prep_export
 
+        from zeeklog_ray.prep import MAX_EPOCHS
+
         rates = {}
         for spec in args.mix:
             s, _, r = spec.partition("=")
-            if not r:
+            if not s or not r:
                 parser.error(f"--mix expects SOURCE=RATE, got {spec!r}")
-            rates[s] = float(r)
+            try:
+                rates[s] = float(r)
+            except ValueError:
+                parser.error(f"--mix rate must be numeric, got {spec!r}")
+            if not 0.0 <= rates[s] < MAX_EPOCHS:
+                parser.error(f"--mix rate must be in [0, {MAX_EPOCHS}), "
+                             f"got {spec!r}")
         docs = ray.data.read_parquet(expand_path(args.prep_export))
         summary = prep_export(docs, expand_path(args.out), rates=rates,
                               context_len=args.context_len)

@@ -240,48 +240,13 @@ def corpus_prep(ds: "ray.data.Dataset", min_words: int = 15,
     189 s → 17 s for 1M docs (58k docs/s).  Size ``num_buckets`` so a
     bucket fits one task's memory (see relational.with_hash_bucket).
     """
-    import numpy as np
-
     from zeeklog_ray.relational import grouped_sum
 
-    en_stop = frozenset(STOPWORDS["en"])
-
-    def prep(batch: pd.DataFrame) -> pd.DataFrame:
-        text = batch["text"].reset_index(drop=True)
-        n_words = text.str.count(r"[^ ]+").astype("int64")
-        n_stop = pd.Series(_member_counts(text.str.split(" "), en_stop,
-                                          len(text)))
-        ratio_e4 = np.floor(n_stop * _E4 / n_words.replace(0, 1)).astype("int64")
-        keep = (n_words >= min_words) & (ratio_e4 >= min_stop_ratio_e4)
-        kept = text[keep]
-        # 128-bit content digest (two independent 64-bit hashes — the
-        # exact_dedup_docs collision argument)
-        h1 = pd.util.hash_pandas_object(kept, index=False).astype("uint64")
-        h2 = pd.util.hash_pandas_object(kept, index=False,
-                                        hash_key="zeeklog-dedup-02").astype("uint64")
-        return pd.DataFrame({
-            "h1": h1.to_numpy(),
-            "h2": h2.to_numpy(),
-            "doc_id": batch["doc_id"].to_numpy()[keep.to_numpy()],
-            "lang": batch["lang"].to_numpy()[keep.to_numpy()],
-            "n_bpe": kept.str.count(_BPE_RE).astype("int64").to_numpy(),
-        })
-
-    prepped = ds.map_batches(prep, batch_format="pandas", batch_size=None)
-
-    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["_bucket"] = (batch["h1"] % np.uint64(num_buckets)).astype("int64")
-        return batch
-
-    def dedup_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.groupby(["h1", "h2"], sort=False)
-        return g.agg(doc_id=("doc_id", "min"), lang=("lang", "min"),
-                     n_bpe=("n_bpe", "min")).reset_index()
-
-    deduped = (prepped.map_batches(bucketize, batch_format="pandas",
-                                   batch_size=None)
-               .groupby("_bucket").map_groups(dedup_bucket,
-                                              batch_format="pandas"))
+    prepped = ds.map_batches(
+        prep_digest_stage("lang", min_words=min_words,
+                          min_stop_ratio_e4=min_stop_ratio_e4),
+        batch_format="pandas", batch_size=None)
+    deduped = digest_dedup(prepped, "lang", num_buckets=num_buckets)
     return grouped_sum(deduped.select_columns(["lang", "n_bpe"]), ["lang"],
                        sums={"n_bpe": "sum_bpe_tokens"}, count_as="n_docs")
 

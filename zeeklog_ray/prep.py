@@ -40,7 +40,7 @@ def prep_manifest(docs: "ray.data.Dataset",
     pack placement.  Columns: doc_id, epoch, source, n_bpe, pack_id,
     pack_offset."""
     from zeeklog_ray.ops.sample import mixture_resample
-    from zeeklog_ray.ops.text import STOPWORDS, _BPE_RE, _E4, _member_counts
+    from zeeklog_ray.ops.text import digest_dedup, prep_digest_stage
     from zeeklog_ray.ops.packing import pack_assignments
 
     rates = rates or {}
@@ -48,59 +48,28 @@ def prep_manifest(docs: "ray.data.Dataset",
         raise ValueError(f"mixture rates must be < {MAX_EPOCHS} "
                          "(packing order-key headroom)")
 
-    en_stop = frozenset(STOPWORDS["en"])
-
-    def prep(batch: pd.DataFrame) -> pd.DataFrame:
-        # row-local: quality metrics + filter + 128-bit digest + BPE-ish
-        # token count — the ONLY stage that touches text
-        text = batch["text"].reset_index(drop=True)
-        n_words = text.str.count(r"[^ ]+").astype("int64")
-        n_stop = pd.Series(_member_counts(text.str.split(" "), en_stop,
-                                          len(text)))
-        ratio_e4 = np.floor(n_stop * _E4 /
-                            n_words.replace(0, 1)).astype("int64")
-        keep = ((n_words >= min_words) &
-                (ratio_e4 >= min_stop_ratio_e4)).to_numpy()
-        kept = text[keep]
-        h1 = pd.util.hash_pandas_object(kept, index=False).astype("uint64")
-        h2 = pd.util.hash_pandas_object(
-            kept, index=False, hash_key="zeeklog-dedup-02").astype("uint64")
-        return pd.DataFrame({
-            "h1": h1.to_numpy(), "h2": h2.to_numpy(),
-            "doc_id": batch["doc_id"].to_numpy()[keep],
-            "source": batch["source"].to_numpy()[keep],
-            "n_bpe": kept.str.count(_BPE_RE).astype("int64").to_numpy()})
-
-    prepped = docs.map_batches(prep, batch_format="pandas", batch_size=None)
-
-    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["_bucket"] = (batch["h1"] %
-                            np.uint64(num_buckets)).astype("int64")
-        return batch
-
-    def dedup_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        # first-wins: MIN over every carried attribute (algebraic; n_bpe
-        # is constant per content group) — same semantics as corpus_prep
-        g = group.groupby(["h1", "h2"], sort=False)
-        return g.agg(doc_id=("doc_id", "min"), source=("source", "min"),
-                     n_bpe=("n_bpe", "min")).reset_index() \
-            .drop(columns=["h1", "h2"])
-
-    deduped = (prepped.map_batches(bucketize, batch_format="pandas",
-                                   batch_size=None)
-               .groupby("_bucket").map_groups(dedup_bucket,
-                                              batch_format="pandas"))
+    # row-local quality filter + digest + token count, then bucketed
+    # first-wins dedup — the SAME stages corpus_prep composes (one source
+    # of truth in ops/text; the SQL replay mirrors them once too)
+    prepped = docs.map_batches(
+        prep_digest_stage("source", min_words=min_words,
+                          min_stop_ratio_e4=min_stop_ratio_e4),
+        batch_format="pandas", batch_size=None)
+    deduped = digest_dedup(prepped, "source", num_buckets=num_buckets)
 
     resampled = mixture_resample(deduped, key_col="doc_id", by="source",
                                  rates=rates, default_rate=default_rate)
 
     def add_order(batch: pd.DataFrame) -> pd.DataFrame:
         # packing needs a UNIQUE total order per source; (doc_id, epoch)
-        # folded into one monotone key, plus the constant range column
-        # pack_assignments' contract requires
+        # folded into one monotone key.  The range column subdivides each
+        # source into 64k-order-key cells (monotone in _ord, so it
+        # satisfies pack_assignments' contract) — per-task memory is then
+        # bounded by a CELL, not a whole source (a constant range would
+        # put every row of a source into one pandas group)
         batch["_ord"] = (batch["doc_id"] * MAX_EPOCHS + batch["epoch"]) \
             .astype("int64")
-        batch["_r"] = np.int64(0)
+        batch["_r"] = (batch["_ord"] // np.int64(1 << 16)).astype("int64")
         return batch
 
     ordered = resampled.map_batches(add_order, batch_format="pandas",
@@ -134,25 +103,29 @@ def prep_export(docs: "ray.data.Dataset", out_dir: str,
     (`source=<v>/` dirs — independently re-readable, resumable output
     shape).  Returns a summary dict (rows, packs, tokens per source)."""
     from zeeklog_ray.partitioned import write_partitioned
-    from zeeklog_ray.relational import bucketed_distinct, grouped_sum
+    from zeeklog_ray.relational import grouped_sum, grouped_sum_bucketed
 
     manifest = prep_manifest(docs, rates=rates, default_rate=default_rate,
                              context_len=context_len, **kwargs)
     write_partitioned(manifest, out_dir, ["source"])
 
     # summary from the WRITTEN output (gates the round-trip, not just the
-    # in-memory plan)
+    # in-memory plan) — ONE scan: per-(source, pack) partials (entity-
+    # shaped: ≈ total_tokens/context_len rows, bucketed) roll up to the
+    # report-shaped per-source numbers without re-reading the files
     written = ray.data.read_parquet(out_dir)
-    stats = grouped_sum(written, ["source"], sums={"n_bpe": "sum_tokens"},
-                        count_as="n_rows").to_pandas().set_index("source")
-    pk = grouped_sum(bucketed_distinct(written, ["source", "pack_id"]),
-                     ["source"], count_as="n_packs").to_pandas() \
-        .set_index("source")
+    per_pack = grouped_sum_bucketed(
+        written, ["source", "pack_id"],
+        sums={"n_bpe": "sum_tokens"}, count_as="n_rows")
+    stats = grouped_sum(per_pack, ["source"],
+                        sums={"sum_tokens": "sum_tokens",
+                              "n_rows": "n_rows"},
+                        count_as="n_packs").to_pandas().set_index("source")
     return {
         "out_dir": out_dir,
         "sources": {
             str(s): {"n_rows": int(stats.loc[s, "n_rows"]),
                      "sum_tokens": int(stats.loc[s, "sum_tokens"]),
-                     "n_packs": int(pk.loc[s, "n_packs"])}
+                     "n_packs": int(stats.loc[s, "n_packs"])}
             for s in stats.index},
     }

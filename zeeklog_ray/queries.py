@@ -652,6 +652,16 @@ def events_hourly_dense(sf_dir: str) -> "ray.data.Dataset":
     sparse = grouped_sum(prepped, ["event_type", "hour"],
                          count_as="n").to_pandas()
 
+    import ray.data as _rd
+
+    if sparse.empty or "hour" not in sparse.columns:
+        # zero events (or Ray's empty-result schema loss): an empty dense
+        # frame with the contract columns, not a pd.date_range(NaT) crash
+        return _rd.from_pandas(pd.DataFrame({
+            "event_type": pd.Series([], dtype="object"),
+            "hour": pd.Series([], dtype="object"),
+            "n": pd.Series([], dtype="int64")}))
+
     lo = pd.Timestamp(sparse["hour"].min())
     hi = pd.Timestamp(sparse["hour"].max())
     hours = pd.date_range(lo, hi, freq="1h").strftime("%Y-%m-%d %H:00:00")
@@ -3411,7 +3421,9 @@ ORACLE_SQL: dict[str, str] = {
         f"|| (CASE WHEN doc_id % 2 = 0 THEN ' from 10.' || "
         f"CAST(doc_id % 200 AS VARCHAR) || '.' || "
         f"CAST(doc_id % 250 AS VARCHAR) || '.7' ELSE '' END) "
-        f"|| ' ref 9' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS t "
+        # printf never truncates (lpad would cut ids > 12 digits, silently
+        # diverging from Python's '%012d')
+        f"|| ' ref 9' || printf('%012d', doc_id) AS t "
         f"FROM documents), "
         f"s1 AS (SELECT doc_id, "
         f"CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) "
