@@ -150,3 +150,47 @@ def test_sample_sql_matches_ray_on_frame(ray_session):
     key = ["doc_id", "epoch"]
     assert sorted(map(tuple, mine2[key].values.tolist())) == \
         sorted(map(tuple, orc2[key].values.tolist()))
+
+
+def test_shuffle_rank_is_permutation_and_replay(ray_session):
+    from zeeklog_ray.ops.sample import SHUFFLE_SALT, shuffle_rank
+
+    rng = np.random.default_rng(11)
+    ids = rng.permutation(3000).astype(np.int64)
+    df = pd.DataFrame({"doc_id": ids, "v": np.arange(3000)})
+    out = shuffle_rank(ray.data.from_pandas(df), "doc_id",
+                       prefix_bits=6).to_pandas()
+    # positions are exactly 0..n-1 (a permutation, no gaps/dups)
+    assert sorted(out["shuffle_pos"]) == list(range(3000))
+    # matches the driver-side replay of the same (mix64(id+salt), id) sort
+    h = _mix64(df["doc_id"].to_numpy(np.uint64)
+               + np.uint64(SHUFFLE_SALT % (1 << 64)))
+    exp = df.assign(_h=h).sort_values(["_h", "doc_id"]) \
+        .reset_index(drop=True)
+    got = out.sort_values("shuffle_pos").reset_index(drop=True)
+    assert (got["doc_id"].to_numpy() == exp["doc_id"].to_numpy()).all()
+    assert (got["v"].to_numpy() == exp["v"].to_numpy()).all()
+
+
+def test_shuffle_rank_partition_independent(ray_session):
+    from zeeklog_ray.ops.sample import shuffle_rank
+
+    df = pd.DataFrame({"doc_id": np.arange(500, dtype=np.int64)})
+    one = shuffle_rank(ray.data.from_pandas(df), "doc_id") \
+        .to_pandas().sort_values("doc_id")
+    many = shuffle_rank(ray.data.from_pandas(
+        [df.iloc[i:i + 50] for i in range(0, 500, 50)]), "doc_id") \
+        .to_pandas().sort_values("doc_id")
+    assert (one["shuffle_pos"].to_numpy()
+            == many["shuffle_pos"].to_numpy()).all()
+
+
+def test_shuffle_rank_guards(ray_session):
+    from zeeklog_ray.ops.sample import shuffle_rank
+
+    with pytest.raises(ValueError):
+        shuffle_rank(ray.data.from_pandas(
+            pd.DataFrame({"doc_id": [1]})), "doc_id", prefix_bits=0)
+    with pytest.raises(Exception):    # negative ids refused inside task
+        shuffle_rank(ray.data.from_pandas(
+            pd.DataFrame({"doc_id": [-1]})), "doc_id").count()

@@ -214,3 +214,37 @@ def test_pii_patterns_duckdb_python_parity():
         ).fetchone()[0] for s in cases]
         assert py_n == sql_n, pat
     con.close()
+
+
+def test_normalize_text_axes(ray_session):
+    from zeeklog_ray.ops.text import normalize_text
+
+    df = pd.DataFrame({"doc_id": [0, 1, 2, 3],
+                       "text": ["  Café \t MIX\n\nUP ",
+                                "STRASSE ß ﬃGHT",
+                                "АБ Ёл",
+                                None]})
+    out = normalize_text(ray.data.from_pandas(df)).to_pandas() \
+        .sort_values("doc_id")
+    assert out["text_norm"].tolist()[:3] == [
+        "café mix up",            # NFC precomposes, ws collapses
+        "strasse ß ﬃght",    # ß and ligature survive lower()
+        "аб ёл",   # Cyrillic lower + NFC Ё
+    ]
+    assert out["text_norm"].isna().tolist() == [False, False, False, True]
+
+
+def test_normalize_text_documented_divergences():
+    """The two code points where Python and DuckDB lowercasing differ —
+    pinned so a future unicodedata/DuckDB upgrade that converges (or
+    widens) the gap is noticed."""
+    import unicodedata
+
+    import duckdb
+
+    con = duckdb.connect()
+    for s in ["ΣΙΣΥΦΟΣ", "İstanbul"]:
+        py = unicodedata.normalize("NFC", s).lower()
+        sql = con.execute("SELECT lower(nfc_normalize(?))", [s]).fetchone()[0]
+        assert py != sql
+    con.close()

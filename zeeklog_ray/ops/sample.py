@@ -261,6 +261,111 @@ def mixture_resample_sql(table_sql: str, key_col: str, select_cols: str,
         f"WHERE gs.epoch < _copies")
 
 
+# Salt for shuffle_rank's order hash — decorrelated from hash_sample's
+# unsalted draw and cap_per_key's CAP_SALT so sampling, capping and
+# shuffling the same id column are independent decisions.
+SHUFFLE_SALT = 0xD1B54A32D192ED03
+
+
+def shuffle_rank(ds: "ray.data.Dataset", id_col: str = "doc_id",
+                 salt: int = SHUFFLE_SALT, prefix_bits: int = 12,
+                 out: str = "shuffle_pos") -> "ray.data.Dataset":
+    """Deterministic GLOBAL shuffle with an explicit training order:
+    ``out`` = the row's position when all rows are sorted by
+    ``(mix64(id + salt), id)`` — the reproducible, partition-independent
+    "shuffle the corpus once before training" every run needs (the same
+    order on any cluster layout; ``Dataset.random_shuffle`` is neither
+    deterministic nor rank-producing).
+
+    No global sort operator and nothing materializes on the driver.
+    Two-level prefix sum over the hash's TOP ``prefix_bits`` bits (bucket
+    order == hash order, so ranks are globally consistent):
+
+      pass 1  per-batch ``np.bincount`` of hash-prefix buckets →
+              combiner-first sum (≤ 2^prefix_bits rows cross the wire) →
+              driver exclusive-cumsum → broadcast via ``ray.put``;
+      pass 2  rows shuffle ONCE bucketed by the prefix; each bucket
+              C-sorts by (hash, id) and adds base + arange.
+
+    mix64 output is uniform, so buckets are balanced regardless of input
+    skew.  Size ``prefix_bits`` ≈ log2(n_rows / rows_per_task): 12 bits
+    (4096 buckets) keeps 10^10 rows at ~2.4M rows/task; use 16-20 bits at
+    10^12.  The input is scanned twice (counts, then shuffle) — feed a
+    column-pruned read or a persisted intermediate, not an expensive
+    upstream pipeline.  SQL replay: ``ROW_NUMBER() OVER (ORDER BY
+    mix64(id+salt), id) - 1`` (:func:`shuffle_rank_sql`)."""
+    import ray
+
+    from zeeklog_ray.relational import grouped_sum
+
+    if not 1 <= prefix_bits <= 24:
+        raise ValueError(f"prefix_bits must be in [1, 24], got {prefix_bits}")
+    nb = 1 << prefix_bits
+    shift = np.uint64(64 - prefix_bits)
+    salt64 = np.uint64(salt % _M64)
+
+    def hash_ids(batch: pd.DataFrame) -> np.ndarray:
+        ids = batch[id_col].to_numpy()
+        if not np.issubdtype(ids.dtype, np.integer):
+            raise TypeError(f"{id_col} must be integer, got {ids.dtype}")
+        if len(ids) and ids.min() < 0:
+            raise ValueError(f"shuffle_rank: {id_col} must be "
+                             f"non-negative, saw {ids.min()}")
+        return _mix64(ids.astype(np.uint64, copy=False) + salt64)
+
+    def bucket_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame({"_b": pd.Series([], dtype="int64"),
+                                 "_n": pd.Series([], dtype="int64")})
+        cnt = np.bincount((hash_ids(batch) >> shift).astype(np.int64),
+                          minlength=nb)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame({"_b": nz.astype(np.int64), "_n": cnt[nz]})
+
+    counts = grouped_sum(
+        ds.map_batches(bucket_counts, batch_format="pandas",
+                       batch_size=None),
+        ["_b"], sums={"_n": "_n"}).to_pandas()
+    full = np.zeros(nb, dtype=np.int64)
+    if len(counts):
+        full[counts["_b"].to_numpy()] = counts["_n"].to_numpy()
+    base_ref = ray.put(np.cumsum(full) - full)      # exclusive prefix
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        h = hash_ids(batch)
+        batch["_h"] = h
+        batch["_bucket"] = (h >> shift).astype(np.int64)
+        return batch
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        base = ray.get(base_ref)
+        b = int(group["_bucket"].iat[0])
+        g = group.sort_values(["_h", id_col], kind="mergesort") \
+            .drop(columns=["_bucket", "_h"])
+        g[out] = base[b] + np.arange(len(g), dtype=np.int64)
+        return g
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pandas",
+                              batch_size=None)
+    return bucketed.groupby("_bucket").map_groups(per_bucket,
+                                                  batch_format="pandas")
+
+
+def shuffle_rank_sql(table_sql: str, id_col: str, select_cols: str,
+                     salt: int = SHUFFLE_SALT,
+                     out: str = "shuffle_pos") -> str:
+    """Oracle SQL equivalent of :func:`shuffle_rank` (bit-exact
+    splitmix64 in HUGEINT)."""
+    steps, final = mix64_sql(id_col, salt=salt)
+    return (
+        f"WITH _m0 AS (SELECT *, {steps[0]} AS z0 FROM {table_sql}), "
+        f"_m1 AS (SELECT *, {steps[1]} AS z1 FROM _m0), "
+        f"_m2 AS (SELECT *, {steps[2]} AS z2 FROM _m1) "
+        f"SELECT {select_cols}, ROW_NUMBER() OVER "
+        f"(ORDER BY {final}, {id_col}) - 1 AS {out} FROM _m2")
+
+
 def cap_per_key_sql(table_sql: str, key_cols: str, id_col: str,
                     select_cols: str, n: int, salt: int) -> str:
     """Oracle SQL equivalent of :func:`relational.cap_per_key`:

@@ -142,6 +142,52 @@ def token_counts(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     return ds.map_batches(count, batch_format="pandas", batch_size=None)
 
 
+def normalize_text(ds: "ray.data.Dataset", col: str = "text",
+                   out: str = "text_norm", *, nfc: bool = True,
+                   lower: bool = True, collapse_ws: bool = True,
+                   strip: bool = True) -> "ray.data.Dataset":
+    """Text canonicalization — the pass every corpus pipeline runs BEFORE
+    dedup/fingerprinting so byte-level variants of the same content
+    collide: Unicode NFC (combining sequences → precomposed), lowercase,
+    ASCII-whitespace-run collapse to one space, edge strip.
+
+    Row-local ``map_batches``, no shuffle: one streaming pass at any
+    scale.  ``unicodedata.normalize`` is a per-string C call (the ASCII
+    fast path is O(1)-ish); the case/whitespace steps are pandas string
+    kernels.
+
+    Oracle parity (pinned empirically, tests/test_ops_text.py): NFC,
+    lower, ``[ \\t\\n\\r\\f\\v]+`` collapse and space-strip all match
+    DuckDB ``lower(nfc_normalize(..))`` + ``regexp_replace`` +
+    ``trim(.., ' ')`` EXCEPT two documented divergences — Python
+    lowercases final-position Σ contextually to ς and expands İ to
+    ``i\\u0307`` (DuckDB: plain σ / bare i).  Queries gated by the DuckDB
+    oracle must not feed those two code points."""
+    import re
+    import unicodedata
+
+    ws_re = re.compile(r"[ \t\n\r\f\v]+", re.ASCII)
+
+    def norm(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[col]
+        if nfc:
+            s = pd.Series(
+                [None if t is None else unicodedata.normalize("NFC", t)
+                 for t in s],
+                index=s.index, dtype="object")
+        if lower:
+            s = s.str.lower()
+        if collapse_ws:
+            s = s.str.replace(ws_re, " ", regex=True)
+        if strip:
+            s = s.str.strip(" ")
+        batch = batch.copy()
+        batch[out] = s
+        return batch
+
+    return ds.map_batches(norm, batch_format="pandas", batch_size=None)
+
+
 def prep_digest_stage(attr_col: str, min_words: int = 15,
                       min_stop_ratio_e4: int = 200):
     """The shared ROW-LOCAL stage of the corpus-prep family (one source of

@@ -2239,6 +2239,64 @@ def docs_pii_scrub(sf_dir: str) -> "ray.data.Dataset":
     return ds.map_batches(scrub, batch_format="pandas", batch_size=None)
 
 
+# Planted strings for docs_text_normalize: each exercises one
+# normalization axis (combining-sequence NFC, tab/newline collapse,
+# case folding incl. ß/ligature/Cyrillic, decomposed Ё).  Deliberately
+# free of final-position Σ and dotted İ — the two documented Python/
+# DuckDB lowercasing divergences (ops/text.normalize_text docstring).
+_NORM_PLANTS = [
+    " Café  MIX\tUP ",
+    "\tTAB\n\nNEWLINES  ",
+    " STRASSE ß ﬃGHT",
+    " АБВГ Ёлка",
+]
+
+
+def docs_text_normalize(sf_dir: str) -> "ray.data.Dataset":
+    """Unicode canonicalization over the corpus (ops/text.normalize_text):
+    NFC + lowercase + whitespace-run collapse + strip, with the
+    normalized length — the pass that makes byte-level variants of the
+    same content collide before dedup.  The synthetic corpus is ASCII, so
+    the query PLANTS deterministic Unicode mess per doc_id (identically
+    in Ray and SQL) to make the hash gate exercise every axis.
+    Row-local map, no shuffle."""
+    from zeeklog_ray.ops.text import normalize_text
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy()
+        batch = batch.copy()
+        batch["text"] = [t + _NORM_PLANTS[i % 4]
+                         for i, t in zip(ids, batch["text"])]
+        return batch
+
+    normed = normalize_text(
+        ds.map_batches(plant, batch_format="pandas", batch_size=None))
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].to_numpy(),
+            "text_norm": batch["text_norm"].to_numpy(),
+            "n_chars_norm": batch["text_norm"].str.len()
+            .astype("int64").to_numpy()})
+
+    return normed.map_batches(finish, batch_format="pandas",
+                              batch_size=None)
+
+
+def docs_shuffle_order(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic global training-order shuffle
+    (ops/sample.shuffle_rank): every doc's explicit position under the
+    salted splitmix64 order — reproducible on any partitioning, built
+    with a two-level prefix sum instead of a global sort.  Hash-checked
+    against the bit-exact HUGEINT ROW_NUMBER replay."""
+    from zeeklog_ray.ops.sample import shuffle_rank
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+    return shuffle_rank(ds, id_col="doc_id")
+
+
 def top_orders_per_customer(sf_dir: str) -> "ray.data.Dataset":
     """Per-group top-N (window-rank shape): each customer's 2 highest-value
     orders.  Bucketed-groupby pattern (relational.with_hash_bucket): one
@@ -2510,6 +2568,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "docs_sample_mod": docs_sample_mod,
     "docs_cap_per_source": docs_cap_per_source,
     "docs_pii_scrub": docs_pii_scrub,
+    "docs_text_normalize": docs_text_normalize,
+    "docs_shuffle_order": docs_shuffle_order,
     "docs_hash_sample": docs_hash_sample,
     "docs_mixture_resample": docs_mixture_resample,
     "top_orders_per_customer": top_orders_per_customer,
@@ -3408,6 +3468,19 @@ ORACLE_SQL: dict[str, str] = {
         "WHERE o_orderpriority = '1-URGENT')"),
     "docs_sample_mod": (
         "SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 20 = 3"),
+    # NFC+lower+collapse+strip replay; the planted strings are embedded as
+    # raw UTF-8 literals — the CASE arms must match _NORM_PLANTS verbatim
+    "docs_text_normalize": (
+        "WITH planted AS (SELECT doc_id, text || CASE doc_id % 4 "
+        + " ".join(f"WHEN {i} THEN '{p}'" for i, p in enumerate(_NORM_PLANTS))
+        + " END AS t FROM documents), "
+        "n AS (SELECT doc_id, trim(regexp_replace(lower(nfc_normalize(t)), "
+        "'[ \t\n\r\f\v]+', ' ', 'g'), ' ') AS text_norm FROM planted) "
+        "SELECT doc_id, text_norm, "
+        "CAST(length(text_norm) AS BIGINT) AS n_chars_norm FROM n"),
+    # bit-exact splitmix64 ROW_NUMBER replay (ops/sample.py builds the CTE)
+    "docs_shuffle_order": _sample_sql.shuffle_rank_sql(
+        "documents", "doc_id", "doc_id, source"),
     # bit-exact splitmix64 ROW_NUMBER replay (ops/sample.py builds the CTE)
     "docs_cap_per_source": _sample_sql.cap_per_key_sql(
         "documents", "source", "doc_id", "doc_id, source, n_chars",
