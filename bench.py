@@ -146,6 +146,28 @@ def _run_scale_ops(timings: dict) -> None:
     mode_per_key(ray.data.read_parquet(ev), "user_id", "value").count()
     timings[f"scale_mode_{mtag}"] = round(time.monotonic() - t0, 3)
 
+    # deterministic global shuffle order at 5M rows (two-level prefix
+    # sum + one bucketed shuffle) and per-key cap at 5M rows / 100k keys
+    # — over ray.data.range (the unique-int64-id input shape; the events
+    # table has no id column), 64 blocks ≈ the parquet layout
+    from zeeklog_ray.ops.sample import shuffle_rank
+    from zeeklog_ray.relational import cap_per_key
+
+    def add_key(b):
+        b["k"] = b["id"] % 100_000
+        return b
+
+    t0 = time.monotonic()
+    shuffle_rank(ray.data.range(5_000_000, override_num_blocks=64),
+                 id_col="id").count()
+    timings["scale_shuffle_rank_5m"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    cap_per_key(ray.data.range(5_000_000, override_num_blocks=64)
+                .map_batches(add_key, batch_format="pandas",
+                             batch_size=None),
+                "k", 10, "id").count()
+    timings["scale_cap_per_key_5m"] = round(time.monotonic() - t0, 3)
+
     # decontamination at 1M docs: benchmark = doc_id % 1000 == 0 (~1k
     # docs), the broadcast shape's intended regime — tiny probe side,
     # full-corpus map scan

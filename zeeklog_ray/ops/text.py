@@ -236,7 +236,14 @@ def digest_dedup(prepped: "ray.data.Dataset", attr_col: str,
     Bucketed on ``h1 % num_buckets`` so the per-group Python cost is paid
     per BUCKET (measured 189 s → 17 s at 1M docs); same h1 ⇒ same bucket
     keeps every copy co-located.  Output drops the digests:
-    ``(doc_id, attr_col, n_bpe)``."""
+    ``(doc_id, attr_col, n_bpe)``.
+
+    Bucket sizing (measured at 1M docs / 32 CPUs: 2048 buckets 7.3 s,
+    512 5.6 s, 64 9.1 s): past ~4×CPUs buckets the wall is the shuffle
+    itself, below it stragglers dominate — target ≥ ~2k digests per
+    bucket and at least a few buckets per CPU; the conservative default
+    serves the corpus scale this is designed for, tune DOWN for small
+    inputs."""
     import numpy as np
 
     def bucketize(batch: pd.DataFrame) -> pd.DataFrame:

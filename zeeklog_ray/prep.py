@@ -72,8 +72,15 @@ def prep_manifest(docs: "ray.data.Dataset",
         batch["_r"] = (batch["_ord"] // np.int64(1 << 16)).astype("int64")
         return batch
 
+    # pack_assignments scans its input twice (subtotal pass + shuffle
+    # pass); without a pin the whole filter→dedup→resample chain — text
+    # hashing included — would re-execute for the second scan (measured
+    # 2× wall at 1M docs).  The pinned table is SCALARS ONLY (six int/str
+    # columns, no text), so it is object-store-sized even at corpus
+    # scale; at 10^12 rows persist it to Parquet instead and feed the
+    # re-read (same one-line swap as the minhash signature stage).
     ordered = resampled.map_batches(add_order, batch_format="pandas",
-                                    batch_size=None)
+                                    batch_size=None).materialize()
     assigned = pack_assignments(ordered, group_col="source",
                                 order_col="_ord", len_col="n_bpe",
                                 range_col="_r", context_len=context_len)
