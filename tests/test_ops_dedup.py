@@ -178,3 +178,41 @@ def test_ngram_jaccard_dedup_pairs_candidate_cap(ray_session):
         ngram_jaccard_dedup_pairs(ray.data.from_pandas(df),
                                   num_perm=16, bands=4,
                                   max_candidate_docs=1).to_pandas()
+
+
+def test_levenshtein_pairs_matches_duckdb():
+    import random
+
+    import duckdb
+
+    from zeeklog_ray.ops.dedup import levenshtein_pairs
+
+    random.seed(7)
+    alpha = "abcde é雪 "
+    a = ["".join(random.choices(alpha, k=random.randint(0, 25)))
+         for _ in range(200)]
+    b = ["".join(random.choices(alpha, k=random.randint(0, 25)))
+         for _ in range(200)]
+    b[:30] = a[:30]                       # exact dups
+    b[30:60] = [s + "x" for s in a[30:60]]  # one-edit dups
+    got = levenshtein_pairs(pd.Series(a), pd.Series(b))
+    con = duckdb.connect()
+    exp = [con.execute("SELECT levenshtein(?, ?)", [x, y]).fetchone()[0]
+           for x, y in zip(a, b)]
+    con.close()
+    assert got.tolist() == exp
+    # byte-level contract pinned: é is two UTF-8 bytes
+    assert levenshtein_pairs(pd.Series(["café"]),
+                             pd.Series(["cafe"])).tolist() == [2]
+
+
+def test_levenshtein_pairs_edges():
+    from zeeklog_ray.ops.dedup import levenshtein_pairs
+
+    assert levenshtein_pairs(pd.Series([], dtype=object),
+                             pd.Series([], dtype=object)).tolist() == []
+    assert levenshtein_pairs(pd.Series(["", "a", ""]),
+                             pd.Series(["", "", "xyz"])).tolist() == [0, 1, 3]
+    with pytest.raises(ValueError, match="over 8 bytes"):
+        levenshtein_pairs(pd.Series(["123456789"]), pd.Series(["x"]),
+                          max_bytes=8)

@@ -2285,6 +2285,41 @@ def docs_text_normalize(sf_dir: str) -> "ray.data.Dataset":
                               batch_size=None)
 
 
+def docs_editdist_adjacent(sf_dir: str) -> "ray.data.Dataset":
+    """Byte-level Levenshtein distance over candidate pairs
+    (ops/dedup.levenshtein_pairs) — the PRECISION tier of near-dup
+    verification ("k edits apart", not just shingle overlap).  The pair
+    set here is deterministic (each doc vs its successor id) so the
+    DuckDB ``levenshtein`` replay gates the DP bit-exactly; production
+    callers feed LSH candidates instead — the cost contract (candidate
+    pairs only, never a cross product) is the same."""
+    from zeeklog_ray.ops.dedup import levenshtein_pairs
+    from zeeklog_ray.relational import hash_join
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def as_left(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": batch["doc_id"].to_numpy() + 1,
+                             "doc_a": batch["doc_id"].to_numpy(),
+                             "text_a": batch["text"].to_numpy()})
+
+    left = ds.map_batches(as_left, batch_format="pandas", batch_size=None)
+    joined = hash_join(left, ds, on="k", right_on="doc_id")
+
+    def dist(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "edit_dist": pd.Series([], dtype="int64")})
+        return pd.DataFrame({
+            "doc_a": batch["doc_a"].to_numpy(),
+            # Dataset.join keeps only the LEFT key column; k == right doc_id
+            "doc_b": batch["k"].to_numpy(),
+            "edit_dist": levenshtein_pairs(batch["text_a"], batch["text"])})
+
+    return joined.map_batches(dist, batch_format="pandas", batch_size=None)
+
+
 def docs_shuffle_order(sf_dir: str) -> "ray.data.Dataset":
     """Deterministic global training-order shuffle
     (ops/sample.shuffle_rank): every doc's explicit position under the
@@ -2570,6 +2605,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "docs_pii_scrub": docs_pii_scrub,
     "docs_text_normalize": docs_text_normalize,
     "docs_shuffle_order": docs_shuffle_order,
+    "docs_editdist_adjacent": docs_editdist_adjacent,
     "docs_hash_sample": docs_hash_sample,
     "docs_mixture_resample": docs_mixture_resample,
     "top_orders_per_customer": top_orders_per_customer,
@@ -3481,6 +3517,11 @@ ORACLE_SQL: dict[str, str] = {
     # bit-exact splitmix64 ROW_NUMBER replay (ops/sample.py builds the CTE)
     "docs_shuffle_order": _sample_sql.shuffle_rank_sql(
         "documents", "doc_id", "doc_id, source"),
+    # DuckDB levenshtein is byte-level — exactly what the DP computes
+    "docs_editdist_adjacent": (
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist "
+        "FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1"),
     # bit-exact splitmix64 ROW_NUMBER replay (ops/sample.py builds the CTE)
     "docs_cap_per_source": _sample_sql.cap_per_key_sql(
         "documents", "source", "doc_id", "doc_id, source, n_chars",
