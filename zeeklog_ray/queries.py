@@ -2285,6 +2285,99 @@ def docs_text_normalize(sf_dir: str) -> "ray.data.Dataset":
                               batch_size=None)
 
 
+def docs_word_postings(sf_dir: str) -> "ray.data.Dataset":
+    """Inverted index over the corpus: per word, the document frequency
+    and a CAPPED posting list (first 5 doc_ids, ascending) — the search /
+    retrieval shape (and the "which docs contain this contaminating
+    string" audit tool).  Scale shape: explode + per-batch (word, doc)
+    dedup is row-local; only deduped pairs shuffle ONCE on the word-hash
+    bucket; the posting strings are built per bucket and the output is
+    vocabulary-sized, never corpus-sized.  The cap bounds output row
+    width — an uncapped posting list for a stopword would be a
+    corpus-length string."""
+    from zeeklog_ray.relational import with_hash_bucket
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[["doc_id"]].assign(word=batch["text"].str.split(" ")) \
+            .explode("word", ignore_index=True)
+        out = out[out["word"] != ""]
+        # partial dedup pre-shuffle: a word repeated inside one doc
+        # contributes one pair, so stopword fan-out is bounded by
+        # (docs-in-batch × distinct-words), not token count
+        return out.drop_duplicates()[["word", "doc_id"]]
+
+    exploded = ds.map_batches(explode, batch_format="pandas",
+                              batch_size=None)
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["word", "doc_id"]) \
+            .drop_duplicates(["word", "doc_id"])
+        sizes = g.groupby("word", sort=False).size()
+        posts = g.groupby("word", sort=False).head(5) \
+            .groupby("word", sort=False)["doc_id"] \
+            .agg(lambda s: ",".join(map(str, s)))
+        return pd.DataFrame({"word": sizes.index.to_numpy(),
+                             "df": sizes.to_numpy().astype("int64"),
+                             "postings": posts.to_numpy()})
+
+    return with_hash_bucket(exploded, ["word"], 512) \
+        .groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+def docs_top_bigrams(sf_dir: str) -> pd.DataFrame:
+    """Phrase mining: the 20 most frequent word bigrams corpus-wide
+    (ties broken by the bigram string) — boilerplate/template detection.
+    Per-batch ``value_counts`` partials (combiner: rows crossing the wire
+    = distinct bigrams per batch), bucketed sum, then per-block local
+    top-20 and a ≤ 20·|blocks|-row driver merge — the counts table never
+    lands on the driver."""
+    from itertools import chain
+
+    from zeeklog_ray.relational import grouped_sum_bucketed
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def bigram_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame({"bigram": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64")})
+        words = batch["text"].str.split(" ")
+        counts = words.str.len().to_numpy()
+        total = int(counts.sum())
+        flat = np.fromiter(chain.from_iterable(words), dtype=object,
+                           count=total)
+        if total < 2:
+            return pd.DataFrame({"bigram": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64")})
+        # pairs starting at a doc's last word cross documents — mask out
+        valid = np.ones(total - 1, dtype=bool)
+        ends = np.cumsum(counts) - 1
+        valid[ends[:-1][ends[:-1] < total - 1]] = False
+        bg = pd.Series(flat[:-1][valid]).str.cat(
+            pd.Series(flat[1:][valid]), sep=" ")
+        vc = bg.value_counts()
+        return pd.DataFrame({"bigram": vc.index.to_numpy(),
+                             "n": vc.to_numpy().astype("int64")})
+
+    partials = ds.map_batches(bigram_partials, batch_format="pandas",
+                              batch_size=None)
+    totals = grouped_sum_bucketed(partials, ["bigram"], sums={"n": "n"})
+
+    def local_top(batch: pd.DataFrame) -> pd.DataFrame:
+        if "bigram" not in batch.columns:
+            return pd.DataFrame({"bigram": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64")})
+        return batch.sort_values(["n", "bigram"],
+                                 ascending=[False, True]).head(20)
+
+    cand = totals.map_batches(local_top, batch_format="pandas",
+                              batch_size=None).to_pandas()
+    return cand.sort_values(["n", "bigram"], ascending=[False, True]) \
+        .head(20).reset_index(drop=True)
+
+
 def docs_editdist_adjacent(sf_dir: str) -> "ray.data.Dataset":
     """Byte-level Levenshtein distance over candidate pairs
     (ops/dedup.levenshtein_pairs) — the PRECISION tier of near-dup
@@ -2606,6 +2699,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "docs_text_normalize": docs_text_normalize,
     "docs_shuffle_order": docs_shuffle_order,
     "docs_editdist_adjacent": docs_editdist_adjacent,
+    "docs_word_postings": docs_word_postings,
+    "docs_top_bigrams": docs_top_bigrams,
     "docs_hash_sample": docs_hash_sample,
     "docs_mixture_resample": docs_mixture_resample,
     "top_orders_per_customer": top_orders_per_customer,
@@ -3517,6 +3612,28 @@ ORACLE_SQL: dict[str, str] = {
     # bit-exact splitmix64 ROW_NUMBER replay (ops/sample.py builds the CTE)
     "docs_shuffle_order": _sample_sql.shuffle_rank_sql(
         "documents", "doc_id", "doc_id, source"),
+    # inverted index: DISTINCT (word, doc) pairs, df + first-5 postings
+    "docs_word_postings": (
+        "WITH w AS (SELECT DISTINCT * FROM (SELECT doc_id, "
+        "unnest(string_split(text, ' ')) AS word FROM documents)), "
+        "r AS (SELECT word, doc_id, "
+        "ROW_NUMBER() OVER (PARTITION BY word ORDER BY doc_id) AS rn, "
+        "COUNT(*) OVER (PARTITION BY word) AS df "
+        "FROM w WHERE word <> '') "
+        "SELECT word, CAST(max(df) AS BIGINT) AS df, "
+        "STRING_AGG(CASE WHEN rn <= 5 THEN CAST(doc_id AS VARCHAR) END, "
+        "',' ORDER BY doc_id) AS postings FROM r GROUP BY word"),
+    # within-doc consecutive word pairs; (count desc, bigram) tie-break
+    # makes the LIMIT deterministic on both sides
+    "docs_top_bigrams": (
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws "
+        "FROM documents), "
+        "u AS (SELECT doc_id, unnest(ws) AS w, "
+        "unnest(generate_series(1, len(ws))) AS i FROM t), "
+        "b AS (SELECT a.w || ' ' || c.w AS bigram FROM u a "
+        "JOIN u c ON a.doc_id = c.doc_id AND c.i = a.i + 1) "
+        "SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM b "
+        "GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20"),
     # DuckDB levenshtein is byte-level — exactly what the DP computes
     "docs_editdist_adjacent": (
         "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
