@@ -267,3 +267,43 @@ def test_actor_pool_pipeline(ray_session):
                   "modality": ["image"], "meta": ["{}"]})
     got = extract_features(ray.data.from_arrow(t)).to_pandas()
     assert got["features"][0][2] == pytest.approx(1.0)
+
+
+def test_resize_image_identity_and_known_values():
+    from zeeklog_ray.ops.multimodal import resize_image
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (16, 12, 3), dtype=np.uint8)
+    # same-size bilinear is exactly identity (half-pixel mapping lands on
+    # integer coordinates with zero fractional weight)
+    assert (resize_image(img, 16, 12) == img).all()
+    # 2x2 constant blocks downsample by 2 exactly (all four lerp sources
+    # equal) — pins the sampling grid
+    big = np.repeat(np.repeat(img, 2, axis=0), 2, axis=1)
+    assert (resize_image(big, 16, 12) == img).all()
+    assert (resize_image(big, 16, 12, method="nearest") == img).all()
+    # hand-computed 1-D case: [[0, 100]] -> width 4 at half-pixel centers
+    row = np.array([[[0, 0, 0], [100, 100, 100]]], dtype=np.uint8)
+    out = resize_image(row, 1, 4)
+    assert out[0, :, 0].tolist() == [0, 25, 75, 100]
+
+
+def test_resize_images_actor_stage(ray_session):
+    from zeeklog_ray.ops.multimodal import (
+        decode_bmp,
+        encode_bmp,
+        resize_images,
+        synth_media_table,
+    )
+
+    t = synth_media_table(60)
+    res = resize_images(ray.data.from_arrow(t), 32, 24).to_pandas()
+    n_img = sum(1 for m in t["modality"].to_pylist() if m == "image")
+    assert len(res) == n_img
+    assert (res["out_w"] == 32).all() and (res["out_h"] == 24).all()
+    expected_bytes = 54 + 24 * ((32 * 3 + 3) // 4 * 4)
+    assert (res["n_bytes"] == expected_bytes).all()
+    px = decode_bmp(res["payload"].iloc[0])
+    assert px.shape == (24, 32, 3)
+    # round-trip: re-encoding the decoded pixels is byte-identical
+    assert encode_bmp(px) == res["payload"].iloc[0]

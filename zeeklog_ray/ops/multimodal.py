@@ -459,6 +459,85 @@ class MediaFeatureExtractor:
         })
 
 
+def resize_image(pixels: np.ndarray, out_h: int, out_w: int,
+                 method: str = "bilinear") -> np.ndarray:
+    """Vectorized HxWx3 uint8 resize — pure numpy gather + lerp, no loop.
+
+    ``bilinear`` uses the half-pixel-center mapping (align_corners=False,
+    the OpenCV/PIL convention): src = (dst + 0.5)·scale − 0.5, weights
+    from the UNCLIPPED floor so edge samples degenerate to the border
+    pixel; same-size resize is exactly identity.  ``nearest`` picks
+    floor((dst + 0.5)·scale).  Output rounds half-away via np.rint on
+    float32 sums (deterministic everywhere)."""
+    h, w = pixels.shape[:2]
+    if method == "nearest":
+        yi = np.minimum(((np.arange(out_h) + 0.5) * h / out_h)
+                        .astype(np.int64), h - 1)
+        xi = np.minimum(((np.arange(out_w) + 0.5) * w / out_w)
+                        .astype(np.int64), w - 1)
+        return pixels[yi][:, xi]
+    if method != "bilinear":
+        raise ValueError(f"unknown resize method {method!r}")
+    fy = (np.arange(out_h) + 0.5) * (h / out_h) - 0.5
+    fx = (np.arange(out_w) + 0.5) * (w / out_w) - 0.5
+    y0f, x0f = np.floor(fy), np.floor(fx)
+    wy = (fy - y0f).astype(np.float32)[:, None, None]
+    wx = (fx - x0f).astype(np.float32)[None, :, None]
+    y0 = np.clip(y0f.astype(np.int64), 0, h - 1)
+    y1 = np.clip(y0f.astype(np.int64) + 1, 0, h - 1)
+    x0 = np.clip(x0f.astype(np.int64), 0, w - 1)
+    x1 = np.clip(x0f.astype(np.int64) + 1, 0, w - 1)
+    p = pixels.astype(np.float32)
+    top = p[y0][:, x0] * (1 - wx) + p[y0][:, x1] * wx
+    bot = p[y1][:, x0] * (1 - wx) + p[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+class MediaResizer:
+    """Actor stage: decode image payload → resize → re-encode BMP.
+
+    Same pool shape as :class:`MediaFeatureExtractor` (state in
+    ``__init__``, small batches — payload × batch × concurrency must fit
+    the worker heap).  Non-image rows are dropped (route them to their
+    own stages).  Output BMP size is a pure function of the target dims
+    (54-byte header + 4-aligned rows), which is what the SQL oracle
+    gates; pixel math is pinned by unit tests."""
+
+    def __init__(self, out_w: int, out_h: int,
+                 method: str = "bilinear") -> None:
+        if out_w < 1 or out_h < 1:
+            raise ValueError(f"bad target dims {out_w}x{out_h}")
+        self.out_w, self.out_h, self.method = out_w, out_h, method
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.equal(batch["modality"], "image"))
+        payloads = batch["payload"].to_pylist()
+        resized = [encode_bmp(resize_image(decode_image(p), self.out_h,
+                                           self.out_w, self.method))
+                   for p in payloads]
+        return pa.table({
+            "item_id": batch["item_id"],
+            "out_w": pa.array([self.out_w] * len(resized), pa.int64()),
+            "out_h": pa.array([self.out_h] * len(resized), pa.int64()),
+            "n_bytes": pa.array([len(r) for r in resized], pa.int64()),
+            "payload": pa.array(resized, pa.binary()),
+        })
+
+
+def resize_images(ds: "ray.data.Dataset", out_w: int, out_h: int,
+                  method: str = "bilinear", batch_size: int = 64,
+                  concurrency: tuple[int, int] = (1, 4)) -> "ray.data.Dataset":
+    """Actor-pool image resize over a media table (images only)."""
+    return ds.map_batches(MediaResizer, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency,
+                          fn_constructor_kwargs={
+                              "out_w": out_w, "out_h": out_h,
+                              "method": method})
+
+
 def extract_features(ds: "ray.data.Dataset", decoder: str = "numpy",
                      batch_size: int = 64,
                      concurrency: tuple[int, int] = (1, 4)) -> "ray.data.Dataset":

@@ -1519,6 +1519,24 @@ def media_features(sf_dir: str) -> "ray.data.Dataset":
     return extract_features(ds).drop_columns(["features"])
 
 
+def media_resized(sf_dir: str) -> "ray.data.Dataset":
+    """Actor-pool image resize (ops/multimodal.resize_image — vectorized
+    bilinear, half-pixel-center convention) over the media corpus: decode
+    BMP/PNG → 32×24 → re-encode BMP.  Like media_features, the oracle
+    gates the SQL-expressible surface — image routing, id preservation,
+    and the encoder's exact output size (54-byte header + 4-aligned
+    rows); the pixel math is pinned by tests/test_ops_multimodal.py."""
+    import ray.data as rd
+
+    from zeeklog_ray.ops.multimodal import (
+        media_parquet_for_sf_dir,
+        resize_images,
+    )
+
+    ds = rd.read_parquet(media_parquet_for_sf_dir(sf_dir))
+    return resize_images(ds, out_w=32, out_h=24).drop_columns(["payload"])
+
+
 def zeek_multiday_first_wins(sf_dir: str) -> "ray.data.Dataset":
     """Reference E2 semantics (main.rs:301-334): per-day summaries unioned
     over the date range, first-wins dedup per source address (ops/dedup.py
@@ -2668,6 +2686,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_first_day": events_first_day,
     "ann_lsh_topk": ann_lsh_topk,
     "media_features": media_features,
+    "media_resized": media_resized,
     "zeek_multiday_first_wins": zeek_multiday_first_wins,
     "embedding_dup_components": embedding_dup_components,
     "dup_cluster_canonical": dup_cluster_canonical,
@@ -2891,6 +2910,14 @@ def _zeek_oracle_sql(sf_dir: str) -> dict[str, str]:
         "media_features": (
             "SELECT item_id, modality, octet_length(payload) AS n_bytes "
             f"FROM read_parquet('{_media_parquet(sf_dir)}')"),
+        # resize plumbing gate: images only, ids preserved, exact BMP
+        # output size = 54 + out_h·(out_w·3 rounded up to 4 bytes)
+        "media_resized": (
+            "SELECT item_id, CAST(32 AS BIGINT) AS out_w, "
+            "CAST(24 AS BIGINT) AS out_h, "
+            f"CAST({54 + 24 * ((32 * 3 + 3) // 4 * 4)} AS BIGINT) AS n_bytes "
+            f"FROM read_parquet('{_media_parquet(sf_dir)}') "
+            "WHERE modality = 'image'"),
     }
 
 
