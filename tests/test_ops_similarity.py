@@ -95,6 +95,47 @@ def test_label_centroids_matches_numpy(ray_session):
             np.floor(mean * 1e6).astype("int64").tolist()
 
 
+def test_quantize_roundtrip_and_edge_cases(ray_session):
+    """int8 quantization: dequantized error bound holds, all-zero vectors
+    quantize to zero, and the numpy replay is bit-exact."""
+    import pyarrow as pa
+
+    from zeeklog_ray.ops.similarity import dequantize, quantize_embeddings
+
+    rng = np.random.default_rng(13)
+    mat = rng.normal(0, 3, (200, 12)).astype(np.float32)
+    mat[7] = 0.0                                   # all-zero vector
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": np.arange(200, dtype="int64"),
+        "embedding": list(mat)})).repartition(5)
+    out = quantize_embeddings(ds).to_pandas().set_index("vec_id").sort_index()
+    assert len(out) == 200
+    for i in (0, 7, 42, 199):
+        x = mat[i].astype(np.float64)
+        scale = float(np.abs(x).max())
+        assert out.loc[i, "scale"] == scale
+        q = np.asarray(out.loc[i, "q"], dtype=np.int8)
+        if scale == 0.0:
+            assert (q == 0).all()
+        else:
+            exp = np.floor(x / scale * 127.0 + 0.5).astype(np.int8)
+            assert (q == exp).all()
+            err = np.abs(dequantize(q, scale) - x)
+            assert err.max() <= scale / 127.0 / 2 + 1e-12
+    assert out["q"].map(lambda v: int(np.abs(np.asarray(v)).max())).max() <= 127
+
+
+def test_quantize_rejects_empty_vector(ray_session):
+    import pyarrow as pa
+
+    from zeeklog_ray.ops.similarity import quantize_embeddings
+
+    t = pa.table({"vec_id": pa.array([0, 1], pa.int64()),
+                  "embedding": pa.array([[1.0], []], pa.list_(pa.float32()))})
+    with pytest.raises(Exception, match="empty embedding"):
+        quantize_embeddings(ray.data.from_arrow(t)).materialize()
+
+
 def test_label_centroids_null_labels_dropped(ray_session):
     import pandas as pd
     import ray.data

@@ -1831,6 +1831,37 @@ def embedding_label_centroids(sf_dir: str) -> "ray.data.Dataset":
         read_table(sf_dir, "embeddings", columns=["label", "embedding"]))
 
 
+def embedding_quantize(sf_dir: str) -> "ray.data.Dataset":
+    """int8 symmetric quantization of the embedding table, exploded to
+    long format (vec_id, pos, q, scale_e9) so the driver can hash every
+    quantized cell AND the per-vector scale against a bit-exact DuckDB
+    replay (ops/similarity.quantize_embeddings).  Both the quantize pass
+    and the explode are row-local Arrow map_batches — no shuffle."""
+    from zeeklog_ray.ops.similarity import quantize_embeddings
+
+    q = quantize_embeddings(
+        read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ql = batch["q"]
+        if isinstance(ql, pa.ChunkedArray):
+            ql = ql.combine_chunks()
+        offs = ql.offsets.to_numpy().astype(np.int64)
+        offs = offs - offs[0]
+        n = np.diff(offs)
+        vals = ql.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.arange(len(vals), dtype=np.int64) - np.repeat(offs[:-1], n)
+        return pa.table({
+            "vec_id": np.repeat(batch["vec_id"].to_numpy(), n),
+            "pos": pos,
+            "q": vals,
+            "scale_e9": np.floor(
+                np.repeat(batch["scale"].to_numpy(), n) * 1e9).astype(np.int64),
+        })
+
+    return q.map_batches(explode, batch_format="pyarrow", batch_size=None)
+
+
 _PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -2706,6 +2737,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "event_type_quantiles_cont": event_type_quantiles_cont,
     "user_event_pivot": user_event_pivot,
     "embedding_label_centroids": embedding_label_centroids,
+    "embedding_quantize": embedding_quantize,
     "users_click_and_purchase": users_click_and_purchase,
     "users_big_view_no_big_purchase": users_big_view_no_big_purchase,
     "event_type_counts_cm": event_type_counts_cm,
@@ -3613,6 +3645,17 @@ ORACLE_SQL: dict[str, str] = {
         " * 1000000) AS BIGINT) AS centroid_e6 "
         "FROM embeddings e, LATERAL (SELECT unnest(range(0, "
         "len(e.embedding))) AS pos) p GROUP BY label, pos"),
+    # bit-exact int8-quantization replay: identical float64 ops in the
+    # same order on both sides (cast→abs→max, then x/scale*127+0.5 floor)
+    "embedding_quantize": (
+        "WITH s AS (SELECT vec_id, embedding, list_max(list_transform("
+        "embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale FROM embeddings) "
+        "SELECT s.vec_id, CAST(p.pos AS BIGINT) AS pos, "
+        "CAST(CASE WHEN s.scale = 0 THEN 0 ELSE FLOOR(CAST("
+        "s.embedding[CAST(p.pos AS INTEGER) + 1] AS DOUBLE) / s.scale "
+        "* 127.0 + 0.5) END AS BIGINT) AS q, "
+        "CAST(FLOOR(s.scale * 1000000000) AS BIGINT) AS scale_e9 "
+        "FROM s, LATERAL (SELECT unnest(range(0, len(s.embedding))) AS pos) p"),
     "user_event_pivot": (
         "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, " +
         ", ".join(
