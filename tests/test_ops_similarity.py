@@ -125,6 +125,28 @@ def test_quantize_roundtrip_and_edge_cases(ray_session):
     assert out["q"].map(lambda v: int(np.abs(np.asarray(v)).max())).max() <= 127
 
 
+def test_quantize_fixed_size_list_layout(ray_session):
+    """Fixed-size-list embedding columns (common fixed-dim Parquet layout)
+    quantize identically to the variable-list layout."""
+    import pyarrow as pa
+
+    from zeeklog_ray.ops.similarity import quantize_embeddings
+
+    rng = np.random.default_rng(17)
+    mat = rng.normal(0, 2, (50, 8)).astype(np.float32)
+    fsl = pa.FixedSizeListArray.from_arrays(pa.array(mat.ravel()), 8)
+    t = pa.table({"vec_id": pa.array(np.arange(50), pa.int64()),
+                  "embedding": fsl})
+    out = quantize_embeddings(ray.data.from_arrow(t)).to_pandas() \
+        .set_index("vec_id").sort_index()
+    x = mat.astype(np.float64)
+    scale = np.abs(x).max(axis=1)
+    exp = np.floor(x / scale[:, None] * 127.0 + 0.5).astype(np.int8)
+    for i in (0, 25, 49):
+        assert out.loc[i, "scale"] == scale[i]
+        assert (np.asarray(out.loc[i, "q"], dtype=np.int8) == exp[i]).all()
+
+
 def test_quantize_rejects_empty_vector(ray_session):
     import pyarrow as pa
 

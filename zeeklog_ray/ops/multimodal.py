@@ -467,9 +467,11 @@ def resize_image(pixels: np.ndarray, out_h: int, out_w: int,
     the OpenCV/PIL convention): src = (dst + 0.5)·scale − 0.5, weights
     from the UNCLIPPED floor so edge samples degenerate to the border
     pixel; same-size resize is exactly identity.  ``nearest`` picks
-    floor((dst + 0.5)·scale).  Output rounds half-away via np.rint on
+    floor((dst + 0.5)·scale).  Output rounds half-to-even (np.rint) on
     float32 sums (deterministic everywhere)."""
     h, w = pixels.shape[:2]
+    if out_h < 1 or out_w < 1:
+        raise ValueError(f"resize_image: bad target dims {out_w}x{out_h}")
     if method == "nearest":
         yi = np.minimum(((np.arange(out_h) + 0.5) * h / out_h)
                         .astype(np.int64), h - 1)
@@ -483,13 +485,15 @@ def resize_image(pixels: np.ndarray, out_h: int, out_w: int,
     y0f, x0f = np.floor(fy), np.floor(fx)
     wy = (fy - y0f).astype(np.float32)[:, None, None]
     wx = (fx - x0f).astype(np.float32)[None, :, None]
-    y0 = np.clip(y0f.astype(np.int64), 0, h - 1)
-    y1 = np.clip(y0f.astype(np.int64) + 1, 0, h - 1)
-    x0 = np.clip(x0f.astype(np.int64), 0, w - 1)
-    x1 = np.clip(x0f.astype(np.int64) + 1, 0, w - 1)
+    y0i, x0i = y0f.astype(np.int64), x0f.astype(np.int64)
+    y0 = np.clip(y0i, 0, h - 1)
+    y1 = np.clip(y0i + 1, 0, h - 1)
+    x0 = np.clip(x0i, 0, w - 1)
+    x1 = np.clip(x0i + 1, 0, w - 1)
     p = pixels.astype(np.float32)
-    top = p[y0][:, x0] * (1 - wx) + p[y0][:, x1] * wx
-    bot = p[y1][:, x0] * (1 - wx) + p[y1][:, x1] * wx
+    py0, py1 = p[y0], p[y1]
+    top = py0[:, x0] * (1 - wx) + py0[:, x1] * wx
+    bot = py1[:, x0] * (1 - wx) + py1[:, x1] * wx
     out = top * (1 - wy) + bot * wy
     return np.clip(np.rint(out), 0, 255).astype(np.uint8)
 

@@ -154,12 +154,10 @@ def chunk_tokens(ds: "ray.data.Dataset", *, window: int = 256,
                          f"got stride={S} window={W}")
 
     def chunks(batch: pa.Table) -> pa.Table:
-        toks = batch[tokens_col]
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        vals = toks.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
-        offs = toks.offsets.to_numpy().astype(np.int64)
-        offs = offs - offs[0]          # flatten() starts at the chunk offset
+        from zeeklog_ray.arrowutil import list_values_offsets
+
+        vals, offs = list_values_offsets(batch[tokens_col])
+        vals = vals.astype(np.uint64)
         n = np.diff(offs)
         m = np.where(n == 0, 0,
                      np.where(n <= W, 1, (n - W + S - 1) // S + 1))

@@ -272,12 +272,10 @@ def quantize_embeddings(ds: "ray.data.Dataset", id_col: str = "vec_id",
     ``(id_col, scale: float64, q: list<int8>)``."""
 
     def quant(batch: pa.Table) -> pa.Table:
-        emb = batch[emb_col]
-        if isinstance(emb, pa.ChunkedArray):
-            emb = emb.combine_chunks()
-        vals = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-        offs = emb.offsets.to_numpy().astype(np.int64)
-        offs = offs - offs[0]
+        from zeeklog_ray.arrowutil import list_values_offsets
+
+        vals, offs = list_values_offsets(batch[emb_col])
+        vals = vals.astype(np.float64)
         n = np.diff(offs)
         if len(n) and n.min() == 0:
             raise ValueError("quantize_embeddings: empty embedding vector"

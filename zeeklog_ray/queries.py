@@ -251,13 +251,11 @@ def zeek_token_remap(sf_dir: str) -> "ray.data.Dataset":
     full = ray.data.read_parquet(corpus, columns=["doc_id", "tokens"])
 
     def remap(batch: pa.Table) -> pa.Table:
+        from zeeklog_ray.arrowutil import list_values_offsets
+
         table = _ray.get(lut_ref)
-        toks = batch["tokens"]
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        flat, offsets = list_values_offsets(batch["tokens"])
         ids = table[flat]
-        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         starts = offsets[:-1]
         sums = np.zeros(len(batch), dtype=np.int64)
         nonempty = offsets[1:] > starts
@@ -1843,13 +1841,11 @@ def embedding_quantize(sf_dir: str) -> "ray.data.Dataset":
         read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]))
 
     def explode(batch: pa.Table) -> pa.Table:
-        ql = batch["q"]
-        if isinstance(ql, pa.ChunkedArray):
-            ql = ql.combine_chunks()
-        offs = ql.offsets.to_numpy().astype(np.int64)
-        offs = offs - offs[0]
+        from zeeklog_ray.arrowutil import list_values_offsets
+
+        vals, offs = list_values_offsets(batch["q"])
+        vals = vals.astype(np.int64)
         n = np.diff(offs)
-        vals = ql.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
         pos = np.arange(len(vals), dtype=np.int64) - np.repeat(offs[:-1], n)
         return pa.table({
             "vec_id": np.repeat(batch["vec_id"].to_numpy(), n),
