@@ -248,3 +248,47 @@ def test_normalize_text_documented_divergences():
         sql = con.execute("SELECT lower(nfc_normalize(?))", [s]).fetchone()[0]
         assert py != sql
     con.close()
+
+
+def test_tfidf_top_terms_hand_computed(ray_session):
+    """Tiny corpus with hand-computed linear-idf scores: shared word
+    scores low, unique word scores high, ties break by word ascending."""
+    import pandas as pd
+    import ray.data
+
+    from zeeklog_ray.ops.text import tfidf_top_terms
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["cat cat dog", "dog fish", "cat  "],
+    })
+    out = tfidf_top_terms(ray.data.from_pandas(docs), k=2,
+                          num_buckets=4).to_pandas()
+    N = 3
+    # doc 1: n_words=3; cat tf=2 df=2 -> 2*1e6*3 // (3*2) = 1_000_000
+    #        dog tf=1 df=2 -> 1e6*3 // (3*2) = 500_000
+    d1 = out[out.doc_id == 1].sort_values("rank")
+    assert d1[["word", "score_ppm"]].values.tolist() == [
+        ["cat", 1_000_000], ["dog", 500_000]]
+    # doc 2: n_words=2; dog 1e6*3//(2*2)=750_000, fish 1e6*3//(2*1)=1_500_000
+    d2 = out[out.doc_id == 2].sort_values("rank")
+    assert d2[["word", "score_ppm"]].values.tolist() == [
+        ["fish", 1_500_000], ["dog", 750_000]]
+    # doc 3: single word (double space splits to empties, dropped)
+    d3 = out[out.doc_id == 3]
+    assert d3[["word", "tf", "score_ppm"]].values.tolist() == [
+        ["cat", 1, 1_500_000]]
+    assert out["rank"].max() <= 2
+
+
+def test_tfidf_tie_break_by_word(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from zeeklog_ray.ops.text import tfidf_top_terms
+
+    docs = pd.DataFrame({"doc_id": [7], "text": ["b a c"]})
+    out = tfidf_top_terms(ray.data.from_pandas(docs), k=3,
+                          num_buckets=2).to_pandas().sort_values("rank")
+    # equal scores -> alphabetical
+    assert out["word"].tolist() == ["a", "b", "c"]

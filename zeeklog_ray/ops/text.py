@@ -526,3 +526,76 @@ def term_scrub(ds: "ray.data.Dataset", terms: "list[str]",
 
     return ds.select_columns([id_col, text_col]).map_batches(
         scrub, batch_format="pandas", batch_size=None)
+
+
+def tfidf_top_terms(docs: "ray.data.Dataset", k: int = 3,
+                    n_docs: int | None = None,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    num_buckets: int = 1024) -> "ray.data.Dataset":
+    """Per-document top-``k`` terms by TF-IDF with a linear idf
+    (``score_ppm = tf · 10^6 · N // (n_words · df)``) — integer-exact end
+    to end, so the DuckDB replay hash-matches; the ``log``-idf variant
+    would differ in the last ulp between libm implementations.
+
+    Shape at scale (the point of the design):
+
+    * term-frequency extraction is ROW-LOCAL — a document lives entirely
+      in its row, so ``(doc, word, tf, n_words)`` long rows come out of
+      one ``map_batches`` pass with no shuffle;
+    * document frequency is an ENTITY-shaped grouped count over the long
+      table (``grouped_sum_bucketed`` on ``word`` — vocab cardinality,
+      stays distributed);
+    * the long table joins ``df`` with a partitioned hash join on
+      ``word`` (both sides big at corpus scale — a broadcast dict of a
+      10^8-term vocab would not fit);
+    * the final per-doc top-k is the bucketed-groupby pattern
+      (:func:`zeeklog_ray.relational.with_hash_bucket` sizing rule).
+
+    Ties break by word ascending (deterministic on both sides).  Output:
+    ``(doc_id, rank, word, tf, score_ppm)``, rank 1..k.
+    """
+    from zeeklog_ray.relational import (
+        grouped_sum_bucketed,
+        hash_join,
+        with_hash_bucket,
+    )
+
+    if n_docs is None:
+        n_docs = docs.count()
+
+    def doc_terms(batch: pd.DataFrame) -> pd.DataFrame:
+        w = batch[text_col].str.split(" ").explode()
+        w = w[w != ""].dropna()
+        tf = (pd.DataFrame({"i": w.index, "word": w.to_numpy()})
+              .groupby(["i", "word"], sort=False).size()
+              .rename("tf").reset_index())
+        tf["n_words"] = tf.groupby("i", sort=False)["tf"].transform("sum")
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy()[tf["i"].to_numpy()],
+            "word": tf["word"],
+            "tf": tf["tf"].astype("int64"),
+            "n_words": tf["n_words"].astype("int64"),
+        })
+
+    long = docs.select_columns([id_col, text_col]).map_batches(
+        doc_terms, batch_format="pandas", batch_size=None)
+    # (doc, word) rows are unique by construction → df = rows per word
+    df = grouped_sum_bucketed(long.select_columns(["word"]), ["word"],
+                              count_as="df", num_buckets=num_buckets)
+    joined = hash_join(long, df, on="word")
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["score_ppm"] = (batch["tf"] * 1_000_000 * n_docs) \
+            // (batch["n_words"] * batch["df"])
+        return batch[[id_col, "word", "tf", "score_ppm"]]
+
+    scored = joined.map_batches(score, batch_format="pandas", batch_size=None)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "score_ppm", "word"],
+                          ascending=[True, False, True], kind="mergesort")
+        g["rank"] = (g.groupby(id_col, sort=False).cumcount() + 1).astype("int64")
+        return g[g["rank"] <= k][[id_col, "rank", "word", "tf", "score_ppm"]]
+
+    return with_hash_bucket(scored, id_col, num_buckets) \
+        .groupby("_bucket").map_groups(per_bucket, batch_format="pandas")

@@ -2330,6 +2330,17 @@ def docs_text_normalize(sf_dir: str) -> "ray.data.Dataset":
                               batch_size=None)
 
 
+def docs_tfidf_top_terms(sf_dir: str) -> "ray.data.Dataset":
+    """Per-document top-3 TF-IDF terms (integer linear-idf scoring) —
+    relevance scoring / keyword extraction over the corpus
+    (ops/text.tfidf_top_terms; row-local tf, entity-shaped df,
+    partitioned hash join on word, bucketed per-doc top-k)."""
+    from zeeklog_ray.ops.text import tfidf_top_terms
+
+    return tfidf_top_terms(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]), k=3)
+
+
 def docs_word_postings(sf_dir: str) -> "ray.data.Dataset":
     """Inverted index over the corpus: per word, the document frequency
     and a CAPPED posting list (first 5 doc_ids, ascending) — the search /
@@ -2747,6 +2758,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "docs_shuffle_order": docs_shuffle_order,
     "docs_editdist_adjacent": docs_editdist_adjacent,
     "docs_word_postings": docs_word_postings,
+    "docs_tfidf_top_terms": docs_tfidf_top_terms,
     "docs_top_bigrams": docs_top_bigrams,
     "docs_hash_sample": docs_hash_sample,
     "docs_mixture_resample": docs_mixture_resample,
@@ -3678,6 +3690,23 @@ ORACLE_SQL: dict[str, str] = {
     # bit-exact splitmix64 ROW_NUMBER replay (ops/sample.py builds the CTE)
     "docs_shuffle_order": _sample_sql.shuffle_rank_sql(
         "documents", "doc_id", "doc_id, source"),
+    # integer linear-idf TF-IDF: // truncates on both sides (all positive)
+    "docs_tfidf_top_terms": (
+        "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word "
+        "FROM documents), "
+        "f AS (SELECT doc_id, word, COUNT(*) AS tf FROM w WHERE word <> '' "
+        "GROUP BY doc_id, word), "
+        "nw AS (SELECT doc_id, SUM(tf) AS n_words FROM f GROUP BY doc_id), "
+        "dfreq AS (SELECT word, COUNT(*) AS df FROM f GROUP BY word), "
+        "n AS (SELECT COUNT(*) AS n_docs FROM documents), "
+        "s AS (SELECT f.doc_id, f.word, f.tf, "
+        "(f.tf * 1000000 * n.n_docs) // (nw.n_words * dfreq.df) AS score_ppm "
+        "FROM f JOIN nw USING (doc_id) JOIN dfreq USING (word) CROSS JOIN n), "
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id "
+        "ORDER BY score_ppm DESC, word) AS rank FROM s) "
+        "SELECT doc_id, CAST(rank AS BIGINT) AS rank, word, "
+        "CAST(tf AS BIGINT) AS tf, CAST(score_ppm AS BIGINT) AS score_ppm "
+        "FROM r WHERE rank <= 3"),
     # inverted index: DISTINCT (word, doc) pairs, df + first-5 postings
     "docs_word_postings": (
         "WITH w AS (SELECT DISTINCT * FROM (SELECT doc_id, "
