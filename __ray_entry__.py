@@ -26,9 +26,12 @@ the library) calls ``ray.init`` / ``ray.shutdown``.
   design; recall-tested), ``approx_distinct_users`` /
   ``event_type_users_hll`` (HLL, global and grouped; accuracy-tested,
   the grouped one with the exact twin ``event_type_user_counts``
-  oracle-checked), and ``event_value_quantiles_sketch`` (mergeable
+  oracle-checked), ``event_value_quantiles_sketch`` (mergeable
   rank-sample quantile sketch, approximate by design; rank-error-bound
-  tested, with the exact twin ``event_value_quantiles`` oracle-checked).
+  tested, with the exact twin ``event_value_quantiles`` oracle-checked),
+  and ``embedding_kmeans`` (iterative float means are not
+  SQL-replayable; pytest-gated on monotone SSE + planted-mixture
+  recovery, deterministic seed pins the rows-only check).
 """
 
 from __future__ import annotations

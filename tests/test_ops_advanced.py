@@ -279,3 +279,89 @@ def test_canonical_per_component(ray_session):
     assert out["canonical"].tolist() == [2, 7]
     assert out["canonical_score"].tolist() == [99, 5]
     assert out["n_members"].tolist() == [3, 2]
+
+
+def test_node_degrees_and_triangle_count(ray_session):
+    """K5 has C(5,3)=10 triangles and uniform degree 4; a random graph
+    matches a brute-force count; reversed/duplicate/self-loop rows are
+    canonicalized away; an edgeless input counts zero."""
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from zeeklog_ray.ops.graph import node_degrees, triangle_count
+
+    k5 = pd.DataFrame(list(itertools.combinations(range(5), 2)),
+                      columns=["doc_a", "doc_b"])
+    ds = ray.data.from_pandas(k5)
+    assert triangle_count(ds, num_buckets=8) == 10
+    deg = node_degrees(ds, num_buckets=8).to_pandas()
+    assert sorted(deg["degree"].tolist()) == [4] * 5
+
+    rng = np.random.default_rng(3)
+    n = 40
+    edges = set()
+    for _ in range(200):
+        a, b = rng.integers(0, n, 2)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    edf = pd.DataFrame(sorted(edges), columns=["doc_a", "doc_b"])
+    # reversed duplicate of edge 0 plus a self-loop must not change counts
+    extra = pd.DataFrame({"doc_a": [edf.doc_b[0], 5],
+                          "doc_b": [edf.doc_a[0], 5]})
+    ds2 = ray.data.from_pandas(
+        pd.concat([edf, extra], ignore_index=True)).repartition(6)
+    es = set(map(tuple, edf.values))
+    brute = sum(1 for a, b, c in itertools.combinations(range(n), 3)
+                if (a, b) in es and (b, c) in es and (a, c) in es)
+    assert triangle_count(ds2, num_buckets=16) == brute
+
+    path = pd.DataFrame({"doc_a": [1, 2], "doc_b": [2, 3]})  # wedge, no close
+    assert triangle_count(ray.data.from_pandas(path), num_buckets=4) == 0
+
+
+def test_kmeans_planted_mixture_recovery(ray_session):
+    """Full-data Lloyd: SSE non-increasing per iteration; planted
+    4-Gaussian mixture recovered (≥95% majority-label purity); empty
+    clusters and k > n inputs handled."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data
+
+    from zeeklog_ray.ops.cluster import kmeans_assign, kmeans_fit
+
+    rng = np.random.default_rng(21)
+    centers = np.array([[8, 0, 0], [0, 8, 0], [0, 0, 8], [-8, -8, -8]],
+                       dtype=np.float64)
+    lab = rng.integers(0, 4, 600)
+    pts = centers[lab] + rng.normal(0, 0.5, (600, 3))
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(600, dtype="int64"),
+        "embedding": [r.astype("float32") for r in pts]})).repartition(6)
+
+    fit = kmeans_fit(ds, k=4, n_iters=8, seed=7)
+    hist = fit["history"]
+    assert all(hist[i + 1] <= hist[i] + 1e-9 for i in range(len(hist) - 1))
+    assert fit["centroids"].shape == (4, 3)
+
+    out = kmeans_assign(ds, fit["centroids"]).to_pandas()
+    assert len(out) == 600 and out["dist2_e6"].min() >= 0
+    df = pd.DataFrame({"true": lab, "pred": out.sort_values("vec_id")
+                       ["cluster"].to_numpy()})
+    purity = df.groupby("pred")["true"] \
+        .agg(lambda s: s.value_counts().iloc[0]).sum() / len(df)
+    assert purity >= 0.95
+
+    # determinism
+    fit2 = kmeans_fit(ds, k=4, n_iters=8, seed=7)
+    assert np.allclose(fit2["centroids"], fit["centroids"])
+
+    # k > n clamps; empty input raises
+    tiny = ray.data.from_pandas(pd.DataFrame({
+        "vec_id": [0, 1], "embedding": [[0.0, 0.0], [1.0, 1.0]]}))
+    assert kmeans_fit(tiny, k=5, n_iters=2)["centroids"].shape[0] == 2
+    with pytest.raises(ValueError, match="empty input"):
+        kmeans_fit(tiny.filter(lambda r: False), k=2)

@@ -444,3 +444,19 @@ def test_cap_per_key_partition_independent(ray_session):
         [df.iloc[i:i + 20] for i in range(0, 200, 20)]),
         "k", 3, "id").to_pandas()
     assert sorted(one["id"]) == sorted(many["id"])
+
+
+def test_hash_join_map_produced_empty_side(ray_session):
+    """Regression (raypatch patch A, empty-pandas conversion): a join side
+    produced by a map stage that filtered out every row used to broadcast
+    a NULL-typed schema shard — pyarrow then rejected the join key
+    ('Data type null is not supported in join key field').  The patched
+    shard conversion preserves numeric dtypes."""
+    ev = ray.data.from_pandas(pd.DataFrame({"w1": [1], "w2": [9]}))
+    empty = ev.map_batches(lambda df: df[df["w1"] < 0],
+                           batch_format="pandas", batch_size=None)
+    right = ray.data.from_pandas(pd.DataFrame({"src": [1, 2],
+                                               "dst": [2, 3]}))
+    j = empty.join(right, join_type="inner", num_partitions=4,
+                   on=("w1", "w2"), right_on=("src", "dst"))
+    assert j.count() == 0

@@ -20,6 +20,7 @@ nodes that is ~30 min × diameter; bucketed it is one C-level pandas
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 import ray.data
@@ -164,3 +165,102 @@ def canonical_per_component(components: "ray.data.Dataset",
     bucketed = with_hash_bucket(scored, "component", num_buckets)
     return bucketed.groupby("_bucket").map_groups(per_bucket,
                                                   batch_format="pandas")
+
+
+def node_degrees(pairs: "ray.data.Dataset", a_col: str = "doc_a",
+                 b_col: str = "doc_b",
+                 num_buckets: int = 1024) -> "ray.data.Dataset":
+    """Per-node degree of the undirected pair graph — the first skew
+    question to ask of any candidate-pair table (a hub node is exactly
+    what makes the downstream joins lopsided).  Assumes ``pairs`` holds
+    unique undirected edges (the contract of every pair producer here);
+    endpoints explode row-locally, then one entity-shaped bucketed count
+    (``grouped_sum_bucketed``) — only (node, partial-count) rows shuffle.
+
+    Output: ``(node, degree)``, one row per node with degree ≥ 1."""
+    from zeeklog_ray.relational import grouped_sum_bucketed
+
+    ends = pairs.map_batches(
+        lambda df: pd.DataFrame({
+            "node": pd.concat([df[a_col], df[b_col]], ignore_index=True)}),
+        batch_format="pandas", batch_size=None)
+    return grouped_sum_bucketed(ends, ["node"], count_as="degree",
+                                num_buckets=num_buckets)
+
+
+def triangle_count(pairs: "ray.data.Dataset", a_col: str = "doc_a",
+                   b_col: str = "doc_b", num_buckets: int = 256,
+                   num_partitions: int | None = None) -> int:
+    """Exact triangle count of the undirected pair graph — the standard
+    cluster-density / community-structure metric over a near-dup or
+    co-occurrence edge list.
+
+    Degree-orientation algorithm (the MapReduce-classic): orient every
+    edge from its (degree, id)-smaller endpoint to the larger, so each
+    node's out-degree is O(√m) and total wedge work is O(m^1.5)
+    regardless of hub skew; generate wedges per source with a bucketed
+    self-merge; count the wedges closed by a directed edge with one
+    multi-key hash join.  Every triangle is counted exactly once (its
+    rank-minimal vertex owns the wedge).
+
+    Self-loops are dropped and duplicate/reversed edges deduped
+    defensively.  Only (src, dst, deg) triples ever shuffle."""
+    from zeeklog_ray.relational import (
+        bucketed_distinct,
+        default_join_partitions,
+        hash_join,
+        with_hash_bucket,
+    )
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        a, b = df[a_col].to_numpy(), df[b_col].to_numpy()
+        u, v = np.minimum(a, b), np.maximum(a, b)
+        out = pd.DataFrame({"u": u, "v": v})
+        return out[out["u"] != out["v"]]
+
+    edges = bucketed_distinct(pairs.map_batches(
+        canon, batch_format="pandas", batch_size=None),
+        ["u", "v"], num_buckets=num_buckets).materialize()
+    if edges.count() == 0:
+        return 0
+
+    deg = node_degrees(edges, a_col="u", b_col="v",
+                       num_buckets=num_buckets)
+    du = hash_join(edges, deg, on="u", right_on="node").map_batches(
+        lambda df: df.rename(columns={"degree": "du"}),
+        batch_format="pandas", batch_size=None)
+    dboth = hash_join(du, deg, on="v", right_on="node").map_batches(
+        lambda df: df.rename(columns={"degree": "dv"}),
+        batch_format="pandas", batch_size=None)
+
+    def orient(df: pd.DataFrame) -> pd.DataFrame:
+        # direct from (deg, id)-smaller to larger; carry dst's rank key
+        fwd = (df["du"] < df["dv"]) | ((df["du"] == df["dv"])
+                                       & (df["u"] < df["v"]))
+        src = np.where(fwd, df["u"], df["v"])
+        dst = np.where(fwd, df["v"], df["u"])
+        dst_deg = np.where(fwd, df["dv"], df["du"])
+        return pd.DataFrame({"src": src, "dst": dst, "dst_deg": dst_deg})
+
+    directed = dboth.map_batches(orient, batch_format="pandas",
+                                 batch_size=None)
+
+    def wedges(group: pd.DataFrame) -> pd.DataFrame:
+        m = group.merge(group, on="src")
+        keep = (m["dst_deg_x"] < m["dst_deg_y"]) | \
+            ((m["dst_deg_x"] == m["dst_deg_y"]) & (m["dst_x"] < m["dst_y"]))
+        out = m.loc[keep, ["dst_x", "dst_y"]]
+        return pd.DataFrame({"w1": out["dst_x"].to_numpy(),
+                             "w2": out["dst_y"].to_numpy()})
+
+    wedge_ds = with_hash_bucket(directed, "src", num_buckets) \
+        .groupby("_bucket").map_groups(wedges, batch_format="pandas") \
+        .materialize()
+    if wedge_ds.count() == 0:       # no node has out-degree ≥ 2
+        return 0
+    closed = wedge_ds.join(
+        directed.select_columns(["src", "dst"]),
+        join_type="inner",
+        num_partitions=default_join_partitions(num_partitions),
+        on=("w1", "w2"), right_on=("src", "dst"))
+    return closed.count()

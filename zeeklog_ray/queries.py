@@ -1858,6 +1858,53 @@ def embedding_quantize(sf_dir: str) -> "ray.data.Dataset":
     return q.map_batches(explode, batch_format="pyarrow", batch_size=None)
 
 
+def embedding_kmeans(sf_dir: str) -> "ray.data.Dataset":
+    """Full-data distributed k-means over the embedding table, reported as
+    per-cluster sizes (ops/cluster.kmeans_fit + kmeans_assign).  NO SQL
+    oracle — iterative float means are not SQL-replayable; the algorithm
+    is pytest-gated instead (monotone SSE, planted-mixture recovery:
+    tests/test_ops_advanced.py).  Deterministic seed → deterministic
+    sizes, so the driver's rows-only check still pins k."""
+    from zeeklog_ray.ops.cluster import kmeans_assign, kmeans_fit
+    from zeeklog_ray.relational import grouped_sum
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    fit = kmeans_fit(ds, k=8, n_iters=6, seed=42)
+    return grouped_sum(kmeans_assign(ds, fit["centroids"]),
+                       ["cluster"], count_as="n")
+
+
+def embedding_graph_degrees(sf_dir: str) -> "ray.data.Dataset":
+    """Per-node degree of the embedding near-dup pair graph — the hub /
+    skew profile of the candidate set (ops/graph.node_degrees: row-local
+    endpoint explode + entity-shaped bucketed count)."""
+    from zeeklog_ray.ops.dedup import embedding_cosine_pairs
+    from zeeklog_ray.ops.graph import node_degrees
+
+    emb = read_table(sf_dir, "embeddings",
+                     columns=["vec_id", "embedding", "label"])
+    pairs = embedding_cosine_pairs(emb, _NEAR_DUP_THRESHOLD_E4,
+                                   block_col="label")
+    return node_degrees(pairs, a_col="id_a", b_col="id_b")
+
+
+def embedding_graph_triangles(sf_dir: str) -> pd.DataFrame:
+    """Exact triangle count of the embedding near-dup pair graph —
+    cluster-density metric via the degree-orientation algorithm
+    (ops/graph.triangle_count: O(m^1.5) wedges regardless of hub skew,
+    closure via one multi-key hash join).  Scalar result; oracle is the
+    three-way self-join in SQL."""
+    from zeeklog_ray.ops.dedup import embedding_cosine_pairs
+    from zeeklog_ray.ops.graph import triangle_count
+
+    emb = read_table(sf_dir, "embeddings",
+                     columns=["vec_id", "embedding", "label"])
+    pairs = embedding_cosine_pairs(emb, _NEAR_DUP_THRESHOLD_E4,
+                                   block_col="label")
+    n = triangle_count(pairs, a_col="id_a", b_col="id_b", num_buckets=64)
+    return pd.DataFrame({"n_triangles": pd.array([n], dtype="int64")})
+
+
 _PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -2745,6 +2792,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "user_event_pivot": user_event_pivot,
     "embedding_label_centroids": embedding_label_centroids,
     "embedding_quantize": embedding_quantize,
+    "embedding_graph_degrees": embedding_graph_degrees,
+    "embedding_graph_triangles": embedding_graph_triangles,
+    "embedding_kmeans": embedding_kmeans,
     "users_click_and_purchase": users_click_and_purchase,
     "users_big_view_no_big_purchase": users_big_view_no_big_purchase,
     "event_type_counts_cm": event_type_counts_cm,
@@ -3129,7 +3179,28 @@ _EMB_COMP_CTE = (
     "comp AS (SELECT node, CAST(MIN(label) AS BIGINT) AS component "
     "FROM walk GROUP BY node)")
 
+# Same-label cos≥threshold pair set (id_a < id_b), the non-recursive
+# prefix of _EMB_COMP_CTE — consumed by the graph-metric oracles.
+_EMB_PAIRS_CTE = (
+    "WITH pairs AS ("
+    "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+    "FROM embeddings a JOIN embeddings b "
+    "ON a.label = b.label AND a.vec_id < b.vec_id "
+    "WHERE CAST(FLOOR(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+    "CAST(b.embedding AS DOUBLE[])) * 10000) AS BIGINT) >= 3500)")
+
 ORACLE_SQL: dict[str, str] = {
+    "embedding_graph_degrees": (
+        _EMB_PAIRS_CTE +
+        ", ed AS (SELECT id_a AS node FROM pairs "
+        "UNION ALL SELECT id_b FROM pairs) "
+        "SELECT node, CAST(COUNT(*) AS BIGINT) AS degree "
+        "FROM ed GROUP BY node"),
+    "embedding_graph_triangles": (
+        _EMB_PAIRS_CTE +
+        " SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles "
+        "FROM pairs e1 JOIN pairs e2 ON e2.id_a = e1.id_b "
+        "JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b"),
     "docs_jsonl_roundtrip": (
         "SELECT source, CAST(SUM(n_chars) AS BIGINT) AS sum_chars, "
         "CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source"),

@@ -63,6 +63,32 @@ def apply_patches() -> None:
     _patch_hash_shuffle_schema_broadcast()
 
 
+def _empty_block_from_schema(schema):
+    """(block_ref, metadata) for a zero-row ARROW block matching ``schema``
+    (a ``pyarrow.Schema`` or Ray's ``PandasBlockSchema``); None if the
+    schema flavor is unrecognized.  Dtypes come from the schema, never
+    from value inference, so numeric/string key columns survive."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from ray.data.block import BlockAccessor
+
+    if isinstance(schema, pa.Schema):
+        table = schema.empty_table()
+    elif hasattr(schema, "names") and hasattr(schema, "types"):
+        try:
+            df = pd.DataFrame({n: pd.Series(dtype=t)
+                               for n, t in zip(schema.names, schema.types)})
+            table = pa.Table.from_pandas(df, preserve_index=False)
+        except (TypeError, ValueError):  # pragma: no cover - exotic dtype
+            return None
+    else:  # pragma: no cover - unknown schema flavor
+        return None
+    meta = BlockAccessor.for_block(table).get_metadata()
+    return ray.put(table), meta
+
+
 def _patch_hash_shuffle_schema_broadcast() -> None:
     try:
         import ray
@@ -93,6 +119,17 @@ def _patch_hash_shuffle_schema_broadcast() -> None:
         if block_transformer is not None:
             block = block_transformer(block)
             block_transformer = None
+        # Ray's pandas→Arrow conversion of an EMPTY DataFrame null-types
+        # every column (measured on 2.49: int64 → null), so the schema
+        # shard patch A broadcasts would poison downstream joins
+        # ("Data type null is not supported in join key field").
+        # pa.Table.from_pandas infers from DTYPES and keeps numerics
+        # exact (object → null is unavoidable without values).
+        import pandas as _pd
+        import pyarrow as _pa
+
+        if isinstance(block, _pd.DataFrame) and len(block) == 0:
+            block = _pa.Table.from_pandas(block, preserve_index=False)
         block = TableBlockAccessor.try_convert_block_type(
             block, block_type=BlockType.ARROW)
 
@@ -141,8 +178,17 @@ def _patch_hash_shuffle_schema_broadcast() -> None:
                 # schema-less or redundant empties: drop them WITHOUT
                 # consuming the one-shot schema broadcast
                 return None
-            # keep one empty block as the schema carrier for patch A
-            kept = input_bundle.blocks[:1]
+            # Keep ONE empty block as the schema carrier for patch A —
+            # but never the raw block: Ray manufactures (0, 0)
+            # ZERO-COLUMN empties (observed from sort-shuffle partitions)
+            # whose broadcast would finalize column-less aggregator
+            # partitions even though the BUNDLE schema knows the columns.
+            # Synthesize a schema-faithful empty Arrow block instead.
+            carrier = _empty_block_from_schema(input_bundle.schema)
+            if carrier is not None:
+                kept = (carrier,)
+            else:  # unknown schema flavor: pre-patch behavior
+                kept = input_bundle.blocks[:1]
 
         pruned = RefBundle(kept, owns_blocks=input_bundle.owns_blocks,
                            schema=input_bundle.schema)
