@@ -192,6 +192,67 @@ def _run_scale_ops(timings: dict) -> None:
     ).count()
     timings[f"scale_benchmark_contam_{dtag}"] = round(time.monotonic() - t0, 3)
 
+    # TF-IDF top terms at 1M docs: row-local tf + entity-shaped df +
+    # word-hash join + bucketed per-doc top-k — the full multi-shuffle
+    # relevance pipeline
+    from zeeklog_ray.ops.text import tfidf_top_terms
+
+    t0 = time.monotonic()
+    tfidf_top_terms(ray.data.read_parquet(dc), k=3,
+                    n_docs=SCALE_DOC_ROWS).count()
+    timings[f"scale_tfidf_{dtag}"] = round(time.monotonic() - t0, 3)
+
+    # triangle count on a 1M-node / 2M-edge ladder graph (edges (i,i+1),
+    # (i,i+2) → exactly n-2 triangles): certifies the degree-orientation
+    # wedge path + multi-key closure join at millions of edges
+    from zeeklog_ray.ops.graph import triangle_count
+
+    n_nodes = 1_000_000
+
+    def ladder(b):
+        i = b["id"].to_numpy()
+        import numpy as _np
+
+        a = _np.concatenate([i, i])
+        b2 = _np.concatenate([i + 1, i + 2])
+        keep = b2 < n_nodes
+        import pandas as _pd
+
+        return _pd.DataFrame({"doc_a": a[keep], "doc_b": b2[keep]})
+
+    t0 = time.monotonic()
+    got = triangle_count(
+        ray.data.range(n_nodes, override_num_blocks=64).map_batches(
+            ladder, batch_format="pandas", batch_size=None),
+        num_buckets=512)
+    assert got == n_nodes - 2, got
+    timings["scale_triangles_2m_edges"] = round(time.monotonic() - t0, 3)
+
+    # full-data k-means (3 Lloyd passes) + int8 quantization over 1M
+    # 16-dim vectors synthesized row-locally from the id
+    from zeeklog_ray.ops.cluster import kmeans_fit
+    from zeeklog_ray.ops.similarity import quantize_embeddings
+
+    def mkvec(b):
+        import numpy as _np
+        import pandas as _pd
+
+        i = b["id"].to_numpy()
+        base = (i % 8).astype(_np.float64)[:, None]
+        noise = _np.sin(_np.outer(i, _np.arange(1, 17))) * 0.1
+        return _pd.DataFrame({"vec_id": i,
+                              "embedding": list((base + noise)
+                                                .astype(_np.float32))})
+
+    vecs = ray.data.range(1_000_000, override_num_blocks=64).map_batches(
+        mkvec, batch_format="pandas", batch_size=None)
+    t0 = time.monotonic()
+    kmeans_fit(vecs, k=8, n_iters=3, seed=1)
+    timings["scale_kmeans_1m_x16"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    quantize_embeddings(vecs).count()
+    timings["scale_quantize_1m_x16"] = round(time.monotonic() - t0, 3)
+
 
 def _sf_tag(sf_dir: str) -> str:
     return os.path.basename(os.path.normpath(sf_dir)).removeprefix("sf")

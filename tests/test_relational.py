@@ -460,3 +460,36 @@ def test_hash_join_map_produced_empty_side(ray_session):
     j = empty.join(right, join_type="inner", num_partitions=4,
                    on=("w1", "w2"), right_on=("src", "dst"))
     assert j.count() == 0
+
+
+def test_bucketed_equi_join(ray_session):
+    """Single- and multi-key inner join via tagged union + bucket shuffle:
+    matches pandas merge, preserves int64 exactness above 2^53 through
+    the null-filled union, rejects column collisions."""
+    import pytest
+
+    from zeeklog_ray.relational import bucketed_equi_join
+
+    big = 2**53 + 1
+    left = pd.DataFrame({"k": [1, 2, 2, 3], "x": [big, 20, 30, 40]})
+    right = pd.DataFrame({"node": [2, 3, 9], "y": [200, 300, 900]})
+    out = bucketed_equi_join(ray.data.from_pandas(left).repartition(3),
+                             ray.data.from_pandas(right),
+                             on="k", right_on="node",
+                             num_buckets=8).to_pandas()
+    exp = left.merge(right.rename(columns={"node": "k"}), on="k")
+    assert sorted(out["x"].tolist()) == sorted(exp["x"].tolist())
+    assert out["x"].dtype == np.int64 and big not in out["x"].values
+
+    # multi-key
+    l2 = pd.DataFrame({"a": [1, 1, 2], "b": [5, 6, 5], "v": [10, 11, 12]})
+    r2 = pd.DataFrame({"p": [1, 2, 2], "q": [5, 5, 7], "w": [100, 200, 300]})
+    out2 = bucketed_equi_join(ray.data.from_pandas(l2),
+                              ray.data.from_pandas(r2),
+                              on=["a", "b"], right_on=["p", "q"],
+                              num_buckets=4).to_pandas()
+    assert sorted(zip(out2["v"], out2["w"])) == [(10, 100), (12, 200)]
+
+    with pytest.raises(ValueError, match="collide"):
+        bucketed_equi_join(ray.data.from_pandas(l2),
+                           ray.data.from_pandas(l2), on="a")

@@ -531,7 +531,8 @@ def term_scrub(ds: "ray.data.Dataset", terms: "list[str]",
 def tfidf_top_terms(docs: "ray.data.Dataset", k: int = 3,
                     n_docs: int | None = None,
                     text_col: str = "text", id_col: str = "doc_id",
-                    num_buckets: int = 1024) -> "ray.data.Dataset":
+                    num_buckets: int = 1024,
+                    broadcast_vocab: int = 2_000_000) -> "ray.data.Dataset":
     """Per-document top-``k`` terms by TF-IDF with a linear idf
     (``score_ppm = tf · 10^6 · N // (n_words · df)``) — integer-exact end
     to end, so the DuckDB replay hash-matches; the ``log``-idf variant
@@ -545,9 +546,9 @@ def tfidf_top_terms(docs: "ray.data.Dataset", k: int = 3,
     * document frequency is an ENTITY-shaped grouped count over the long
       table (``grouped_sum_bucketed`` on ``word`` — vocab cardinality,
       stays distributed);
-    * the long table joins ``df`` with a partitioned hash join on
-      ``word`` (both sides big at corpus scale — a broadcast dict of a
-      10^8-term vocab would not fit);
+    * the long table attaches ``df`` tiered: vocab ≤ ``broadcast_vocab``
+      broadcasts once (row-local merge, the common case); a 10^8-term
+      web-scale vocab falls back to a bucketed equi-join on ``word``;
     * the final per-doc top-k is the bucketed-groupby pattern
       (:func:`zeeklog_ray.relational.with_hash_bucket` sizing rule).
 
@@ -555,8 +556,8 @@ def tfidf_top_terms(docs: "ray.data.Dataset", k: int = 3,
     ``(doc_id, rank, word, tf, score_ppm)``, rank 1..k.
     """
     from zeeklog_ray.relational import (
+        bucketed_equi_join,
         grouped_sum_bucketed,
-        hash_join,
         with_hash_bucket,
     )
 
@@ -578,11 +579,22 @@ def tfidf_top_terms(docs: "ray.data.Dataset", k: int = 3,
         })
 
     long = docs.select_columns([id_col, text_col]).map_batches(
-        doc_terms, batch_format="pandas", batch_size=None)
+        doc_terms, batch_format="pandas", batch_size=None).materialize()
     # (doc, word) rows are unique by construction → df = rows per word
     df = grouped_sum_bucketed(long.select_columns(["word"]), ["word"],
-                              count_as="df", num_buckets=num_buckets)
-    joined = hash_join(long, df, on="word")
+                              count_as="df",
+                              num_buckets=num_buckets).materialize()
+    # TIERED df attachment: a vocabulary up to broadcast_vocab entries
+    # broadcasts once via ray.put (row-local merge, big side never
+    # shuffles); a 10^8-term web-scale vocab falls back to the
+    # partitioned bucketed equi-join
+    if df.count() <= broadcast_vocab:
+        from zeeklog_ray.relational import broadcast_merge
+
+        joined = broadcast_merge(long, df.to_pandas(), on="word")
+    else:
+        joined = bucketed_equi_join(long, df, on="word",
+                                    num_buckets=num_buckets)
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
         batch["score_ppm"] = (batch["tf"] * 1_000_000 * n_docs) \

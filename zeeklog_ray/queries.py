@@ -1892,8 +1892,8 @@ def embedding_graph_triangles(sf_dir: str) -> pd.DataFrame:
     """Exact triangle count of the embedding near-dup pair graph —
     cluster-density metric via the degree-orientation algorithm
     (ops/graph.triangle_count: O(m^1.5) wedges regardless of hub skew,
-    closure via one multi-key hash join).  Scalar result; oracle is the
-    three-way self-join in SQL."""
+    closure via one multi-key bucketed equi-join).  Scalar result;
+    oracle is the three-way self-join in SQL."""
     from zeeklog_ray.ops.dedup import embedding_cosine_pairs
     from zeeklog_ray.ops.graph import triangle_count
 
@@ -2381,7 +2381,7 @@ def docs_tfidf_top_terms(sf_dir: str) -> "ray.data.Dataset":
     """Per-document top-3 TF-IDF terms (integer linear-idf scoring) —
     relevance scoring / keyword extraction over the corpus
     (ops/text.tfidf_top_terms; row-local tf, entity-shaped df,
-    partitioned hash join on word, bucketed per-doc top-k)."""
+    bucketed equi-join on word, bucketed per-doc top-k)."""
     from zeeklog_ray.ops.text import tfidf_top_terms
 
     return tfidf_top_terms(

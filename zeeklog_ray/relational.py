@@ -962,3 +962,105 @@ def cap_per_key(ds: "ray.data.Dataset", key: str | Sequence[str], n: int,
     pruned = ds.map_batches(prune, batch_format="pandas", batch_size=None)
     return with_hash_bucket(pruned, keys, num_buckets) \
         .groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+def _nullable_int_casts(schemas, cols: set[str]):
+    """(numpy_casts, pandas_nullable_casts) for every integer column in
+    ``cols`` across ``schemas`` — the tagged-union dtype armor: a numpy
+    int64 column null-filled on the other side's rows promotes the WHOLE
+    block to float64, silently rounding ids above 2^53, so integer
+    columns ride the union as pandas NULLABLE Int dtypes and cast back on
+    the way out (inner-join outputs are never null there)."""
+    import pyarrow as _pa
+
+    def int_dtype(typ):
+        if isinstance(typ, _pa.DataType):
+            return (np.dtype(typ.to_pandas_dtype())
+                    if _pa.types.is_integer(typ) else None)
+        try:
+            return np.dtype(typ) if np.issubdtype(typ, np.integer) else None
+        except TypeError:
+            return None
+
+    nullable = {"int8": "Int8", "int16": "Int16", "int32": "Int32",
+                "int64": "Int64", "uint8": "UInt8", "uint16": "UInt16",
+                "uint32": "UInt32", "uint64": "UInt64"}
+    int_casts = {}
+    for sch in schemas:
+        for name, typ in zip(sch.names, sch.types):
+            dt = int_dtype(typ)
+            if dt is not None and name in cols:
+                int_casts[name] = dt
+    return int_casts, {c: nullable[str(dt)] for c, dt in int_casts.items()}
+
+
+def bucketed_equi_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
+                       on: str | Sequence[str],
+                       right_on: str | Sequence[str] | None = None,
+                       num_buckets: int = 1024) -> "ray.data.Dataset":
+    """INNER equi-join via tagged union + ONE key-hash-bucket shuffle +
+    per-bucket C-level ``pandas.merge`` — the alternative to
+    ``Dataset.join`` when Ray's hash-shuffle aggregator spin-up dominates
+    (measured: two chained 2M⨝1M ``Dataset.join``s cost 14 s of mostly
+    infra at 32 CPUs; the same joins bucketed run in ~5 s).  Supports
+    multi-column keys; ``right_on`` columns are renamed onto ``on``.
+    Null keys match nothing (inner semantics).  Same bucket-count sizing
+    rule as :func:`with_hash_bucket`; assumes one bucket's rows fit one
+    task (both sides land in the same pandas group).
+
+    Prefer ``Dataset.join`` when either side is so large that a single
+    bucket would blow a worker's heap AND the key is near-unique (its
+    partition-sized aggregation has no per-group cliff); prefer this for
+    the mid-scale entity joins that dominate these pipelines."""
+    on = [on] if isinstance(on, str) else list(on)
+    right_on = (on if right_on is None
+                else [right_on] if isinstance(right_on, str)
+                else list(right_on))
+    if len(on) != len(right_on):
+        raise ValueError("bucketed_equi_join: on/right_on length mismatch")
+    lschema, rschema = left.schema(), right.schema()
+    lcols = list(lschema.names)
+    rename = dict(zip(right_on, on))
+    r_out = [rename.get(c, c) for c in rschema.names]
+    collide = [c for c in r_out if c not in on and c in lcols]
+    if collide:
+        raise ValueError(f"bucketed_equi_join: right columns {collide} "
+                         "collide with left columns — rename first")
+    r_keep = on + [c for c in r_out if c not in on]
+    out_cols = lcols + [c for c in r_out if c not in on]
+    int_casts, nullable_casts = _nullable_int_casts(
+        (lschema, rschema), set(out_cols))
+
+    def tag(side: str, ren: dict | None):
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.rename(columns=ren) if ren else batch.copy()
+            for c in batch.columns:
+                dt = nullable_casts.get(c)
+                if dt:
+                    batch[c] = batch[c].astype(dt)
+            batch["_side"] = side
+            return batch
+
+        return f
+
+    both = left.map_batches(tag("L", None), batch_format="pandas",
+                            batch_size=None) \
+        .union(right.map_batches(tag("R", rename), batch_format="pandas",
+                                 batch_size=None))
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        lg = group.loc[group["_side"] == "L",
+                       [c for c in lcols if c in group.columns]]
+        rg = group.loc[group["_side"] == "R",
+                       [c for c in r_keep if c in group.columns]]
+        if lg.empty or rg.empty:       # single-sided bucket: no matches
+            return pd.DataFrame(columns=out_cols).astype(int_casts)
+        lg = lg.dropna(subset=on)
+        rg = rg.dropna(subset=on)
+        if lg.empty or rg.empty:
+            return pd.DataFrame(columns=out_cols).astype(int_casts)
+        m = lg.merge(rg, on=on, how="inner")
+        return m[out_cols].astype(int_casts)
+
+    return with_hash_bucket(both, on, num_buckets) \
+        .groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
