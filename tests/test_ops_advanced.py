@@ -365,3 +365,35 @@ def test_kmeans_planted_mixture_recovery(ray_session):
     assert kmeans_fit(tiny, k=5, n_iters=2)["centroids"].shape[0] == 2
     with pytest.raises(ValueError, match="empty input"):
         kmeans_fit(tiny.filter(lambda r: False), k=2)
+
+
+def test_kmeans_small_sample_and_inertia_consistency(ray_session):
+    """k larger than the init sample draw must not crash (seeds clamp to
+    the sample), and the returned inertia must equal the SSE of the
+    RETURNED centroids under their own assignment."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from zeeklog_ray.ops.cluster import kmeans_assign, kmeans_fit
+
+    rng = np.random.default_rng(5)
+    pts = rng.normal(0, 1, (3000, 4))
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(3000, dtype="int64"),
+        "embedding": [r.astype("float32") for r in pts]})).repartition(4)
+
+    # sample_n=16 -> random draw ~20 rows < k=40: must clamp, not crash
+    fit = kmeans_fit(ds, k=40, n_iters=2, sample_n=16, seed=3)
+    assert fit["centroids"].shape[0] <= 40
+    assert fit["centroids"].shape[1] == 4
+
+    fit2 = kmeans_fit(ds, k=5, n_iters=3, seed=3)
+    out = kmeans_assign(ds, fit2["centroids"]).to_pandas()
+    # exact SSE of returned centroids vs reported inertia
+    x = pts.astype(np.float64)
+    c = fit2["centroids"]
+    d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2).min(axis=1)
+    assert abs(fit2["inertia"] - d2.sum()) / d2.sum() < 1e-9
+    assert fit2["n_iters"] <= 3
+    assert len(out) == 3000

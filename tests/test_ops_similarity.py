@@ -172,3 +172,15 @@ def test_label_centroids_null_labels_dropped(ray_session):
     l0 = out[(out["label"] == 0) & (out["pos"] == 0)]
     assert l0["centroid_e6"].iloc[0] == 2_000_000
     assert set(out["label"].unique()) == {0, 1}
+
+
+def test_list_values_offsets_type_guard():
+    import pyarrow as pa
+    import pytest
+
+    from zeeklog_ray.arrowutil import list_values_offsets
+
+    with pytest.raises(TypeError, match="not a list-like"):
+        list_values_offsets(pa.array([1, 2, 3]))
+    with pytest.raises(TypeError, match="not a list-like"):
+        list_values_offsets(pa.array([{"a": 1}, {"a": 2}]))

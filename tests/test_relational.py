@@ -493,3 +493,31 @@ def test_bucketed_equi_join(ray_session):
     with pytest.raises(ValueError, match="collide"):
         bucketed_equi_join(ray.data.from_pandas(l2),
                            ray.data.from_pandas(l2), on="a")
+
+
+def test_bucketed_equi_join_key_dtype_guards(ray_session):
+    """Mismatched key dtypes would silently hash the same value into
+    different buckets — the join must raise, not drop rows; int keys of
+    different widths harmonize; reserved internal names are rejected."""
+    import pytest
+
+    from zeeklog_ray.relational import bucketed_equi_join
+
+    fl = ray.data.from_pandas(pd.DataFrame({"k": [1.0, 2.0], "x": [1, 2]}))
+    it = ray.data.from_pandas(pd.DataFrame({"node": [1, 2], "y": [10, 20]}))
+    with pytest.raises(ValueError, match="hash to different buckets"):
+        bucketed_equi_join(fl, it, on="k", right_on="node").to_pandas()
+
+    # int32 vs int64 keys harmonize to the wider dtype and still match
+    l32 = pd.DataFrame({"k": np.array([1, 2], dtype="int32"),
+                        "x": [10, 20]})
+    out = bucketed_equi_join(ray.data.from_pandas(l32), it,
+                             on="k", right_on="node",
+                             num_buckets=4).to_pandas()
+    assert sorted(zip(out["x"], out["y"])) == [(10, 10), (20, 20)]
+
+    bad = ray.data.from_pandas(pd.DataFrame({"k": [1], "_side": ["z"]}))
+    with pytest.raises(ValueError, match="reserved"):
+        bucketed_equi_join(bad, it, on="k", right_on="node")
+    with pytest.raises(ValueError, match="not present"):
+        bucketed_equi_join(fl, it, on="nope", right_on="node")

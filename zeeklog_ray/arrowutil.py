@@ -43,11 +43,15 @@ def list_values_offsets(col) -> tuple[np.ndarray, np.ndarray]:
         d = int(np.prod(arr.shape[1:], dtype=np.int64))
         offs = np.arange(arr.shape[0] + 1, dtype=np.int64) * d
         return np.ascontiguousarray(arr).reshape(-1), offs
-    vals = col.flatten().to_numpy(zero_copy_only=False)
     if pa.types.is_fixed_size_list(t):
+        vals = col.flatten().to_numpy(zero_copy_only=False)
         offs = np.arange(len(col) + 1, dtype=np.int64) * t.list_size
         return vals, offs
+    # type guard BEFORE flatten(): scalar columns have no .flatten (an
+    # opaque AttributeError) and struct columns flatten to the WRONG
+    # contract (one array per field, not values+offsets)
     if not (pa.types.is_list(t) or pa.types.is_large_list(t)):
         raise TypeError(f"list_values_offsets: not a list-like column: {t}")
+    vals = col.flatten().to_numpy(zero_copy_only=False)
     offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     return vals, offs - offs[0]

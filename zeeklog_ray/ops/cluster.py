@@ -48,10 +48,10 @@ def kmeans_fit(ds: "ray.data.Dataset", k: int = 8, n_iters: int = 10,
                vec_col: str = "embedding", sample_n: int = 4096,
                tol: float = 1e-7, seed: int = 42) -> dict:
     """Lloyd's algorithm, full-data.  Returns ``{"centroids": (k, dim)
-    float64, "inertia": float, "history": [sse per iteration], "n_iters":
-    int, "n_rows": int}``.
+    float64, "inertia": float, "history": [sse per pass], "n_iters":
+    int (update rounds performed), "n_rows": int}``.
 
-    Each iteration maps the dataset once: per batch, assign rows to the
+    Each pass maps the dataset once: per batch, assign rows to the
     nearest centroid (one ``(batch × dim) @ (dim × k)`` matmul via the
     ``|x-c|² = |x|² - 2x·c + |c|²`` expansion) and emit the per-cluster
     vector sums / counts / SSE as ONE partial row.  Driver reduce is
@@ -59,6 +59,11 @@ def kmeans_fit(ds: "ray.data.Dataset", k: int = 8, n_iters: int = 10,
     (deterministic; they can re-acquire points later).  Stops early when
     the relative SSE improvement falls under ``tol`` — SSE is
     non-increasing under Lloyd, which the tests assert.
+
+    ``inertia`` (== ``history[-1]``) is always the SSE of the RETURNED
+    centroid matrix under its own assignment: the loop measures before
+    it updates and never updates after the final measured pass, so
+    ``n_iters`` update rounds cost ``n_iters + 1`` passes.
     """
     proj = ds.select_columns([vec_col]).materialize()
     n_rows = proj.count()
@@ -68,14 +73,16 @@ def kmeans_fit(ds: "ray.data.Dataset", k: int = 8, n_iters: int = 10,
 
     frac = min(1.0, 1.25 * sample_n / n_rows)
     sample = proj.random_sample(frac, seed=seed).to_pandas()
-    if len(sample) == 0:        # tiny inputs: random_sample may miss
-        sample = proj.limit(sample_n).to_pandas()
+    if len(sample) < k:   # tiny inputs / unlucky draw: take a prefix big
+        sample = proj.limit(max(sample_n, k)).to_pandas()   # enough for k
     mat = np.stack(list(sample[vec_col].to_numpy())).astype(np.float64)
     cents = _maxmin_init(mat, k, seed)
+    k = len(cents)                      # the sample bounds the seed count
     dim = cents.shape[1]
 
     history: list[float] = []
-    for it in range(n_iters):
+    updates = 0
+    for it in range(n_iters + 1):
         cref = ray.put(cents)
 
         def partial(batch: pa.Table, cref=cref) -> pd.DataFrame:
@@ -105,16 +112,18 @@ def kmeans_fit(ds: "ray.data.Dataset", k: int = 8, n_iters: int = 10,
         sse = float(parts["sse"].sum())
         history.append(sse)
 
+        converged = (len(history) >= 2 and history[-2] > 0 and
+                     (history[-2] - history[-1]) / history[-2] < tol)
+        if converged or it == n_iters:
+            break           # cents stays the matrix this SSE measured
         nonempty = counts > 0
         new = cents.copy()
         new[nonempty] = sums[nonempty] / counts[nonempty, None]
         cents = new
-        if len(history) >= 2 and history[-2] > 0 and \
-                (history[-2] - history[-1]) / history[-2] < tol:
-            break
+        updates += 1
 
     return {"centroids": cents, "inertia": history[-1],
-            "history": history, "n_iters": len(history), "n_rows": n_rows}
+            "history": history, "n_iters": updates, "n_rows": n_rows}
 
 
 def kmeans_assign(ds: "ray.data.Dataset", centroids: np.ndarray,

@@ -964,6 +964,47 @@ def cap_per_key(ds: "ray.data.Dataset", key: str | Sequence[str], n: int,
         .groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
 
 
+_NULLABLE_INT = {"int8": "Int8", "int16": "Int16", "int32": "Int32",
+                 "int64": "Int64", "uint8": "UInt8", "uint16": "UInt16",
+                 "uint32": "UInt32", "uint64": "UInt64"}
+
+
+def _int_np_dtype(typ):
+    """Numpy integer dtype of a schema entry (Arrow type or numpy dtype),
+    or None if the column is not integer-typed."""
+    import pyarrow as _pa
+
+    if isinstance(typ, _pa.DataType):
+        return (np.dtype(typ.to_pandas_dtype())
+                if _pa.types.is_integer(typ) else None)
+    try:
+        return np.dtype(typ) if np.issubdtype(typ, np.integer) else None
+    except TypeError:
+        return None
+
+
+def _key_kind(typ) -> str:
+    """Normalized join-key dtype label across Arrow-block and pandas-block
+    schema flavors: any string representation → "str", numerics → their
+    numpy dtype string — so an Arrow `string` left side and an
+    object-dtype pandas right side compare equal, while float32 vs
+    float64 (whose bucket hashes differ) do not."""
+    import pyarrow as _pa
+
+    if isinstance(typ, _pa.DataType):
+        if _pa.types.is_string(typ) or _pa.types.is_large_string(typ):
+            return "str"
+        try:
+            return str(np.dtype(typ.to_pandas_dtype()))
+        except TypeError:
+            return str(typ)
+    try:
+        dt = np.dtype(typ)
+    except TypeError:
+        return str(typ)
+    return "str" if dt.kind in ("O", "U", "S") else str(dt)
+
+
 def _nullable_int_casts(schemas, cols: set[str]):
     """(numpy_casts, pandas_nullable_casts) for every integer column in
     ``cols`` across ``schemas`` — the tagged-union dtype armor: a numpy
@@ -971,27 +1012,13 @@ def _nullable_int_casts(schemas, cols: set[str]):
     block to float64, silently rounding ids above 2^53, so integer
     columns ride the union as pandas NULLABLE Int dtypes and cast back on
     the way out (inner-join outputs are never null there)."""
-    import pyarrow as _pa
-
-    def int_dtype(typ):
-        if isinstance(typ, _pa.DataType):
-            return (np.dtype(typ.to_pandas_dtype())
-                    if _pa.types.is_integer(typ) else None)
-        try:
-            return np.dtype(typ) if np.issubdtype(typ, np.integer) else None
-        except TypeError:
-            return None
-
-    nullable = {"int8": "Int8", "int16": "Int16", "int32": "Int32",
-                "int64": "Int64", "uint8": "UInt8", "uint16": "UInt16",
-                "uint32": "UInt32", "uint64": "UInt64"}
     int_casts = {}
     for sch in schemas:
         for name, typ in zip(sch.names, sch.types):
-            dt = int_dtype(typ)
+            dt = _int_np_dtype(typ)
             if dt is not None and name in cols:
                 int_casts[name] = dt
-    return int_casts, {c: nullable[str(dt)] for c, dt in int_casts.items()}
+    return int_casts, {c: _NULLABLE_INT[str(dt)] for c, dt in int_casts.items()}
 
 
 def bucketed_equi_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
@@ -1020,6 +1047,15 @@ def bucketed_equi_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
         raise ValueError("bucketed_equi_join: on/right_on length mismatch")
     lschema, rschema = left.schema(), right.schema()
     lcols = list(lschema.names)
+    missing = [c for c in on if c not in lcols] + \
+        [c for c in right_on if c not in rschema.names]
+    if missing:
+        raise ValueError(f"bucketed_equi_join: key columns {missing} "
+                         "not present in their side")
+    reserved = {"_side", "_bucket"} & (set(lcols) | set(rschema.names))
+    if reserved:
+        raise ValueError(f"bucketed_equi_join: columns {sorted(reserved)} "
+                         "are reserved internal names — rename first")
     rename = dict(zip(right_on, on))
     r_out = [rename.get(c, c) for c in rschema.names]
     collide = [c for c in r_out if c not in on and c in lcols]
@@ -1030,6 +1066,29 @@ def bucketed_equi_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     out_cols = lcols + [c for c in r_out if c not in on]
     int_casts, nullable_casts = _nullable_int_casts(
         (lschema, rschema), set(out_cols))
+    # Key-dtype harmonization: the bucket hash is dtype-sensitive, so a
+    # float key on one side and an int key on the other would hash the
+    # SAME value into DIFFERENT buckets and silently drop every match —
+    # reject mismatched key kinds outright, and widen int-int pairs of
+    # different widths to one nullable dtype on both sides.
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = {rename.get(n, n): t for n, t in zip(rschema.names,
+                                                  rschema.types)}
+    for kcol in on:
+        li, ri = _int_np_dtype(ltypes[kcol]), _int_np_dtype(rtypes[kcol])
+        if (li is None) != (ri is None):
+            raise ValueError(
+                f"bucketed_equi_join: key {kcol!r} is integer on one side "
+                f"({ltypes[kcol]} vs {rtypes[kcol]}) — same values would "
+                "hash to different buckets; cast the sides to one dtype")
+        if li is not None:
+            wide = li if li.itemsize >= ri.itemsize else ri
+            int_casts[kcol] = wide
+            nullable_casts[kcol] = _NULLABLE_INT[str(wide)]
+        elif _key_kind(ltypes[kcol]) != _key_kind(rtypes[kcol]):
+            raise ValueError(
+                f"bucketed_equi_join: key {kcol!r} dtype differs across "
+                f"sides ({ltypes[kcol]} vs {rtypes[kcol]}); cast first")
 
     def tag(side: str, ren: dict | None):
         def f(batch: pd.DataFrame) -> pd.DataFrame:
