@@ -521,3 +521,35 @@ def test_bucketed_equi_join_key_dtype_guards(ray_session):
         bucketed_equi_join(bad, it, on="k", right_on="node")
     with pytest.raises(ValueError, match="not present"):
         bucketed_equi_join(fl, it, on="nope", right_on="node")
+
+
+def test_user_retention_cohorts_handmade(ray_session):
+    """Three users across two cohort weeks with returns and a gap week:
+    counts match the hand computation (distinct users, not events)."""
+    from zeeklog_ray.queries import user_retention_cohorts
+
+    base = pd.Timestamp("2024-01-01")   # epoch day 19723 -> week 2817
+    rows = [
+        # u1: cohort week W, active W and W+2 (twice -> still 1 user)
+        (1, base), (1, base + pd.Timedelta(days=14)),
+        (1, base + pd.Timedelta(days=15)),
+        # u2: cohort week W, only W
+        (2, base + pd.Timedelta(days=1)),
+        # u3: cohort week W+1, active W+1 and W+2
+        (3, base + pd.Timedelta(days=7)),
+        (3, base + pd.Timedelta(days=14)),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        df.to_parquet(f"{td}/events.parquet")
+        out = user_retention_cohorts(td).to_pandas() \
+            .set_index(["cohort_week", "week_offset"])["n_users"]
+    w = int(pd.Timestamp("2024-01-01").to_datetime64()
+            .astype("datetime64[D]").astype("int64")) // 7
+    assert out.loc[(w, 0)] == 2          # u1, u2
+    assert out.loc[(w, 2)] == 1          # u1 (two events, one user)
+    assert out.loc[(w + 1, 0)] == 1      # u3
+    assert out.loc[(w + 1, 1)] == 1      # u3 return
+    assert (w, 1) not in out.index       # gap week absent

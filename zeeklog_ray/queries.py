@@ -1858,6 +1858,46 @@ def embedding_quantize(sf_dir: str) -> "ray.data.Dataset":
     return q.map_batches(explode, batch_format="pyarrow", batch_size=None)
 
 
+def user_retention_cohorts(sf_dir: str) -> "ray.data.Dataset":
+    """Cohort retention: users grouped by first-seen epoch-week, counted
+    distinct per (cohort_week, week_offset) — the product-analytics
+    staple.  Scale shape: first-seen is an entity-shaped bucketed MIN;
+    the events⨝first-seen attach is the bucketed equi-join (both sides
+    user-cardinality); the (cohort, offset, user) triple dedups bucketed
+    before a report-shaped grouped count.  Weeks are integer epoch-day
+    // 7, identical truncation on both sides."""
+    from zeeklog_ray.relational import (
+        bucketed_distinct,
+        bucketed_equi_join,
+        bucketed_group_min,
+        grouped_sum,
+    )
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def to_weeks(batch: pd.DataFrame) -> pd.DataFrame:
+        days = batch["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        return pd.DataFrame({"user_id": batch["user_id"].to_numpy(),
+                             "w": days // 7})
+
+    weeks = ev.map_batches(to_weeks, batch_format="pandas",
+                           batch_size=None).materialize()
+    first = bucketed_group_min(weeks, "user_id", "w").map_batches(
+        lambda df: df.rename(columns={"w": "cw"}),
+        batch_format="pandas", batch_size=None)
+    joined = bucketed_equi_join(weeks, first, on="user_id")
+
+    def triple(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"cohort_week": df["cw"].to_numpy(),
+                             "week_offset": (df["w"] - df["cw"]).to_numpy(),
+                             "user_id": df["user_id"].to_numpy()})
+
+    trip = joined.map_batches(triple, batch_format="pandas", batch_size=None)
+    dedup = bucketed_distinct(trip, ["cohort_week", "week_offset", "user_id"])
+    return grouped_sum(dedup, ["cohort_week", "week_offset"],
+                       count_as="n_users")
+
+
 def embedding_kmeans(sf_dir: str) -> "ray.data.Dataset":
     """Full-data distributed k-means over the embedding table, reported as
     per-cluster sizes (ops/cluster.kmeans_fit + kmeans_assign).  NO SQL
@@ -2795,6 +2835,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "embedding_graph_degrees": embedding_graph_degrees,
     "embedding_graph_triangles": embedding_graph_triangles,
     "embedding_kmeans": embedding_kmeans,
+    "user_retention_cohorts": user_retention_cohorts,
     "users_click_and_purchase": users_click_and_purchase,
     "users_big_view_no_big_purchase": users_big_view_no_big_purchase,
     "event_type_counts_cm": event_type_counts_cm,
@@ -3190,6 +3231,19 @@ _EMB_PAIRS_CTE = (
     "CAST(b.embedding AS DOUBLE[])) * 10000) AS BIGINT) >= 3500)")
 
 ORACLE_SQL: dict[str, str] = {
+    # integer epoch-week cohorts: DATE_DIFF days // 7 truncates the same
+    # way numpy datetime64[D] // 7 floors (all post-1970 → positive)
+    "user_retention_cohorts": (
+        "WITH f AS (SELECT user_id, MIN(ts) AS fts FROM events "
+        "GROUP BY user_id), "
+        "d AS (SELECT e.user_id, "
+        "DATE_DIFF('day', DATE '1970-01-01', CAST(e.ts AS DATE)) // 7 AS w, "
+        "DATE_DIFF('day', DATE '1970-01-01', CAST(f.fts AS DATE)) // 7 AS cw "
+        "FROM events e JOIN f USING (user_id)) "
+        "SELECT CAST(cw AS BIGINT) AS cohort_week, "
+        "CAST(w - cw AS BIGINT) AS week_offset, "
+        "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users "
+        "FROM d GROUP BY cw, w - cw"),
     "embedding_graph_degrees": (
         _EMB_PAIRS_CTE +
         ", ed AS (SELECT id_a AS node FROM pairs "
