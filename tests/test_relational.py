@@ -553,3 +553,24 @@ def test_user_retention_cohorts_handmade(ray_session):
     assert out.loc[(w + 1, 0)] == 1      # u3
     assert out.loc[(w + 1, 1)] == 1      # u3 return
     assert (w, 1) not in out.index       # gap week absent
+
+
+def test_key_skew_profile(ray_session):
+    import pytest
+
+    from zeeklog_ray.relational import key_skew_profile
+
+    df = pd.DataFrame({"k": ["a"] * 6 + ["b"] * 3 + ["c"] * 1})
+    out = key_skew_profile(ray.data.from_pandas(df).repartition(3), "k",
+                           num_buckets=4)
+    assert out["n_rows"].iloc[0] == 10
+    assert out["n_keys"].iloc[0] == 3
+    assert out["max_key_rows"].iloc[0] == 6
+    assert out["max_share_ppm"].iloc[0] == 600_000
+    # counts sorted [1, 3, 6]: p50 -> ceil(0.5*3)-1 = idx 1 -> 3; p99 -> 6
+    assert out["p50_key_rows"].iloc[0] == 3
+    assert out["p99_key_rows"].iloc[0] == 6
+
+    with pytest.raises(ValueError, match="empty input"):
+        key_skew_profile(
+            ray.data.from_pandas(df).filter(lambda r: False), "k")

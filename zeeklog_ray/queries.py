@@ -1898,6 +1898,17 @@ def user_retention_cohorts(sf_dir: str) -> "ray.data.Dataset":
                        count_as="n_users")
 
 
+def event_user_skew(sf_dir: str) -> pd.DataFrame:
+    """Skew profile of events.user_id — the pre-partitioning diagnostic
+    (relational.key_skew_profile): total rows, distinct keys, hottest
+    key's rows + ppm share, p50/p99 per-key rows.  Integer-exact,
+    quantile_disc semantics."""
+    from zeeklog_ray.relational import key_skew_profile
+
+    return key_skew_profile(read_table(sf_dir, "events",
+                                       columns=["user_id"]), "user_id")
+
+
 def embedding_kmeans(sf_dir: str) -> "ray.data.Dataset":
     """Full-data distributed k-means over the embedding table, reported as
     per-cluster sizes (ops/cluster.kmeans_fit + kmeans_assign).  NO SQL
@@ -2836,6 +2847,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "embedding_graph_triangles": embedding_graph_triangles,
     "embedding_kmeans": embedding_kmeans,
     "user_retention_cohorts": user_retention_cohorts,
+    "event_user_skew": event_user_skew,
     "users_click_and_purchase": users_click_and_purchase,
     "users_big_view_no_big_purchase": users_big_view_no_big_purchase,
     "event_type_counts_cm": event_type_counts_cm,
@@ -3231,6 +3243,15 @@ _EMB_PAIRS_CTE = (
     "CAST(b.embedding AS DOUBLE[])) * 10000) AS BIGINT) >= 3500)")
 
 ORACLE_SQL: dict[str, str] = {
+    "event_user_skew": (
+        "WITH c AS (SELECT user_id, COUNT(*) AS n_k FROM events "
+        "GROUP BY user_id) "
+        "SELECT CAST(SUM(n_k) AS BIGINT) AS n_rows, "
+        "CAST(COUNT(*) AS BIGINT) AS n_keys, "
+        "CAST(MAX(n_k) AS BIGINT) AS max_key_rows, "
+        "CAST(MAX(n_k) * 1000000 // SUM(n_k) AS BIGINT) AS max_share_ppm, "
+        "CAST(quantile_disc(n_k, 0.5) AS BIGINT) AS p50_key_rows, "
+        "CAST(quantile_disc(n_k, 0.99) AS BIGINT) AS p99_key_rows FROM c"),
     # integer epoch-week cohorts: DATE_DIFF days // 7 truncates the same
     # way numpy datetime64[D] // 7 floors (all post-1970 → positive)
     "user_retention_cohorts": (

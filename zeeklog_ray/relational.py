@@ -1123,3 +1123,47 @@ def bucketed_equi_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
 
     return with_hash_bucket(both, on, num_buckets) \
         .groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+def key_skew_profile(ds: "ray.data.Dataset", key: str,
+                     num_buckets: int = 1024) -> pd.DataFrame:
+    """Single-row skew diagnostic of a grouping key — the first question
+    to ask before hash-partitioning 100 TB by it: total rows, distinct
+    keys, the hottest key's row count and ppm share, and the p50/p99
+    per-key row counts.
+
+    Shape: one entity-shaped bucketed count (only (key, partial-count)
+    rows shuffle), then the count DISTRIBUTION collapses to a value
+    histogram (`ops.sketch.exact_quantiles` — |distinct count values|
+    rows on the driver, tiny even at 10^9 keys) plus per-block extrema
+    partials.  All integer-exact; ``max_share_ppm`` uses truncating
+    division to match SQL ``//``.  Null keys count as one key, matching
+    SQL GROUP BY."""
+    from zeeklog_ray.ops.sketch import exact_quantiles
+
+    counts = grouped_sum_bucketed(ds.select_columns([key]), [key],
+                                  count_as="n_k",
+                                  num_buckets=num_buckets).materialize()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"rows": [int(df["n_k"].sum())],
+                             "keys": [len(df)],
+                             "mx": [int(df["n_k"].max()) if len(df) else 0]})
+
+    parts = counts.map_batches(partial, batch_format="pandas",
+                               batch_size=None).to_pandas()
+    n_rows = int(parts["rows"].sum()) if "rows" in parts.columns else 0
+    if n_rows == 0:         # before the quantile pass: an empty Dataset's
+        raise ValueError("key_skew_profile: empty input")  # to_pandas()
+    n_keys = int(parts["keys"].sum())                      # loses columns
+    mx = int(parts["mx"].max())
+    q = exact_quantiles(counts, "n_k", [0.5, 0.99])
+    qv = q.set_index("q")["value"]
+    return pd.DataFrame({
+        "n_rows": pd.array([n_rows], dtype="int64"),
+        "n_keys": pd.array([n_keys], dtype="int64"),
+        "max_key_rows": pd.array([mx], dtype="int64"),
+        "max_share_ppm": pd.array([mx * 1_000_000 // n_rows], dtype="int64"),
+        "p50_key_rows": pd.array([int(qv.loc[0.5])], dtype="int64"),
+        "p99_key_rows": pd.array([int(qv.loc[0.99])], dtype="int64"),
+    })
