@@ -29,9 +29,12 @@ the library) calls ``ray.init`` / ``ray.shutdown``.
   oracle-checked), ``event_value_quantiles_sketch`` (mergeable
   rank-sample quantile sketch, approximate by design; rank-error-bound
   tested, with the exact twin ``event_value_quantiles`` oracle-checked),
-  and ``embedding_kmeans`` (iterative float means are not
+  ``embedding_kmeans`` (iterative float means are not
   SQL-replayable; pytest-gated on monotone SSE + planted-mixture
-  recovery, deterministic seed pins the rows-only check).
+  recovery, deterministic seed pins the rows-only check), and
+  ``media_phash`` (DuckDB cannot decode binary image payloads; the
+  dHash is pinned by exact-value pytest on known pixels and a
+  planted-duplicate grouping test).
 """
 
 from __future__ import annotations

@@ -307,3 +307,63 @@ def test_resize_images_actor_stage(ray_session):
     assert px.shape == (24, 32, 3)
     # round-trip: re-encoding the decoded pixels is byte-identical
     assert encode_bmp(px) == res["payload"].iloc[0]
+
+
+def test_dhash_exact_values_and_invariance():
+    """dHash on hand-built gradients: known bits, identical images
+    collide, a few-pixel perturbation flips only a few bits."""
+    import numpy as np
+
+    from zeeklog_ray.ops.multimodal import dhash_image
+
+    # horizontal ramp: every gradient positive -> all 64 bits set -> -1
+    ramp = np.tile(np.arange(0, 160, 10, dtype=np.uint8)[None, :, None],
+                   (16, 1, 3))
+    assert dhash_image(ramp) == -1
+    # constant image: no gradient -> 0
+    flat = np.full((12, 20, 3), 77, dtype=np.uint8)
+    assert dhash_image(flat) == 0
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    h1 = dhash_image(img)
+    assert dhash_image(img.copy()) == h1
+    pert = img.copy()
+    pert[5, 5] = 255 - pert[5, 5]          # one pixel
+    h2 = dhash_image(pert)
+    x = np.uint64(np.int64(h1)) ^ np.uint64(np.int64(h2))
+    assert bin(int(x)).count("1") <= 4
+
+
+def test_phash_dup_groups_planted(ray_session):
+    """Planted near-dup images group together; distinct images do not."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from zeeklog_ray.ops.multimodal import (
+        encode_bmp,
+        encode_png,
+        phash_dup_groups,
+        phash_images,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    near = base.copy()
+    near[0, 0] = 0                          # tiny edit
+    other = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    rows = [("a-base", encode_bmp(base)), ("b-near", encode_png(near)),
+            ("c-dup", encode_bmp(base)), ("d-other", encode_bmp(other))]
+    t = pa.table({
+        "item_id": pa.array([r[0] for r in rows], pa.string()),
+        "payload": pa.array([r[1] for r in rows], pa.binary()),
+        "modality": pa.array(["image"] * 4, pa.string()),
+        "meta": pa.array(["{}"] * 4, pa.string()),
+    })
+    ph = phash_images(ray.data.from_arrow(t)).materialize()
+    assert ph.count() == 4
+    comp = phash_dup_groups(ph, max_hamming=6).to_pandas()
+    grouped = comp.groupby("component")["node"].apply(set).tolist()
+    assert {"a-base", "b-near", "c-dup"} in grouped
+    assert not any("d-other" in g and len(g) > 1 for g in grouped)

@@ -553,3 +553,122 @@ def extract_features(ds: "ray.data.Dataset", decoder: str = "numpy",
     return ds.map_batches(MediaFeatureExtractor, batch_format="pyarrow",
                           batch_size=batch_size, concurrency=concurrency,
                           fn_constructor_kwargs={"decoder": decoder})
+
+
+# --------------------------------------------------------------------------
+# perceptual hashing (image dedup)
+# --------------------------------------------------------------------------
+
+
+def dhash_image(pixels: np.ndarray, hash_w: int = 8,
+                hash_h: int = 8) -> int:
+    """Difference-hash (dHash) of an HxWx3 uint8 image: integer luma
+    ((299R + 587G + 114B) // 1000), NEAREST resize to (hash_h, hash_w+1)
+    (the deterministic integer path of :func:`resize_image`), then one
+    bit per horizontal gradient ``g[y, x+1] > g[y, x]`` — 64 bits at the
+    8×8 default.  Fully integer → bit-identical across platforms.
+
+    The standard near-dup signature for images: identical images collide
+    exactly, small edits (crops excepted) differ in a few bits."""
+    p = pixels.astype(np.int64)
+    luma = (299 * p[:, :, 0] + 587 * p[:, :, 1] + 114 * p[:, :, 2]) // 1000
+    h, w = luma.shape
+    yi = np.minimum(((np.arange(hash_h) + 0.5) * h / hash_h)
+                    .astype(np.int64), h - 1)
+    xi = np.minimum(((np.arange(hash_w + 1) + 0.5) * w / (hash_w + 1))
+                    .astype(np.int64), w - 1)
+    g = luma[yi][:, xi]
+    bits = (g[:, 1:] > g[:, :-1]).ravel()
+    val = 0
+    for b in bits:                 # ≤64 iterations, not a hot path
+        val = (val << 1) | int(b)
+    return val - (1 << 64) if val >= (1 << 63) else val   # int64 2's compl
+
+
+class PerceptualHasher:
+    """Actor stage: decode image payloads → 64-bit dHash.  Non-image rows
+    are dropped (route modalities to their own stages).  Output:
+    ``(item_id, phash: int64)``."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.equal(batch["modality"], "image"))
+        ids, hashes = [], []
+        for item_id, payload in zip(batch["item_id"].to_pylist(),
+                                    batch["payload"].to_pylist()):
+            ids.append(item_id)
+            hashes.append(dhash_image(decode_image(payload)))
+        return pa.table({"item_id": pa.array(ids, pa.string()),
+                         "phash": pa.array(hashes, pa.int64())})
+
+
+def phash_images(ds: "ray.data.Dataset", batch_size: int = 64,
+                 concurrency: tuple[int, int] = (1, 4)) -> "ray.data.Dataset":
+    """Per-image perceptual hash over a media table — actor pool, small
+    batches (payload × batch × pool must fit the worker heap; same pool
+    shape as the other media stages)."""
+    return ds.map_batches(PerceptualHasher, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency)
+
+
+def phash_dup_groups(phashes: "ray.data.Dataset", max_hamming: int = 4,
+                     max_bucket: int = 2048) -> "ray.data.Dataset":
+    """Near-duplicate image groups from dHash signatures: band the 64-bit
+    hash into four 16-bit bands (pigeonhole: hamming ≤ 4 ⇒ at least one
+    band is ≤1 bit off — exact collisions on an unchanged band find all
+    pairs up to small edits), candidate pairs per band bucket, verify
+    with XOR popcount, resolve groups with connected components.
+
+    Same blocking/guard structure as MinHash+LSH: only (id, phash) pairs
+    shuffle; a degenerate band bucket past ``max_bucket`` raises (an
+    m-row bucket emits m² candidates — run exact phash dedup first).
+    Output: ``(node, component)`` over the string item ids."""
+    import pandas as pd
+
+    from zeeklog_ray.ops.graph import connected_components
+    from zeeklog_ray.relational import bucketed_distinct, with_hash_bucket
+
+    def band_rows(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["phash"].to_numpy(np.int64).view(np.uint64)
+        outs = []
+        for bi in range(4):
+            band = ((h >> np.uint64(16 * bi)) & np.uint64(0xFFFF)) \
+                .astype(np.int64) | np.int64(bi << 16)
+            outs.append(pd.DataFrame({"bb": band,
+                                      "item_id": df["item_id"],
+                                      "phash": df["phash"]}))
+        return pd.concat(outs, ignore_index=True)
+
+    banded = phashes.map_batches(band_rows, batch_format="pandas",
+                                 batch_size=None)
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates("item_id")
+        if len(g) > max_bucket:
+            raise ValueError(
+                f"phash_dup_groups: band bucket {int(g['bb'].iloc[0])} has "
+                f"{len(g)} members (> max_bucket={max_bucket}) — exact "
+                "phash dedup first, or raise max_bucket")
+        if len(g) < 2:
+            return pd.DataFrame({"doc_a": pd.array([], dtype=object),
+                                 "doc_b": pd.array([], dtype=object)})
+        ids = g["item_id"].to_numpy()
+        h = g["phash"].to_numpy(np.int64).view(np.uint64)
+        ia, ib = np.triu_indices(len(g), k=1)
+        x = h[ia] ^ h[ib]
+        ham = np.zeros(len(x), dtype=np.int64)
+        for _ in range(64):                    # vectorized popcount
+            ham += (x & np.uint64(1)).astype(np.int64)
+            x = x >> np.uint64(1)
+        keep = ham <= max_hamming
+        a, b = ids[ia[keep]], ids[ib[keep]]
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        return pd.DataFrame({"doc_a": lo, "doc_b": hi})
+
+    pairs = bucketed_distinct(
+        banded.groupby("bb").map_groups(bucket_pairs,
+                                        batch_format="pandas"),
+        ["doc_a", "doc_b"])
+    return connected_components(pairs)

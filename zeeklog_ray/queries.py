@@ -1898,6 +1898,24 @@ def user_retention_cohorts(sf_dir: str) -> "ray.data.Dataset":
                        count_as="n_users")
 
 
+def media_phash(sf_dir: str) -> "ray.data.Dataset":
+    """Per-image 64-bit perceptual hash (dHash) over the media corpus —
+    the image-dedup signature (ops/multimodal.dhash_image: integer luma,
+    nearest resize, gradient bits; actor-pool decode).  NO SQL oracle —
+    DuckDB cannot decode binary image payloads; the hash is pinned by
+    exact-value pytest on known pixels and the near-dup grouping by a
+    planted-duplicate test.  Deterministic, so rows-only still pins the
+    image count."""
+    import ray.data as rd
+
+    from zeeklog_ray.ops.multimodal import (
+        media_parquet_for_sf_dir,
+        phash_images,
+    )
+
+    return phash_images(rd.read_parquet(media_parquet_for_sf_dir(sf_dir)))
+
+
 def event_user_skew(sf_dir: str) -> pd.DataFrame:
     """Skew profile of events.user_id — the pre-partitioning diagnostic
     (relational.key_skew_profile): total rows, distinct keys, hottest
@@ -2848,6 +2866,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "embedding_kmeans": embedding_kmeans,
     "user_retention_cohorts": user_retention_cohorts,
     "event_user_skew": event_user_skew,
+    "media_phash": media_phash,
     "users_click_and_purchase": users_click_and_purchase,
     "users_big_view_no_big_purchase": users_big_view_no_big_purchase,
     "event_type_counts_cm": event_type_counts_cm,
