@@ -32,9 +32,10 @@ the library) calls ``ray.init`` / ``ray.shutdown``.
   ``embedding_kmeans`` (iterative float means are not
   SQL-replayable; pytest-gated on monotone SSE + planted-mixture
   recovery, deterministic seed pins the rows-only check), and
-  ``media_phash`` (DuckDB cannot decode binary image payloads; the
-  dHash is pinned by exact-value pytest on known pixels and a
-  planted-duplicate grouping test).
+  ``media_phash`` / ``media_audio_fp`` (DuckDB cannot decode binary
+  image/WAV payloads; the dHash / energy-envelope fingerprint is pinned
+  by exact-value pytest on known pixels/samples plus planted-duplicate
+  and gain-invariance grouping tests).
 """
 
 from __future__ import annotations

@@ -367,3 +367,47 @@ def test_phash_dup_groups_planted(ray_session):
     grouped = comp.groupby("component")["node"].apply(set).tolist()
     assert {"a-base", "b-near", "c-dup"} in grouped
     assert not any("d-other" in g and len(g) > 1 for g in grouped)
+
+
+def test_audio_fingerprint_level_robust(ray_session):
+    """Identical clips collide; a gain-scaled copy is within a few bits;
+    a different clip is far; grouping works through phash_dup_groups."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from zeeklog_ray.ops.multimodal import (
+        afp_audio,
+        audio_fingerprints,
+        encode_wav,
+        phash_dup_groups,
+    )
+
+    rng = np.random.default_rng(23)
+    t = np.arange(4096, dtype=np.float64) / 16000
+    clip = (np.sin(2 * np.pi * 440 * t) * (0.2 + 0.6 * np.abs(
+        np.sin(2 * np.pi * 3 * t))) * 20000)
+    base = clip.astype(np.int16)
+    half = (clip * 0.5).astype(np.int16)
+    other = (rng.normal(0, 8000, 4096)).astype(np.int16)
+
+    h_base = afp_audio(16000, base)
+    assert afp_audio(16000, base.copy()) == h_base
+    x = np.uint64(np.int64(h_base)) ^ np.uint64(np.int64(afp_audio(16000, half)))
+    assert bin(int(x)).count("1") <= 4       # level-robust
+    y = np.uint64(np.int64(h_base)) ^ np.uint64(np.int64(afp_audio(16000, other)))
+    assert bin(int(y)).count("1") >= 10      # different content is far
+
+    rows = [("a", base), ("b", half), ("c", other)]
+    tbl = pa.table({
+        "item_id": pa.array([r[0] for r in rows], pa.string()),
+        "payload": pa.array([encode_wav(r[1], 16000) for r in rows],
+                            pa.binary()),
+        "modality": pa.array(["audio"] * 3, pa.string()),
+        "meta": pa.array(["{}"] * 3, pa.string()),
+    })
+    fp = audio_fingerprints(ray.data.from_arrow(tbl)).materialize()
+    comp = phash_dup_groups(fp, max_hamming=6).to_pandas()
+    groups = comp.groupby("component")["node"].apply(set).tolist()
+    assert {"a", "b"} in groups
+    assert not any("c" in g and len(g) > 1 for g in groups)

@@ -1916,6 +1916,23 @@ def media_phash(sf_dir: str) -> "ray.data.Dataset":
     return phash_images(rd.read_parquet(media_parquet_for_sf_dir(sf_dir)))
 
 
+def media_audio_fp(sf_dir: str) -> "ray.data.Dataset":
+    """Per-clip 64-bit audio fingerprint (energy-envelope dHash,
+    level-robust) over the media corpus — the audio-dedup signature
+    (ops/multimodal.afp_audio).  Same rows-only rationale as
+    media_phash: SQL cannot decode WAV payloads; pinned by exact-value
+    + gain-invariance pytest."""
+    import ray.data as rd
+
+    from zeeklog_ray.ops.multimodal import (
+        audio_fingerprints,
+        media_parquet_for_sf_dir,
+    )
+
+    return audio_fingerprints(
+        rd.read_parquet(media_parquet_for_sf_dir(sf_dir)))
+
+
 def event_user_skew(sf_dir: str) -> pd.DataFrame:
     """Skew profile of events.user_id — the pre-partitioning diagnostic
     (relational.key_skew_profile): total rows, distinct keys, hottest
@@ -2867,6 +2884,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "user_retention_cohorts": user_retention_cohorts,
     "event_user_skew": event_user_skew,
     "media_phash": media_phash,
+    "media_audio_fp": media_audio_fp,
     "users_click_and_purchase": users_click_and_purchase,
     "users_big_view_no_big_purchase": users_big_view_no_big_purchase,
     "event_type_counts_cm": event_type_counts_cm,
