@@ -228,6 +228,14 @@ def _run_scale_ops(timings: dict) -> None:
     assert got == n_nodes - 2, got
     timings["scale_triangles_2m_edges"] = round(time.monotonic() - t0, 3)
 
+    # cohort retention + key-skew profile at the 5M-event scale (both
+    # ride the entity-shaped bucketed count / join / dedup patterns)
+    from zeeklog_ray.relational import key_skew_profile
+
+    t0 = time.monotonic()
+    key_skew_profile(ray.data.read_parquet(ev), "user_id")
+    timings[f"scale_key_skew_{mtag}"] = round(time.monotonic() - t0, 3)
+
     # full-data k-means (3 Lloyd passes) + int8 quantization over 1M
     # 16-dim vectors synthesized row-locally from the id
     from zeeklog_ray.ops.cluster import kmeans_fit
