@@ -230,11 +230,14 @@ def _run_scale_ops(timings: dict) -> None:
 
     # cohort retention + key-skew profile at the 5M-event scale (both
     # ride the entity-shaped bucketed count / join / dedup patterns)
-    from zeeklog_ray.relational import key_skew_profile
+    from zeeklog_ray.relational import key_skew_profile, retention_cohorts
 
     t0 = time.monotonic()
     key_skew_profile(ray.data.read_parquet(ev), "user_id")
     timings[f"scale_key_skew_{mtag}"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    retention_cohorts(ray.data.read_parquet(ev)).count()
+    timings[f"scale_retention_{mtag}"] = round(time.monotonic() - t0, 3)
 
     # full-data k-means (3 Lloyd passes) + int8 quantization over 1M
     # 16-dim vectors synthesized row-locally from the id

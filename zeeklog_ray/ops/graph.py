@@ -52,7 +52,12 @@ def _driver_union_find(edges: pd.DataFrame) -> "ray.data.Dataset":
             break
         labels = new
     out = pd.DataFrame({"node": nodes, "component": nodes[labels]})
-    return ray.data.from_pandas(out.reset_index(drop=True))
+    # split into ~1M-row blocks: a single 10M+-row from_pandas block would
+    # serialize the first downstream map stage onto one worker
+    chunk = 1_000_000
+    frames = [out.iloc[i:i + chunk].reset_index(drop=True)
+              for i in range(0, len(out), chunk)] or [out]
+    return ray.data.from_pandas(frames)
 
 
 def connected_components(pairs: "ray.data.Dataset", max_rounds: int = 30,

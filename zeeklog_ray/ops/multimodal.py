@@ -612,22 +612,34 @@ def phash_images(ds: "ray.data.Dataset", batch_size: int = 64,
                           batch_size=batch_size, concurrency=concurrency)
 
 
-def phash_dup_groups(phashes: "ray.data.Dataset", max_hamming: int = 4,
+def phash_dup_groups(phashes: "ray.data.Dataset", max_hamming: int = 3,
                      max_bucket: int = 2048) -> "ray.data.Dataset":
     """Near-duplicate image groups from dHash signatures: band the 64-bit
-    hash into four 16-bit bands (pigeonhole: hamming ≤ 4 ⇒ at least one
-    band is ≤1 bit off — exact collisions on an unchanged band find all
-    pairs up to small edits), candidate pairs per band bucket, verify
-    with XOR popcount, resolve groups with connected components.
+    hash into four 16-bit bands (pigeonhole: hamming ≤ 3 ⇒ at least one
+    band is EXACTLY unchanged, so exact band collisions find every
+    qualifying pair — detection of hamming ≤ h needs ≥ h+1 bands, which
+    is why the default threshold is 3), candidate pairs via a self-join
+    on the band key, verify with vectorized XOR popcount, resolve groups
+    with connected components.  Raising ``max_hamming`` past 3 keeps
+    working but loses the completeness guarantee (a pair may differ in
+    every band).
 
-    Same blocking/guard structure as MinHash+LSH: only (id, phash) pairs
-    shuffle; a degenerate band bucket past ``max_bucket`` raises (an
-    m-row bucket emits m² candidates — run exact phash dedup first).
+    Same blocking/guard structure as MinHash+LSH (``ops/dedup.py``):
+    only (id, phash) rows shuffle; band buckets past ``max_bucket`` are
+    EXCLUDED from the self-join with a runtime warning (an m-row bucket
+    emits m² candidates; smooth/low-texture images legitimately share
+    the all-zero gradient band, and dropping ONE band of a pair still
+    leaves its other three to find it).  The pair generation is a hash
+    self-join, not per-band-bucket ``map_groups`` — Ray pays Python per
+    GROUP, and 4×2^16 distinct band buckets would cost ~50 s of pure
+    overhead at 1M images.  The bucket census is driver-merged
+    value_counts partials (band keys are mostly distinct; at text-corpus
+    scale use the tiered census in ``ops/dedup.minhash_lsh_pairs``).
     Output: ``(node, component)`` over the string item ids."""
     import pandas as pd
 
     from zeeklog_ray.ops.graph import connected_components
-    from zeeklog_ray.relational import bucketed_distinct, with_hash_bucket
+    from zeeklog_ray.relational import bucketed_distinct, sized_join_partitions
 
     def band_rows(df: pd.DataFrame) -> pd.DataFrame:
         h = df["phash"].to_numpy(np.int64).view(np.uint64)
@@ -641,35 +653,66 @@ def phash_dup_groups(phashes: "ray.data.Dataset", max_hamming: int = 4,
         return pd.concat(outs, ignore_index=True)
 
     banded = phashes.map_batches(band_rows, batch_format="pandas",
-                                 batch_size=None)
+                                 batch_size=None).materialize()
+    n_banded = banded.count()
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates("item_id")
-        if len(g) > max_bucket:
-            raise ValueError(
-                f"phash_dup_groups: band bucket {int(g['bb'].iloc[0])} has "
-                f"{len(g)} members (> max_bucket={max_bucket}) — exact "
-                "phash dedup first, or raise max_bucket")
-        if len(g) < 2:
-            return pd.DataFrame({"doc_a": pd.array([], dtype=object),
-                                 "doc_b": pd.array([], dtype=object)})
-        ids = g["item_id"].to_numpy()
-        h = g["phash"].to_numpy(np.int64).view(np.uint64)
-        ia, ib = np.triu_indices(len(g), k=1)
-        x = h[ia] ^ h[ib]
+    def bucket_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch["bb"].value_counts()
+        return pd.DataFrame({"bb": vc.index.to_numpy(np.int64),
+                             "m": vc.to_numpy(np.int64)})
+
+    partials = banded.map_batches(bucket_partials, batch_format="pandas",
+                                  batch_size=None).to_pandas()
+    totals = partials.groupby("bb", sort=False)["m"].sum()
+    big_keys = totals.index.to_numpy(np.int64)[totals.to_numpy() > max_bucket]
+    if len(big_keys):
+        import logging
+
+        import ray as _ray
+
+        logging.getLogger(__name__).warning(
+            "phash_dup_groups: excluding %d oversized band buckets "
+            "(> max_bucket=%d) from the self-join; pairs colliding ONLY "
+            "there are missed (their other bands still cover hamming ≤ %d "
+            "pairs unless those bands are oversized too)",
+            len(big_keys), max_bucket, max_hamming)
+        big_ref = _ray.put(np.sort(big_keys))
+
+        def drop_big(batch: pd.DataFrame) -> pd.DataFrame:
+            bs = _ray.get(big_ref)
+            return batch[~np.isin(batch["bb"].to_numpy(np.int64), bs)]
+
+        banded = banded.map_batches(drop_big, batch_format="pandas",
+                                    batch_size=None)
+
+    def as_role(role: str):
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"bb": batch["bb"], role: batch["item_id"],
+                                 f"ph_{role[-1]}": batch["phash"]})
+
+        return f
+
+    left = banded.map_batches(as_role("doc_a"),
+                              batch_format="pandas", batch_size=None)
+    right = banded.map_batches(as_role("doc_b"),
+                               batch_format="pandas", batch_size=None)
+    cand = left.join(right, join_type="inner",
+                     num_partitions=sized_join_partitions(n_banded),
+                     on=("bb",), right_on=("bb",),
+                     left_suffix="_l", right_suffix="_r")
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch["doc_a"] < batch["doc_b"]]
+        x = batch["ph_a"].to_numpy(np.int64).view(np.uint64) ^ \
+            batch["ph_b"].to_numpy(np.int64).view(np.uint64)
         ham = np.zeros(len(x), dtype=np.int64)
         for _ in range(64):                    # vectorized popcount
             ham += (x & np.uint64(1)).astype(np.int64)
             x = x >> np.uint64(1)
-        keep = ham <= max_hamming
-        a, b = ids[ia[keep]], ids[ib[keep]]
-        lo = np.minimum(a, b)
-        hi = np.maximum(a, b)
-        return pd.DataFrame({"doc_a": lo, "doc_b": hi})
+        return batch.loc[ham <= max_hamming, ["doc_a", "doc_b"]]
 
     pairs = bucketed_distinct(
-        banded.groupby("bb").map_groups(bucket_pairs,
-                                        batch_format="pandas"),
+        cand.map_batches(verify, batch_format="pandas", batch_size=None),
         ["doc_a", "doc_b"])
     return connected_components(pairs)
 

@@ -1866,36 +1866,10 @@ def user_retention_cohorts(sf_dir: str) -> "ray.data.Dataset":
     user-cardinality); the (cohort, offset, user) triple dedups bucketed
     before a report-shaped grouped count.  Weeks are integer epoch-day
     // 7, identical truncation on both sides."""
-    from zeeklog_ray.relational import (
-        bucketed_distinct,
-        bucketed_equi_join,
-        bucketed_group_min,
-        grouped_sum,
-    )
+    from zeeklog_ray.relational import retention_cohorts
 
-    ev = read_table(sf_dir, "events", columns=["user_id", "ts"])
-
-    def to_weeks(batch: pd.DataFrame) -> pd.DataFrame:
-        days = batch["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
-        return pd.DataFrame({"user_id": batch["user_id"].to_numpy(),
-                             "w": days // 7})
-
-    weeks = ev.map_batches(to_weeks, batch_format="pandas",
-                           batch_size=None).materialize()
-    first = bucketed_group_min(weeks, "user_id", "w").map_batches(
-        lambda df: df.rename(columns={"w": "cw"}),
-        batch_format="pandas", batch_size=None)
-    joined = bucketed_equi_join(weeks, first, on="user_id")
-
-    def triple(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"cohort_week": df["cw"].to_numpy(),
-                             "week_offset": (df["w"] - df["cw"]).to_numpy(),
-                             "user_id": df["user_id"].to_numpy()})
-
-    trip = joined.map_batches(triple, batch_format="pandas", batch_size=None)
-    dedup = bucketed_distinct(trip, ["cohort_week", "week_offset", "user_id"])
-    return grouped_sum(dedup, ["cohort_week", "week_offset"],
-                       count_as="n_users")
+    return retention_cohorts(
+        read_table(sf_dir, "events", columns=["user_id", "ts"]))
 
 
 def media_phash(sf_dir: str) -> "ray.data.Dataset":

@@ -1167,3 +1167,39 @@ def key_skew_profile(ds: "ray.data.Dataset", key: str,
         "p50_key_rows": pd.array([int(qv.loc[0.5])], dtype="int64"),
         "p99_key_rows": pd.array([int(qv.loc[0.99])], dtype="int64"),
     })
+
+
+def retention_cohorts(events: "ray.data.Dataset", user_col: str = "user_id",
+                      ts_col: str = "ts",
+                      num_buckets: int = 1024) -> "ray.data.Dataset":
+    """Cohort retention over an event stream: distinct users per
+    (first-seen epoch-week, week-offset).  Entity-shaped first-seen MIN,
+    bucketed equi-join attach, bucketed triple dedup, report-shaped
+    count — weeks are integer epoch-day // 7 so a SQL replay truncates
+    identically.  Output: (cohort_week, week_offset, n_users)."""
+
+    def to_weeks(batch: pd.DataFrame) -> pd.DataFrame:
+        days = batch[ts_col].to_numpy().astype("datetime64[D]") \
+            .astype(np.int64)
+        return pd.DataFrame({user_col: batch[user_col].to_numpy(),
+                             "w": days // 7})
+
+    weeks = events.select_columns([user_col, ts_col]).map_batches(
+        to_weeks, batch_format="pandas", batch_size=None).materialize()
+    first = bucketed_group_min(weeks, user_col, "w",
+                               num_buckets=num_buckets).map_batches(
+        lambda df: df.rename(columns={"w": "cw"}),
+        batch_format="pandas", batch_size=None)
+    joined = bucketed_equi_join(weeks, first, on=user_col,
+                                num_buckets=num_buckets)
+
+    def triple(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"cohort_week": df["cw"].to_numpy(),
+                             "week_offset": (df["w"] - df["cw"]).to_numpy(),
+                             user_col: df[user_col].to_numpy()})
+
+    trip = joined.map_batches(triple, batch_format="pandas", batch_size=None)
+    dedup = bucketed_distinct(trip, ["cohort_week", "week_offset", user_col],
+                              num_buckets=num_buckets)
+    return grouped_sum(dedup, ["cohort_week", "week_offset"],
+                       count_as="n_users")
