@@ -32,10 +32,11 @@ the library) calls ``ray.init`` / ``ray.shutdown``.
   ``embedding_kmeans`` (iterative float means are not
   SQL-replayable; pytest-gated on monotone SSE + planted-mixture
   recovery, deterministic seed pins the rows-only check), and
-  ``media_phash`` / ``media_audio_fp`` (DuckDB cannot decode binary
-  image/WAV payloads; the dHash / energy-envelope fingerprint is pinned
-  by exact-value pytest on known pixels/samples plus planted-duplicate
-  and gain-invariance grouping tests).
+  ``media_phash`` / ``media_audio_fp`` / ``media_video_hash`` (DuckDB
+  cannot decode binary image/WAV/RVID payloads; the dHash /
+  energy-envelope / mean-frame signatures are pinned by exact-value
+  pytest on known pixels/samples plus planted-duplicate, gain- and
+  reorder-invariance grouping tests).
 """
 
 from __future__ import annotations

@@ -411,3 +411,43 @@ def test_audio_fingerprint_level_robust(ray_session):
     groups = comp.groupby("component")["node"].apply(set).tolist()
     assert {"a", "b"} in groups
     assert not any("c" in g and len(g) > 1 for g in groups)
+
+
+def test_video_hash_dedup(ray_session):
+    """Identical videos collide; frame-reordered copies collide (mean
+    frame invariant); a brightness-shifted copy is near; different
+    content is far."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from zeeklog_ray.ops.multimodal import (
+        encode_video,
+        phash_dup_groups,
+        vhash_video,
+        video_hashes,
+    )
+
+    rng = np.random.default_rng(31)
+    frames = rng.integers(0, 256, (6, 16, 16, 3), dtype=np.uint8)
+    h = vhash_video(frames)
+    assert vhash_video(frames[::-1]) == h            # reorder-invariant
+    bright = np.clip(frames.astype(np.int64) + 6, 0, 255).astype(np.uint8)
+    xb = np.uint64(np.int64(h)) ^ np.uint64(np.int64(vhash_video(bright)))
+    assert bin(int(xb)).count("1") <= 3
+    other = rng.integers(0, 256, (6, 16, 16, 3), dtype=np.uint8)
+    xo = np.uint64(np.int64(h)) ^ np.uint64(np.int64(vhash_video(other)))
+    assert bin(int(xo)).count("1") >= 10
+
+    rows = [("v1", frames), ("v2", frames[::-1].copy()), ("v3", other)]
+    t = pa.table({
+        "item_id": pa.array([r[0] for r in rows], pa.string()),
+        "payload": pa.array([encode_video(r[1]) for r in rows], pa.binary()),
+        "modality": pa.array(["video"] * 3, pa.string()),
+        "meta": pa.array(["{}"] * 3, pa.string()),
+    })
+    vh = video_hashes(ray.data.from_arrow(t)).materialize()
+    comp = phash_dup_groups(vh, max_hamming=3).to_pandas()
+    groups = comp.groupby("component")["node"].apply(set).tolist()
+    assert {"v1", "v2"} in groups
+    assert not any("v3" in g and len(g) > 1 for g in groups)

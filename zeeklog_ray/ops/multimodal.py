@@ -768,3 +768,39 @@ def audio_fingerprints(ds: "ray.data.Dataset", batch_size: int = 64,
     batches); group near-dups with :func:`phash_dup_groups`."""
     return ds.map_batches(AudioFingerprinter, batch_format="pyarrow",
                           batch_size=batch_size, concurrency=concurrency)
+
+
+def vhash_video(frames: np.ndarray) -> int:
+    """64-bit video signature: dHash of the integer mean frame (sum //
+    n_frames) — robust to frame reordering and short trims, sensitive to
+    content.  Fully integer, same bit contract as :func:`dhash_image`,
+    so :func:`phash_dup_groups` runs unchanged on it."""
+    mean = (frames.astype(np.int64).sum(axis=0)
+            // max(1, frames.shape[0])).astype(np.uint8)
+    return dhash_image(mean)
+
+
+class VideoHasher:
+    """Actor stage: decode RVID payloads → mean-frame dHash.  Non-video
+    rows dropped.  Output ``(item_id, phash)`` for
+    :func:`phash_dup_groups`."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.equal(batch["modality"], "video"))
+        ids, hashes = [], []
+        for item_id, payload in zip(batch["item_id"].to_pylist(),
+                                    batch["payload"].to_pylist()):
+            ids.append(item_id)
+            hashes.append(vhash_video(decode_video(payload)))
+        return pa.table({"item_id": pa.array(ids, pa.string()),
+                         "phash": pa.array(hashes, pa.int64())})
+
+
+def video_hashes(ds: "ray.data.Dataset", batch_size: int = 64,
+                 concurrency: tuple[int, int] = (1, 4)) -> "ray.data.Dataset":
+    """Per-video signature over a media table (actor pool, small
+    batches)."""
+    return ds.map_batches(VideoHasher, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency)

@@ -1907,6 +1907,21 @@ def media_audio_fp(sf_dir: str) -> "ray.data.Dataset":
         rd.read_parquet(media_parquet_for_sf_dir(sf_dir)))
 
 
+def media_video_hash(sf_dir: str) -> "ray.data.Dataset":
+    """Per-video 64-bit signature (mean-frame dHash, reorder/trim-robust)
+    over the media corpus (ops/multimodal.vhash_video).  Rows-only for
+    the same reason as media_phash (SQL cannot decode RVID payloads);
+    pinned by exactness/invariance/planted-grouping pytest."""
+    import ray.data as rd
+
+    from zeeklog_ray.ops.multimodal import (
+        media_parquet_for_sf_dir,
+        video_hashes,
+    )
+
+    return video_hashes(rd.read_parquet(media_parquet_for_sf_dir(sf_dir)))
+
+
 def event_user_skew(sf_dir: str) -> pd.DataFrame:
     """Skew profile of events.user_id — the pre-partitioning diagnostic
     (relational.key_skew_profile): total rows, distinct keys, hottest
@@ -2859,6 +2874,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "event_user_skew": event_user_skew,
     "media_phash": media_phash,
     "media_audio_fp": media_audio_fp,
+    "media_video_hash": media_video_hash,
     "users_click_and_purchase": users_click_and_purchase,
     "users_big_view_no_big_purchase": users_big_view_no_big_purchase,
     "event_type_counts_cm": event_type_counts_cm,
