@@ -574,3 +574,28 @@ def test_key_skew_profile(ray_session):
     with pytest.raises(ValueError, match="empty input"):
         key_skew_profile(
             ray.data.from_pandas(df).filter(lambda r: False), "k")
+
+
+def test_global_rank_matches_pandas(ray_session):
+    """Range-partitioned global ROW_NUMBER equals the pandas reference,
+    including heavy ties across sampled boundaries; nulls rejected."""
+    import pytest
+
+    from zeeklog_ray.relational import global_rank
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({"id": np.arange(5000, dtype="int64"),
+                       "v": rng.integers(0, 50, 5000)})   # heavy ties
+    out = global_rank(ray.data.from_pandas(df).repartition(8),
+                      by="v", tie="id", num_buckets=16).to_pandas()
+    exp = df.sort_values(["v", "id"]).reset_index(drop=True)
+    exp["rank"] = np.arange(1, len(exp) + 1)
+    got = out.sort_values("rank").reset_index(drop=True)
+    assert got["id"].tolist() == exp["id"].tolist()
+    assert got["rank"].tolist() == exp["rank"].tolist()
+
+    bad = pd.DataFrame({"id": [1, 2], "v": pd.array([1, None],
+                                                    dtype="Int64")})
+    with pytest.raises(Exception, match="null values in sort key"):
+        global_rank(ray.data.from_pandas(bad), by="v",
+                    tie="id").to_pandas()

@@ -1922,6 +1922,19 @@ def media_video_hash(sf_dir: str) -> "ray.data.Dataset":
     return video_hashes(rd.read_parquet(media_parquet_for_sf_dir(sf_dir)))
 
 
+def docs_length_rank(sf_dir: str) -> "ray.data.Dataset":
+    """Global ROW_NUMBER over the whole corpus ordered by (n_chars,
+    doc_id) — the distributed range-partitioned sort-rank
+    (relational.global_rank: sampled boundaries, row-local bucket
+    assign, per-range sort + prefix offset; the curriculum-ordering
+    primitive)."""
+    from zeeklog_ray.relational import global_rank
+
+    return global_rank(read_table(sf_dir, "documents",
+                                  columns=["doc_id", "n_chars"]),
+                       by="n_chars", tie="doc_id")
+
+
 def event_user_skew(sf_dir: str) -> pd.DataFrame:
     """Skew profile of events.user_id — the pre-partitioning diagnostic
     (relational.key_skew_profile): total rows, distinct keys, hottest
@@ -2875,6 +2888,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "media_phash": media_phash,
     "media_audio_fp": media_audio_fp,
     "media_video_hash": media_video_hash,
+    "docs_length_rank": docs_length_rank,
     "users_click_and_purchase": users_click_and_purchase,
     "users_big_view_no_big_purchase": users_big_view_no_big_purchase,
     "event_type_counts_cm": event_type_counts_cm,
@@ -3270,6 +3284,9 @@ _EMB_PAIRS_CTE = (
     "CAST(b.embedding AS DOUBLE[])) * 10000) AS BIGINT) >= 3500)")
 
 ORACLE_SQL: dict[str, str] = {
+    "docs_length_rank": (
+        "SELECT doc_id, n_chars, CAST(ROW_NUMBER() OVER "
+        "(ORDER BY n_chars, doc_id) AS BIGINT) AS rank FROM documents"),
     "event_user_skew": (
         "WITH c AS (SELECT user_id, COUNT(*) AS n_k FROM events "
         "GROUP BY user_id) "

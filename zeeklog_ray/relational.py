@@ -1203,3 +1203,66 @@ def retention_cohorts(events: "ray.data.Dataset", user_col: str = "user_id",
                               num_buckets=num_buckets)
     return grouped_sum(dedup, ["cohort_week", "week_offset"],
                        count_as="n_users")
+
+
+def global_rank(ds: "ray.data.Dataset", by: str, tie: str,
+                num_buckets: int = 64, sample_n: int = 8192,
+                seed: int = 7) -> "ray.data.Dataset":
+    """Distributed global ROW_NUMBER ordered by ``(by, tie)`` ascending —
+    the range-partitioned sort-rank: sample the sort key for bucket
+    boundaries (deterministic seed), assign each row its range bucket
+    row-locally, count per bucket (≤ ``num_buckets`` rows to the
+    driver), then one bucketed pass sorts each range and adds its prefix
+    offset — rank is 1-based, dense across the whole dataset, and ties
+    break by ``tie`` so the result is total and replayable as SQL
+    ``ROW_NUMBER() OVER (ORDER BY by, tie)``.
+
+    Equal ``by`` values always land in the SAME range bucket
+    (searchsorted on value), so a pathologically hot value makes one
+    bucket large — inherent to rank semantics (equal values need
+    contiguous ranks); rank on a finer composite key if that bites.
+    Null sort keys are rejected (SQL null-ordering varies by dialect —
+    make the policy explicit upstream)."""
+    proj = ds.select_columns([by, tie]).materialize()
+    n_rows = proj.count()
+    if n_rows == 0:
+        return proj.map_batches(
+            lambda df: df.assign(rank=pd.array([], dtype="int64")),
+            batch_format="pandas", batch_size=None)
+    frac = min(1.0, 1.25 * sample_n / n_rows)
+    samp = proj.random_sample(frac, seed=seed).to_pandas()
+    if len(samp) == 0:
+        samp = proj.limit(sample_n).to_pandas()
+    if samp[by].isna().any():
+        raise ValueError(f"global_rank: null values in sort key {by!r}")
+    vals = np.sort(samp[by].to_numpy())
+    qs = (np.arange(1, num_buckets) * len(vals)) // num_buckets
+    boundaries = np.unique(vals[qs]) if len(vals) else np.array([])
+    bref = ray.put(boundaries)
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch[by].isna().any():
+            raise ValueError(f"global_rank: null values in sort key {by!r}")
+        bounds = ray.get(bref)
+        batch = batch.copy()
+        batch["_rb"] = np.searchsorted(bounds, batch[by].to_numpy(),
+                                       side="right").astype(np.int64)
+        return batch
+
+    assigned = proj.map_batches(assign, batch_format="pandas",
+                                batch_size=None).materialize()
+    counts = grouped_sum(assigned.select_columns(["_rb"]), ["_rb"],
+                         count_as="m").to_pandas().sort_values("_rb")
+    offsets = dict(zip(counts["_rb"],
+                       counts["m"].cumsum() - counts["m"]))
+    oref = ray.put(offsets)
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(oref)
+        g = group.sort_values([by, tie], kind="mergesort")
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64) \
+            + np.int64(offs[int(g["_rb"].iloc[0])])
+        return g.drop(columns=["_rb"])
+
+    return assigned.groupby("_rb").map_groups(per_bucket,
+                                              batch_format="pandas")
