@@ -36,7 +36,9 @@ the library) calls ``ray.init`` / ``ray.shutdown``.
   cannot decode binary image/WAV/RVID payloads; the dHash /
   energy-envelope / mean-frame signatures are pinned by exact-value
   pytest on known pixels/samples plus planted-duplicate, gain- and
-  reorder-invariance grouping tests).
+  reorder-invariance grouping tests), and ``docs_bpe_merges`` (BPE
+  training is an iterative argmax; both tiers are pytest-gated against
+  a pure-Python reference with the same determinism contract).
 """
 
 from __future__ import annotations

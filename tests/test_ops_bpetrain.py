@@ -1,0 +1,130 @@
+"""BPE trainer: both tiers vs a pure-Python reference with the same
+determinism contract (sorted-char initial codes, min-packed-key
+tie-break, END_WORD marker code 0)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from zeeklog_ray.ops.bpetrain import (
+    END_WORD,
+    _apply_merge,
+    _pair_census,
+    train_bpe,
+)
+
+
+def reference_bpe(texts, n_merges, min_pair_count=2):
+    """Slow reference: dict-of-tuples BPE with the module's contract."""
+    from collections import Counter
+
+    wc = Counter(w for t in texts for w in t.split(" ") if w)
+    alphabet = sorted(set("".join(wc)))
+    code = {END_WORD: 0, **{c: i + 1 for i, c in enumerate(alphabet)}}
+    sym = {v: k for k, v in code.items()}
+    words = {w: tuple(code[c] for c in w) + (0,) for w in wc}
+    merges = []
+    next_code = len(alphabet) + 1
+    for _ in range(n_merges):
+        pairs = Counter()
+        for w, syms in words.items():
+            n = wc[w]
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += n
+        if not pairs:
+            break
+        best = min(pairs.items(),
+                   key=lambda kv: (-kv[1], kv[0][0] * 2**32 + kv[0][1]))
+        (a, b), cnt = best
+        if cnt < min_pair_count:
+            break
+        merges.append((sym[a], sym[b], cnt))
+        sym[next_code] = sym[a] + sym[b]
+        for w, syms in list(words.items()):
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(next_code)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = tuple(out)
+        next_code += 1
+    return merges
+
+
+TEXTS = [
+    "low lower lowest low low",
+    "new newer newest new",
+    "wider wide wide wide",
+    "low new wide lowest",
+]
+
+
+@pytest.mark.parametrize("driver_vocab", [1_000_000, 0])
+def test_train_bpe_matches_reference(ray_session, driver_vocab):
+    ds = ray.data.from_pandas(pd.DataFrame({"text": TEXTS})).repartition(3)
+    got = train_bpe(ds, n_merges=12, driver_vocab=driver_vocab,
+                    num_buckets=8)
+    exp = reference_bpe(TEXTS, 12)
+    assert got["merges"] == exp
+    assert got["n_distinct_words"] == len(
+        {w for t in TEXTS for w in t.split(" ") if w})
+    # learned symbols contain the merged strings
+    learned = set(got["symbols"].values())
+    for left, right, _ in exp:
+        assert left + right in learned
+
+
+def test_apply_merge_overlap_runs():
+    """aaa with merge (a,a): greedy left-to-right keeps the first pair
+    only — run-parity resolution."""
+    # word: a a a </w>  (codes a=1, marker=0)
+    seq = np.array([1, 1, 1, 0], dtype=np.int64)
+    offs = np.array([0, 4], dtype=np.int64)
+    out, oo = _apply_merge(seq, offs, 1, 1, 7)
+    assert out.tolist() == [7, 1, 0]
+    assert oo.tolist() == [0, 3]
+    # a a a a -> two merges
+    seq = np.array([1, 1, 1, 1, 0], dtype=np.int64)
+    offs = np.array([0, 5], dtype=np.int64)
+    out, oo = _apply_merge(seq, offs, 1, 1, 7)
+    assert out.tolist() == [7, 7, 0]
+
+
+def test_pair_census_word_boundaries():
+    """Pairs never cross word boundaries."""
+    # words: [1,2,0] [2,1,0]
+    seq = np.array([1, 2, 0, 2, 1, 0], dtype=np.int64)
+    offs = np.array([0, 3, 6], dtype=np.int64)
+    w = np.array([5, 3], dtype=np.int64)
+    cs = _pair_census(seq, offs, w)
+    pk = lambda a, b: a * 2**32 + b
+    assert cs.loc[pk(1, 2)] == 5
+    assert cs.loc[pk(2, 0)] == 5
+    assert cs.loc[pk(2, 1)] == 3
+    assert cs.loc[pk(1, 0)] == 3
+    assert pk(0, 2) not in cs.index      # boundary pair absent
+
+
+def test_tokenize_with_merges_monotone(ray_session):
+    """Token counts under the learned tokenizer are non-increasing in
+    the number of merges and exactly match a hand check at 0 merges."""
+    from zeeklog_ray.ops.bpetrain import tokenize_with_merges
+
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": range(len(TEXTS)), "text": TEXTS})).repartition(2)
+    prev = None
+    for k in (0, 4, 12):
+        fit = train_bpe(ds, n_merges=k, num_buckets=4)
+        out = tokenize_with_merges(ds, fit["merges"],
+                                   fit["symbols"]).to_pandas()
+        total = int(out["n_bpe_tok"].sum())
+        if k == 0:   # char tokens = total characters of all words
+            exp = sum(len(w) for t in TEXTS for w in t.split(" ") if w)
+            assert total == exp
+        if prev is not None:
+            assert total <= prev
+        prev = total

@@ -1,0 +1,304 @@
+"""BPE tokenizer TRAINING over a document corpus — the iterative text
+algorithm a training-data engine actually runs (learn merges from the
+data, then tokenize with them).
+
+The classic observation makes this tractable at 100 TB: BPE training only
+needs the DISTINCT-WORD frequency table, not the corpus — a 10^12-token
+corpus collapses to a ≤~10^7-row (word, count) table after one
+entity-shaped grouped count.  Training is then tiered like everything
+else here:
+
+* ``word vocab ≤ driver_vocab`` (the overwhelmingly common case): the
+  whole (word, count) table fits the driver and every merge round runs as
+  two VECTORIZED numpy kernels over the flattened symbol stream —
+  weighted pair census (`pandas` C groupby over packed pair keys) and
+  greedy left-to-right merge application (run-parity overlap resolution,
+  boolean compaction).  No per-word Python.
+* above it: the SAME kernels run inside ``map_batches`` over a
+  Dataset of (symbols, count) rows — per-batch pair-count partials merge
+  through one entity-shaped bucketed sum, the driver picks only the
+  argmax pair per round (one tiny row per bucket), and the merge applies
+  row-locally.  O(n_merges) passes, each a map + a small shuffle.
+
+Determinism contract: initial symbol codes are the sorted distinct
+characters (so code order == lexicographic char order); ties in the pair
+census break on the smaller (left_code, right_code).  The pytest gate
+compares both tiers against a pure-Python reference implementing the
+same contract.
+
+Words are whitespace-split with an end-of-word marker symbol ``</w>`` so
+merges cannot cross word boundaries (the marker is code 0 and sorts
+before every real character).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data
+
+END_WORD = "</w>"
+
+_PACK = np.int64(1) << np.int64(32)     # pair key = a * 2^32 + b
+
+
+def _pair_census(seq: np.ndarray, offs: np.ndarray,
+                 weights: np.ndarray) -> pd.Series:
+    """Weighted counts of adjacent symbol pairs within each word.
+
+    ``seq`` int64 symbol codes (flattened words), ``offs`` word offsets
+    (len = n_words + 1, rebased), ``weights`` per-word counts.  Returns
+    a Series indexed by packed pair key ``a * 2^32 + b``."""
+    if len(seq) == 0:
+        return pd.Series(dtype=np.int64)
+    valid = np.ones(len(seq) - 1, dtype=bool) if len(seq) > 1 else \
+        np.zeros(0, dtype=bool)
+    # pair (i, i+1) is invalid when i+1 starts a new word
+    starts = offs[1:-1]
+    valid[starts - 1] = False
+    if not valid.any():
+        return pd.Series(dtype=np.int64)
+    keys = seq[:-1][valid] * _PACK + seq[1:][valid]
+    w = np.repeat(weights, np.diff(offs))[:-1][valid]
+    return pd.Series(w).groupby(keys).sum()
+
+
+def _apply_merge(seq: np.ndarray, offs: np.ndarray, a: int, b: int,
+                 new_code: int) -> tuple[np.ndarray, np.ndarray]:
+    """Greedy left-to-right replacement of adjacent (a, b) with
+    ``new_code`` — vectorized: candidate mask, run-parity overlap
+    resolution (overlaps only arise for a == b runs), boolean
+    compaction; offsets shrink by the per-word merge count."""
+    n = len(seq)
+    if n < 2:
+        return seq, offs
+    m = (seq[:-1] == a) & (seq[1:] == b)
+    starts = offs[1:-1]
+    m[starts - 1] = False                      # never merge across words
+    if not m.any():
+        return seq, offs
+    # resolve overlapping candidates: within each run of consecutive
+    # True positions keep alternating entries starting at the run head
+    run_start = m & ~np.concatenate([[False], m[:-1]])
+    grp = np.cumsum(run_start)
+    first_idx = np.zeros(int(grp[-1]) + 1, dtype=np.int64)
+    idx = np.arange(len(m))
+    first_idx[grp[run_start]] = idx[run_start]
+    keep = m & (((idx - first_idx[grp]) % 2) == 0)
+
+    out = seq.copy()
+    out[:-1][keep] = new_code
+    drop = np.zeros(n, dtype=bool)
+    drop[1:][keep] = True                      # the absorbed right symbol
+    # per-word merged-pair counts shrink the offsets
+    word_of = np.searchsorted(offs, idx[keep], side="right") - 1
+    dec = np.zeros(len(offs) - 1, dtype=np.int64)
+    np.add.at(dec, word_of, 1)
+    new_offs = offs.copy()
+    new_offs[1:] -= np.cumsum(dec)
+    return out[~drop], new_offs
+
+
+def _best_pair(census: pd.Series) -> tuple[int, int, int] | None:
+    """(a, b, count) of the max-count pair; ties → smallest packed key."""
+    if census.empty:
+        return None
+    mx = census.max()
+    key = int(census.index[census.to_numpy() == mx].min())
+    return key // int(_PACK), key % int(_PACK), int(mx)
+
+
+def _word_counts(docs: "ray.data.Dataset", text_col: str,
+                 num_buckets: int) -> "ray.data.Dataset":
+    from zeeklog_ray.relational import grouped_sum_bucketed
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        w = batch[text_col].str.split(" ").explode()
+        w = w[(w != "") & w.notna()]
+        return pd.DataFrame({"word": w.to_numpy()})
+
+    words = docs.select_columns([text_col]).map_batches(
+        explode, batch_format="pandas", batch_size=None)
+    return grouped_sum_bucketed(words, ["word"], count_as="n",
+                                num_buckets=num_buckets)
+
+
+def _encode_words(words: pd.Series, char_code: dict[str, int]):
+    """Word strings → (flattened codes, offsets): each word becomes its
+    character codes + the END_WORD marker (code 0)."""
+    lens = words.str.len().to_numpy(np.int64) + 1
+    offs = np.zeros(len(words) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    seq = np.zeros(int(offs[-1]), dtype=np.int64)
+    pos = 0
+    for w in words:                       # per DISTINCT word, not per row
+        for ch in w:
+            seq[pos] = char_code[ch]
+            pos += 1
+        pos += 1                          # END_WORD stays code 0
+    return seq, offs
+
+
+def train_bpe(docs: "ray.data.Dataset", n_merges: int = 50,
+              text_col: str = "text", min_pair_count: int = 2,
+              driver_vocab: int = 1_000_000,
+              num_buckets: int = 1024) -> dict:
+    """Learn ``n_merges`` BPE merges from the corpus.  Returns
+    ``{"merges": [(left_str, right_str, count), ...], "symbols":
+    {code: string}, "n_distinct_words": int}`` — merges in learned
+    order, each with the weighted pair count that won its round.
+
+    One corpus pass builds the (word, count) table; training then runs
+    on that table only (see module docstring for the two tiers)."""
+    wc = _word_counts(docs, text_col, num_buckets).materialize()
+    n_words = wc.count()
+
+    # character alphabet: small by nature — collect distinct chars once
+    def chars_of(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"ch": sorted(set("".join(batch["word"].tolist())))})
+
+    alphabet = sorted(set(
+        wc.map_batches(chars_of, batch_format="pandas",
+                       batch_size=None).to_pandas()["ch"]))
+    symbols = {0: END_WORD}
+    char_code = {}
+    for i, ch in enumerate(alphabet):
+        symbols[i + 1] = ch
+        char_code[ch] = i + 1
+    next_code = len(alphabet) + 1
+
+    merges: list[tuple[str, str, int]] = []
+    if n_words <= driver_vocab:
+        table = wc.to_pandas()
+        seq, offs = _encode_words(table["word"], char_code)
+        weights = table["n"].to_numpy(np.int64)
+        for _ in range(n_merges):
+            best = _best_pair(_pair_census(seq, offs, weights))
+            if best is None or best[2] < min_pair_count:
+                break
+            a, b, cnt = best
+            merges.append((symbols[a], symbols[b], cnt))
+            symbols[next_code] = symbols[a] + symbols[b]
+            seq, offs = _apply_merge(seq, offs, a, b, next_code)
+            next_code += 1
+    else:
+        # distributed tier: (codes, n) rows; the same kernels per batch
+        cref = ray.put(char_code)
+
+        def encode(batch: pd.DataFrame) -> pd.DataFrame:
+            cc = ray.get(cref)
+            s, o = _encode_words(batch["word"], cc)
+            return pd.DataFrame({
+                "codes": [s[o[i]:o[i + 1]].astype(np.int64)
+                          for i in range(len(batch))],
+                "n": batch["n"].to_numpy(np.int64)})
+
+        enc = wc.map_batches(encode, batch_format="pandas",
+                             batch_size=None).materialize()
+        for _ in range(n_merges):
+            def census(batch: pd.DataFrame) -> pd.DataFrame:
+                lens = batch["codes"].map(len).to_numpy(np.int64)
+                offs = np.zeros(len(batch) + 1, dtype=np.int64)
+                np.cumsum(lens, out=offs[1:])
+                seq = (np.concatenate(batch["codes"].tolist())
+                       if len(batch) else np.zeros(0, np.int64))
+                cs = _pair_census(seq, offs, batch["n"].to_numpy(np.int64))
+                return pd.DataFrame({"pk": cs.index.to_numpy(np.int64),
+                                     "m": cs.to_numpy(np.int64)})
+
+            from zeeklog_ray.relational import grouped_sum_bucketed
+
+            part = grouped_sum_bucketed(
+                enc.map_batches(census, batch_format="pandas",
+                                batch_size=None),
+                ["pk"], sums={"m": "m"}, num_buckets=num_buckets)
+
+            def bucket_best(batch: pd.DataFrame) -> pd.DataFrame:
+                if batch.empty:
+                    return batch
+                mx = batch["m"].max()
+                sel = batch[batch["m"] == mx]
+                return sel[sel["pk"] == sel["pk"].min()]
+
+            tops = part.map_batches(bucket_best, batch_format="pandas",
+                                    batch_size=None).to_pandas()
+            best = _best_pair(pd.Series(tops["m"].to_numpy(),
+                                        index=tops["pk"].to_numpy())) \
+                if len(tops) else None
+            if best is None or best[2] < min_pair_count:
+                break
+            a, b, cnt = best
+            merges.append((symbols[a], symbols[b], cnt))
+            symbols[next_code] = symbols[a] + symbols[b]
+            nc = next_code
+            aref = ray.put((a, b, nc))
+
+            def apply(batch: pd.DataFrame) -> pd.DataFrame:
+                aa, bb, code = ray.get(aref)
+                out = []
+                for arr in batch["codes"]:
+                    s, o = _apply_merge(
+                        np.asarray(arr, dtype=np.int64),
+                        np.array([0, len(arr)], dtype=np.int64),
+                        aa, bb, code)
+                    out.append(s)
+                return pd.DataFrame({"codes": out,
+                                     "n": batch["n"].to_numpy(np.int64)})
+
+            enc = enc.map_batches(apply, batch_format="pandas",
+                                  batch_size=None).materialize()
+            next_code += 1
+
+    return {"merges": merges, "symbols": symbols,
+            "n_distinct_words": n_words}
+
+
+def tokenize_with_merges(docs: "ray.data.Dataset", merges: list,
+                         symbols: dict, text_col: str = "text",
+                         id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Apply learned merges to the corpus — row-local ``map_batches``:
+    each batch re-encodes its words and replays the merge list in
+    learned order with the same vectorized kernel (the whole merge
+    table broadcasts once; no shuffle).  Output: ``(id_col,
+    n_bpe_tok)`` — the per-doc token count under the learned
+    tokenizer (monotonically non-increasing in the number of merges,
+    which the tests assert)."""
+    # merges were appended in learned order; their codes follow the
+    # alphabet codes sequentially, so replay the assignment
+    code_of = {s: c for c, s in symbols.items()}
+    merge_codes = []
+    base = max(c for c, s in symbols.items()
+               if s not in {m[0] + m[1] for m in merges})
+    nc = base + 1
+    for left, right, _ in merges:
+        merge_codes.append((code_of[left], code_of[right], nc))
+        code_of[left + right] = nc
+        nc += 1
+    mref = ray.put((dict((ch, c) for ch, c in code_of.items()
+                         if len(ch) == 1), merge_codes))
+
+    def tok(batch: pd.DataFrame) -> pd.DataFrame:
+        char_code, mcodes = ray.get(mref)
+        w = batch[text_col].str.split(" ")
+        ids, counts = [], []
+        for rid, words in zip(batch[id_col], w):
+            words = [x for x in words if x]
+            if not words:
+                ids.append(rid)
+                counts.append(0)
+                continue
+            s = pd.Series(words)
+            seq, offs = _encode_words(s, char_code)
+            for a, b, code in mcodes:
+                seq, offs = _apply_merge(seq, offs, a, b, code)
+            # drop END_WORD markers from the count: tokens per doc
+            ids.append(rid)
+            counts.append(int((seq != 0).sum()))
+        return pd.DataFrame({id_col: ids,
+                             "n_bpe_tok": pd.array(counts, dtype="int64")})
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        tok, batch_format="pandas", batch_size=None)

@@ -1922,6 +1922,57 @@ def media_video_hash(sf_dir: str) -> "ray.data.Dataset":
     return video_hashes(rd.read_parquet(media_parquet_for_sf_dir(sf_dir)))
 
 
+def docs_bpe_merges(sf_dir: str) -> pd.DataFrame:
+    """BPE tokenizer TRAINING on the corpus: the first 16 learned merges
+    with their weighted pair counts (ops/bpetrain.train_bpe — one corpus
+    pass to the distinct-word table, then vectorized census/merge
+    kernels; tiered driver/distributed).  NO SQL oracle — iterative
+    argmax; both tiers are pytest-gated against a pure-Python reference
+    with the same determinism contract, so the rows-only check pins a
+    fully deterministic result."""
+    from zeeklog_ray.ops.bpetrain import train_bpe
+
+    fit = train_bpe(read_table(sf_dir, "documents", columns=["text"]),
+                    n_merges=16)
+    return pd.DataFrame({
+        "merge_rank": pd.array(range(1, len(fit["merges"]) + 1),
+                               dtype="int64"),
+        "left": [m[0] for m in fit["merges"]],
+        "right": [m[1] for m in fit["merges"]],
+        "n": pd.array([m[2] for m in fit["merges"]], dtype="int64"),
+    })
+
+
+def event_value_winsorized(sf_dir: str) -> "ray.data.Dataset":
+    """Outlier-robust per-type revenue: clamp value-cents at the exact
+    global [p01, p99] (ops/sketch.exact_quantiles — distributed value
+    histogram, quantile_disc semantics) then a combiner-first grouped
+    sum of the clamped cents — the winsorization preprocessing step,
+    integer-exact end to end."""
+    from zeeklog_ray.ops.sketch import exact_quantiles
+    from zeeklog_ray.relational import grouped_sum
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def to_cents(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": batch["event_type"],
+                             "cents": _round_half_away(batch["value"] * 100)})
+
+    cents = ev.map_batches(to_cents, batch_format="pandas",
+                           batch_size=None).materialize()
+    q = exact_quantiles(cents, "cents", [0.01, 0.99]).set_index("q")["value"]
+    lo, hi = int(q.loc[0.01]), int(q.loc[0.99])
+
+    def clamp(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["cents"] = batch["cents"].clip(lo, hi)
+        return batch
+
+    return grouped_sum(cents.map_batches(clamp, batch_format="pandas",
+                                         batch_size=None),
+                       ["event_type"], sums={"cents": "sum_cents_w"},
+                       count_as="n")
+
+
 def docs_length_rank(sf_dir: str) -> "ray.data.Dataset":
     """Global ROW_NUMBER over the whole corpus ordered by (n_chars,
     doc_id) — the distributed range-partitioned sort-rank
@@ -2889,6 +2940,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "media_audio_fp": media_audio_fp,
     "media_video_hash": media_video_hash,
     "docs_length_rank": docs_length_rank,
+    "event_value_winsorized": event_value_winsorized,
+    "docs_bpe_merges": docs_bpe_merges,
     "users_click_and_purchase": users_click_and_purchase,
     "users_big_view_no_big_purchase": users_big_view_no_big_purchase,
     "event_type_counts_cm": event_type_counts_cm,
@@ -3287,6 +3340,15 @@ ORACLE_SQL: dict[str, str] = {
     "docs_length_rank": (
         "SELECT doc_id, n_chars, CAST(ROW_NUMBER() OVER "
         "(ORDER BY n_chars, doc_id) AS BIGINT) AS rank FROM documents"),
+    "event_value_winsorized": (
+        "WITH c AS (SELECT event_type, "
+        "CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events), "
+        "b AS (SELECT quantile_disc(cents, 0.01) AS lo, "
+        "quantile_disc(cents, 0.99) AS hi FROM c) "
+        "SELECT event_type, "
+        "CAST(SUM(LEAST(GREATEST(cents, b.lo), b.hi)) AS BIGINT) "
+        "AS sum_cents_w, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM c CROSS JOIN b GROUP BY event_type"),
     "event_user_skew": (
         "WITH c AS (SELECT user_id, COUNT(*) AS n_k FROM events "
         "GROUP BY user_id) "
