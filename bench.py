@@ -239,6 +239,15 @@ def _run_scale_ops(timings: dict) -> None:
     retention_cohorts(ray.data.read_parquet(ev)).count()
     timings[f"scale_retention_{mtag}"] = round(time.monotonic() - t0, 3)
 
+    # BPE tokenizer training at 1M docs (16 merges): the corpus pass to
+    # the distinct-word table dominates; the merge rounds run on the
+    # driver tier (vocab ≪ 1M)
+    from zeeklog_ray.ops.bpetrain import train_bpe
+
+    t0 = time.monotonic()
+    train_bpe(ray.data.read_parquet(dc), n_merges=16)
+    timings[f"scale_bpe_train_{dtag}"] = round(time.monotonic() - t0, 3)
+
     # full-data k-means (3 Lloyd passes) + int8 quantization over 1M
     # 16-dim vectors synthesized row-locally from the id
     from zeeklog_ray.ops.cluster import kmeans_fit

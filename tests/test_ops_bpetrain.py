@@ -15,7 +15,7 @@ from zeeklog_ray.ops.bpetrain import (
 )
 
 
-def reference_bpe(texts, n_merges, min_pair_count=2):
+def reference_bpe(texts, n_merges, min_pair_count=2, return_state=False):
     """Slow reference: dict-of-tuples BPE with the module's contract."""
     from collections import Counter
 
@@ -52,6 +52,8 @@ def reference_bpe(texts, n_merges, min_pair_count=2):
                     i += 1
             words[w] = tuple(out)
         next_code += 1
+    if return_state:
+        return merges, words
     return merges
 
 
@@ -119,8 +121,7 @@ def test_tokenize_with_merges_monotone(ray_session):
     prev = None
     for k in (0, 4, 12):
         fit = train_bpe(ds, n_merges=k, num_buckets=4)
-        out = tokenize_with_merges(ds, fit["merges"],
-                                   fit["symbols"]).to_pandas()
+        out = tokenize_with_merges(ds, fit).to_pandas()
         total = int(out["n_bpe_tok"].sum())
         if k == 0:   # char tokens = total characters of all words
             exp = sum(len(w) for t in TEXTS for w in t.split(" ") if w)
@@ -128,3 +129,38 @@ def test_tokenize_with_merges_monotone(ray_session):
         if prev is not None:
             assert total <= prev
         prev = total
+
+
+def test_tokenize_sentinel_collision_and_unknown_chars(ray_session):
+    """Regressions: a learned merge whose STRING equals the '</w>'
+    sentinel must not confuse apply (merges travel as code pairs), and
+    apply-time input with unknown chars / null text must not crash."""
+    from zeeklog_ray.ops.bpetrain import tokenize_with_merges
+
+    texts = ["d</w>d d</w>d d</w>d m</w>m m</w>m m</w>m"] * 3 + ["xy"] * 40
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": range(len(texts)), "text": texts})).repartition(2)
+    fit = train_bpe(ds, n_merges=8, num_buckets=4)
+    # reference tokenization on the driver tier's own kernels: apply
+    # must reproduce EXACTLY what training would have produced
+    exp, word_syms = reference_bpe(texts, 8, return_state=True)
+    assert fit["merges"] == exp
+    out = tokenize_with_merges(ds, fit).to_pandas()
+    # expected counts from the REFERENCE's tracked word states (codes
+    # threaded through the merge loop, immune to the sentinel-string
+    # ambiguity this test guards against)
+    def count(t):
+        return sum(sum(1 for s in word_syms[w] if s != 0)
+                   for w in t.split(" ") if w)
+    exp_counts = {t: count(t) for t in set(texts)}
+    got = dict(zip(out["doc_id"], out["n_bpe_tok"]))
+    for i, t in enumerate(texts):
+        assert got[i] == exp_counts[t], (i, t, got[i], exp_counts[t])
+
+    # unknown chars + null text at apply time
+    novel = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [0, 1, 2], "text": ["xyZ!", None, ""]}))
+    o2 = tokenize_with_merges(novel, fit).to_pandas() \
+        .set_index("doc_id")["n_bpe_tok"]
+    assert o2.loc[0] >= 2      # Z and ! are UNK tokens, never merged
+    assert o2.loc[1] == 0 and o2.loc[2] == 0

@@ -135,7 +135,10 @@ def _encode_words(words: pd.Series, char_code: dict[str, int]):
     pos = 0
     for w in words:                       # per DISTINCT word, not per row
         for ch in w:
-            seq[pos] = char_code[ch]
+            # unknown chars (apply-time input outside the training
+            # alphabet) become UNK code -1: never merges, counts as one
+            # token — training dicts are complete so -1 never appears
+            seq[pos] = char_code.get(ch, -1)
             pos += 1
         pos += 1                          # END_WORD stays code 0
     return seq, offs
@@ -171,6 +174,7 @@ def train_bpe(docs: "ray.data.Dataset", n_merges: int = 50,
     next_code = len(alphabet) + 1
 
     merges: list[tuple[str, str, int]] = []
+    merge_codes: list[tuple[int, int, int]] = []
     if n_words <= driver_vocab:
         table = wc.to_pandas()
         seq, offs = _encode_words(table["word"], char_code)
@@ -181,6 +185,7 @@ def train_bpe(docs: "ray.data.Dataset", n_merges: int = 50,
                 break
             a, b, cnt = best
             merges.append((symbols[a], symbols[b], cnt))
+            merge_codes.append((a, b, next_code))
             symbols[next_code] = symbols[a] + symbols[b]
             seq, offs = _apply_merge(seq, offs, a, b, next_code)
             next_code += 1
@@ -232,73 +237,67 @@ def train_bpe(docs: "ray.data.Dataset", n_merges: int = 50,
                 break
             a, b, cnt = best
             merges.append((symbols[a], symbols[b], cnt))
+            merge_codes.append((a, b, next_code))
             symbols[next_code] = symbols[a] + symbols[b]
-            nc = next_code
-            aref = ray.put((a, b, nc))
+            aref = ray.put((a, b, next_code))
 
             def apply(batch: pd.DataFrame) -> pd.DataFrame:
+                # flatten the batch into ONE (seq, offs) stream — the same
+                # vectorized kernel as the driver tier, not per-row Python
                 aa, bb, code = ray.get(aref)
-                out = []
-                for arr in batch["codes"]:
-                    s, o = _apply_merge(
-                        np.asarray(arr, dtype=np.int64),
-                        np.array([0, len(arr)], dtype=np.int64),
-                        aa, bb, code)
-                    out.append(s)
-                return pd.DataFrame({"codes": out,
-                                     "n": batch["n"].to_numpy(np.int64)})
+                lens = batch["codes"].map(len).to_numpy(np.int64)
+                offs = np.zeros(len(batch) + 1, dtype=np.int64)
+                np.cumsum(lens, out=offs[1:])
+                seq = (np.concatenate(batch["codes"].tolist())
+                       if len(batch) else np.zeros(0, np.int64))
+                seq, offs = _apply_merge(seq, offs, aa, bb, code)
+                return pd.DataFrame({
+                    "codes": [seq[offs[i]:offs[i + 1]]
+                              for i in range(len(batch))],
+                    "n": batch["n"].to_numpy(np.int64)})
 
             enc = enc.map_batches(apply, batch_format="pandas",
                                   batch_size=None).materialize()
             next_code += 1
 
-    return {"merges": merges, "symbols": symbols,
-            "n_distinct_words": n_words}
+    return {"merges": merges, "merge_codes": merge_codes,
+            "symbols": symbols, "n_distinct_words": n_words}
 
 
-def tokenize_with_merges(docs: "ray.data.Dataset", merges: list,
-                         symbols: dict, text_col: str = "text",
+def tokenize_with_merges(docs: "ray.data.Dataset", fit: dict,
+                         text_col: str = "text",
                          id_col: str = "doc_id") -> "ray.data.Dataset":
-    """Apply learned merges to the corpus — row-local ``map_batches``:
-    each batch re-encodes its words and replays the merge list in
-    learned order with the same vectorized kernel (the whole merge
-    table broadcasts once; no shuffle).  Output: ``(id_col,
-    n_bpe_tok)`` — the per-doc token count under the learned
-    tokenizer (monotonically non-increasing in the number of merges,
-    which the tests assert)."""
-    # merges were appended in learned order; their codes follow the
-    # alphabet codes sequentially, so replay the assignment
-    code_of = {s: c for c, s in symbols.items()}
-    merge_codes = []
-    base = max(c for c, s in symbols.items()
-               if s not in {m[0] + m[1] for m in merges})
-    nc = base + 1
-    for left, right, _ in merges:
-        merge_codes.append((code_of[left], code_of[right], nc))
-        code_of[left + right] = nc
-        nc += 1
-    mref = ray.put((dict((ch, c) for ch, c in code_of.items()
-                         if len(ch) == 1), merge_codes))
+    """Apply a :func:`train_bpe` result to a corpus — row-local
+    ``map_batches``: each batch flattens ALL its words into one symbol
+    stream, replays the merge list in learned order with the same
+    vectorized kernel, and scatters per-word token counts back to rows.
+    Merges are consumed as CODE pairs (``fit["merge_codes"]``), never
+    re-derived from strings — a merged string that happens to equal the
+    ``</w>`` sentinel is unambiguous.  Characters outside the training
+    alphabet become one UNK token each; null/empty text yields 0.
+    Output: ``(id_col, n_bpe_tok)`` — monotonically non-increasing in
+    the merge count, which the tests assert."""
+    char_code = {s: c for c, s in fit["symbols"].items()
+                 if len(s) == 1 and c != 0}
+    mref = ray.put((char_code, list(fit["merge_codes"])))
 
     def tok(batch: pd.DataFrame) -> pd.DataFrame:
-        char_code, mcodes = ray.get(mref)
-        w = batch[text_col].str.split(" ")
-        ids, counts = [], []
-        for rid, words in zip(batch[id_col], w):
-            words = [x for x in words if x]
-            if not words:
-                ids.append(rid)
-                counts.append(0)
-                continue
-            s = pd.Series(words)
-            seq, offs = _encode_words(s, char_code)
+        cc, mcodes = ray.get(mref)
+        w = batch[text_col].fillna("").str.split(" ").explode()
+        w = w[(w != "") & w.notna()]
+        row_of = w.index.to_numpy()
+        counts = np.zeros(len(batch), dtype=np.int64)
+        if len(w):
+            seq, offs = _encode_words(pd.Series(w.to_numpy()), cc)
             for a, b, code in mcodes:
                 seq, offs = _apply_merge(seq, offs, a, b, code)
-            # drop END_WORD markers from the count: tokens per doc
-            ids.append(rid)
-            counts.append(int((seq != 0).sum()))
-        return pd.DataFrame({id_col: ids,
-                             "n_bpe_tok": pd.array(counts, dtype="int64")})
+            # per-word token count = non-marker symbols in its span
+            nz = (seq != 0).astype(np.int64)
+            csum = np.concatenate([[0], np.cumsum(nz)])
+            per_word = csum[offs[1:]] - csum[offs[:-1]]
+            np.add.at(counts, row_of, per_word)
+        return pd.DataFrame({id_col: batch[id_col].to_numpy(),
+                             "n_bpe_tok": counts})
 
     return docs.select_columns([id_col, text_col]).map_batches(
         tok, batch_format="pandas", batch_size=None)

@@ -585,22 +585,38 @@ def dhash_image(pixels: np.ndarray, hash_w: int = 8,
     return val - (1 << 64) if val >= (1 << 63) else val   # int64 2's compl
 
 
-class PerceptualHasher:
-    """Actor stage: decode image payloads → 64-bit dHash.  Non-image rows
-    are dropped (route modalities to their own stages).  Output:
-    ``(item_id, phash: int64)``."""
+class _SignatureStage:
+    """Shared actor shape for the per-modality 64-bit signature stages:
+    filter to one modality, decode+hash each payload, emit ``(item_id,
+    phash: int64)`` — the single column contract
+    :func:`phash_dup_groups` consumes for every modality.  Subclasses
+    set ``modality`` and ``_hash(payload)``."""
+
+    modality: str
+
+    def _hash(self, payload: bytes) -> int:
+        raise NotImplementedError
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        batch = batch.filter(pc.equal(batch["modality"], "image"))
+        batch = batch.filter(pc.equal(batch["modality"], self.modality))
         ids, hashes = [], []
         for item_id, payload in zip(batch["item_id"].to_pylist(),
                                     batch["payload"].to_pylist()):
             ids.append(item_id)
-            hashes.append(dhash_image(decode_image(payload)))
+            hashes.append(self._hash(payload))
         return pa.table({"item_id": pa.array(ids, pa.string()),
                          "phash": pa.array(hashes, pa.int64())})
+
+
+class PerceptualHasher(_SignatureStage):
+    """Decode image payloads → 64-bit dHash (non-image rows dropped)."""
+
+    modality = "image"
+
+    def _hash(self, payload: bytes) -> int:
+        return dhash_image(decode_image(payload))
 
 
 def phash_images(ds: "ray.data.Dataset", batch_size: int = 64,
@@ -742,24 +758,14 @@ def afp_audio(rate: int, samples: np.ndarray, n_frames: int = 65) -> int:
     return val - (1 << 64) if val >= (1 << 63) else val
 
 
-class AudioFingerprinter:
-    """Actor stage: decode WAV payloads → 64-bit energy-envelope
-    fingerprint.  Non-audio rows dropped.  Output ``(item_id, phash)``
-    (the column name matches :func:`phash_dup_groups`' contract so the
-    same band-blocked grouping runs on audio)."""
+class AudioFingerprinter(_SignatureStage):
+    """Decode WAV payloads → 64-bit energy-envelope fingerprint
+    (non-audio rows dropped)."""
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    modality = "audio"
 
-        batch = batch.filter(pc.equal(batch["modality"], "audio"))
-        ids, hashes = [], []
-        for item_id, payload in zip(batch["item_id"].to_pylist(),
-                                    batch["payload"].to_pylist()):
-            rate, samples = decode_wav(payload)
-            ids.append(item_id)
-            hashes.append(afp_audio(rate, samples))
-        return pa.table({"item_id": pa.array(ids, pa.string()),
-                         "phash": pa.array(hashes, pa.int64())})
+    def _hash(self, payload: bytes) -> int:
+        return afp_audio(*decode_wav(payload))
 
 
 def audio_fingerprints(ds: "ray.data.Dataset", batch_size: int = 64,
@@ -780,22 +786,14 @@ def vhash_video(frames: np.ndarray) -> int:
     return dhash_image(mean)
 
 
-class VideoHasher:
-    """Actor stage: decode RVID payloads → mean-frame dHash.  Non-video
-    rows dropped.  Output ``(item_id, phash)`` for
-    :func:`phash_dup_groups`."""
+class VideoHasher(_SignatureStage):
+    """Decode RVID payloads → mean-frame dHash (non-video rows
+    dropped)."""
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    modality = "video"
 
-        batch = batch.filter(pc.equal(batch["modality"], "video"))
-        ids, hashes = [], []
-        for item_id, payload in zip(batch["item_id"].to_pylist(),
-                                    batch["payload"].to_pylist()):
-            ids.append(item_id)
-            hashes.append(vhash_video(decode_video(payload)))
-        return pa.table({"item_id": pa.array(ids, pa.string()),
-                         "phash": pa.array(hashes, pa.int64())})
+    def _hash(self, payload: bytes) -> int:
+        return vhash_video(decode_video(payload))
 
 
 def video_hashes(ds: "ray.data.Dataset", batch_size: int = 64,
