@@ -292,3 +292,33 @@ def test_tfidf_tie_break_by_word(ray_session):
                           num_buckets=2).to_pandas().sort_values("rank")
     # equal scores -> alphabetical
     assert out["word"].tolist() == ["a", "b", "c"]
+
+
+def test_source_distribution_tv_hand_computed(ray_session):
+    """Two-source corpus with known word distributions: identical
+    distributions -> 0; disjoint vocabularies -> 1e6 ppm; a half-overlap
+    case matches the hand-computed value."""
+    import pandas as pd
+    import ray.data
+
+    from zeeklog_ray.ops.text import source_distribution_tv
+
+    docs = pd.DataFrame({
+        "source": ["s1", "s1", "s2", "s3"],
+        "text": ["a b", "a b", "a b a b", "c d c d"],
+    })
+    out = source_distribution_tv(ray.data.from_pandas(docs), k=10,
+                                 num_buckets=4) \
+        .set_index(["source_a", "source_b"])["tv_ppm"]
+    assert out.loc[("s1", "s2")] == 0           # identical distributions
+    assert out.loc[("s1", "s3")] == 1_000_000   # disjoint vocab
+    assert out.loc[("s2", "s3")] == 1_000_000
+
+    docs2 = pd.DataFrame({
+        "source": ["x", "y"],
+        "text": ["a a b b", "a a a a"],        # x: a=.5 b=.5; y: a=1
+    })
+    out2 = source_distribution_tv(ray.data.from_pandas(docs2), k=10,
+                                  num_buckets=4)
+    # TV = 1/2 (|.5-1| + |.5-0|) = .5
+    assert out2["tv_ppm"].iloc[0] == 500_000

@@ -1922,6 +1922,17 @@ def media_video_hash(sf_dir: str) -> "ray.data.Dataset":
     return video_hashes(rd.read_parquet(media_parquet_for_sf_dir(sf_dir)))
 
 
+def docs_source_tv(sf_dir: str) -> pd.DataFrame:
+    """Pairwise total-variation distance (ppm) between the per-source
+    word distributions over the global top-50 vocabulary — the
+    data-mixture diagnostic (ops/text.source_distribution_tv; exact
+    big-int finish, HUGEINT oracle)."""
+    from zeeklog_ray.ops.text import source_distribution_tv
+
+    return source_distribution_tv(
+        read_table(sf_dir, "documents", columns=["source", "text"]), k=50)
+
+
 def docs_bpe_merges(sf_dir: str) -> pd.DataFrame:
     """BPE tokenizer TRAINING on the corpus: the first 16 learned merges
     with their weighted pair counts (ops/bpetrain.train_bpe — one corpus
@@ -2942,6 +2953,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "docs_length_rank": docs_length_rank,
     "event_value_winsorized": event_value_winsorized,
     "docs_bpe_merges": docs_bpe_merges,
+    "docs_source_tv": docs_source_tv,
     "users_click_and_purchase": users_click_and_purchase,
     "users_big_view_no_big_purchase": users_big_view_no_big_purchase,
     "event_type_counts_cm": event_type_counts_cm,
@@ -3340,6 +3352,26 @@ ORACLE_SQL: dict[str, str] = {
     "docs_length_rank": (
         "SELECT doc_id, n_chars, CAST(ROW_NUMBER() OVER "
         "(ORDER BY n_chars, doc_id) AS BIGINT) AS rank FROM documents"),
+    # exact integer TV over the top-50 vocabulary: HUGEINT products in
+    # SQL, Python big-int finish on the Ray side; // truncates (positive)
+    "docs_source_tv": (
+        "WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS word "
+        "FROM documents), "
+        "f AS (SELECT source, word, COUNT(*) AS n FROM w WHERE word <> '' "
+        "GROUP BY source, word), "
+        "topk AS (SELECT word FROM (SELECT word, SUM(n) AS tot FROM f "
+        "GROUP BY word ORDER BY tot DESC, word LIMIT 50)), "
+        "g AS (SELECT f.source, f.word, f.n FROM f JOIN topk USING (word)), "
+        "tot AS (SELECT source, SUM(n) AS N FROM g GROUP BY source), "
+        "p AS (SELECT a.source AS sa, a.N AS na, b.source AS sb, b.N AS nb "
+        "FROM tot a JOIN tot b ON a.source < b.source) "
+        "SELECT p.sa AS source_a, p.sb AS source_b, "
+        "CAST(SUM(ABS(COALESCE(ga.n, 0) * p.nb - COALESCE(gb.n, 0) * p.na))"
+        " * 1000000 // (2 * p.na * p.nb) AS BIGINT) AS tv_ppm "
+        "FROM p CROSS JOIN topk t "
+        "LEFT JOIN g ga ON ga.source = p.sa AND ga.word = t.word "
+        "LEFT JOIN g gb ON gb.source = p.sb AND gb.word = t.word "
+        "GROUP BY p.sa, p.sb, p.na, p.nb"),
     "event_value_winsorized": (
         "WITH c AS (SELECT event_type, "
         "CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events), "
