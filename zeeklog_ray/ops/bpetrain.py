@@ -110,6 +110,18 @@ def _best_pair(census: pd.Series) -> tuple[int, int, int] | None:
     return key // int(_PACK), key % int(_PACK), int(mx)
 
 
+
+def _flatten_codes(batch: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """One (seq, offs) stream from a batch of per-word code arrays —
+    shared by the distributed tier's census and apply closures."""
+    lens = batch["codes"].map(len).to_numpy(np.int64)
+    offs = np.zeros(len(batch) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    seq = (np.concatenate(batch["codes"].tolist())
+           if len(batch) else np.zeros(0, np.int64))
+    return seq, offs
+
+
 def _word_counts(docs: "ray.data.Dataset", text_col: str,
                  num_buckets: int) -> "ray.data.Dataset":
     from zeeklog_ray.relational import grouped_sum_bucketed
@@ -205,11 +217,7 @@ def train_bpe(docs: "ray.data.Dataset", n_merges: int = 50,
                              batch_size=None).materialize()
         for _ in range(n_merges):
             def census(batch: pd.DataFrame) -> pd.DataFrame:
-                lens = batch["codes"].map(len).to_numpy(np.int64)
-                offs = np.zeros(len(batch) + 1, dtype=np.int64)
-                np.cumsum(lens, out=offs[1:])
-                seq = (np.concatenate(batch["codes"].tolist())
-                       if len(batch) else np.zeros(0, np.int64))
+                seq, offs = _flatten_codes(batch)
                 cs = _pair_census(seq, offs, batch["n"].to_numpy(np.int64))
                 return pd.DataFrame({"pk": cs.index.to_numpy(np.int64),
                                      "m": cs.to_numpy(np.int64)})
@@ -245,11 +253,7 @@ def train_bpe(docs: "ray.data.Dataset", n_merges: int = 50,
                 # flatten the batch into ONE (seq, offs) stream — the same
                 # vectorized kernel as the driver tier, not per-row Python
                 aa, bb, code = ray.get(aref)
-                lens = batch["codes"].map(len).to_numpy(np.int64)
-                offs = np.zeros(len(batch) + 1, dtype=np.int64)
-                np.cumsum(lens, out=offs[1:])
-                seq = (np.concatenate(batch["codes"].tolist())
-                       if len(batch) else np.zeros(0, np.int64))
+                seq, offs = _flatten_codes(batch)
                 seq, offs = _apply_merge(seq, offs, aa, bb, code)
                 return pd.DataFrame({
                     "codes": [seq[offs[i]:offs[i + 1]]

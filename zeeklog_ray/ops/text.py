@@ -631,11 +631,7 @@ def source_distribution_tv(docs: "ray.data.Dataset", k: int = 50,
     products exceed int64 at corpus scale, which is why the finish is
     big-int Python and the oracle HUGEINT).  Output: one row per
     unordered source pair ``(source_a < source_b, tv_ppm)``."""
-    from zeeklog_ray.relational import (
-        grouped_sum,
-        grouped_sum_bucketed,
-        top_k,
-    )
+    from zeeklog_ray.relational import grouped_sum_bucketed, top_k
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         w = batch[text_col].str.split(" ").explode()
@@ -649,8 +645,11 @@ def source_distribution_tv(docs: "ray.data.Dataset", k: int = 50,
     counts = grouped_sum_bucketed(long, [source_col, "word"],
                                   count_as="n",
                                   num_buckets=num_buckets).materialize()
-    totals = grouped_sum(counts.select_columns(["word", "n"]), ["word"],
-                         sums={"n": "tot"})
+    # per-word totals are VOCABULARY-cardinality — entity-shaped bucketed
+    # sum (report-shaped grouped_sum would funnel the vocab into one block)
+    totals = grouped_sum_bucketed(counts.select_columns(["word", "n"]),
+                                  ["word"], sums={"n": "tot"},
+                                  num_buckets=num_buckets)
     top = top_k(totals, by=["tot", "word"], descending=[True, False],
                 k=k).to_pandas()
     vocab = set(top["word"])

@@ -1191,6 +1191,10 @@ def retention_cohorts(events: "ray.data.Dataset", user_col: str = "user_id",
             .astype(np.int64)
         out = pd.DataFrame({user_col: batch[user_col].to_numpy(),
                             "w": days // 7})
+        # null users match nothing (the SQL replay's inner join on
+        # user_id) — dropping them here also keeps the week columns
+        # int64 (a NaN min would float-promote whole buckets)
+        out = out.dropna(subset=[user_col])
         return out.drop_duplicates()      # partial dedup pre-shuffle
 
     weeks = events.select_columns([user_col, ts_col]).map_batches(
