@@ -599,3 +599,16 @@ def test_global_rank_matches_pandas(ray_session):
     with pytest.raises(Exception, match="null values in sort key"):
         global_rank(ray.data.from_pandas(bad), by="v",
                     tie="id").to_pandas()
+
+
+def test_retention_cohorts_null_users_dropped(ray_session):
+    """Null user ids match nothing (the SQL replay's inner join): they
+    contribute no cohort rows and the week columns stay integer."""
+    from zeeklog_ray.relational import retention_cohorts
+
+    df = pd.DataFrame({
+        "user_id": pd.array([1, 1, None], dtype="Int64"),
+        "ts": pd.to_datetime(["2024-01-01", "2024-01-08", "2024-01-01"])})
+    out = retention_cohorts(ray.data.from_pandas(df)).to_pandas()
+    assert int(out["n_users"].sum()) == 2          # u1's two weeks only
+    assert str(out["cohort_week"].dtype) in ("int64", "Int64")
