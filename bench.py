@@ -248,6 +248,24 @@ def _run_scale_ops(timings: dict) -> None:
     train_bpe(ray.data.read_parquet(dc), n_merges=16)
     timings[f"scale_bpe_train_{dtag}"] = round(time.monotonic() - t0, 3)
 
+    # the DISTRIBUTED training tier at its intended regime: 3M distinct
+    # words (every word unique), 4 merge rounds — per-round bucketed
+    # pair census + row-local merge apply, argmax-only to the driver
+    def uniq_words(b):
+        i = b["id"].to_numpy()
+        import pandas as _pd
+
+        return _pd.DataFrame(
+            {"text": [f"w{a:07x} x{a:07x} y{a:07x}" for a in i]})
+
+    docs_u = ray.data.range(1_000_000, override_num_blocks=64).map_batches(
+        uniq_words, batch_format="pandas", batch_size=None)
+    t0 = time.monotonic()
+    fit = train_bpe(docs_u, n_merges=4, driver_vocab=0, num_buckets=256)
+    assert fit["n_distinct_words"] == 3_000_000
+    timings["scale_bpe_train_distributed_3m_words"] = \
+        round(time.monotonic() - t0, 3)
+
     # full-data k-means (3 Lloyd passes) + int8 quantization over 1M
     # 16-dim vectors synthesized row-locally from the id
     from zeeklog_ray.ops.cluster import kmeans_fit
