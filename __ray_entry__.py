@@ -29,9 +29,11 @@ the library) calls ``ray.init`` / ``ray.shutdown``.
   oracle-checked), ``event_value_quantiles_sketch`` (mergeable
   rank-sample quantile sketch, approximate by design; rank-error-bound
   tested, with the exact twin ``event_value_quantiles`` oracle-checked),
-  ``embedding_kmeans`` (iterative float means are not
-  SQL-replayable; pytest-gated on monotone SSE + planted-mixture
-  recovery, deterministic seed pins the rows-only check), and
+  ``embedding_kmeans`` / ``embedding_graph_pagerank`` (iterative float
+  means / power iteration are not SQL-replayable; pytest-gated on
+  monotone SSE + planted-mixture recovery and on dense-matrix +
+  cross-tier agreement respectively; deterministic results pin the
+  rows-only checks), and
   ``media_phash`` / ``media_audio_fp`` / ``media_video_hash`` (DuckDB
   cannot decode binary image/WAV/RVID payloads; the dHash /
   energy-envelope / mean-frame signatures are pinned by exact-value

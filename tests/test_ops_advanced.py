@@ -397,3 +397,52 @@ def test_kmeans_small_sample_and_inertia_consistency(ray_session):
     assert abs(fit2["inertia"] - d2.sum()) / d2.sum() < 1e-9
     assert fit2["n_iters"] <= 3
     assert len(out) == 3000
+
+
+def test_pagerank_tiers_agree_and_rank_hubs(ray_session):
+    """Driver tier matches a dense-matrix reference; distributed tier
+    matches the driver tier on the same graph; a star center outranks
+    its leaves; ranks sum to ~1."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from zeeklog_ray.ops.graph import pagerank
+
+    # star(0; 1..6) plus a 3-cycle (7,8,9)
+    edges = [(0, i) for i in range(1, 7)] + [(7, 8), (8, 9), (7, 9)]
+    pairs = ray.data.from_pandas(pd.DataFrame(edges,
+                                              columns=["doc_a", "doc_b"]))
+
+    out = pagerank(pairs, n_iters=40).to_pandas() \
+        .set_index("node")["rank_e9"]
+    # dense reference (same damping/teleport formulation)
+    n = 10
+    M = np.zeros((n, n))
+    for a, b in edges:
+        M[b, a] = 1.0
+        M[a, b] = 1.0
+    M /= M.sum(axis=0, keepdims=True)
+    r = np.full(n, 1 / n)
+    for _ in range(40):
+        r = 0.15 / n + 0.85 * (M @ r)
+    exp = np.floor(r * 1e9).astype(np.int64)
+    got = out.loc[np.arange(n)].to_numpy()
+    assert np.abs(got - exp).max() <= 1        # op-order float ulp
+    assert out.loc[0] == out.max()             # star center is the hub
+    assert abs(int(out.sum()) - 1_000_000_000) < 100
+
+    # distributed tier on the same graph (driver_nodes=0 forces it);
+    # fewer rounds — each distributed round costs shuffle infra — and
+    # tol=0 on the driver side so both run exactly 8 rounds
+    drv8 = pagerank(pairs, n_iters=8, tol=0.0).to_pandas() \
+        .set_index("node")["rank_e9"]
+    dist = pagerank(pairs, n_iters=8, driver_nodes=0,
+                    num_buckets=8).to_pandas().set_index("node")["rank_e9"]
+    assert np.abs(dist.loc[np.arange(n)].to_numpy()
+                  - drv8.loc[np.arange(n)].to_numpy()).max() <= 2
+
+    # empty graph
+    empty = ray.data.from_pandas(
+        pd.DataFrame({"doc_a": [1], "doc_b": [2]})).filter(lambda r: False)
+    assert pagerank(empty).count() == 0

@@ -2008,6 +2008,22 @@ def event_user_skew(sf_dir: str) -> pd.DataFrame:
                                        columns=["user_id"]), "user_id")
 
 
+def embedding_graph_pagerank(sf_dir: str) -> "ray.data.Dataset":
+    """PageRank centrality over the embedding near-dup pair graph
+    (ops/graph.pagerank — tiered power iteration; 1e-9 fixed point).
+    NO SQL oracle — iterative float; pytest-gated against a
+    dense-matrix reference and cross-tier agreement.  Deterministic, so
+    rows-only pins the node count."""
+    from zeeklog_ray.ops.dedup import embedding_cosine_pairs
+    from zeeklog_ray.ops.graph import pagerank
+
+    emb = read_table(sf_dir, "embeddings",
+                     columns=["vec_id", "embedding", "label"])
+    pairs = embedding_cosine_pairs(emb, _NEAR_DUP_THRESHOLD_E4,
+                                   block_col="label")
+    return pagerank(pairs, a_col="id_a", b_col="id_b")
+
+
 def embedding_kmeans(sf_dir: str) -> "ray.data.Dataset":
     """Full-data distributed k-means over the embedding table, reported as
     per-cluster sizes (ops/cluster.kmeans_fit + kmeans_assign).  NO SQL
@@ -2944,6 +2960,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "embedding_quantize": embedding_quantize,
     "embedding_graph_degrees": embedding_graph_degrees,
     "embedding_graph_triangles": embedding_graph_triangles,
+    "embedding_graph_pagerank": embedding_graph_pagerank,
     "embedding_kmeans": embedding_kmeans,
     "user_retention_cohorts": user_retention_cohorts,
     "event_user_skew": event_user_skew,
