@@ -121,3 +121,50 @@ def test_pivot_melt_roundtrip_property(ray_session, data):
         .sort_values("c").reset_index(drop=True)
     exp = {f"p_{c}": int(df.loc[df["c"] == c, "v"].sum()) for c in cats}
     assert dict(zip(got["c"], got["s"])) == exp
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.data())
+def test_bucketed_equi_join_matches_pandas(ray_session, data):
+    """Random int-keyed sides with duplicates and non-matching keys:
+    bucketed_equi_join == pandas inner merge (as multisets)."""
+    from zeeklog_ray.relational import bucketed_equi_join
+
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**31)))
+    nl = data.draw(st.integers(1, 120))
+    nr = data.draw(st.integers(1, 120))
+    left = pd.DataFrame({"k": rng.integers(0, 25, nl).astype("int64"),
+                         "x": np.arange(nl, dtype="int64")})
+    right = pd.DataFrame({"node": rng.integers(0, 25, nr).astype("int64"),
+                          "y": np.arange(nr, dtype="int64") * 10})
+    nb = data.draw(st.sampled_from([1, 4, 16]))
+    got = bucketed_equi_join(_two_blocks(left), _two_blocks(right),
+                             on="k", right_on="node",
+                             num_buckets=nb).to_pandas()
+    exp = left.merge(right.rename(columns={"node": "k"}), on="k")
+    if len(exp) == 0:      # empty to_pandas loses columns (known quirk)
+        assert len(got) == 0
+        return
+    key = lambda df: sorted(map(tuple, df[["k", "x", "y"]].values))
+    assert key(got) == key(exp)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.data())
+def test_global_rank_matches_pandas_property(ray_session, data):
+    """Random values with heavy ties across random bucket counts:
+    global_rank == ROW_NUMBER over (v, id)."""
+    from zeeklog_ray.relational import global_rank
+
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**31)))
+    n = data.draw(st.integers(2, 300))
+    df = pd.DataFrame({"id": np.arange(n, dtype="int64"),
+                       "v": rng.integers(0, 12, n).astype("int64")})
+    nb = data.draw(st.sampled_from([2, 8, 32]))
+    out = global_rank(_two_blocks(df), by="v", tie="id",
+                      num_buckets=nb, sample_n=16).to_pandas()
+    exp = df.sort_values(["v", "id"]).reset_index(drop=True)
+    exp["rank"] = np.arange(1, n + 1)
+    got = out.sort_values("rank").reset_index(drop=True)
+    assert got["id"].tolist() == exp["id"].tolist()
+    assert got["rank"].tolist() == exp["rank"].tolist()
