@@ -446,3 +446,21 @@ def test_pagerank_tiers_agree_and_rank_hubs(ray_session):
     empty = ray.data.from_pandas(
         pd.DataFrame({"doc_a": [1], "doc_b": [2]})).filter(lambda r: False)
     assert pagerank(empty).count() == 0
+
+
+def test_pagerank_duplicate_edges_ignored(ray_session):
+    """Duplicate and reversed-duplicate pairs must not skew the
+    out-degree weighting (defensive dedup, like triangle_count)."""
+    import pandas as pd
+    import ray.data
+
+    from zeeklog_ray.ops.graph import pagerank
+
+    clean = pd.DataFrame({"doc_a": [0, 0], "doc_b": [1, 2]})
+    dirty = pd.DataFrame({"doc_a": [0, 0, 1, 0, 3],
+                          "doc_b": [1, 2, 0, 1, 3]})  # dup+rev+selfloop
+    a = pagerank(ray.data.from_pandas(clean), n_iters=15).to_pandas() \
+        .set_index("node")["rank_e9"]
+    b = pagerank(ray.data.from_pandas(dirty), n_iters=15).to_pandas() \
+        .set_index("node")["rank_e9"]
+    assert a.to_dict() == b.to_dict()

@@ -30,6 +30,16 @@ from zeeklog_ray.aggregate import coalesce_partials
 from zeeklog_ray.relational import bucketed_group_min, default_join_partitions
 
 
+def _blocks_from_pandas(out: pd.DataFrame,
+                        chunk: int = 1_000_000) -> "ray.data.Dataset":
+    """Driver DataFrame → Dataset in ~1M-row blocks: a single 10M+-row
+    from_pandas block would serialize the first downstream map stage
+    onto one worker."""
+    frames = [out.iloc[i:i + chunk].reset_index(drop=True)
+              for i in range(0, len(out), chunk)] or [out]
+    return ray.data.from_pandas(frames)
+
+
 def _driver_union_find(edges: pd.DataFrame) -> "ray.data.Dataset":
     """Driver-side components via VECTORIZED min-label propagation with
     pointer jumping — each round is O(E+V) in numpy (np.minimum.at over
@@ -51,13 +61,8 @@ def _driver_union_find(edges: pd.DataFrame) -> "ray.data.Dataset":
         if np.array_equal(new, labels):
             break
         labels = new
-    out = pd.DataFrame({"node": nodes, "component": nodes[labels]})
-    # split into ~1M-row blocks: a single 10M+-row from_pandas block would
-    # serialize the first downstream map stage onto one worker
-    chunk = 1_000_000
-    frames = [out.iloc[i:i + chunk].reset_index(drop=True)
-              for i in range(0, len(out), chunk)] or [out]
-    return ray.data.from_pandas(frames)
+    return _blocks_from_pandas(
+        pd.DataFrame({"node": nodes, "component": nodes[labels]}))
 
 
 def connected_components(pairs: "ray.data.Dataset", max_rounds: int = 30,
@@ -312,32 +317,74 @@ def pagerank(pairs: "ray.data.Dataset", damping: float = 0.85,
     citation / co-occurrence graphs.  Returns ``(node, rank_e9)`` with
     the rank floored at 1e-9 fixed point (ranks sum to ~1).
 
-    Tiered like :func:`connected_components`:
+    Tiered like :func:`connected_components`, gated on the edge count
+    (already known after the materialize — no node-distinct shuffle for
+    the common driver-sized case):
 
-    * ≤ ``driver_nodes`` distinct nodes: vectorized power iteration on
-      the driver — one ``np.add.at`` scatter per round over the dense
-      node index, dangling mass redistributed uniformly, early stop on
-      L1 change < ``tol``.
+    * ``2·edges ≤ driver_nodes`` (nodes ≤ 2·edges): vectorized power
+      iteration on the driver — dense indices via one
+      ``np.unique(return_inverse)``, one ``np.add.at`` scatter per
+      round, early stop on L1 change < ``tol``.  Symmetrized node sets
+      have no dangling nodes (every node sits on an edge), so there is
+      no dangling-mass term in either tier.
     * above it: each round is one broadcast-free distributed pass — the
-      (node, rank) dataset joins the edge list bucketed by source, the
-      per-target contributions sum entity-shaped, and dangling mass
-      (one scalar) redistributes next round.  O(n_iters) shuffles of
+      (node, rank) dataset joins the edge list bucketed by source and
+      the per-target contributions sum entity-shaped.  The distributed
+      tier runs EXACTLY ``n_iters`` rounds — a per-round L1 delta would
+      cost one more join per round, so ``tol`` applies to the driver
+      tier only (documented asymmetry).  O(n_iters) shuffles of
       (node, float) pairs; edge bodies never move after the first
       materialize.
 
-    The pytest gate compares the driver tier against an independent
-    dense-matrix reference and the distributed tier against the driver
-    tier on the same graph."""
-    edges = pairs.map_batches(
-        lambda df: pd.DataFrame({"a": df[a_col], "b": df[b_col]}),
-        batch_format="pandas", batch_size=None).materialize()
-    if edges.count() == 0:
+    Duplicate / reversed-duplicate input pairs are deduped defensively
+    (like :func:`triangle_count`) — otherwise a doubled edge silently
+    skews the out-degree weighting.  The pytest gate compares the
+    driver tier against an independent dense-matrix reference and the
+    distributed tier against the driver tier on the same graph."""
+    from zeeklog_ray.relational import bucketed_distinct
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        a, b = df[a_col].to_numpy(), df[b_col].to_numpy()
+        u, v = np.minimum(a, b), np.maximum(a, b)
+        out = pd.DataFrame({"a": u, "b": v})
+        return out[out["a"] != out["b"]]
+
+    edges = bucketed_distinct(
+        pairs.map_batches(canon, batch_format="pandas", batch_size=None),
+        ["a", "b"], num_buckets=num_buckets).materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
         return ray.data.from_pandas(pd.DataFrame(
             {"node": pd.array([], dtype="int64"),
              "rank_e9": pd.array([], dtype="int64")}))
 
-    # distinct nodes via the bucketed pattern (entity-shaped)
-    from zeeklog_ray.relational import bucketed_distinct
+    if 2 * n_edges <= driver_nodes:
+        ep = edges.to_pandas()
+        a, b = ep["a"].to_numpy(), ep["b"].to_numpy()
+        nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+        n_nodes = len(nodes)
+        ia, ib = inv[:len(a)], inv[len(a):]
+        src = np.concatenate([ia, ib])
+        dst = np.concatenate([ib, ia])
+        outdeg = np.bincount(src, minlength=n_nodes).astype(np.float64)
+        r = np.full(n_nodes, 1.0 / n_nodes)
+        for _ in range(n_iters):
+            contrib = np.zeros(n_nodes)
+            np.add.at(contrib, dst, r[src] / outdeg[src])
+            new = (1 - damping) / n_nodes + damping * contrib
+            if np.abs(new - r).sum() < tol:
+                r = new
+                break
+            r = new
+        return _blocks_from_pandas(pd.DataFrame(
+            {"node": nodes,
+             "rank_e9": np.floor(r * 1e9).astype(np.int64)}))
+
+    # ---- distributed tier ------------------------------------------------
+    from zeeklog_ray.relational import (
+        bucketed_equi_join,
+        grouped_sum_bucketed,
+    )
 
     ends = edges.map_batches(
         lambda df: pd.DataFrame({"node": pd.concat([df["a"], df["b"]],
@@ -346,41 +393,6 @@ def pagerank(pairs: "ray.data.Dataset", damping: float = 0.85,
     nodes_ds = bucketed_distinct(ends, ["node"],
                                  num_buckets=num_buckets).materialize()
     n_nodes = nodes_ds.count()
-
-    if n_nodes <= driver_nodes:
-        ep = edges.to_pandas()
-        nodes = np.sort(nodes_ds.to_pandas()["node"].to_numpy())
-        idx = {n: i for i, n in enumerate(nodes)}
-        src = np.concatenate([ep["a"].map(idx).to_numpy(np.int64),
-                              ep["b"].map(idx).to_numpy(np.int64)])
-        dst = np.concatenate([ep["b"].map(idx).to_numpy(np.int64),
-                              ep["a"].map(idx).to_numpy(np.int64)])
-        outdeg = np.bincount(src, minlength=n_nodes).astype(np.float64)
-        r = np.full(n_nodes, 1.0 / n_nodes)
-        dangling = outdeg == 0
-        for _ in range(n_iters):
-            contrib = np.zeros(n_nodes)
-            w = r[src] / outdeg[src]
-            np.add.at(contrib, dst, w)
-            dmass = r[dangling].sum()
-            new = (1 - damping) / n_nodes + damping * (contrib
-                                                       + dmass / n_nodes)
-            if np.abs(new - r).sum() < tol:
-                r = new
-                break
-            r = new
-        out = pd.DataFrame({"node": nodes,
-                            "rank_e9": np.floor(r * 1e9).astype(np.int64)})
-        chunk = 1_000_000
-        frames = [out.iloc[i:i + chunk].reset_index(drop=True)
-                  for i in range(0, len(out), chunk)] or [out]
-        return ray.data.from_pandas(frames)
-
-    # ---- distributed tier ------------------------------------------------
-    from zeeklog_ray.relational import (
-        bucketed_equi_join,
-        grouped_sum_bucketed,
-    )
 
     # symmetrized edge list with per-source out-degree attached once
     sym = edges.map_batches(
@@ -398,8 +410,6 @@ def pagerank(pairs: "ray.data.Dataset", damping: float = 0.85,
     ranks = nodes_ds.map_batches(
         lambda df: df.assign(r=1.0 / n_nodes),
         batch_format="pandas", batch_size=None).materialize()
-    # symmetrized graphs have no dangling nodes (every node has degree
-    # ≥ 1), so the dangling term is exactly zero here
     for _ in range(n_iters):
         contrib = grouped_sum_bucketed(
             bucketed_equi_join(sym, ranks, on="src", right_on="node",
