@@ -603,13 +603,26 @@ def tfidf_top_terms(docs: "ray.data.Dataset", k: int = 3,
 
     scored = joined.map_batches(score, batch_format="pandas", batch_size=None)
 
+    def prune(batch: pd.DataFrame) -> pd.DataFrame:
+        # partial top-k BEFORE the shuffle: any true top-k row of a doc
+        # is top-k within its own block, so per-block head(k) is a safe
+        # superset even if a doc's rows straddle blocks — the exchange
+        # shrinks from |doc·term| rows to ≤ k per (doc, block)
+        g = batch.sort_values([id_col, "score_ppm", "word"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+        return g.groupby(id_col, sort=False).head(k)
+
+    pruned = scored.map_batches(prune, batch_format="pandas",
+                                batch_size=None)
+
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([id_col, "score_ppm", "word"],
                           ascending=[True, False, True], kind="mergesort")
         g["rank"] = (g.groupby(id_col, sort=False).cumcount() + 1).astype("int64")
         return g[g["rank"] <= k][[id_col, "rank", "word", "tf", "score_ppm"]]
 
-    return with_hash_bucket(scored, id_col, num_buckets) \
+    return with_hash_bucket(pruned, id_col, num_buckets) \
         .groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
 
 
