@@ -612,3 +612,21 @@ def test_retention_cohorts_null_users_dropped(ray_session):
     out = retention_cohorts(ray.data.from_pandas(df)).to_pandas()
     assert int(out["n_users"].sum()) == 2          # u1's two weeks only
     assert str(out["cohort_week"].dtype) in ("int64", "Int64")
+
+
+def test_docs_dup_rate_by_source_planted(ray_session):
+    """Planted duplicates: rates match the hand computation."""
+    import tempfile
+
+    from zeeklog_ray.queries import docs_dup_rate_by_source
+
+    df = pd.DataFrame({
+        "source": ["a"] * 4 + ["b"] * 2,
+        "text": ["x", "x", "x", "y", "z", "w"],
+    })
+    with tempfile.TemporaryDirectory() as td:
+        df.to_parquet(f"{td}/documents.parquet")
+        out = docs_dup_rate_by_source(td).to_pandas().set_index("source")
+    assert out.loc["a", "n_docs"] == 4 and out.loc["a", "n_distinct"] == 2
+    assert out.loc["a", "dup_rate_ppm"] == 500_000    # 2 of 4 are dups
+    assert out.loc["b", "dup_rate_ppm"] == 0

@@ -1922,6 +1922,52 @@ def media_video_hash(sf_dir: str) -> "ray.data.Dataset":
     return video_hashes(rd.read_parquet(media_parquet_for_sf_dir(sf_dir)))
 
 
+def docs_dup_rate_by_source(sf_dir: str) -> "ray.data.Dataset":
+    """Corpus-health report: per-source exact-duplicate rate (ppm) —
+    total docs, distinct contents, dup share.  Only (source, 128-bit
+    digest, partial count) rows shuffle (never text); one entity-shaped
+    bucketed count per (source, digest), then a report-shaped per-source
+    rollup.  Integer-exact; SQL replays by grouping the text itself."""
+    from zeeklog_ray.ops.dedup import content_digest128
+    from zeeklog_ray.relational import grouped_sum, grouped_sum_bucketed
+
+    docs = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def digest(batch: pd.DataFrame) -> pd.DataFrame:
+        h1, h2 = content_digest128(batch["text"])
+        return pd.DataFrame({"source": batch["source"].to_numpy(),
+                             "h1": h1.astype(np.int64).view(np.int64),
+                             "h2": h2.astype(np.int64).view(np.int64)})
+
+    per_content = grouped_sum_bucketed(
+        docs.map_batches(digest, batch_format="pandas", batch_size=None),
+        ["source", "h1", "h2"], count_as="n")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("source", sort=False)
+        return pd.DataFrame({"source": g.size().index,
+                             "n_docs": g["n"].sum().to_numpy(),
+                             "n_distinct": g.size().to_numpy()})
+
+    rolled = grouped_sum(
+        per_content.map_batches(partial, batch_format="pandas",
+                                batch_size=None),
+        ["source"], sums={"n_docs": "n_docs", "n_distinct": "n_distinct"})
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        nd = batch["n_docs"].astype("int64")
+        dist = batch["n_distinct"].astype("int64")
+        return pd.DataFrame({
+            "source": batch["source"],
+            "n_docs": nd,
+            "n_distinct": dist,
+            "dup_rate_ppm": ((nd - dist) * 1_000_000 // nd).astype("int64"),
+        })
+
+    return rolled.map_batches(finish, batch_format="pandas",
+                              batch_size=None)
+
+
 def docs_source_tv(sf_dir: str) -> pd.DataFrame:
     """Pairwise total-variation distance (ppm) between the per-source
     word distributions over the global top-50 vocabulary — the
@@ -2971,6 +3017,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "event_value_winsorized": event_value_winsorized,
     "docs_bpe_merges": docs_bpe_merges,
     "docs_source_tv": docs_source_tv,
+    "docs_dup_rate_by_source": docs_dup_rate_by_source,
     "users_click_and_purchase": users_click_and_purchase,
     "users_big_view_no_big_purchase": users_big_view_no_big_purchase,
     "event_type_counts_cm": event_type_counts_cm,
@@ -3369,6 +3416,14 @@ ORACLE_SQL: dict[str, str] = {
     "docs_length_rank": (
         "SELECT doc_id, n_chars, CAST(ROW_NUMBER() OVER "
         "(ORDER BY n_chars, doc_id) AS BIGINT) AS rank FROM documents"),
+    # the digest is a stand-in for the text: SQL groups the text itself
+    "docs_dup_rate_by_source": (
+        "WITH g AS (SELECT source, text, COUNT(*) AS n FROM documents "
+        "GROUP BY source, text) "
+        "SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs, "
+        "CAST(COUNT(*) AS BIGINT) AS n_distinct, "
+        "CAST((SUM(n) - COUNT(*)) * 1000000 // SUM(n) AS BIGINT) "
+        "AS dup_rate_ppm FROM g GROUP BY source"),
     # exact integer TV over the top-50 vocabulary: HUGEINT products in
     # SQL, Python big-int finish on the Ray side; // truncates (positive)
     "docs_source_tv": (
