@@ -314,8 +314,10 @@ def run_bench() -> dict:
 
         ensure_oracle_corpus(SF_DIR)
 
+    from zeeklog_ray.raypatch import worker_runtime_env
+
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             logging_level="ERROR")
+             logging_level="ERROR", runtime_env=worker_runtime_env())
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False

@@ -12,8 +12,11 @@ def ray_session():
     import ray
     from ray.data import DataContext
 
+    from zeeklog_ray.raypatch import worker_runtime_env
+
     ray.init(address="local", num_cpus=4, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             runtime_env=worker_runtime_env())
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     logging.getLogger("ray.data").setLevel(logging.WARNING)

@@ -24,6 +24,8 @@ import argparse
 import json
 import sys
 
+from zeeklog_ray.raypatch import worker_runtime_env
+
 
 def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="zeeklog-ray", description=__doc__)
@@ -120,7 +122,8 @@ def main(argv: list[str] | None = None) -> int:
 
         if not ray.is_initialized():
             ray.init(address="local", num_cpus=args.num_cpus,
-                     include_dashboard=False, logging_level="ERROR")
+                     include_dashboard=False, logging_level="ERROR",
+                     runtime_env=worker_runtime_env())
         from ray.data import DataContext
 
         DataContext.get_current().enable_progress_bars = False
@@ -173,7 +176,8 @@ def main(argv: list[str] | None = None) -> int:
 
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=args.num_cpus,
-                 include_dashboard=False, logging_level="ERROR")
+                 include_dashboard=False, logging_level="ERROR",
+                 runtime_env=worker_runtime_env())
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
@@ -248,7 +252,8 @@ def _run_query(args, parser) -> int:
 
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=args.num_cpus,
-                 include_dashboard=False, logging_level="ERROR")
+                 include_dashboard=False, logging_level="ERROR",
+                 runtime_env=worker_runtime_env())
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
