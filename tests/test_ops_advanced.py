@@ -434,13 +434,33 @@ def test_pagerank_tiers_agree_and_rank_hubs(ray_session):
 
     # distributed tier on the same graph (driver_nodes=0 forces it);
     # fewer rounds — each distributed round costs shuffle infra — and
-    # tol=0 on the driver side so both run exactly 8 rounds
+    # tol=0 in BOTH tiers so both run exactly 8 rounds
     drv8 = pagerank(pairs, n_iters=8, tol=0.0).to_pandas() \
         .set_index("node")["rank_e9"]
-    dist = pagerank(pairs, n_iters=8, driver_nodes=0,
+    dist = pagerank(pairs, n_iters=8, tol=0.0, driver_nodes=0,
                     num_buckets=8).to_pandas().set_index("node")["rank_e9"]
     assert np.abs(dist.loc[np.arange(n)].to_numpy()
                   - drv8.loc[np.arange(n)].to_numpy()).max() <= 2
+
+    # EARLY-STOP parity: with a loose tol both tiers must stop at the
+    # same round — if the distributed tier ignored tol it would converge
+    # further and the ranks would differ far beyond the ±2 ulp bound.
+    # damping=0.5 so the L1 delta halves per round and the stop lands
+    # around round ~9 (keeps the distributed run's shuffle-round count,
+    # and this test's wall time, small)
+    es = dict(n_iters=30, tol=1e-3, damping=0.5)
+    drv_es = pagerank(pairs, **es).to_pandas() \
+        .set_index("node")["rank_e9"]
+    dist_es = pagerank(pairs, driver_nodes=0, num_buckets=8,
+                       **es).to_pandas().set_index("node")["rank_e9"]
+    assert np.abs(dist_es.loc[np.arange(n)].to_numpy()
+                  - drv_es.loc[np.arange(n)].to_numpy()).max() <= 2
+    # and the loose-tol result is genuinely an early stop (differs from
+    # the same-damping full-30-round fixpoint) — guards the guard
+    full_es = pagerank(pairs, n_iters=30, tol=0.0, damping=0.5) \
+        .to_pandas().set_index("node")["rank_e9"]
+    assert np.abs(drv_es.loc[np.arange(n)].to_numpy()
+                  - full_es.loc[np.arange(n)].to_numpy()).max() > 10
 
     # empty graph
     empty = ray.data.from_pandas(

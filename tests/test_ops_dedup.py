@@ -56,6 +56,23 @@ def test_minhash_lsh_finds_near_dups(docs):
     assert (1, 3) not in got and (2, 3) not in got
 
 
+def test_minhash_lsh_spill_dir_parity(docs, tmp_path):
+    """spill_dir= swaps the banded-rows object-store pin for a Parquet
+    write + lazy re-read; the pair set must be identical and the spill
+    files must actually exist."""
+    import os
+
+    ds, _ = docs
+    spill = str(tmp_path / "spill")
+    kw = dict(num_perm=32, bands=16)
+    pinned = minhash_lsh_pairs(ds, **kw).to_pandas() \
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    spilled = minhash_lsh_pairs(ds, spill_dir=spill, **kw).to_pandas() \
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(pinned, spilled)
+    assert os.listdir(os.path.join(spill, "lsh_banded"))
+
+
 def test_ngram_jaccard_verify():
     j = ngram_jaccard(pd.Series([BASE, BASE]), pd.Series([NEAR, FAR]), k=5)
     assert j[0] > 0.6          # near-dup verified similar
@@ -170,14 +187,34 @@ def test_ngram_jaccard_dedup_pairs(ray_session):
     assert all(b != 3 and a != 3 for a, b in got)  # unrelated filtered
 
 
-def test_ngram_jaccard_dedup_pairs_candidate_cap(ray_session):
+def test_ngram_jaccard_dedup_pairs_join_tier_parity(ray_session):
+    """broadcast_candidate_docs=0 forces the partitioned bucketed-join
+    verify tier; planted dups must come out IDENTICAL to the broadcast
+    tier (same pairs, same j_e4)."""
     from zeeklog_ray.ops.dedup import ngram_jaccard_dedup_pairs
 
-    df = pd.DataFrame({"doc_id": [1, 2], "text": [BASE, BASE]})
-    with pytest.raises(ValueError, match="max_candidate_docs"):
-        ngram_jaccard_dedup_pairs(ray.data.from_pandas(df),
-                                  num_perm=16, bands=4,
-                                  max_candidate_docs=1).to_pandas()
+    # planted near-dup clusters across enough docs that LSH yields a
+    # non-trivial candidate set: 30 docs, ids 0..29, dup partner = id+100
+    rows = []
+    for i in range(30):
+        t = f"{BASE} variant {i} " + "filler words " * 3
+        rows.append((i, t))
+        rows.append((i + 100, t + ("x" if i % 3 == 0 else "")))
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+    kw = dict(threshold_e4=5000, num_perm=16, bands=8)
+    broad = ngram_jaccard_dedup_pairs(
+        ray.data.from_pandas(df), **kw).to_pandas() \
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    joined = ngram_jaccard_dedup_pairs(
+        ray.data.from_pandas(df), broadcast_candidate_docs=0,
+        num_buckets=16, **kw).to_pandas() \
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    assert len(broad) > 0                       # planted dups were found
+    pd.testing.assert_frame_equal(broad, joined)
+    # every planted exact pair (i, i+100) with identical text is present
+    exact = {(i, i + 100) for i in range(30) if i % 3 != 0}
+    got = set(zip(broad["doc_a"], broad["doc_b"]))
+    assert exact <= got
 
 
 def test_levenshtein_pairs_matches_duckdb():

@@ -53,6 +53,22 @@ def test_prep_manifest_rate_cap(ray_session):
         prep_manifest(_docs(), rates={"web": float(MAX_EPOCHS)})
 
 
+def test_prep_manifest_spill_dir_parity(ray_session, tmp_path):
+    """spill_dir= swaps the ordered-scalars object-store pin for a
+    Parquet write + re-read; results must be identical to the pinned
+    path and the spilled files must actually exist."""
+    import os
+
+    spill = str(tmp_path / "spill")
+    kw = dict(rates={"book": 2.0}, context_len=64)
+    pinned = prep_manifest(_docs(), **kw).to_pandas() \
+        .sort_values(["doc_id", "epoch"]).reset_index(drop=True)
+    spilled = prep_manifest(_docs(), spill_dir=spill, **kw).to_pandas() \
+        .sort_values(["doc_id", "epoch"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(pinned, spilled)
+    assert os.listdir(os.path.join(spill, "prep_ordered"))
+
+
 def test_prep_export_roundtrip(ray_session, tmp_path):
     out = str(tmp_path / "manifest")
     summary = prep_export(_docs(), out, rates={"book": 2.0},

@@ -106,7 +106,8 @@ def minhash_signatures(ds: "ray.data.Dataset", text_col: str = "text",
 
 def minhash_lsh_pairs(ds: "ray.data.Dataset", text_col: str = "text",
                       num_perm: int = 64, bands: int = 8,
-                      k: int = 5, max_bucket: int = 512) -> "ray.data.Dataset":
+                      k: int = 5, max_bucket: int = 512,
+                      spill_dir: str | None = None) -> "ray.data.Dataset":
     """MinHash+LSH near-dup candidate pairs: signature → band hashes →
     self-join on the band bucket (the only shuffle, signatures only) →
     ordered distinct pairs.
@@ -127,9 +128,11 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", text_col: str = "text",
     partials are O(rows) — mostly-distinct buckets — so the driver merge
     does NOT scale; the shuffle it avoids is amortized at the sizes where
     it triggers).  Only the over-cap key set — ≤ |rows|/max_bucket entries
-    — ever reaches the driver.  The banded rows are materialized once so
-    the count and join passes don't recompute the shingle hashing (at
-    100 TB they'd persist to Parquet instead).
+    — ever reaches the driver.  The banded rows are pinned once so the
+    count and join passes don't recompute the shingle hashing —
+    ``materialize()`` by default, or a Parquet write + lazy re-read
+    under ``spill_dir`` (:func:`zeeklog_ray.spill.pin_or_spill`) at
+    scales where O(bands·docs) rows must not sit in the object store.
 
     Returns (doc_a, doc_b) candidate pairs (doc_a < doc_b, distinct).
     Verify with :func:`ngram_jaccard` on the candidates.
@@ -155,8 +158,12 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", text_col: str = "text",
                                       "doc_id": batch["doc_id"]}))
         return pd.concat(outs, ignore_index=True)
 
-    banded = sigs.map_batches(band_rows, batch_format="pandas",
-                              batch_size=None).materialize()
+    from zeeklog_ray.spill import pin_or_spill
+
+    banded = pin_or_spill(
+        sigs.map_batches(band_rows, batch_format="pandas",
+                         batch_size=None),
+        spill_dir, "lsh_banded")
 
     # Oversized-bucket guard.  Band-bucket hashes are mostly distinct, so
     # the per-batch value_counts partials are O(rows) — merging them on
@@ -397,7 +404,9 @@ def ngram_jaccard_dedup_pairs(ds: "ray.data.Dataset",
                               text_col: str = "text", k: int = 5,
                               num_perm: int = 16, bands: int = 4,
                               max_bucket: int = 512,
-                              max_candidate_docs: int = 2_000_000
+                              broadcast_candidate_docs: int = 100_000,
+                              num_buckets: int = 1024,
+                              spill_dir: str | None = None
                               ) -> "ray.data.Dataset":
     """n-gram Jaccard near-duplicate pairs — the production two-phase shape:
     MinHash+LSH candidate generation (:func:`minhash_lsh_pairs`, signatures
@@ -405,26 +414,33 @@ def ngram_jaccard_dedup_pairs(ds: "ray.data.Dataset",
     Jaccard verification of each candidate, keeping pairs with
     ``J >= threshold_e4 / 10000``.
 
-    The verify side never shuffles document bodies: the candidate doc-id
-    set (≈ the near-dup population, orders of magnitude smaller than the
-    corpus) is collected, the matching texts are semi-filtered out of the
-    corpus with a broadcast id set (no join shuffle), and the text lookup
-    is ``ray.put`` once — each verify task reads it zero-copy from the
-    local object store.  ``max_candidate_docs`` guards the driver-side
-    collections: past it, raise instead of silently materializing (at that
-    scale, persist candidates to Parquet and verify per-partition with a
-    partitioned join instead).
+    The RAW CORPUS text never shuffles in either verify tier: the distinct
+    candidate doc-id set (≈ the near-dup population, orders of magnitude
+    smaller than the corpus) is broadcast once via ``ray.put`` and the
+    matching texts are semi-FILTERED out of the corpus map-side
+    (vectorized ``np.isin`` per batch).  The candidate TEXTS are then
+    attached two ways, tiered on the candidate count:
+
+    * ``≤ broadcast_candidate_docs``: the candidate texts collect to one
+      ``ray.put`` lookup and the verify map reads it zero-copy — zero
+      shuffles (the common case: near-dup populations are small).
+    * above it: the candidate texts STAY a Dataset and attach to the pair
+      table with two :func:`zeeklog_ray.relational.bucketed_equi_join`
+      passes (pairs ⋈ texts on doc_a, then on doc_b) — shuffle volume is
+      O(candidate texts), independent of corpus size, and nothing
+      candidate-sized ever materializes on the driver.
 
     Jaccard is computed in EXACT integer arithmetic (packed gram sets +
     ``(10000*inter) // union``), so the result is bit-replayable in SQL —
-    see queries._ngram_jaccard_oracle_sql.
+    see queries._ngram_jaccard_oracle_sql.  Both tiers produce identical
+    results (pytest-gated on a planted-dup corpus).
 
     Returns (doc_a, doc_b, j_e4) with doc_a < doc_b, j_e4 = floor(J·10⁴).
     """
     import ray as _ray
 
     pairs = minhash_lsh_pairs(ds, text_col, num_perm, bands, k,
-                              max_bucket).materialize()
+                              max_bucket, spill_dir=spill_dir).materialize()
 
     def pair_ids(batch: pd.DataFrame) -> pd.DataFrame:
         ids = np.unique(np.concatenate([batch["doc_a"].to_numpy(),
@@ -435,13 +451,6 @@ def ngram_jaccard_dedup_pairs(ds: "ray.data.Dataset",
                                  batch_size=None).to_pandas()
     cand_ids = (np.unique(id_parts["doc_id"].to_numpy())
                 if "doc_id" in id_parts.columns else np.zeros(0, object))
-    if len(cand_ids) > max_candidate_docs:
-        raise ValueError(
-            f"ngram_jaccard_dedup_pairs: {len(cand_ids)} candidate docs "
-            f"(> max_candidate_docs={max_candidate_docs}) — the broadcast-"
-            "verify tier assumes the near-dup population is small; at this "
-            "scale persist the candidate pairs to Parquet and verify with "
-            "a partitioned join instead")
     ids_ref = _ray.put(cand_ids)
 
     def keep_cands(batch: pd.DataFrame) -> pd.DataFrame:
@@ -450,15 +459,10 @@ def ngram_jaccard_dedup_pairs(ds: "ray.data.Dataset",
         return batch.loc[m, ["doc_id", text_col]]
 
     cand_texts = ds.map_batches(keep_cands, batch_format="pandas",
-                                batch_size=None).to_pandas()
-    lookup = (dict(zip(cand_texts["doc_id"], cand_texts[text_col]))
-              if "doc_id" in cand_texts.columns else {})
-    lookup_ref = _ray.put(lookup)
+                                batch_size=None)
 
-    def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        lut = _ray.get(lookup_ref)
-        ta = batch["doc_a"].map(lut)
-        tb = batch["doc_b"].map(lut)
+    def verify_cols(batch: pd.DataFrame, ta: pd.Series,
+                    tb: pd.Series) -> pd.DataFrame:
         inter, union = ngram_jaccard_counts(ta, tb, k)
         keep = (union > 0) & (10_000 * inter >= threshold_e4 * union)
         out = batch.loc[keep, ["doc_a", "doc_b"]].copy()
@@ -466,7 +470,51 @@ def ngram_jaccard_dedup_pairs(ds: "ray.data.Dataset",
                        union[keep]).astype(np.int64)
         return out
 
-    return pairs.map_batches(verify, batch_format="pandas", batch_size=None)
+    if len(cand_ids) <= broadcast_candidate_docs:
+        texts_pd = cand_texts.to_pandas()
+        lookup = (dict(zip(texts_pd["doc_id"], texts_pd[text_col]))
+                  if "doc_id" in texts_pd.columns else {})
+        lookup_ref = _ray.put(lookup)
+
+        def verify(batch: pd.DataFrame) -> pd.DataFrame:
+            lut = _ray.get(lookup_ref)
+            return verify_cols(batch, batch["doc_a"].map(lut),
+                               batch["doc_b"].map(lut))
+
+        return pairs.map_batches(verify, batch_format="pandas",
+                                 batch_size=None)
+
+    # ---- partitioned tier: attach both texts with two bucketed joins ----
+    from zeeklog_ray.relational import bucketed_equi_join
+
+    # two consumers (doc_a join, doc_b join) — pin the candidate texts so
+    # the corpus semi-filter scan doesn't re-execute per consumer; the
+    # pinned table is candidates-only, never the corpus
+    cand_texts = cand_texts.materialize()
+
+    def as_text(role: str):
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.rename(columns={"doc_id": role,
+                                         text_col: f"_t{role[-1]}"})
+
+        return f
+
+    with_a = bucketed_equi_join(
+        pairs,
+        cand_texts.map_batches(as_text("doc_a"), batch_format="pandas",
+                               batch_size=None),
+        on="doc_a", num_buckets=num_buckets)
+    with_b = bucketed_equi_join(
+        with_a,
+        cand_texts.map_batches(as_text("doc_b"), batch_format="pandas",
+                               batch_size=None),
+        on="doc_b", num_buckets=num_buckets)
+
+    def verify_joined(batch: pd.DataFrame) -> pd.DataFrame:
+        return verify_cols(batch, batch["_ta"], batch["_tb"])
+
+    return with_b.map_batches(verify_joined, batch_format="pandas",
+                              batch_size=None)
 
 
 def simhash_signatures(ds: "ray.data.Dataset", text_col: str = "text",

@@ -329,12 +329,11 @@ def pagerank(pairs: "ray.data.Dataset", damping: float = 0.85,
       no dangling-mass term in either tier.
     * above it: each round is one broadcast-free distributed pass — the
       (node, rank) dataset joins the edge list bucketed by source and
-      the per-target contributions sum entity-shaped.  The distributed
-      tier runs EXACTLY ``n_iters`` rounds — a per-round L1 delta would
-      cost one more join per round, so ``tol`` applies to the driver
-      tier only (documented asymmetry).  O(n_iters) shuffles of
-      (node, float) pairs; edge bodies never move after the first
-      materialize.
+      the per-target contributions sum entity-shaped.  ``tol`` is
+      honored with the SAME L1 early-stop rule as the driver tier (one
+      extra bucketed join of (node, float) pairs per round — negligible
+      next to the edge join).  ≤ O(n_iters) shuffles of (node, float)
+      pairs; edge bodies never move after the first materialize.
 
     Duplicate / reversed-duplicate input pairs are deduped defensively
     (like :func:`triangle_count`) — otherwise a doubled edge silently
@@ -422,10 +421,27 @@ def pagerank(pairs: "ray.data.Dataset", damping: float = 0.85,
 
         def finish(df: pd.DataFrame) -> pd.DataFrame:
             return pd.DataFrame({"node": df["node"],
-                                 "r": base + damping * df["c"]})
+                                 "r_new": base + damping * df["c"]})
 
-        ranks = contrib.map_batches(finish, batch_format="pandas",
-                                    batch_size=None).materialize()
+        new_ranks = contrib.map_batches(finish, batch_format="pandas",
+                                        batch_size=None).materialize()
+        # honor ``tol`` in this tier too (same L1 stop rule as the driver
+        # tier): one bucketed join of two (node, float) tables + a scalar
+        # sum per round — negligible next to the edge join above.  Every
+        # node appears in both sides (symmetrized graph ⇒ every node has
+        # incoming contributions), so the inner join covers all nodes.
+        delta = float(bucketed_equi_join(
+            new_ranks, ranks, on="node", num_buckets=num_buckets)
+            .map_batches(lambda df: pd.DataFrame(
+                {"d": [float(np.abs(df["r_new"].to_numpy()
+                                    - df["r"].to_numpy()).sum())]}),
+                batch_format="pandas", batch_size=None)
+            .aggregate(Sum("d", alias_name="d"))["d"])
+        ranks = new_ranks.map_batches(
+            lambda df: df.rename(columns={"r_new": "r"}),
+            batch_format="pandas", batch_size=None).materialize()
+        if delta < tol:
+            break
 
     def to_fixed(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({

@@ -35,7 +35,8 @@ def prep_manifest(docs: "ray.data.Dataset",
                   context_len: int = 2048,
                   min_words: int = 15,
                   min_stop_ratio_e4: int = 200,
-                  num_buckets: int = 2048) -> "ray.data.Dataset":
+                  num_buckets: int = 2048,
+                  spill_dir: str | None = None) -> "ray.data.Dataset":
     """The manifest Dataset: one row per (kept doc × epoch copy) with its
     pack placement.  Columns: doc_id, epoch, source, n_bpe, pack_id,
     pack_offset."""
@@ -77,10 +78,14 @@ def prep_manifest(docs: "ray.data.Dataset",
     # hashing included — would re-execute for the second scan (measured
     # 2× wall at 1M docs).  The pinned table is SCALARS ONLY (six int/str
     # columns, no text), so it is object-store-sized even at corpus
-    # scale; at 10^12 rows persist it to Parquet instead and feed the
-    # re-read (same one-line swap as the minhash signature stage).
-    ordered = resampled.map_batches(add_order, batch_format="pandas",
-                                    batch_size=None).materialize()
+    # scale; at 10^12 rows pass ``spill_dir`` to swap the pin for a
+    # Parquet write + lazy re-read (zeeklog_ray.spill.pin_or_spill).
+    from zeeklog_ray.spill import pin_or_spill
+
+    ordered = pin_or_spill(
+        resampled.map_batches(add_order, batch_format="pandas",
+                              batch_size=None),
+        spill_dir, "prep_ordered")
     assigned = pack_assignments(ordered, group_col="source",
                                 order_col="_ord", len_col="n_bpe",
                                 range_col="_r", context_len=context_len)
