@@ -69,12 +69,14 @@ BENCH_QUERIES = [
 # where the per-group Python cliff (~0.19 ms/group) would cost tens of
 # minutes if any stage regressed to a per-key groupby.  Inputs are cached
 # deterministic parquet (zeeklog_ray/benchdata.py), generation untimed.
+# Every scale_* entry runs best-of-2 (VERDICT r3 item 4); the JSON line
+# carries per-entry [min, max] under "scale_minmax".
 SCALE_EVENT_ROWS = int(os.environ.get("ZEEKLOG_SCALE_EVENT_ROWS", "5000000"))
 SCALE_DOC_ROWS = int(os.environ.get("ZEEKLOG_SCALE_DOC_ROWS", "1000000"))
 _SKIP_SCALE_OPS_ENV = "ZEEKLOG_SKIP_SCALE_OPS"
 
 
-def _run_scale_ops(timings: dict) -> None:
+def _run_scale_ops(timings: dict, minmax: dict, extras: dict) -> None:
     import ray.data
 
     from zeeklog_ray.benchdata import bench_docs_parquet, bench_events_parquet
@@ -83,22 +85,42 @@ def _run_scale_ops(timings: dict) -> None:
     from zeeklog_ray.ops.sessionize import session_counts
     from zeeklog_ray.ops.streaming import trailing_windows
 
+    # best-of-2 per entry (VERDICT r3 item 4): one stray scheduler/disk
+    # hiccup in a single run moved recorded scale_* values up to 3× vs
+    # the same code re-run; inputs are cached parquet so the repeat costs
+    # only compute.  timings[] carries the min (the comparable number);
+    # minmax[] carries [min, max] so an outlier run is attributable.
+    def timed2(name: str, fn) -> None:
+        vals = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            fn()
+            vals.append(round(time.monotonic() - t0, 3))
+        timings[name] = min(vals)
+        minmax[name] = [min(vals), max(vals)]
+
     ev = bench_events_parquet(SCALE_EVENT_ROWS)      # cached, untimed
     dc = bench_docs_parquet(SCALE_DOC_ROWS)
     mtag = f"{SCALE_EVENT_ROWS // 1_000_000}m"
     dtag = f"{SCALE_DOC_ROWS // 1_000_000}m"
 
-    t0 = time.monotonic()
-    trailing_windows(ray.data.read_parquet(ev), key="user_id", ts="ts",
-                     value="value").count()
-    timings[f"scale_sliding_windows_{mtag}"] = round(time.monotonic() - t0, 3)
-    t0 = time.monotonic()
-    session_counts(ray.data.read_parquet(ev), key="user_id", ts="ts").count()
-    timings[f"scale_sessions_{mtag}"] = round(time.monotonic() - t0, 3)
-    t0 = time.monotonic()
-    pairs = minhash_lsh_pairs(ray.data.read_parquet(dc), text_col="text")
-    connected_components(pairs).count()
-    timings[f"scale_near_dup_components_{dtag}"] = round(time.monotonic() - t0, 3)
+    timed2(f"scale_sliding_windows_{mtag}",
+           lambda: trailing_windows(ray.data.read_parquet(ev), key="user_id",
+                                    ts="ts", value="value").count())
+    timed2(f"scale_sessions_{mtag}",
+           lambda: session_counts(ray.data.read_parquet(ev), key="user_id",
+                                  ts="ts").count())
+
+    def near_dup(spill_dir=None):
+        pairs = minhash_lsh_pairs(ray.data.read_parquet(dc),
+                                  text_col="text", spill_dir=spill_dir)
+        connected_components(pairs).count()
+
+    timed2(f"scale_near_dup_components_{dtag}", near_dup)
+    # same chain through the Parquet-spill pin (spill.pin_or_spill):
+    # certifies the 100-TB path costs ~the object-store pin, not 2×
+    timed2(f"scale_near_dup_components_{dtag}_spill",
+           lambda: near_dup(spill_dir="/tmp/zeeklog_bench/spill"))
 
     # full training-data prep chain (filter → dedup → resample → pack) at
     # 1M docs; the bench pool has no English stopwords, so the stopword
@@ -109,23 +131,24 @@ def _run_scale_ops(timings: dict) -> None:
         b["source"] = "s" + (b["doc_id"] % 4).astype(str)
         return b
 
-    t0 = time.monotonic()
-    docs1m = ray.data.read_parquet(dc).map_batches(
-        add_src, batch_format="pandas", batch_size=None)
-    prep_manifest(docs1m, rates={"s0": 2.5}, min_words=5,
-                  min_stop_ratio_e4=0).count()
-    timings[f"scale_prep_manifest_{dtag}"] = round(time.monotonic() - t0, 3)
+    def prep_chain():
+        docs1m = ray.data.read_parquet(dc).map_batches(
+            add_src, batch_format="pandas", batch_size=None)
+        prep_manifest(docs1m, rates={"s0": 2.5}, min_words=5,
+                      min_stop_ratio_e4=0).count()
+
+    timed2(f"scale_prep_manifest_{dtag}", prep_chain)
 
     # per-key ROW_NUMBER (full-table window) and latest-wins compaction
     # at the same 5M-event scale — both ride the bucketed-groupby pattern
     from zeeklog_ray.relational import latest_per_key, seq_index_per_key
 
-    t0 = time.monotonic()
-    seq_index_per_key(ray.data.read_parquet(ev), "user_id", ["ts"]).count()
-    timings[f"scale_user_seq_{mtag}"] = round(time.monotonic() - t0, 3)
-    t0 = time.monotonic()
-    latest_per_key(ray.data.read_parquet(ev), ["user_id"], ["ts"]).count()
-    timings[f"scale_latest_per_key_{mtag}"] = round(time.monotonic() - t0, 3)
+    timed2(f"scale_user_seq_{mtag}",
+           lambda: seq_index_per_key(ray.data.read_parquet(ev), "user_id",
+                                     ["ts"]).count())
+    timed2(f"scale_latest_per_key_{mtag}",
+           lambda: latest_per_key(ray.data.read_parquet(ev), ["user_id"],
+                                  ["ts"]).count())
 
     # the round-3 window/rank family at the same 5M-event scale: ROWS
     # frame (prefix-sum algebra), RANK/DENSE_RANK/NTILE + fixed-point
@@ -133,18 +156,17 @@ def _run_scale_ops(timings: dict) -> None:
     from zeeklog_ray.ops.streaming import rows_window
     from zeeklog_ray.relational import mode_per_key, ranks_per_key
 
-    t0 = time.monotonic()
-    rows_window(ray.data.read_parquet(ev), key="user_id",
-                order_cols=["ts"], value="value", preceding=5).count()
-    timings[f"scale_rows_window_{mtag}"] = round(time.monotonic() - t0, 3)
-    t0 = time.monotonic()
-    ranks_per_key(ray.data.read_parquet(ev), "user_id", ["value", "ts"],
-                  tie_cols=["value"], ntile=10,
-                  percent_scale=10**4).count()
-    timings[f"scale_ranks_{mtag}"] = round(time.monotonic() - t0, 3)
-    t0 = time.monotonic()
-    mode_per_key(ray.data.read_parquet(ev), "user_id", "value").count()
-    timings[f"scale_mode_{mtag}"] = round(time.monotonic() - t0, 3)
+    timed2(f"scale_rows_window_{mtag}",
+           lambda: rows_window(ray.data.read_parquet(ev), key="user_id",
+                               order_cols=["ts"], value="value",
+                               preceding=5).count())
+    timed2(f"scale_ranks_{mtag}",
+           lambda: ranks_per_key(ray.data.read_parquet(ev), "user_id",
+                                 ["value", "ts"], tie_cols=["value"],
+                                 ntile=10, percent_scale=10**4).count())
+    timed2(f"scale_mode_{mtag}",
+           lambda: mode_per_key(ray.data.read_parquet(ev), "user_id",
+                                "value").count())
 
     # deterministic global shuffle order at 5M rows (two-level prefix
     # sum + one bucketed shuffle) and per-key cap at 5M rows / 100k keys
@@ -157,16 +179,16 @@ def _run_scale_ops(timings: dict) -> None:
         b["k"] = b["id"] % 100_000
         return b
 
-    t0 = time.monotonic()
-    shuffle_rank(ray.data.range(5_000_000, override_num_blocks=64),
-                 id_col="id").count()
-    timings["scale_shuffle_rank_5m"] = round(time.monotonic() - t0, 3)
-    t0 = time.monotonic()
-    cap_per_key(ray.data.range(5_000_000, override_num_blocks=64)
-                .map_batches(add_key, batch_format="pandas",
-                             batch_size=None),
-                "k", 10, "id").count()
-    timings["scale_cap_per_key_5m"] = round(time.monotonic() - t0, 3)
+    timed2("scale_shuffle_rank_5m",
+           lambda: shuffle_rank(ray.data.range(5_000_000,
+                                               override_num_blocks=64),
+                                id_col="id").count())
+    timed2("scale_cap_per_key_5m",
+           lambda: cap_per_key(
+               ray.data.range(5_000_000, override_num_blocks=64)
+               .map_batches(add_key, batch_format="pandas",
+                            batch_size=None),
+               "k", 10, "id").count())
 
     # decontamination at 1M docs: benchmark = doc_id % 1000 == 0 (~1k
     # docs), the broadcast shape's intended regime — tiny probe side,
@@ -184,23 +206,25 @@ def _run_scale_ops(timings: dict) -> None:
 
         return f
 
-    t0 = time.monotonic()
-    docs = ray.data.read_parquet(dc)
-    benchmark_contamination(
-        docs.map_batches(side(False), batch_format="pyarrow", batch_size=None),
-        docs.map_batches(side(True), batch_format="pyarrow", batch_size=None),
-    ).count()
-    timings[f"scale_benchmark_contam_{dtag}"] = round(time.monotonic() - t0, 3)
+    def contam():
+        docs = ray.data.read_parquet(dc)
+        benchmark_contamination(
+            docs.map_batches(side(False), batch_format="pyarrow",
+                             batch_size=None),
+            docs.map_batches(side(True), batch_format="pyarrow",
+                             batch_size=None),
+        ).count()
+
+    timed2(f"scale_benchmark_contam_{dtag}", contam)
 
     # TF-IDF top terms at 1M docs: row-local tf + entity-shaped df +
     # word-hash join + bucketed per-doc top-k — the full multi-shuffle
     # relevance pipeline
     from zeeklog_ray.ops.text import tfidf_top_terms
 
-    t0 = time.monotonic()
-    tfidf_top_terms(ray.data.read_parquet(dc), k=3,
-                    n_docs=SCALE_DOC_ROWS).count()
-    timings[f"scale_tfidf_{dtag}"] = round(time.monotonic() - t0, 3)
+    timed2(f"scale_tfidf_{dtag}",
+           lambda: tfidf_top_terms(ray.data.read_parquet(dc), k=3,
+                                   n_docs=SCALE_DOC_ROWS).count())
 
     # triangle count on a 1M-node / 2M-edge ladder graph (edges (i,i+1),
     # (i,i+2) → exactly n-2 triangles): certifies the degree-orientation
@@ -220,37 +244,35 @@ def _run_scale_ops(timings: dict) -> None:
 
         return _pd.DataFrame({"doc_a": a[keep], "doc_b": b2[keep]})
 
-    t0 = time.monotonic()
-    got = triangle_count(
-        ray.data.range(n_nodes, override_num_blocks=64).map_batches(
-            ladder, batch_format="pandas", batch_size=None),
-        num_buckets=512)
-    assert got == n_nodes - 2, got
-    timings["scale_triangles_2m_edges"] = round(time.monotonic() - t0, 3)
+    def triangles():
+        got = triangle_count(
+            ray.data.range(n_nodes, override_num_blocks=64).map_batches(
+                ladder, batch_format="pandas", batch_size=None),
+            num_buckets=512)
+        assert got == n_nodes - 2, got
+
+    timed2("scale_triangles_2m_edges", triangles)
 
     # cohort retention + key-skew profile at the 5M-event scale (both
     # ride the entity-shaped bucketed count / join / dedup patterns)
     from zeeklog_ray.relational import key_skew_profile, retention_cohorts
 
-    t0 = time.monotonic()
-    key_skew_profile(ray.data.read_parquet(ev), "user_id")
-    timings[f"scale_key_skew_{mtag}"] = round(time.monotonic() - t0, 3)
-    t0 = time.monotonic()
-    retention_cohorts(ray.data.read_parquet(ev)).count()
-    timings[f"scale_retention_{mtag}"] = round(time.monotonic() - t0, 3)
+    timed2(f"scale_key_skew_{mtag}",
+           lambda: key_skew_profile(ray.data.read_parquet(ev), "user_id"))
+    timed2(f"scale_retention_{mtag}",
+           lambda: retention_cohorts(ray.data.read_parquet(ev)).count())
 
     # BPE tokenizer training at 1M docs (16 merges): the corpus pass to
     # the distinct-word table dominates; the merge rounds run on the
     # driver tier (vocab ≪ 1M)
     from zeeklog_ray.ops.bpetrain import train_bpe
 
-    t0 = time.monotonic()
-    train_bpe(ray.data.read_parquet(dc), n_merges=16)
-    timings[f"scale_bpe_train_{dtag}"] = round(time.monotonic() - t0, 3)
+    timed2(f"scale_bpe_train_{dtag}",
+           lambda: train_bpe(ray.data.read_parquet(dc), n_merges=16))
 
-    # the DISTRIBUTED training tier at its intended regime: 3M distinct
+    # the DISTRIBUTED training tier at its volume regime: 3M distinct
     # words (every word unique), 4 merge rounds — per-round bucketed
-    # pair census + row-local merge apply, argmax-only to the driver
+    # pair census + row-local merge apply
     def uniq_words(b):
         i = b["id"].to_numpy()
         import pandas as _pd
@@ -260,11 +282,50 @@ def _run_scale_ops(timings: dict) -> None:
 
     docs_u = ray.data.range(1_000_000, override_num_blocks=64).map_batches(
         uniq_words, batch_format="pandas", batch_size=None)
-    t0 = time.monotonic()
-    fit = train_bpe(docs_u, n_merges=4, driver_vocab=0, num_buckets=256)
-    assert fit["n_distinct_words"] == 3_000_000
-    timings["scale_bpe_train_distributed_3m_words"] = \
-        round(time.monotonic() - t0, 3)
+
+    def bpe_3m():
+        fit = train_bpe(docs_u, n_merges=4, driver_vocab=0, num_buckets=256)
+        assert fit["n_distinct_words"] == 3_000_000
+
+    timed2("scale_bpe_train_distributed_3m_words", bpe_3m)
+
+    # the distributed tier at a REALISTIC merge count (VERDICT r3 item 6):
+    # 64 merges over ~840k distinct natural-statistics words (Zipf
+    # syllables).  Exactness-preserving merge BATCHING amortizes the
+    # census shuffle — rounds ≪ merges; both recorded so the sub-linear
+    # claim is auditable per round.
+    _SYL = __import__("numpy").array(
+        [f"{a}{b}" for a in "bcdfghjklmnpqrstvwz" for b in "aeiou"][:64])
+    _P = 1.0 / __import__("numpy").arange(1, 65)
+    _P /= _P.sum()
+
+    def zipf_lines(b):
+        import numpy as _np
+        import pandas as _pd
+
+        i = b["id"].to_numpy()
+        rng = _np.random.default_rng(int(i[0]) + 1)
+        n_words = len(i) * 10
+        ln = rng.integers(2, 6, size=n_words)
+        offs = _np.zeros(n_words + 1, dtype=_np.int64)
+        _np.cumsum(ln, out=offs[1:])
+        syl = _SYL[rng.choice(64, size=int(ln.sum()), p=_P)]
+        joined = _np.array(["".join(syl[offs[k]:offs[k + 1]])
+                            for k in range(n_words)], dtype=object)
+        return _pd.DataFrame(
+            {"text": [" ".join(joined[j * 10:(j + 1) * 10])
+                      for j in range(len(i))]})
+
+    docs_z = ray.data.range(200_000, override_num_blocks=64).map_batches(
+        zipf_lines, batch_format="pandas", batch_size=None)
+
+    def bpe_64():
+        fit = train_bpe(docs_z, n_merges=64, driver_vocab=0, num_buckets=32)
+        assert len(fit["merges"]) == 64
+        extras["bpe64_rounds"] = fit["n_rounds"]
+        extras["bpe64_distinct_words"] = fit["n_distinct_words"]
+
+    timed2("scale_bpe_train_distributed_64merges", bpe_64)
 
     # full-data k-means (3 Lloyd passes) + int8 quantization over 1M
     # 16-dim vectors synthesized row-locally from the id
@@ -284,12 +345,10 @@ def _run_scale_ops(timings: dict) -> None:
 
     vecs = ray.data.range(1_000_000, override_num_blocks=64).map_batches(
         mkvec, batch_format="pandas", batch_size=None)
-    t0 = time.monotonic()
-    kmeans_fit(vecs, k=8, n_iters=3, seed=1)
-    timings["scale_kmeans_1m_x16"] = round(time.monotonic() - t0, 3)
-    t0 = time.monotonic()
-    quantize_embeddings(vecs).count()
-    timings["scale_quantize_1m_x16"] = round(time.monotonic() - t0, 3)
+    timed2("scale_kmeans_1m_x16",
+           lambda: kmeans_fit(vecs, k=8, n_iters=3, seed=1))
+    timed2("scale_quantize_1m_x16",
+           lambda: quantize_embeddings(vecs).count())
 
 
 def _sf_tag(sf_dir: str) -> str:
@@ -349,9 +408,11 @@ def run_bench() -> dict:
             res.to_pandas()
         timings[name] = round(time.monotonic() - t0, 3)
 
+    minmax: dict[str, list[float]] = {}
+    extras: dict[str, int] = {}
     if not (os.environ.get(_FLAGSHIP_ONLY_ENV)
             or os.environ.get(_SKIP_SCALE_OPS_ENV)):
-        _run_scale_ops(timings)
+        _run_scale_ops(timings, minmax, extras)
 
     ray.shutdown()
     return {
@@ -359,6 +420,8 @@ def run_bench() -> dict:
         "value": round(headline, 3),
         "unit": "sec",
         "queries": timings,
+        "scale_minmax": minmax,
+        **extras,
         "sf": _sf_tag(SF_DIR),
         "num_cpus": NUM_CPUS,
         "sequences": n_seq,

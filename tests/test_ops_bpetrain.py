@@ -80,6 +80,56 @@ def test_train_bpe_matches_reference(ray_session, driver_vocab):
         assert left + right in learned
 
 
+def test_select_merge_batch_rules():
+    """The exactness rules of the batched distributed tier: disjoint
+    pairs above the new-pair bound batch together; symbol overlap or a
+    count at/below the bound STOPS the batch; a==b self-closes;
+    min_pair_count and max_n are honored."""
+    from zeeklog_ray.ops.bpetrain import _PACK, _select_merge_batch
+
+    def pk(a, b):
+        return a * int(_PACK) + b
+
+    census = pd.Series({pk(1, 2): 100, pk(3, 4): 90,
+                        pk(5, 6): 80, pk(2, 7): 50})
+    # after (1,2): U = count(2,7) = 50 < 90, 80 → all three batch
+    assert _select_merge_batch(census, 10, 2) == \
+        [(1, 2, 100), (3, 4, 90), (5, 6, 80)]
+    assert _select_merge_batch(census, 2, 2) == [(1, 2, 100), (3, 4, 90)]
+    # symbol overlap + U stop: (2,3) shares 2 and sits at U
+    census2 = pd.Series({pk(1, 2): 100, pk(2, 3): 90, pk(4, 5): 80})
+    assert _select_merge_batch(census2, 10, 2) == [(1, 2, 100)]
+    # a==b: (Z,Z) pairs can mint at near its own count → batch closes
+    census3 = pd.Series({pk(1, 1): 100, pk(3, 4): 99})
+    assert _select_merge_batch(census3, 10, 2) == [(1, 1, 100)]
+    # min_pair_count gate
+    assert _select_merge_batch(pd.Series({pk(1, 2): 1}), 10, 2) == []
+    assert _select_merge_batch(pd.Series(dtype=np.int64), 10, 2) == []
+
+
+def test_train_bpe_batched_64_merges_parity(ray_session):
+    """64 merges on a natural-statistics corpus: the batched distributed
+    tier must produce the BIT-IDENTICAL merge list to the driver tier
+    and the pure-Python reference (VERDICT r3 item 6)."""
+    rng = np.random.default_rng(7)
+    sylls = np.array(["lo", "wer", "new", "est", "wi", "de", "ta", "ri",
+                      "on", "ma", "su", "ke", "shon", "ing", "pre", "er"])
+    words = ["".join(rng.choice(sylls, size=rng.integers(1, 4)))
+             for _ in range(400)]
+    texts = []
+    for i, w in enumerate(words):
+        # Zipf-ish multiplicity so pair counts have natural spread
+        texts.extend([w] * max(1, 120 // (i + 1)))
+    lines = [" ".join(texts[i:i + 10]) for i in range(0, len(texts), 10)]
+    ds = ray.data.from_pandas(pd.DataFrame({"text": lines})).repartition(4)
+    drv = train_bpe(ds, n_merges=64)
+    dist = train_bpe(ds, n_merges=64, driver_vocab=0, num_buckets=8)
+    exp = reference_bpe(lines, 64)
+    assert drv["merges"] == exp
+    assert dist["merges"] == exp
+    assert len(exp) == 64
+
+
 def test_apply_merge_overlap_runs():
     """aaa with merge (a,a): greedy left-to-right keeps the first pair
     only — run-parity resolution."""

@@ -16,9 +16,13 @@ else here:
   boolean compaction).  No per-word Python.
 * above it: the SAME kernels run inside ``map_batches`` over a
   Dataset of (symbols, count) rows — per-batch pair-count partials merge
-  through one entity-shaped bucketed sum, the driver picks only the
-  argmax pair per round (one tiny row per bucket), and the merge applies
-  row-locally.  O(n_merges) passes, each a map + a small shuffle.
+  through one entity-shaped bucketed sum into a driver-side census
+  (distinct adjacent pairs only — a few thousand rows), a BATCH of
+  provably-sequential merges is selected from it
+  (:func:`_select_merge_batch`), and the whole batch applies in one
+  row-local pass.  Census shuffles scale as n_merges / avg_batch, not
+  n_merges — the batching is exactness-preserving (bit-identical merge
+  lists to sequential BPE, pytest-gated at 64 merges).
 
 Determinism contract: initial symbol codes are the sorted distinct
 characters (so code order == lexicographic char order); ties in the pair
@@ -110,16 +114,63 @@ def _best_pair(census: pd.Series) -> tuple[int, int, int] | None:
     return key // int(_PACK), key % int(_PACK), int(mx)
 
 
+def _select_merge_batch(census: pd.Series, max_n: int,
+                        min_pair_count: int) -> list[tuple[int, int, int]]:
+    """Maximal PREFIX of the sequential-BPE merge order that is provably
+    computable from the current census alone — the exactness-preserving
+    batching that lets the distributed tier amortize one census pass over
+    several merges (sequential BPE would otherwise cost one full corpus
+    shuffle PER merge).
 
-def _flatten_codes(batch: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
-    """One (seq, offs) stream from a batch of per-word code arrays —
-    shared by the distributed tier's census and apply closures."""
-    lens = batch["codes"].map(len).to_numpy(np.int64)
-    offs = np.zeros(len(batch) + 1, dtype=np.int64)
-    np.cumsum(lens, out=offs[1:])
-    seq = (np.concatenate(batch["codes"].tolist())
-           if len(batch) else np.zeros(0, np.int64))
-    return seq, offs
+    Candidates are scanned in sequential-BPE order (count desc, packed key
+    asc).  A candidate extends the batch only while three facts keep the
+    sequential argmax decidable without re-counting:
+
+    * applying a merge can only DECREASE existing pairs' counts, so the
+      sorted prefix order is preserved among old pairs;
+    * a pair symbol-DISJOINT from every already-selected pair has exactly
+      its census count when its turn comes (its occurrences cannot overlap
+      a selected pair's occurrences);
+    * every pair CREATED by the selected merges inherits its occurrences
+      from an old adjacency touching a selected symbol — (x,Z_i) from
+      (x,a_i), (Z_i,y) from (b_i,y), (Z_i,Z_j) from (b_i,a_j) — so its
+      count is ≤ ``U`` = max census count over pairs with right ∈ {a_i} or
+      left ∈ {b_i}.  Requiring the next candidate's count to be STRICTLY
+      above ``U`` rules out any new pair outranking (or tying) it.
+
+    The scan STOPS (never skips) at the first candidate that overlaps a
+    selected symbol or fails the ``U`` test — a skipped candidate's count
+    could have decreased, so everything after it is undecidable.  The
+    degenerate ``a == b`` pair self-raises ``U`` to its own count and
+    closes the batch after itself (an "aaaa" run can mint (Z,Z) pairs at
+    near its own count).  Returns [(a, b, count), ...] in merge order —
+    applying them left-to-right is bit-identical to sequential BPE (the
+    pytest gate runs both tiers at 64 merges and compares merge lists)."""
+    if census.empty:
+        return []
+    keys = census.index.to_numpy(np.int64)
+    counts = census.to_numpy(np.int64)
+    order = np.lexsort((keys, -counts))
+    lefts = keys // int(_PACK)
+    rights = keys % int(_PACK)
+    selected: list[tuple[int, int, int]] = []
+    used: set[int] = set()
+    u_bound = -1
+    for idx in order:
+        a, b, c = int(lefts[idx]), int(rights[idx]), int(counts[idx])
+        if c < min_pair_count:
+            break
+        if selected and (c <= u_bound or a in used or b in used):
+            break
+        selected.append((a, b, c))
+        used.update((a, b))
+        nb = counts[(rights == a) | (lefts == b)]
+        if len(nb):
+            u_bound = max(u_bound, int(nb.max()))
+        if len(selected) >= max_n:
+            break
+    return selected
+
 
 
 def _word_counts(docs: "ray.data.Dataset", text_col: str,
@@ -187,11 +238,14 @@ def train_bpe(docs: "ray.data.Dataset", n_merges: int = 50,
 
     merges: list[tuple[str, str, int]] = []
     merge_codes: list[tuple[int, int, int]] = []
+    n_rounds = 0            # census passes (== merges on the driver tier;
+    #                         merges / avg_batch on the distributed tier)
     if n_words <= driver_vocab:
         table = wc.to_pandas()
         seq, offs = _encode_words(table["word"], char_code)
         weights = table["n"].to_numpy(np.int64)
         for _ in range(n_merges):
+            n_rounds += 1
             best = _best_pair(_pair_census(seq, offs, weights))
             if best is None or best[2] < min_pair_count:
                 break
@@ -202,70 +256,91 @@ def train_bpe(docs: "ray.data.Dataset", n_merges: int = 50,
             seq, offs = _apply_merge(seq, offs, a, b, next_code)
             next_code += 1
     else:
-        # distributed tier: (codes, n) rows; the same kernels per batch
+        # distributed tier: (codes, n) rows with codes an ARROW list<int64>
+        # column — values/offsets read zero-copy per batch
+        # (arrowutil.list_values_offsets), so the census and apply kernels
+        # work on the flattened stream directly and the per-round
+        # materialize serializes two flat buffers, not N small numpy
+        # objects (the pandas object-column representation measured ~2×
+        # the whole round's wall at 800k words)
+        import pyarrow as pa
+
+        from zeeklog_ray.arrowutil import list_values_offsets
+
         cref = ray.put(char_code)
 
-        def encode(batch: pd.DataFrame) -> pd.DataFrame:
+        def encode(batch: "pa.Table") -> "pa.Table":
             cc = ray.get(cref)
-            s, o = _encode_words(batch["word"], cc)
-            return pd.DataFrame({
-                "codes": [s[o[i]:o[i + 1]].astype(np.int64)
-                          for i in range(len(batch))],
-                "n": batch["n"].to_numpy(np.int64)})
+            words = batch.column("word").to_pandas()
+            s, o = _encode_words(words, cc)
+            return pa.table({
+                "codes": pa.ListArray.from_arrays(o, s),
+                "n": batch.column("n").cast(pa.int64())})
 
-        enc = wc.map_batches(encode, batch_format="pandas",
+        enc = wc.map_batches(encode, batch_format="pyarrow",
                              batch_size=None).materialize()
-        for _ in range(n_merges):
-            def census(batch: pd.DataFrame) -> pd.DataFrame:
-                seq, offs = _flatten_codes(batch)
-                cs = _pair_census(seq, offs, batch["n"].to_numpy(np.int64))
-                return pd.DataFrame({"pk": cs.index.to_numpy(np.int64),
-                                     "m": cs.to_numpy(np.int64)})
 
-            from zeeklog_ray.relational import grouped_sum_bucketed
+        def census_rows(batch: "pa.Table") -> pd.DataFrame:
+            seq, offs = list_values_offsets(batch.column("codes"))
+            cs = _pair_census(np.asarray(seq, dtype=np.int64), offs,
+                              batch.column("n").to_numpy())
+            return pd.DataFrame({"pk": cs.index.to_numpy(np.int64),
+                                 "m": cs.to_numpy(np.int64)})
 
-            part = grouped_sum_bucketed(
-                enc.map_batches(census, batch_format="pandas",
+        from zeeklog_ray.relational import grouped_sum_bucketed
+
+        # One census pass per ROUND, each round applying a BATCH of
+        # provably-sequential merges (_select_merge_batch) — shuffle
+        # count is n_merges / avg_batch, not n_merges (measured ~3-4×
+        # fewer rounds at 64 merges on natural-statistics corpora).  The
+        # full census reaches the driver (not just the argmax): its size
+        # is the DISTINCT adjacent-pair count — bounded by corpus
+        # content, ≤ |alphabet+merges|², a few thousand rows for real
+        # text — and batch selection needs the whole table.
+        while len(merges) < n_merges:
+            n_rounds += 1
+            cen = grouped_sum_bucketed(
+                enc.map_batches(census_rows, batch_format="pyarrow",
                                 batch_size=None),
-                ["pk"], sums={"m": "m"}, num_buckets=num_buckets)
-
-            def bucket_best(batch: pd.DataFrame) -> pd.DataFrame:
-                if batch.empty:
-                    return batch
-                mx = batch["m"].max()
-                sel = batch[batch["m"] == mx]
-                return sel[sel["pk"] == sel["pk"].min()]
-
-            tops = part.map_batches(bucket_best, batch_format="pandas",
-                                    batch_size=None).to_pandas()
-            best = _best_pair(pd.Series(tops["m"].to_numpy(),
-                                        index=tops["pk"].to_numpy())) \
-                if len(tops) else None
-            if best is None or best[2] < min_pair_count:
+                ["pk"], sums={"m": "m"}, num_buckets=num_buckets) \
+                .to_pandas()
+            if "pk" not in cen.columns or not len(cen):
                 break
-            a, b, cnt = best
-            merges.append((symbols[a], symbols[b], cnt))
-            merge_codes.append((a, b, next_code))
-            symbols[next_code] = symbols[a] + symbols[b]
-            aref = ray.put((a, b, next_code))
+            census = pd.Series(cen["m"].to_numpy(np.int64),
+                               index=cen["pk"].to_numpy(np.int64))
+            batch_sel = _select_merge_batch(
+                census, n_merges - len(merges), min_pair_count)
+            if not batch_sel:
+                break
+            round_codes: list[tuple[int, int, int]] = []
+            for a, b, cnt in batch_sel:
+                merges.append((symbols[a], symbols[b], cnt))
+                merge_codes.append((a, b, next_code))
+                symbols[next_code] = symbols[a] + symbols[b]
+                round_codes.append((a, b, next_code))
+                next_code += 1
+            rref = ray.put(round_codes)
 
-            def apply(batch: pd.DataFrame) -> pd.DataFrame:
-                # flatten the batch into ONE (seq, offs) stream — the same
-                # vectorized kernel as the driver tier, not per-row Python
-                aa, bb, code = ray.get(aref)
-                seq, offs = _flatten_codes(batch)
-                seq, offs = _apply_merge(seq, offs, aa, bb, code)
-                return pd.DataFrame({
-                    "codes": [seq[offs[i]:offs[i + 1]]
-                              for i in range(len(batch))],
-                    "n": batch["n"].to_numpy(np.int64)})
+            def apply(batch: "pa.Table", _rref=rref) -> "pa.Table":
+                # ONE flattened (seq, offs) stream per batch — the same
+                # vectorized kernel as the driver tier, not per-row Python;
+                # the batch's merges are symbol-disjoint, so left-to-right
+                # application equals any order (and sequential BPE)
+                mc = ray.get(_rref)
+                seq, offs = list_values_offsets(batch.column("codes"))
+                seq = np.asarray(seq, dtype=np.int64)
+                for aa, bb, code in mc:
+                    seq, offs = _apply_merge(seq, offs, aa, bb, code)
+                return pa.table({
+                    "codes": pa.ListArray.from_arrays(offs, seq),
+                    "n": batch.column("n")})
 
-            enc = enc.map_batches(apply, batch_format="pandas",
+            enc = enc.map_batches(apply, batch_format="pyarrow",
                                   batch_size=None).materialize()
-            next_code += 1
 
     return {"merges": merges, "merge_codes": merge_codes,
-            "symbols": symbols, "n_distinct_words": n_words}
+            "symbols": symbols, "n_distinct_words": n_words,
+            "n_rounds": n_rounds}
 
 
 def tokenize_with_merges(docs: "ray.data.Dataset", fit: dict,
