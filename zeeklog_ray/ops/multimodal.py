@@ -20,9 +20,13 @@ Three decoder tiers:
     parseable media (plumbing tests with arbitrary bytes).
 
 ``real``
-    The documented seam where PIL / torchaudio / ffmpeg would plug in for
-    JPEG/MP3/H.264; those libraries are not in this container, so it raises
-    ``NotImplementedError`` at the exact call site.
+    Magic-byte format sniff, then dispatch: native formats go through the
+    numpy codecs above; codec'd formats (JPEG / MP3 / FLAC / OGG) route
+    through Pillow / soundfile via :mod:`zeeklog_ray.ops.mediacodec` when
+    those libraries import, and raise ``NotImplementedError`` at the exact
+    payload that needs them otherwise (this container has neither; any
+    normal deployment plugs in with zero code change).  Codec'd video
+    (H.264/VP9) remains a pure seam — no library in scope.
 
 Everything Ray-side is identical across tiers: the Arrow schema (binary +
 metadata columns), deliberately small batch sizes (payload x batch x
@@ -426,9 +430,28 @@ class MediaFeatureExtractor:
 
     def _decode(self, payload: bytes, modality: str) -> np.ndarray:
         if self.decoder == "real":
-            raise NotImplementedError(
-                "codec'd media (JPEG/MP3/H.264) requires PIL/torchaudio/"
-                "ffmpeg — not available in this container; plug in here")
+            # format-sniffing dispatch (ops/mediacodec.py): native formats
+            # through the numpy codecs, codec'd formats (JPEG/MP3/FLAC/OGG)
+            # through Pillow/soundfile when importable — otherwise the
+            # honest NotImplementedError fires at the exact payload that
+            # needs the library (H.264 video stays a seam: no pure-Python
+            # path and no lib in scope)
+            from zeeklog_ray.ops.mediacodec import (
+                decode_audio_any,
+                decode_image_any,
+            )
+
+            if modality == "image":
+                return image_features(decode_image_any(payload))
+            if modality == "audio":
+                return audio_features(*decode_audio_any(payload))
+            if modality == "video":
+                if payload[:4] == _VIDEO_MAGIC:
+                    return video_features(decode_video(payload))
+                raise NotImplementedError(
+                    "codec'd video (H.264/VP9) requires ffmpeg — not "
+                    "available in this container; plug in here")
+            raise ValueError(f"unknown modality {modality!r}")
         if self.decoder == "fake":
             d = hashlib.blake2b(
                 payload, digest_size=FEATURE_DIM,

@@ -1535,6 +1535,23 @@ def media_resized(sf_dir: str) -> "ray.data.Dataset":
     return resize_images(ds, out_w=32, out_h=24).drop_columns(["payload"])
 
 
+def media_jpeg_features(sf_dir: str) -> "ray.data.Dataset":
+    """Registered ONLY when Pillow imports (ops/mediacodec.HAS_PIL —
+    VERDICT r3 item 7): the media corpus with image payloads re-encoded
+    as JPEG, run through the format-sniffing ``real`` decoder tier, so
+    the codec adapter is certified end-to-end where the library exists.
+    Rows-only by design (JPEG decode is not SQL-expressible); decoder
+    parity is pytest-gated in tests/test_mediacodec.py (skipped where
+    Pillow is absent, e.g. this container)."""
+    import ray.data as rd
+
+    from zeeklog_ray.ops.mediacodec import jpeg_media_parquet_for_sf_dir
+    from zeeklog_ray.ops.multimodal import extract_features
+
+    ds = rd.read_parquet(jpeg_media_parquet_for_sf_dir(sf_dir))
+    return extract_features(ds, decoder="real").drop_columns(["features"])
+
+
 def zeek_multiday_first_wins(sf_dir: str) -> "ray.data.Dataset":
     """Reference E2 semantics (main.rs:301-334): per-day summaries unioned
     over the date range, first-wins dedup per source address (ops/dedup.py
@@ -3040,6 +3057,14 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "nation_order_counts_left": nation_order_counts_left,
     "docs_benchmark_contam": docs_benchmark_contam,
 }
+
+# codec-gated queries: registered only where the adapter library imports,
+# so the driver never samples a query that raises by design in this
+# container (ops/mediacodec.py keeps the honest NotImplementedError seam)
+from zeeklog_ray.ops.mediacodec import HAS_PIL as _HAS_PIL
+
+if _HAS_PIL:  # pragma: no cover - this container has no Pillow
+    QUERIES["media_jpeg_features"] = media_jpeg_features
 
 _HIST_CASE = ("CASE WHEN n_chars < 64 THEN 'hist_0_64' "
               "WHEN n_chars < 128 THEN 'hist_64_128' "
