@@ -253,3 +253,73 @@ def test_levenshtein_pairs_edges():
     with pytest.raises(ValueError, match="over 8 bytes"):
         levenshtein_pairs(pd.Series(["123456789"]), pd.Series(["x"]),
                           max_bytes=8)
+
+
+# ---- semantic_dedup_pairs -------------------------------------------------
+
+
+def _planted_embeddings(n_base=300, n_dirs=6, dim=12, n_dups=40, seed=21):
+    """Vectors spread over a few cone directions + planted near-dups
+    (tiny perturbations of existing rows).  Returns (frame, planted pair
+    set {(lo_id, hi_id)})."""
+    rng = np.random.default_rng(seed)
+    dirs = rng.normal(size=(n_dirs, dim))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    base = dirs[rng.integers(0, n_dirs, n_base)] + \
+        rng.normal(scale=0.15, size=(n_base, dim))
+    src = rng.integers(0, n_base, n_dups)
+    dups = base[src] + rng.normal(scale=1e-3, size=(n_dups, dim))
+    mat = np.vstack([base, dups])
+    ids = np.arange(len(mat), dtype=np.int64)
+    planted = {(int(s), int(n_base + i)) for i, s in enumerate(src)}
+    df = pd.DataFrame({"vec_id": ids,
+                       "embedding": [r.astype(np.float32) for r in mat]})
+    return df, planted
+
+
+def test_semantic_dedup_recall_and_exact_precision(ray_session):
+    from zeeklog_ray.ops.dedup import (
+        embedding_cosine_pairs,
+        semantic_dedup_pairs,
+    )
+
+    df, planted = _planted_embeddings()
+    ds = ray.data.from_pandas(df, override_num_blocks=5)
+    got = semantic_dedup_pairs(ds, threshold_e4=9990, n_clusters=6,
+                               n_probes=2, seed=7).to_pandas()
+    pairs = {(int(a), int(b)) for a, b in zip(got["id_a"], got["id_b"])}
+    # no duplicate pairs survived the multi-probe distinct, ids ordered
+    assert len(pairs) == len(got)
+    assert (got["id_a"] < got["id_b"]).all()
+    # recall on planted near-dups (cos ≈ 1 − 1e-6)
+    found = sum(1 for p in planted if p in pairs)
+    assert found / len(planted) >= 0.9
+    # precision is EXACT by construction: every returned pair must appear
+    # in the unblocked all-pairs ground truth at the same threshold
+    exact = embedding_cosine_pairs(
+        ray.data.from_pandas(df), threshold_e4=9990,
+        block_col=None, max_block_rows=10_000).to_pandas()
+    truth = {(int(a), int(b)) for a, b in zip(exact["id_a"], exact["id_b"])}
+    assert pairs <= truth
+
+
+def test_semantic_dedup_more_probes_never_lose_pairs(ray_session):
+    from zeeklog_ray.ops.dedup import semantic_dedup_pairs
+
+    df, _ = _planted_embeddings(n_base=150, n_dups=25, seed=3)
+    ds = ray.data.from_pandas(df)
+    p1 = semantic_dedup_pairs(ds, threshold_e4=9990, n_clusters=5,
+                              n_probes=1, seed=7).to_pandas()
+    p2 = semantic_dedup_pairs(ds, threshold_e4=9990, n_clusters=5,
+                              n_probes=2, seed=7).to_pandas()
+    s1 = {(int(a), int(b)) for a, b in zip(p1["id_a"], p1["id_b"])}
+    s2 = {(int(a), int(b)) for a, b in zip(p2["id_a"], p2["id_b"])}
+    assert s1 <= s2
+
+
+def test_semantic_dedup_validation(ray_session):
+    from zeeklog_ray.ops.dedup import semantic_dedup_pairs
+
+    df, _ = _planted_embeddings(n_base=20, n_dups=2)
+    with pytest.raises(ValueError, match="n_probes"):
+        semantic_dedup_pairs(ray.data.from_pandas(df), 9000, n_probes=0)

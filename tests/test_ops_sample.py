@@ -194,3 +194,62 @@ def test_shuffle_rank_guards(ray_session):
     with pytest.raises(Exception):    # negative ids refused inside task
         shuffle_rank(ray.data.from_pandas(
             pd.DataFrame({"doc_id": [-1]})), "doc_id").count()
+
+
+# ---- split_assign ---------------------------------------------------------
+
+
+def test_split_assign_covers_all_rows_with_stable_labels(ray_session):
+    from zeeklog_ray.ops.sample import split_assign
+
+    df = _docs(6_000)
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = split_assign(ray.data.from_pandas(df, override_num_blocks=1),
+                     "doc_id", fr).to_pandas()
+    b = split_assign(ray.data.from_pandas(df, override_num_blocks=13),
+                     "doc_id", fr).to_pandas()
+    assert len(a) == len(df)
+    # block-split invariant (row-local, deterministic)
+    a_s = a.sort_values("doc_id").reset_index(drop=True)
+    b_s = b.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_series_equal(a_s["split"], b_s["split"])
+    # fractions approximately honored (mix64 is uniform)
+    share = a["split"].value_counts(normalize=True)
+    assert abs(share["train"] - 0.8) < 0.03
+    assert abs(share["val"] - 0.1) < 0.02
+    assert abs(share["test"] - 0.1) < 0.02
+    # subset stability: dropping rows never moves a surviving doc's split
+    sub = split_assign(
+        ray.data.from_pandas(df.iloc[::7].reset_index(drop=True)),
+        "doc_id", fr).to_pandas().set_index("doc_id")["split"]
+    full = a.set_index("doc_id")["split"]
+    assert (full.loc[sub.index] == sub).all()
+
+
+def test_split_assign_sql_replay_bit_exact(ray_session):
+    from zeeklog_ray.ops.sample import split_assign, split_assign_sql
+
+    df = _docs(3_000)
+    fr = {"train": 0.7, "val": 0.2, "test": 0.1}
+    got = split_assign(ray.data.from_pandas(df), "doc_id", fr).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", df)
+    exp = con.sql(split_assign_sql("documents", "doc_id",
+                                   "doc_id, source", fr)).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert (got["split"].to_numpy() == exp["split"].to_numpy()).all()
+
+
+def test_split_assign_validation(ray_session):
+    from zeeklog_ray.ops.sample import split_assign
+
+    ds = ray.data.from_pandas(_docs(10))
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_assign(ds, "doc_id", {"a": 0.5, "b": 0.4}).to_pandas()
+    with pytest.raises(ValueError, match="at least two"):
+        split_assign(ds, "doc_id", {"a": 1.0}).to_pandas()
+    with pytest.raises(Exception, match="must be integer"):
+        df = _docs(10).assign(fk=np.linspace(0, 1, 10))
+        split_assign(ray.data.from_pandas(df), "fk",
+                     {"a": 0.5, "b": 0.5}).to_pandas()

@@ -611,3 +611,77 @@ def embedding_cosine_pairs(ds: "ray.data.Dataset", threshold_e4: int,
         block_col = "_block"
     out = ds.groupby(block_col).map_groups(block_pairs, batch_format="pandas")
     return out
+
+
+def semantic_dedup_pairs(ds: "ray.data.Dataset", threshold_e4: int,
+                         n_clusters: int = 64, n_probes: int = 2,
+                         vec_col: str = "embedding", id_col: str = "vec_id",
+                         max_block_rows: int = 20_000,
+                         sample_n: int = 4096,
+                         seed: int = 42) -> "ray.data.Dataset":
+    """Cluster-blocked embedding near-dup pairs — the SCALE path for
+    :func:`embedding_cosine_pairs`, which needs a blocking column to stay
+    sub-quadratic.
+
+    Shape: a coarse quantizer is trained on a driver-side sample
+    (:func:`~zeeklog_ray.ops.similarity.ivf_build_centroids` — normalized
+    space, so clusters are cosine-coherent), then ONE row-local pass
+    assigns every vector to its ``n_probes`` nearest centroids and emits
+    one (id, cluster, vector) row per probe.  The per-cluster all-pairs
+    matmul then runs inside :func:`embedding_cosine_pairs` with
+    ``block_col="cluster"``, and a bucketed distinct collapses the pairs
+    that co-occurred in several probed clusters.  Cost: n·probes rows
+    shuffle once (vector payload ×probes — linear, not quadratic), plus
+    Σ m_c² per cluster, bounded by ``max_block_rows``.
+
+    APPROXIMATE by design: a pair whose two vectors share none of their
+    probed clusters is missed.  Multi-probe makes that rare for genuinely
+    near vectors (they sit near the same centroids); recall on planted
+    near-dups is pytest-gated (tests/test_ops_dedup.py) the same way the
+    LSH/IVF ANN tiers are.  For exact semantics at small n use
+    ``embedding_cosine_pairs(block_col=None)`` under the O(n²) guard."""
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from zeeklog_ray.ops.similarity import (
+        _matrix,
+        _normalize,
+        ivf_build_centroids,
+    )
+    from zeeklog_ray.relational import bucketed_distinct
+
+    if n_probes < 1:
+        raise ValueError("semantic_dedup_pairs: n_probes must be >= 1")
+    cents = ivf_build_centroids(ds, n_clusters=n_clusters,
+                                sample_n=sample_n, vec_col=vec_col,
+                                seed=seed)
+    cref = _ray.put(_normalize(np.asarray(cents, dtype=np.float64)))
+    probes = min(n_probes, len(cents))
+
+    def assign_probes(batch: pa.Table) -> pa.Table:
+        c = _ray.get(cref)
+        m = _matrix(batch[vec_col])
+        if not len(m):
+            return pa.table({id_col: batch[id_col],
+                             "cluster": pa.array([], pa.int64()),
+                             vec_col: batch[vec_col]})
+        sims = _normalize(m) @ c.T                     # (n, k) cosine-ish
+        top = np.argpartition(-sims, probes - 1, axis=1)[:, :probes]
+        n = len(m)
+        idx = np.repeat(np.arange(n), probes)
+        return pa.table({
+            id_col: batch[id_col].take(pa.array(idx)),
+            "cluster": pa.array(top.ravel().astype(np.int64), pa.int64()),
+            vec_col: batch[vec_col].take(pa.array(idx)),
+        })
+
+    exploded = ds.select_columns([id_col, vec_col]).map_batches(
+        assign_probes, batch_format="pyarrow", batch_size=None)
+    pairs = embedding_cosine_pairs(exploded, threshold_e4,
+                                   block_col="cluster", vec_col=vec_col,
+                                   id_col=id_col,
+                                   max_block_rows=max_block_rows)
+    # multi-probe co-occurrence duplicates: same (id_a, id_b) always
+    # carries the same cos_e4, so distinct over all three is a pure dedup
+    return bucketed_distinct(pairs, ["id_a", "id_b", "cos_e4"])

@@ -379,3 +379,82 @@ def cap_per_key_sql(table_sql: str, key_cols: str, id_col: str,
         f"_r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY {key_cols} "
         f"ORDER BY {final}, {id_col}) AS rn FROM _m2) "
         f"SELECT {select_cols} FROM _r WHERE rn <= {n}")
+
+
+# Salt for train/val/test assignment — a public xorshift* constant,
+# decorrelated from the sampling / shuffle / cap salts above so splitting
+# is independent of every other per-id decision on the same key column.
+SPLIT_SALT = 0x2545F4914F6CDD1D
+
+
+def _split_thresholds(fractions: Mapping[str, float]) -> list[tuple[str, int]]:
+    """(label, exclusive upper threshold) in declaration order; the LAST
+    label absorbs the full remainder (threshold 2^64) so float rounding in
+    the cumulative sum can never orphan a hash value."""
+    if len(fractions) < 2:
+        raise ValueError("split_assign: need at least two splits")
+    total = math.fsum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split_assign: fractions must sum to 1, "
+                         f"got {total!r}")
+    if any(f < 0 for f in fractions.values()):
+        raise ValueError("split_assign: fractions must be non-negative")
+    labels = list(fractions)
+    out, cum = [], 0.0
+    for lab in labels[:-1]:
+        cum += fractions[lab]
+        out.append((lab, _rate_threshold(cum)))
+    out.append((labels[-1], _M64))
+    return out
+
+
+def split_assign(ds: "ray.data.Dataset", key_col: str,
+                 fractions: Mapping[str, float],
+                 salt: int = SPLIT_SALT,
+                 out: str = "split") -> "ray.data.Dataset":
+    """Deterministic train/val/test assignment: label by which cumulative
+    band ``mix64(key + salt)`` falls into.
+
+    Row-local — no shuffle, no state, stable across runs/nodes/block
+    splits: the SAME doc always lands in the SAME split, which is the
+    property that keeps eval sets leak-free as the corpus regenerates.
+    ``fractions`` is an ordered mapping (e.g. ``{"train": .8, "val": .1,
+    "test": .1}``) summing to 1; the hash bands replay bit-exactly in SQL
+    via :func:`split_assign_sql`.  Integer key column required (same
+    contract as :func:`hash_sample`)."""
+    bands = _split_thresholds(fractions)
+    thrs = np.array([t for _, t in bands[:-1]], dtype=np.uint64)
+    labs = np.array([lab for lab, _ in bands])
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return batch.assign(**{out: pd.Series([], dtype=object)})
+        keys = batch[key_col].to_numpy()
+        if not np.issubdtype(keys.dtype, np.integer):
+            raise TypeError(f"{key_col} must be integer, got {keys.dtype}")
+        # uint64 addition wraps mod 2^64 — exactly the SQL replay's
+        # (key + salt) % 2^64
+        h = _mix64(keys.astype(np.uint64, copy=False) + np.uint64(salt))
+        idx = np.searchsorted(thrs, h, side="right")
+        batch = batch.copy()
+        batch[out] = labs[idx]
+        return batch
+
+    return ds.map_batches(tag, batch_format="pandas", batch_size=None)
+
+
+def split_assign_sql(table_sql: str, key_col: str, select_cols: str,
+                     fractions: Mapping[str, float],
+                     salt: int = SPLIT_SALT, out: str = "split") -> str:
+    """Oracle SQL equivalent of :func:`split_assign` (bit-exact splitmix64
+    in HUGEINT; identical cumulative thresholds)."""
+    bands = _split_thresholds(fractions)
+    steps, final = mix64_sql(key_col, salt=salt)
+    whens = " ".join(f"WHEN {final} < {thr}::HUGEINT THEN '{lab}'"
+                     for lab, thr in bands[:-1])
+    case = f"CASE {whens} ELSE '{bands[-1][0]}' END"
+    return (
+        f"WITH _m0 AS (SELECT *, {steps[0]} AS z0 FROM {table_sql}), "
+        f"_m1 AS (SELECT *, {steps[1]} AS z1 FROM _m0), "
+        f"_m2 AS (SELECT *, {steps[2]} AS z2 FROM _m1) "
+        f"SELECT {select_cols}, {case} AS {out} FROM _m2")

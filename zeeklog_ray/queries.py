@@ -1386,6 +1386,32 @@ def embedding_near_dups(sf_dir: str) -> "ray.data.Dataset":
     return embedding_cosine_pairs(ds, _NEAR_DUP_THRESHOLD_E4, block_col="label")
 
 
+def semantic_dedup(sf_dir: str) -> "ray.data.Dataset":
+    """Cluster-blocked semantic near-dup pairs (ops/dedup.py
+    semantic_dedup_pairs): sample-trained coarse quantizer → top-2-probe
+    assignment → per-cluster cosine all-pairs → bucketed pair distinct.
+    The scale path where no natural blocking column (label) exists.
+    Rows-only by design (multi-probe blocking is approximate); recall on
+    planted near-dups is pytest-gated in tests/test_ops_dedup.py."""
+    from zeeklog_ray.ops.dedup import semantic_dedup_pairs
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return semantic_dedup_pairs(ds, _NEAR_DUP_THRESHOLD_E4, n_clusters=8,
+                                n_probes=2)
+
+
+def docs_split_assign(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic 80/10/10 train/val/test assignment over doc_id
+    (ops/sample.split_assign): row-local splitmix64 banding, stable
+    across runs and block splits, replayed bit-exactly by the HUGEINT
+    SQL oracle."""
+    from zeeklog_ray.ops.sample import split_assign
+
+    return split_assign(
+        read_table(sf_dir, "documents", columns=["doc_id", "source"]),
+        "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+
+
 def event_sessions(sf_dir: str) -> "ray.data.Dataset":
     """Gap sessionization (30 min) per user (ops/sessionize.py)."""
     from zeeklog_ray.ops.sessionize import session_counts
@@ -1873,6 +1899,64 @@ def embedding_quantize(sf_dir: str) -> "ray.data.Dataset":
         })
 
     return q.map_batches(explode, batch_format="pyarrow", batch_size=None)
+
+
+def embedding_gram_int8(sf_dir: str) -> "ray.data.Dataset":
+    """Exact upper-triangular Gram matrix of the int8-quantized embedding
+    table (ops/linalg.gram_int8): quantize row-locally (bit-exact replay),
+    ONE int64 matmul per batch, combiner-first (i, j) sum — the
+    fixed-size-partial exchange (d² values per batch, input-size
+    independent).  Hash-comparable against SQL because every op is
+    integer."""
+    from zeeklog_ray.ops.linalg import gram_int8
+
+    return gram_int8(
+        read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]))
+
+
+def embedding_pca_project(sf_dir: str) -> "ray.data.Dataset":
+    """PCA over the embedding table (ops/linalg): one streaming pass of
+    d×d float partials → driver eigh → row-local projection onto the top
+    4 components.  Rows-only by design (eigenvectors are not
+    SQL-expressible; float partial sums are block-order sensitive in the
+    last ulp); numpy-parity is pytest-gated in tests/test_linalg.py."""
+    from zeeklog_ray.ops.linalg import pca_fit, pca_project
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    fit = pca_fit(ds, k=4)
+    return pca_project(ds, fit)
+
+
+def events_value_zonemap(sf_dir: str) -> "ray.data.Dataset":
+    """Range query through the zone-map export (partitioned.py): the
+    events table is exported ONCE per sf as range-sorted Parquet with a
+    per-file [min, max] manifest (cached under /tmp), then the scan opens
+    only the files whose zone overlaps cents ∈ [2000, 2999] — at corpus
+    scale that is an index touch, not a table scan (pruning is asserted
+    in tests/test_zonemap.py).  Cents use the shared half-away rounding
+    so the DuckDB replay is bit-exact."""
+    import os as _os
+
+    from zeeklog_ray.corpus import _CACHE_ROOT
+    from zeeklog_ray.partitioned import write_sorted_zonemap, zonemap_scan
+
+    tag = _os.path.basename(_os.path.normpath(sf_dir))
+    root = _os.path.join(_CACHE_ROOT, f"zonemap-ev-v1-{tag}")
+    if not _os.path.exists(_os.path.join(root, "manifest.json")):
+        ev = read_table(sf_dir, "events",
+                        columns=["event_id", "user_id", "value"])
+
+        def cents(batch: pd.DataFrame) -> pd.DataFrame:
+            b = batch.dropna(subset=["value"])
+            return pd.DataFrame({
+                "event_id": b["event_id"].to_numpy(),
+                "user_id": b["user_id"].to_numpy(),
+                "cents": _round_half_away(b["value"] * 100)})
+
+        write_sorted_zonemap(
+            ev.map_batches(cents, batch_format="pandas", batch_size=None),
+            "cents", root, num_files=16)
+    return zonemap_scan(root, 2000, 2999)
 
 
 def user_retention_cohorts(sf_dir: str) -> "ray.data.Dataset":
@@ -3056,6 +3140,11 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "building_revenue_q3": building_revenue_q3,
     "nation_order_counts_left": nation_order_counts_left,
     "docs_benchmark_contam": docs_benchmark_contam,
+    "embedding_gram_int8": embedding_gram_int8,
+    "embedding_pca_project": embedding_pca_project,
+    "events_value_zonemap": events_value_zonemap,
+    "semantic_dedup": semantic_dedup,
+    "docs_split_assign": docs_split_assign,
 }
 
 # codec-gated queries: registered only where the adapter library imports,
@@ -4045,6 +4134,26 @@ ORACLE_SQL: dict[str, str] = {
         "* 127.0 + 0.5) END AS BIGINT) AS q, "
         "CAST(FLOOR(s.scale * 1000000000) AS BIGINT) AS scale_e9 "
         "FROM s, LATERAL (SELECT unnest(range(0, len(s.embedding))) AS pos) p"),
+    # exact integer Gram of the quantized table: the quantize replay
+    # above feeding a pos<=pos self-join — every term is int so SUM is
+    # hash-stable regardless of evaluation order
+    "embedding_gram_int8": (
+        "WITH s AS (SELECT vec_id, embedding, list_max(list_transform("
+        "embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale FROM embeddings), "
+        "qq AS (SELECT s.vec_id, CAST(p.pos AS BIGINT) AS pos, "
+        "CAST(CASE WHEN s.scale = 0 THEN 0 ELSE FLOOR(CAST("
+        "s.embedding[CAST(p.pos AS INTEGER) + 1] AS DOUBLE) / s.scale "
+        "* 127.0 + 0.5) END AS BIGINT) AS q "
+        "FROM s, LATERAL (SELECT unnest(range(0, len(s.embedding))) AS pos) p) "
+        "SELECT a.pos AS i, b.pos AS j, CAST(SUM(a.q * b.q) AS BIGINT) AS g "
+        "FROM qq a JOIN qq b ON a.vec_id = b.vec_id AND a.pos <= b.pos "
+        "GROUP BY a.pos, b.pos"),
+    # the zone-map scan must return EXACTLY the rows a plain range filter
+    # returns — pruning is a physical optimization, never a semantic one
+    "events_value_zonemap": (
+        "SELECT event_id, user_id, CAST(ROUND(value * 100) AS BIGINT) "
+        "AS cents FROM events WHERE value IS NOT NULL "
+        "AND CAST(ROUND(value * 100) AS BIGINT) BETWEEN 2000 AND 2999"),
     "user_event_pivot": (
         "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, " +
         ", ".join(
@@ -4071,6 +4180,10 @@ ORACLE_SQL: dict[str, str] = {
     # bit-exact splitmix64 ROW_NUMBER replay (ops/sample.py builds the CTE)
     "docs_shuffle_order": _sample_sql.shuffle_rank_sql(
         "documents", "doc_id", "doc_id, source"),
+    # bit-exact splitmix64 train/val/test banding (ops/sample.py CTE)
+    "docs_split_assign": _sample_sql.split_assign_sql(
+        "documents", "doc_id", "doc_id, source",
+        {"train": 0.8, "val": 0.1, "test": 0.1}),
     # integer linear-idf TF-IDF: // truncates on both sides (all positive)
     "docs_tfidf_top_terms": (
         "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word "
