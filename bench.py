@@ -350,6 +350,91 @@ def _run_scale_ops(timings: dict, minmax: dict, extras: dict) -> None:
     timed2("scale_quantize_1m_x16",
            lambda: quantize_embeddings(vecs).count())
 
+    # PCA (covariance partials → driver eigh → row-local projection) and
+    # the exact int8 Gram — both the fixed-size d×d-partial exchange —
+    # over the same 1M × 16 vectors
+    from zeeklog_ray.ops.linalg import gram_int8, pca_fit, pca_project
+
+    timed2("scale_pca_fit_project_1m_x16",
+           lambda: pca_project(vecs, pca_fit(vecs, k=4)).count())
+    timed2("scale_gram_1m_x16", lambda: gram_int8(vecs).count())
+
+    # cluster-blocked semantic near-dup at 300k × 16 over a REALISTIC
+    # clustered embedding corpus (1024 tight prototype directions + σ=.05
+    # noise — within-prototype cosine ≈ .96, well under the .9999 dup
+    # threshold) with a planted exact duplicate every 97 ids.  Within-
+    # cluster all-pairs is Θ(n²/c) CPU by design — the bench certifies
+    # the blocking keeps it parallel and sub-quadratic end-to-end, not
+    # that quadratic work is free (measured ~42 s CPU per 200k exploded
+    # rows at c=64; c=256 keeps blocks ~2.3k rows)
+    from zeeklog_ray.ops.dedup import semantic_dedup_pairs
+
+    _PROTO = __import__("numpy").random.default_rng(123).normal(size=(1024, 16))
+    _PROTO /= __import__("numpy").linalg.norm(_PROTO, axis=1, keepdims=True)
+
+    def mkdirs(b):
+        import numpy as _np
+        import pandas as _pd
+
+        i = b["id"].to_numpy()
+        rng = _np.random.default_rng(int(i[0]) + 7)
+        m = _PROTO[i % 1024] + rng.normal(scale=0.05, size=(len(i), 16))
+        dup = (i % 97 == 0) & (i > i[0])       # copy predecessor in-batch
+        rows = _np.flatnonzero(dup)
+        m[rows] = m[rows - 1]
+        return _pd.DataFrame({"vec_id": i,
+                              "embedding": list(m.astype(_np.float32))})
+
+    dvecs = ray.data.range(300_000, override_num_blocks=64).map_batches(
+        mkdirs, batch_format="pandas", batch_size=None)
+
+    def sem_dedup():
+        n = semantic_dedup_pairs(dvecs, threshold_e4=9999, n_clusters=256,
+                                 n_probes=2, seed=3).count()
+        extras["semantic_dedup_pairs_found"] = n
+        assert n >= 2_500, n                   # ~3.1k planted duplicates
+
+    timed2("scale_semantic_dedup_300k_x16", sem_dedup)
+
+    # zone-map range index at 5M rows: one range-partitioned sorted
+    # export (the all-to-all), then a ~1%-selective scan that must open
+    # only the overlapping files — the pruning win is recorded in extras
+    from zeeklog_ray.partitioned import (
+        write_sorted_zonemap,
+        zonemap_files_for_range,
+        zonemap_scan,
+    )
+
+    zm_root = "/tmp/zeeklog_bench/zonemap_5m"
+
+    def add_v(b):
+        import numpy as _np
+
+        b["v"] = (b["id"].to_numpy() * 2654435761) % 5_000_000
+        return b
+
+    zrows = ray.data.range(5_000_000, override_num_blocks=64).map_batches(
+        add_v, batch_format="pandas", batch_size=None)
+
+    def zm_export():
+        shutil.rmtree(zm_root, ignore_errors=True)
+        m = write_sorted_zonemap(zrows, "v", zm_root, num_files=64)
+        extras["zonemap_files"] = len(m["files"])
+
+    timed2("scale_zonemap_export_5m", zm_export)
+
+    def zm_scan():
+        import json as _json
+
+        n = zonemap_scan(zm_root, 1_000_000, 1_049_999).count()
+        assert n == 50_000, n
+        with open(os.path.join(zm_root, "manifest.json")) as f:
+            m = _json.load(f)
+        extras["zonemap_files_scanned"] = len(
+            zonemap_files_for_range(m, 1_000_000, 1_049_999))
+
+    timed2("scale_zonemap_scan_5m", zm_scan)
+
 
 def _sf_tag(sf_dir: str) -> str:
     return os.path.basename(os.path.normpath(sf_dir)).removeprefix("sf")

@@ -134,3 +134,20 @@ def test_pca_fit_sign_deterministic_across_block_splits(ray_session):
     a = pca_fit(_ds(df, blocks=1), k=5)
     b = pca_fit(_ds(df, blocks=10), k=5)
     np.testing.assert_allclose(a["components"], b["components"], atol=1e-9)
+
+
+def test_pca_survives_empty_blocks(ray_session):
+    """An upstream filter that empties a whole block must not crash the
+    partial pass (the _matrix reshape raises on zero-row list columns)."""
+    from zeeklog_ray.ops.linalg import pca_fit, pca_project
+
+    df, mat = _emb_frame(n=80, d=4, seed=17)
+    ds = ray.data.from_pandas(df, override_num_blocks=4).map_batches(
+        lambda b: b[b["vec_id"] >= 40], batch_format="pandas",
+        batch_size=None)
+    fit = pca_fit(ds, k=2)
+    assert fit["n"] == 40
+    np.testing.assert_allclose(fit["mean"], mat[40:].mean(axis=0),
+                               rtol=1e-10)
+    got = pca_project(ds, fit).to_pandas()
+    assert len(got) == 40

@@ -323,3 +323,17 @@ def test_semantic_dedup_validation(ray_session):
     df, _ = _planted_embeddings(n_base=20, n_dups=2)
     with pytest.raises(ValueError, match="n_probes"):
         semantic_dedup_pairs(ray.data.from_pandas(df), 9000, n_probes=0)
+
+
+def test_semantic_dedup_survives_empty_blocks(ray_session):
+    from zeeklog_ray.ops.dedup import semantic_dedup_pairs
+
+    df, _ = _planted_embeddings(n_base=80, n_dups=10, seed=5)
+    ds = ray.data.from_pandas(df, override_num_blocks=4).map_batches(
+        lambda b: b[b["vec_id"] >= 40], batch_format="pandas",
+        batch_size=None)
+    got = semantic_dedup_pairs(ds, threshold_e4=9990, n_clusters=4,
+                               n_probes=2, seed=7).to_pandas()
+    # survivors only; no crash from the emptied blocks
+    if len(got):
+        assert (got["id_a"] >= 40).all()

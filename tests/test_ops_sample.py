@@ -253,3 +253,24 @@ def test_split_assign_validation(ray_session):
         df = _docs(10).assign(fk=np.linspace(0, 1, 10))
         split_assign(ray.data.from_pandas(df), "fk",
                      {"a": 0.5, "b": 0.5}).to_pandas()
+
+
+def test_split_assign_saturated_band_truncates_not_crashes(ray_session):
+    """A trailing zero fraction saturates a non-last cumulative threshold
+    at 2^64 — must truncate to the reachable bands (matching the SQL CASE,
+    whose first `< 2^64` arm always fires), not overflow uint64."""
+    from zeeklog_ray.ops.sample import split_assign, split_assign_sql
+
+    df = _docs(500)
+    for fr in ({"train": 1.0, "test": 0.0},
+               {"a": 0.5, "b": 0.5, "c": 0.0}):
+        got = split_assign(ray.data.from_pandas(df), "doc_id",
+                           fr).to_pandas().sort_values("doc_id")
+        con = duckdb.connect()
+        con.register("documents", df)
+        exp = con.sql(split_assign_sql("documents", "doc_id",
+                                       "doc_id, source", fr)).df() \
+            .sort_values("doc_id")
+        assert (got["split"].to_numpy() == exp["split"].to_numpy()).all()
+    # the saturating label absorbs everything; later labels are unreachable
+    assert set(got["split"]) <= {"a", "b"}

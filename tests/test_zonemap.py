@@ -118,3 +118,30 @@ def test_rewrite_is_idempotent(ray_session, tmp_path):
     assert m1 == m2
     got = zonemap_scan(root, 0, 10**9).to_pandas()
     assert len(got) == len(df)
+
+
+def test_zonemap_int64_bounds_above_2_53_stay_exact(ray_session, tmp_path):
+    """Zone bounds must round-trip int64 exactly — a float() coercion
+    rounds above 2^53 and a pruned file could hide matching rows."""
+    base = (1 << 62) + 1_000_000_000
+    vals = base + np.arange(0, 4000, dtype=np.int64)
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"rid": np.arange(4000, dtype=np.int64),
+                       "v": rng.permutation(vals)})
+    root = str(tmp_path / "big")
+    m = write_sorted_zonemap(ray.data.from_pandas(df, override_num_blocks=3),
+                             "v", root, num_files=6)
+    for f in m["files"]:
+        assert isinstance(f["min"], int) and isinstance(f["max"], int)
+    lo, hi = base + 1001, base + 1013
+    got = zonemap_scan(root, lo, hi).to_pandas().sort_values("v")
+    assert got["v"].tolist() == list(range(lo, hi + 1))
+
+
+def test_zonemap_unsupported_bound_dtype_raises(ray_session, tmp_path):
+    df = pd.DataFrame({"rid": [1, 2, 3],
+                       "v": pd.to_datetime(["2024-01-01", "2024-01-02",
+                                            "2024-01-03"])})
+    with pytest.raises(Exception, match="unsupported dtype|null values"):
+        write_sorted_zonemap(ray.data.from_pandas(df), "v",
+                             str(tmp_path / "dt"), num_files=2)

@@ -2,11 +2,16 @@
 and compare against oracle_sql() via DuckDB (row count + sorted-column-name
 schema + order-insensitive value hash).
 
-Usage: python tools/check_oracle.py [sf_dir]
+Usage: python tools/check_oracle.py [sf_dir] [--cpus N] [--md OUT.md]
+
+With --md, appends a per-query markdown section for the certification
+artifact (VERDICT r3 item 1: the full-registry proof the driver's ~50-query
+sample never covers in one round).
 """
 
 from __future__ import annotations
 
+import argparse
 import hashlib
 import sys
 import time
@@ -36,10 +41,10 @@ def value_hash(df: pd.DataFrame) -> str:
     return h.hexdigest()[:16]
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, num_cpus: int = 8, md_path: str | None = None) -> int:
     import ray
 
-    ray.init(address="local", num_cpus=8, include_dashboard=False,
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              logging_level="ERROR")
     from ray.data import DataContext
 
@@ -62,17 +67,23 @@ def main(sf_dir: str) -> int:
     ensure_oracle_corpus(sf_dir)
     oracles = build_oracle_sql(sf_dir)
     failures = 0
+    records: list[tuple[str, str, str, float]] = []  # name, status, rows, sec
     for name, fn in qs.items():
         t0 = time.monotonic()
         try:
             got = to_pandas(fn(sf_dir))
         except Exception as e:  # noqa: BLE001
-            print(f"FAIL {name}: query raised {type(e).__name__}: {e}")
+            print(f"FAIL {name}: query raised {type(e).__name__}: {e}",
+                  flush=True)
             failures += 1
+            records.append((name, "FAIL (raised)", "-",
+                            time.monotonic() - t0))
             continue
         dt = time.monotonic() - t0
         if name not in oracles:
-            print(f"ok   {name}: rows={len(got)} (rows-only) [{dt:.1f}s]")
+            print(f"ok   {name}: rows={len(got)} (rows-only) [{dt:.1f}s]",
+                  flush=True)
+            records.append((name, "rows-only", str(len(got)), dt))
             continue
         exp = con.sql(oracles[name]).df()
         problems = []
@@ -84,18 +95,39 @@ def main(sf_dir: str) -> int:
             problems.append("value hash mismatch")
         if problems:
             failures += 1
-            print(f"FAIL {name}: {'; '.join(problems)} [{dt:.1f}s]")
+            print(f"FAIL {name}: {'; '.join(problems)} [{dt:.1f}s]", flush=True)
+            records.append((name, "FAIL", str(len(got)), dt))
             if "value hash mismatch" in problems:
                 m = got.merge(exp, how="outer", indicator=True,
                               on=list(sorted(set(got.columns) & set(exp.columns))))
                 diff = m[m["_merge"] != "both"]
                 print(diff.head(10).to_string())
         else:
-            print(f"PASS {name}: rows={len(got)} [{dt:.1f}s]")
+            print(f"PASS {name}: rows={len(got)} [{dt:.1f}s]", flush=True)
+            records.append((name, "PASS", str(len(got)), dt))
     ray.shutdown()
+
+    if md_path:
+        n_pass = sum(1 for r in records if r[1] == "PASS")
+        n_rows_only = sum(1 for r in records if r[1] == "rows-only")
+        n_fail = failures
+        total_s = sum(r[3] for r in records)
+        with open(md_path, "a") as f:
+            f.write(f"\n## {sf_dir} — {len(records)} queries: "
+                    f"{n_pass} PASS (DuckDB rows+schema+hash), "
+                    f"{n_rows_only} rows-only, {n_fail} FAIL "
+                    f"({total_s:.0f} s total at num_cpus={num_cpus})\n\n")
+            f.write("| query | status | rows | sec |\n|---|---|---|---|\n")
+            for name, status, rows, dt in records:
+                f.write(f"| {name} | {status} | {rows} | {dt:.1f} |\n")
     return failures
 
 
 if __name__ == "__main__":
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    sys.exit(1 if main(sf) else 0)
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
+    ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument("--md", default=None,
+                    help="append a certification markdown section here")
+    a = ap.parse_args()
+    sys.exit(1 if main(a.sf_dir, num_cpus=a.cpus, md_path=a.md) else 0)

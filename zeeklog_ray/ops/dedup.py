@@ -594,13 +594,21 @@ def embedding_cosine_pairs(ds: "ray.data.Dataset", threshold_e4: int,
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         mat = mat / np.where(norms == 0, 1, norms)
         sims = mat @ mat.T
-        e4 = np.floor(sims * 10_000).astype(np.int64)
-        ia, ib = np.triu_indices(len(ids), k=1)
-        keep = e4[ia, ib] >= threshold_e4
-        a, b = ids[ia[keep]], ids[ib[keep]]
+        # threshold FIRST, floor only the survivors.  Bit-identical to
+        # `floor(sims·1e4) >= t` because t is an integer: floor(x) >= t ⟺
+        # x >= t.  The old kernel's full-matrix floor→int64 plus
+        # np.triu_indices (all m²/2 index pairs, ~80 MB at m=3k) was
+        # measured at 3× the matmul itself; this is one in-place scale,
+        # one compare, one nonzero — survivors are rare by construction.
+        sims *= 10_000.0
+        ia, ib = np.nonzero(sims >= threshold_e4)
+        up = ia < ib                     # strict upper triangle only
+        ia, ib = ia[up], ib[up]
+        a, b = ids[ia], ids[ib]
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         return pd.DataFrame({"id_a": lo, "id_b": hi,
-                             "cos_e4": e4[ia, ib][keep]})
+                             "cos_e4": np.floor(sims[ia, ib])
+                             .astype(np.int64)})
 
     if block_col is None:
         def tag(batch: pd.DataFrame) -> pd.DataFrame:
@@ -653,19 +661,24 @@ def semantic_dedup_pairs(ds: "ray.data.Dataset", threshold_e4: int,
 
     if n_probes < 1:
         raise ValueError("semantic_dedup_pairs: n_probes must be >= 1")
-    cents = ivf_build_centroids(ds, n_clusters=n_clusters,
+    # project to the vector column BEFORE sampling — ivf_build_centroids
+    # pulls its sample to the driver, and the raw table may carry wide
+    # payload columns (text, media bytes) the quantizer never reads
+    cents = ivf_build_centroids(ds.select_columns([vec_col]),
+                                n_clusters=n_clusters,
                                 sample_n=sample_n, vec_col=vec_col,
                                 seed=seed)
     cref = _ray.put(_normalize(np.asarray(cents, dtype=np.float64)))
     probes = min(n_probes, len(cents))
 
     def assign_probes(batch: pa.Table) -> pa.Table:
-        c = _ray.get(cref)
-        m = _matrix(batch[vec_col])
-        if not len(m):
+        # length check BEFORE _matrix — it raises on a zero-row list column
+        if len(batch) == 0:
             return pa.table({id_col: batch[id_col],
                              "cluster": pa.array([], pa.int64()),
                              vec_col: batch[vec_col]})
+        c = _ray.get(cref)
+        m = _matrix(batch[vec_col])
         sims = _normalize(m) @ c.T                     # (n, k) cosine-ish
         top = np.argpartition(-sims, probes - 1, axis=1)[:, :probes]
         n = len(m)

@@ -92,6 +92,11 @@ def pca_fit(ds: "ray.data.Dataset", emb_col: str = "embedding",
     """
 
     def partial(batch: pa.Table) -> pd.DataFrame:
+        if len(batch) == 0:
+            # _matrix can't infer dim from zero rows; the driver filters
+            # n == 0 partials before frombuffer
+            return pd.DataFrame({"n": [np.int64(0)], "s": [b""],
+                                 "g": [b""]})
         m = _matrix(batch[emb_col])
         return pd.DataFrame({
             "n": [np.int64(m.shape[0])],
@@ -135,9 +140,10 @@ def pca_project(ds: "ray.data.Dataset", fit: dict,
 
     def project(batch: pa.Table) -> pa.Table:
         mean, comps = ray.get(ref)
-        m = _matrix(batch[emb_col])
-        proj = (m - mean) @ comps.T if len(m) else \
-            np.empty((0, comps.shape[0]))
+        # length check BEFORE _matrix — it raises on a zero-row list column
+        m = _matrix(batch[emb_col]) if len(batch) else \
+            np.empty((0, len(mean)))
+        proj = (m - mean) @ comps.T
         k = comps.shape[0]
         offs = pa.array(np.arange(len(m) + 1, dtype=np.int32) * k)
         return pa.table({

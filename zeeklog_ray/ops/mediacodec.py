@@ -32,7 +32,7 @@ try:  # pragma: no cover - exercised only where Pillow is installed
     from PIL import Image as _PILImage
 
     HAS_PIL = True
-except ImportError:
+except (ImportError, OSError):
     _PILImage = None
     HAS_PIL = False
 
@@ -40,7 +40,12 @@ try:  # pragma: no cover - exercised only where libsndfile is installed
     import soundfile as _soundfile
 
     HAS_SOUNDFILE = True
-except ImportError:
+except (ImportError, OSError):
+    # soundfile raises OSError (not ImportError) when the python package
+    # is installed but the libsndfile SHARED LIBRARY is missing — and this
+    # module is imported unconditionally by queries.py, so a bare
+    # ImportError guard would take down the whole query registry on such
+    # a host
     _soundfile = None
     HAS_SOUNDFILE = False
 

@@ -405,6 +405,16 @@ def _split_thresholds(fractions: Mapping[str, float]) -> list[tuple[str, int]]:
         cum += fractions[lab]
         out.append((lab, _rate_threshold(cum)))
     out.append((labels[-1], _M64))
+    # a non-last band whose cumulative threshold saturates 2^64 (e.g. a
+    # trailing zero fraction) absorbs EVERY hash, so later bands are
+    # unreachable — truncate there.  Matches the SQL CASE exactly (its
+    # first `final < 2^64` WHEN always fires) and keeps every retained
+    # non-terminal threshold < 2^64, which is what lets split_assign hold
+    # them in a uint64 array (hash_sample handles the same saturation with
+    # a keep-all mask, ops/sample.py:115-120)
+    for p, (_, thr) in enumerate(out):
+        if thr >= _M64:
+            return out[:p + 1]
     return out
 
 
@@ -452,7 +462,10 @@ def split_assign_sql(table_sql: str, key_col: str, select_cols: str,
     steps, final = mix64_sql(key_col, salt=salt)
     whens = " ".join(f"WHEN {final} < {thr}::HUGEINT THEN '{lab}'"
                      for lab, thr in bands[:-1])
-    case = f"CASE {whens} ELSE '{bands[-1][0]}' END"
+    # a saturated first band truncates to a single label — CASE needs ≥1
+    # WHEN arm, so emit the constant directly
+    case = (f"CASE {whens} ELSE '{bands[-1][0]}' END" if whens
+            else f"'{bands[-1][0]}'")
     return (
         f"WITH _m0 AS (SELECT *, {steps[0]} AS z0 FROM {table_sql}), "
         f"_m1 AS (SELECT *, {steps[1]} AS z1 FROM _m0), "

@@ -64,23 +64,14 @@ def write_sorted_zonemap(ds: "ray.data.Dataset", col: str, root: str,
     everything after it is file-local.  Null sort keys are rejected like
     ``global_rank`` (make the null policy explicit upstream).  Returns the
     manifest dict."""
-    from zeeklog_ray.relational import grouped_sum  # noqa: F401 (doc xref)
+    from zeeklog_ray.relational import sampled_range_boundaries
 
     os.makedirs(root, exist_ok=True)
     proj = ds.materialize()
-    n_rows = proj.count()
-    if n_rows == 0:
+    if proj.count() == 0:
         raise ValueError("write_sorted_zonemap: empty dataset")
-    frac = min(1.0, 1.25 * sample_n / n_rows)
-    samp = proj.select_columns([col]).random_sample(frac, seed=seed) \
-        .to_pandas()
-    if len(samp) == 0:
-        samp = proj.select_columns([col]).limit(sample_n).to_pandas()
-    if samp[col].isna().any():
-        raise ValueError(f"write_sorted_zonemap: null values in {col!r}")
-    vals = np.sort(samp[col].to_numpy())
-    qs = (np.arange(1, num_files) * len(vals)) // num_files
-    boundaries = np.unique(vals[qs]) if len(vals) else np.array([])
+    boundaries = sampled_range_boundaries(proj, col, num_files, sample_n,
+                                          seed, ctx="write_sorted_zonemap")
     bref = ray.put(boundaries)
 
     def assign(batch: pd.DataFrame) -> pd.DataFrame:
@@ -113,14 +104,37 @@ def write_sorted_zonemap(ds: "ray.data.Dataset", col: str, root: str,
         .groupby("_rb").map_groups(write_range, batch_format="pandas") \
         .to_pandas().sort_values("path")
     manifest = {"col": col, "files": [
-        {"path": r.path,
-         "min": r.min if isinstance(r.min, str) else float(r.min),
-         "max": r.max if isinstance(r.max, str) else float(r.max),
-         "rows": int(r.rows)}
+        {"path": r.path, "min": _json_bound(r.min, col),
+         "max": _json_bound(r.max, col), "rows": int(r.rows)}
         for r in stats.itertuples()]}
-    with open(os.path.join(root, "manifest.json"), "w") as f:
+    # atomic like the part files: a process killed mid-dump must not
+    # leave a truncated manifest that reads as a completed export
+    fd, tmp = tempfile.mkstemp(dir=root, suffix=".json.tmp")
+    with os.fdopen(fd, "w") as f:
         json.dump(manifest, f)
+    os.replace(tmp, os.path.join(root, "manifest.json"))
     return manifest
+
+
+def _json_bound(v, col: str):
+    """Zone bound → JSON with EXACT round-tripping: int stays int (a
+    float() coercion silently rounds int64 above 2^53 — a pruned file
+    could then hide matching rows), float stays float, str stays str.
+    Other dtypes (datetime64, decimal) are rejected rather than corrupted;
+    cast to int64 epoch / string upstream."""
+    if isinstance(v, (bool, np.bool_)):
+        raise TypeError(f"write_sorted_zonemap: boolean sort key {col!r} "
+                        "makes no range sense")
+    if isinstance(v, (int, np.integer)):
+        return int(v)
+    if isinstance(v, (float, np.floating)):
+        return float(v)
+    if isinstance(v, str):
+        return v
+    raise TypeError(
+        f"write_sorted_zonemap: sort key {col!r} has unsupported dtype "
+        f"{type(v).__name__} for a JSON zone bound — cast to int64 "
+        "(e.g. epoch micros), float, or string upstream")
 
 
 def zonemap_files_for_range(manifest: dict, lo, hi) -> list[str]:

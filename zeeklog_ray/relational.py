@@ -1214,6 +1214,33 @@ def retention_cohorts(events: "ray.data.Dataset", user_col: str = "user_id",
                        count_as="n_users")
 
 
+def sampled_range_boundaries(proj: "ray.data.Dataset", col: str,
+                             num_buckets: int, sample_n: int = 8192,
+                             seed: int = 7,
+                             ctx: str = "sampled_range_boundaries") -> np.ndarray:
+    """Deterministic range-bucket boundaries for ``col``: sample ~sample_n
+    values (bernoulli over every block — never ``limit``, which biases
+    toward the first blocks), sort, take ``num_buckets - 1`` evenly spaced
+    order statistics, dedupe.  Shared by :func:`global_rank` and
+    ``partitioned.write_sorted_zonemap`` — rows with equal values always
+    land in the same bucket (callers assign with ``searchsorted
+    side='right'``).  Null sort keys are rejected (SQL null-ordering
+    varies by dialect — make the policy explicit upstream)."""
+    n_rows = proj.count()
+    if n_rows == 0:
+        return np.array([])
+    frac = min(1.0, 1.25 * sample_n / n_rows)
+    samp = proj.select_columns([col]).random_sample(frac, seed=seed) \
+        .to_pandas()
+    if len(samp) == 0:
+        samp = proj.select_columns([col]).limit(sample_n).to_pandas()
+    if samp[col].isna().any():
+        raise ValueError(f"{ctx}: null values in sort key {col!r}")
+    vals = np.sort(samp[col].to_numpy())
+    qs = (np.arange(1, num_buckets) * len(vals)) // num_buckets
+    return np.unique(vals[qs]) if len(vals) else np.array([])
+
+
 def global_rank(ds: "ray.data.Dataset", by: str, tie: str,
                 num_buckets: int = 64, sample_n: int = 8192,
                 seed: int = 7) -> "ray.data.Dataset":
@@ -1233,20 +1260,12 @@ def global_rank(ds: "ray.data.Dataset", by: str, tie: str,
     Null sort keys are rejected (SQL null-ordering varies by dialect —
     make the policy explicit upstream)."""
     proj = ds.select_columns([by, tie]).materialize()
-    n_rows = proj.count()
-    if n_rows == 0:
+    if proj.count() == 0:
         return proj.map_batches(
             lambda df: df.assign(rank=pd.array([], dtype="int64")),
             batch_format="pandas", batch_size=None)
-    frac = min(1.0, 1.25 * sample_n / n_rows)
-    samp = proj.random_sample(frac, seed=seed).to_pandas()
-    if len(samp) == 0:
-        samp = proj.limit(sample_n).to_pandas()
-    if samp[by].isna().any():
-        raise ValueError(f"global_rank: null values in sort key {by!r}")
-    vals = np.sort(samp[by].to_numpy())
-    qs = (np.arange(1, num_buckets) * len(vals)) // num_buckets
-    boundaries = np.unique(vals[qs]) if len(vals) else np.array([])
+    boundaries = sampled_range_boundaries(proj, by, num_buckets, sample_n,
+                                          seed, ctx="global_rank")
     bref = ray.put(boundaries)
 
     def assign(batch: pd.DataFrame) -> pd.DataFrame:
