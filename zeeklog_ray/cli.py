@@ -27,6 +27,16 @@ import sys
 from zeeklog_ray.raypatch import worker_runtime_env
 
 
+def _ray_address() -> str:
+    """Cluster attach point: honor $RAY_ADDRESS (set by `ray job submit`
+    and preset to "local" in the sandbox) so the SAME CLI script runs
+    unmodified on a laptop and on an N- or 4N-node cluster; "local"
+    when unset."""
+    import os
+
+    return os.environ.get("RAY_ADDRESS", "local")
+
+
 def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="zeeklog-ray", description=__doc__)
     p.add_argument("--corpus",
@@ -121,7 +131,7 @@ def main(argv: list[str] | None = None) -> int:
         import ray
 
         if not ray.is_initialized():
-            ray.init(address="local", num_cpus=args.num_cpus,
+            ray.init(address=_ray_address(), num_cpus=args.num_cpus,
                      include_dashboard=False, logging_level="ERROR",
                      runtime_env=worker_runtime_env())
         from ray.data import DataContext
@@ -175,7 +185,7 @@ def main(argv: list[str] | None = None) -> int:
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=args.num_cpus,
+        ray.init(address=_ray_address(), num_cpus=args.num_cpus,
                  include_dashboard=False, logging_level="ERROR",
                  runtime_env=worker_runtime_env())
     from ray.data import DataContext
@@ -251,7 +261,7 @@ def _run_query(args, parser) -> int:
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=args.num_cpus,
+        ray.init(address=_ray_address(), num_cpus=args.num_cpus,
                  include_dashboard=False, logging_level="ERROR",
                  runtime_env=worker_runtime_env())
     from ray.data import DataContext
