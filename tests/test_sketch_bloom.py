@@ -326,3 +326,68 @@ def test_grouped_approx_distinct_accuracy(ray_session):
     for k in ("big", "small"):
         rel = abs(got[k] - true[k]) / true[k]
         assert rel < 0.05, (k, got[k], true[k])
+
+
+# ---- grouped approximate quantiles (rank-sample sketch, per key) ----------
+
+
+def test_grouped_approx_quantiles_rank_error_bound(ray_session):
+    """Per-key estimates land within ~2/k rank error of the true
+    quantiles on a known distribution, at ANY block layout."""
+    import ray.data
+
+    from zeeklog_ray.ops.sketch import QSKETCH_K, grouped_approx_quantiles
+
+    rng = np.random.default_rng(11)
+    n_per = 20_000
+    frames = []
+    for g, (lo, hi) in {"a": (0, 100), "b": (500, 900),
+                        "c": (-50, 50)}.items():
+        frames.append(pd.DataFrame({
+            "k": g, "v": rng.uniform(lo, hi, n_per)}))
+    df = pd.concat(frames, ignore_index=True).sample(
+        frac=1.0, random_state=5).reset_index(drop=True)
+    for blocks in (1, 9):
+        ds = ray.data.from_pandas(df, override_num_blocks=blocks)
+        got = grouped_approx_quantiles(ds, "k", "v", [0.1, 0.5, 0.9])
+        assert len(got) == 9
+        for g in ("a", "b", "c"):
+            sub = df[df["k"] == g]["v"].to_numpy()
+            sub.sort()
+            for _, row in got[got["k"] == g].iterrows():
+                # rank of the estimate within the true sorted values
+                rank = np.searchsorted(sub, row["value"]) / n_per
+                assert abs(rank - row["q"]) <= 2.5 / QSKETCH_K + 0.01, \
+                    (g, row["q"], rank)
+
+
+def test_grouped_approx_quantiles_null_semantics(ray_session):
+    import ray.data
+
+    from zeeklog_ray.ops.sketch import grouped_approx_quantiles
+
+    df = pd.DataFrame({
+        "k": ["a"] * 5 + ["b"] * 3 + ["c"] * 2,
+        "v": [1.0, 2.0, 3.0, 4.0, 5.0] + [np.nan] * 3 + [7.0, np.nan]})
+    got = grouped_approx_quantiles(
+        ray.data.from_pandas(df), "k", "v", [0.5])
+    # all-null key b is dropped; c's single value is its median
+    assert set(got["k"]) == {"a", "c"}
+    assert got.loc[got["k"] == "c", "value"].iloc[0] == 7.0
+    assert got.loc[got["k"] == "a", "value"].iloc[0] == 3.0
+
+
+def test_grouped_approx_vs_exact_twin_on_events(ray_session):
+    """The sketch's per-type p50/p99 sit near the exact grouped
+    quantiles on the sf0.001 events table (cents scale)."""
+    from zeeklog_ray.queries import QUERIES
+
+    approx = QUERIES["event_type_quantiles_sketch"]("/root/testdata/sf0.001")
+    exact = QUERIES["event_type_quantiles"]("/root/testdata/sf0.001") \
+        .to_pandas()
+    m = approx.merge(exact, left_on=["event_type", "q"],
+                     right_on=["event_type", "q"], suffixes=("_a", "_e"))
+    assert len(m) == len(approx) > 0
+    # exact is in cents; sketch in raw value — compare on the cents scale
+    err = (m["value_a"] * 100 - m["value_e"]).abs()
+    assert (err <= 0.03 * m["value_e"].abs() + 200).all(), m

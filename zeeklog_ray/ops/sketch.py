@@ -582,3 +582,71 @@ def countmin_counts(ds: "ray.data.Dataset", col: str,
     sk = countmin_from_dataset(ds, col, width, depth)
     return pd.DataFrame({col: items,
                          "n": countmin_estimate(sk, pd.Series(items))})
+
+
+def grouped_approx_quantiles(ds: "ray.data.Dataset", key: str, col: str,
+                             qs: "list[float]", k: int = QSKETCH_K,
+                             num_buckets: int = 256) -> pd.DataFrame:
+    """Per-key approximate quantiles via the mergeable rank-sample sketch
+    — the grouped twin of :func:`approx_quantiles`, completing the
+    quantile matrix (global/grouped × exact/sketch).  Use it when
+    per-key value cardinality is too high for the value-histogram method
+    (``grouped_exact_quantiles`` holds |distinct (key, value)| rows in
+    the exchange; this holds ≤ k per key per batch).
+
+    Shape mirrors :func:`grouped_approx_distinct`: each batch emits ONE
+    (values, weights) sketch row per key it contains (sorted-segment
+    sweep, no per-key re-mask), the sketches merge DISTRIBUTED via a
+    key-hash-bucketed groupby, and only the one-row-per-(key, q) report
+    reaches the driver.  Rank error ≤ ~1/k after the merge level
+    (pytest-gated).  Null values are ignored; a key with only null
+    values is dropped (the exact twin keeps it with a null quantile —
+    the sketch has no null-weight notion)."""
+
+    def sk(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.dropna(subset=[col])
+        if not len(b):
+            return pd.DataFrame({key: b[key], "_v": [], "_w": []})
+        codes, uniq = pd.factorize(b[key], use_na_sentinel=False)
+        vals = b[col].to_numpy(np.float64)
+        order = np.argsort(codes, kind="stable")
+        sc, sv = codes[order], vals[order]
+        bounds = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1], True])
+        out_keys, out_v, out_w = [], [], []
+        for j in range(len(bounds) - 1):
+            seg = sv[bounds[j]:bounds[j + 1]]
+            v, w = quantile_sketch_of(seg, k)
+            out_keys.append(uniq[sc[bounds[j]]])
+            out_v.append(v.tobytes())
+            out_w.append(w.tobytes())
+        return pd.DataFrame({key: out_keys, "_v": out_v, "_w": out_w})
+
+    def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        out_keys, out_v, out_w = [], [], []
+        for kk, g in group.groupby(key, sort=False, dropna=False):
+            v, w = merge_quantile_sketches(
+                [(np.frombuffer(bv, dtype=np.float64),
+                  np.frombuffer(bw, dtype=np.float64))
+                 for bv, bw in zip(g["_v"], g["_w"])], k)
+            out_keys.append(kk)
+            out_v.append(v.tobytes())
+            out_w.append(w.tobytes())
+        return pd.DataFrame({key: out_keys, "_v": out_v, "_w": out_w})
+
+    from zeeklog_ray.relational import with_hash_bucket
+
+    parts = ds.select_columns([key, col]).map_batches(
+        sk, batch_format="pandas", batch_size=None)
+    merged = with_hash_bucket(parts, key, num_buckets) \
+        .groupby("_bucket").map_groups(merge_bucket, batch_format="pandas") \
+        .to_pandas()
+    rows = []
+    for kk, bv, bw in zip(merged[key], merged["_v"], merged["_w"]):
+        v = np.frombuffer(bv, dtype=np.float64)
+        w = np.frombuffer(bw, dtype=np.float64)
+        if not len(v):
+            continue
+        est = sketch_quantiles(v, w, qs)
+        for q, e in zip(qs, est):
+            rows.append({key: kk, "q": float(q), "value": float(e)})
+    return pd.DataFrame(rows)

@@ -1800,6 +1800,21 @@ def event_type_quantiles(sf_dir: str) -> "ray.data.Dataset":
         "event_type", "value_cents", [0.5, 0.99])
 
 
+def event_type_quantiles_sketch(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type APPROXIMATE p50/p99 via the grouped mergeable
+    rank-sample sketch (ops/sketch.grouped_approx_quantiles) — the
+    grouped twin of event_value_quantiles_sketch, for per-key value
+    cardinalities where the exact value-histogram exchange would be
+    row-scale.  Rows-only by design (bounded rank error, not equality);
+    accuracy vs the exact twin `event_type_quantiles` is pytest-gated
+    in tests/test_sketch_bloom.py."""
+    from zeeklog_ray.ops.sketch import grouped_approx_quantiles
+
+    return grouped_approx_quantiles(
+        read_table(sf_dir, "events", columns=["event_type", "value"]),
+        "event_type", "value", [0.5, 0.99])
+
+
 def event_value_outliers(sf_dir: str) -> "ray.data.Dataset":
     """Per-event-type Tukey-fence outlier counts on value cents
     (ops/sketch.grouped_iqr_outliers): exact grouped quantiles → tiny
@@ -3145,6 +3160,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_value_zonemap": events_value_zonemap,
     "semantic_dedup": semantic_dedup,
     "docs_split_assign": docs_split_assign,
+    "event_type_quantiles_sketch": event_type_quantiles_sketch,
 }
 
 # codec-gated queries: registered only where the adapter library imports,
