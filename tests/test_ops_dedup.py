@@ -337,3 +337,66 @@ def test_semantic_dedup_survives_empty_blocks(ray_session):
     # survivors only; no crash from the emptied blocks
     if len(got):
         assert (got["id_a"] >= 40).all()
+
+
+def _brute_dup_windows(df: pd.DataFrame, k: int = 8) -> dict[int, tuple]:
+    """Pure-Python reference: per doc (n_windows, dup_windows) where a
+    window (tuple of k words) is dup iff its WORD TUPLE appears in >= 2
+    distinct docs (hashes are injective here — parity with the hash path
+    is exactly what the test asserts)."""
+    grams: dict[tuple, set] = {}
+    per_doc: dict[int, list] = {}
+    for _, r in df.iterrows():
+        words = [w for w in r["text"].split(" ") if w != ""]
+        ws = [tuple(words[i:i + k]) for i in range(len(words) - k + 1)]
+        per_doc[r["doc_id"]] = ws
+        for w in ws:
+            grams.setdefault(w, set()).add(r["doc_id"])
+    return {d: (len(ws), sum(1 for w in ws if len(grams[w]) >= 2))
+            for d, ws in per_doc.items()}
+
+
+def test_duplicated_window_stats_planted(ray_session):
+    from zeeklog_ray.ops.dedup import duplicated_window_stats
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = pd.DataFrame({"doc_id": [1, 2, 3, 4, 5], "text": [
+        "intro words here " + shared + " tail one",
+        "other opening " + shared + " different ending stuff",
+        "no overlap at all in this particular document body text "
+        "keeps going with more unique words",
+        "short doc",                       # < k words → 0 windows
+        "intro words here " + shared + " tail one",   # exact dup of 1
+    ]})
+    out = duplicated_window_stats(ray.data.from_pandas(df), num_buckets=4) \
+        .to_pandas().set_index("doc_id").sort_index()
+    ref = _brute_dup_windows(df)
+    for d, (nw, dw) in ref.items():
+        assert out.loc[d, "n_windows"] == nw
+        assert out.loc[d, "dup_windows"] == dw
+        assert out.loc[d, "dup_ratio_e4"] == dw * 10_000 // max(nw, 1)
+    assert out.loc[4, "n_windows"] == 0 and out.loc[4, "dup_ratio_e4"] == 0
+    assert out.loc[5, "dup_windows"] == out.loc[5, "n_windows"]  # exact dup
+    assert out.loc[3, "dup_windows"] == 0
+
+
+def test_duplicated_window_stats_batch_invariance(ray_session):
+    """Same answer at any block layout — the property the distributed
+    run relies on (docs are rows; windows never cross batches)."""
+    from zeeklog_ray.ops.dedup import duplicated_window_stats
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(2, 40)))
+             for _ in range(60)]
+    df = pd.DataFrame({"doc_id": np.arange(60), "text": texts})
+    a = duplicated_window_stats(ray.data.from_pandas(df), num_buckets=3) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = duplicated_window_stats(
+        ray.data.from_pandas(df).repartition(13), num_buckets=8) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    ref = _brute_dup_windows(df)
+    got = {int(r.doc_id): (int(r.n_windows), int(r.dup_windows))
+           for r in a.itertuples()}
+    assert got == ref

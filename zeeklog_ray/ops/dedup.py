@@ -698,3 +698,156 @@ def semantic_dedup_pairs(ds: "ray.data.Dataset", threshold_e4: int,
     # multi-probe co-occurrence duplicates: same (id_a, id_b) always
     # carries the same cos_e4, so distinct over all three is a pure dedup
     return bucketed_distinct(pairs, ["id_a", "id_b", "cos_e4"])
+
+
+# --------------------------------------------------------------------------
+# Cross-document duplicated-substring detection (window-hash spans)
+# --------------------------------------------------------------------------
+#
+# The substring-level dedup signal of Lee et al., "Deduplicating Training
+# Data Makes Language Models Better" (ACL 2022), re-expressed for Ray Data:
+# instead of a suffix array (inherently sequential, whole-corpus state),
+# hash every k-WORD window of every document and count, per window hash,
+# how many distinct documents contain it.  A window seen in >= 2 documents
+# is a duplicated span; the per-document fraction of duplicated windows is
+# the filter signal (docs that are mostly boilerplate / syndicated copy
+# score near 1.0 even when no WHOLE-document dup exists).
+
+_WORD_P = np.uint64(1000003)        # codepoint Horner base — the same base
+#                                     the simhash/fingerprint oracles replay
+_GRAM_Q = np.uint64(1099511628211)  # word-hash Horner base (FNV-ish prime)
+
+
+def _word_horner_hashes(words: np.ndarray, wlens: np.ndarray) -> np.ndarray:
+    """uint64 Horner hash of each word's CODEPOINTS (acc0 = first codepoint,
+    h = h*P + cp, mod 2^64) — bit-replayable in DuckDB as
+    ``list_reduce(list_transform(range(...), j -> ord(...)), ...)``.
+
+    Vectorized with no per-word loop: Horner(w) equals
+    ``sum(cp_j * P^(L-1-j))`` in mod-2^64 arithmetic, so one utf-32 decode
+    of the concatenated words + one power-weighted ``np.add.reduceat``
+    computes every word at once.
+    """
+    if len(words) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    cps = np.frombuffer("".join(words.tolist()).encode("utf-32-le"),
+                        dtype="<u4").astype(np.uint64)
+    wlens = wlens.astype(np.int64)
+    starts = np.zeros(len(wlens), dtype=np.int64)
+    np.cumsum(wlens[:-1], out=starts[1:])
+    maxlen = int(wlens.max())
+    # P^0..P^(maxlen-1) mod 2^64 — array accumulate wraps silently (the
+    # scalar loop would emit a RuntimeWarning per step)
+    ppow = np.full(maxlen, _WORD_P, dtype=np.uint64)
+    ppow[0] = np.uint64(1)
+    np.multiply.accumulate(ppow, out=ppow)
+    word_idx = np.repeat(np.arange(len(wlens)), wlens)
+    pos = np.arange(len(cps), dtype=np.int64) - starts[word_idx]
+    terms = cps * ppow[wlens[word_idx] - 1 - pos]
+    return np.add.reduceat(terms, starts)
+
+
+def window_gram_counts(ds: "ray.data.Dataset", text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 8,
+                       ) -> "ray.data.Dataset":
+    """Per-(document, k-word-window-hash) occurrence counts — the row-local
+    first stage of :func:`duplicated_window_stats`.
+
+    Words are the non-empty ' '-split tokens (exactly DuckDB's
+    ``LIST_FILTER(STRING_SPLIT(text,' '), x -> x <> '')``); the window hash
+    is a Horner combine (base ``_GRAM_Q``) of the per-word Horner hashes,
+    so the whole signature is bit-replayable in SQL.  Documents are rows,
+    so every window of a document lands in one batch and the per-(doc,
+    gram) counts emitted here are already GLOBAL for that document — only
+    (doc_id, gram, cnt) rows ever shuffle, never text.
+    """
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        words = batch[text_col].reset_index(drop=True).str.split(" ")
+        ex = words.explode()
+        keep = ex.notna() & (ex != "")
+        exv = ex[keep]
+        empty = pd.DataFrame({id_col: pd.Series([], dtype=batch[id_col].dtype),
+                              "gram": pd.Series([], dtype="int64"),
+                              "cnt": pd.Series([], dtype="int64")})
+        if not len(exv):
+            return empty
+        doc_of = exv.index.to_numpy().astype(np.int64)
+        wvals = exv.to_numpy()
+        wh = _word_horner_hashes(wvals, exv.str.len().to_numpy())
+        n = len(wh) - k + 1
+        if n <= 0:
+            return empty
+        g = np.zeros(n, dtype=np.uint64)
+        for j in range(k):                     # k shift-and-add passes
+            g = g * _GRAM_Q + wh[j:j + n]
+        valid = doc_of[:n] == doc_of[k - 1:]   # window stays in one doc
+        if not valid.any():
+            return empty
+        df = pd.DataFrame({"_row": doc_of[:n][valid],
+                           "gram": g[valid].view(np.int64)})
+        cnt = df.groupby(["_row", "gram"], sort=False).size() \
+            .reset_index(name="cnt")
+        cnt[id_col] = batch[id_col].to_numpy()[cnt.pop("_row").to_numpy()]
+        return cnt[[id_col, "gram", "cnt"]]
+
+    return ds.map_batches(partial, batch_format="pandas", batch_size=None)
+
+
+def duplicated_window_stats(ds: "ray.data.Dataset", text_col: str = "text",
+                            id_col: str = "doc_id", k: int = 8,
+                            num_buckets: int = 256) -> "ray.data.Dataset":
+    """Per-document duplicated-span statistics: of the document's k-word
+    windows, how many (counting repeats) have a window hash that appears in
+    >= 2 DISTINCT documents corpus-wide.
+
+    Output: (doc_id, n_windows, dup_windows, dup_ratio_e4) for EVERY
+    document (short docs get 0/0/0).  Exact integer arithmetic throughout;
+    the DuckDB oracle replays the hashes bit-for-bit, so collisions (if
+    any) affect both sides identically.
+
+    Shuffle shape at 10^12 docs: stage 1 is row-local; stage 2 shuffles
+    only (doc_id, gram, cnt) rows ONCE on the gram-hash bucket (all rows of
+    a gram co-locate, so the >= 2-docs test and the per-doc dup partials
+    both finish inside the bucket as C-level pandas); stage 3 is a
+    doc-shaped bucketed sum.  Window payloads (the text) never shuffle.
+    ``num_buckets`` sizes stage 2 — at corpus scale pass ~total_words/2M
+    (see relational.with_hash_bucket).
+    """
+    from zeeklog_ray.relational import grouped_sum_bucketed, with_hash_bucket
+
+    dg = window_gram_counts(ds, text_col=text_col, id_col=id_col, k=k)
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        # rows are distinct per (doc, gram) ⇒ group size == n distinct docs
+        ndocs = group.groupby("gram", sort=False)["cnt"].transform("size")
+        dup = group[ndocs >= 2]
+        out = dup.groupby(id_col, sort=False)["cnt"].sum() \
+            .reset_index(name="dup_windows")
+        out["n_windows"] = np.int64(0)
+        return out[[id_col, "n_windows", "dup_windows"]]
+
+    dup_partial = with_hash_bucket(dg, "gram", num_buckets) \
+        .groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
+
+    def spine(batch: pd.DataFrame) -> pd.DataFrame:
+        n_words = batch[text_col].str.count(r"[^ ]+").astype("int64")
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy(),
+            "n_windows": np.maximum(n_words - (k - 1), 0).astype("int64"),
+            "dup_windows": np.int64(0),
+        })
+
+    spine_ds = ds.map_batches(spine, batch_format="pandas", batch_size=None)
+    summed = grouped_sum_bucketed(
+        spine_ds.union(dup_partial), [id_col],
+        sums={"n_windows": "n_windows", "dup_windows": "dup_windows"},
+        num_buckets=num_buckets)
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        nw = batch["n_windows"].to_numpy().astype(np.int64)
+        dw = batch["dup_windows"].to_numpy().astype(np.int64)
+        batch["dup_ratio_e4"] = dw * 10_000 // np.maximum(nw, 1)
+        return batch
+
+    return summed.map_batches(finish, batch_format="pandas", batch_size=None)

@@ -2084,6 +2084,20 @@ def docs_dup_rate_by_source(sf_dir: str) -> "ray.data.Dataset":
                               batch_size=None)
 
 
+def docs_dup_windows(sf_dir: str) -> "ray.data.Dataset":
+    """Cross-document duplicated-SPAN statistics (ops/dedup.py): per doc,
+    how many of its 8-word windows hash-match a window appearing in >= 2
+    distinct documents — the substring-level dedup signal of Lee et al.
+    (ACL 2022), window-hash approximation of the suffix-array pass.
+    Integer-exact end to end; the oracle replays the codepoint/word Horner
+    hashes bit-for-bit in HUGEINT SQL (the doc_simhash technique)."""
+    from zeeklog_ray.ops.dedup import duplicated_window_stats
+
+    return duplicated_window_stats(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+        num_buckets=32)
+
+
 def docs_source_tv(sf_dir: str) -> pd.DataFrame:
     """Pairwise total-variation distance (ppm) between the per-source
     word distributions over the global top-50 vocabulary — the
@@ -3134,6 +3148,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "docs_bpe_merges": docs_bpe_merges,
     "docs_source_tv": docs_source_tv,
     "docs_dup_rate_by_source": docs_dup_rate_by_source,
+    "docs_dup_windows": docs_dup_windows,
     "users_click_and_purchase": users_click_and_purchase,
     "users_big_view_no_big_purchase": users_big_view_no_big_purchase,
     "event_type_counts_cm": event_type_counts_cm,
@@ -3554,6 +3569,37 @@ ORACLE_SQL: dict[str, str] = {
         "CAST(COUNT(*) AS BIGINT) AS n_distinct, "
         "CAST((SUM(n) - COUNT(*)) * 1000000 // SUM(n) AS BIGINT) "
         "AS dup_rate_ppm FROM g GROUP BY source"),
+    # bit-exact HUGEINT replay of the window-hash dup-span signal: per-word
+    # codepoint Horner (base 1000003, acc0 = first codepoint — the
+    # doc_simhash technique), then an 8-word Horner combine (base
+    # 1099511628211), both mod 2^64; a window hash in >= 2 distinct docs
+    # is a duplicated span
+    "docs_dup_windows": (
+        "WITH w AS (SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), "
+        "x -> x <> '') AS words FROM documents), "
+        "wh AS (SELECT doc_id, list_transform(words, w -> list_reduce("
+        "list_transform(range(1, length(w)+1), "
+        "j -> ord(substring(w, j, 1))::HUGEINT), "
+        "(acc, c) -> (acc*1000003::HUGEINT + c) % "
+        "18446744073709551616::HUGEINT)) AS whs, "
+        "len(words) AS nw FROM w), "
+        "g AS (SELECT doc_id, list_reduce(whs[i:i+7], "
+        "(acc, c) -> (acc*1099511628211::HUGEINT + c) % "
+        "18446744073709551616::HUGEINT) AS gmod FROM wh, "
+        "UNNEST(range(1, nw - 6)) AS t(i) WHERE nw >= 8), "
+        "gi AS (SELECT doc_id, CAST(CASE WHEN gmod >= "
+        "9223372036854775808::HUGEINT THEN gmod - "
+        "18446744073709551616::HUGEINT ELSE gmod END AS BIGINT) AS gram "
+        "FROM g), "
+        "dg AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM gi GROUP BY 1, 2), "
+        "gd AS (SELECT gram FROM dg GROUP BY gram HAVING COUNT(*) >= 2), "
+        "dd AS (SELECT dg.doc_id, SUM(dg.cnt) AS dupw FROM dg "
+        "JOIN gd USING (gram) GROUP BY 1) "
+        "SELECT wh.doc_id, CAST(GREATEST(wh.nw - 7, 0) AS BIGINT) "
+        "AS n_windows, CAST(COALESCE(dd.dupw, 0) AS BIGINT) AS dup_windows, "
+        "CAST(COALESCE(dd.dupw, 0) * 10000 // GREATEST(wh.nw - 7, 1) "
+        "AS BIGINT) AS dup_ratio_e4 "
+        "FROM wh LEFT JOIN dd USING (doc_id)"),
     # exact integer TV over the top-50 vocabulary: HUGEINT products in
     # SQL, Python big-int finish on the Ray side; // truncates (positive)
     "docs_source_tv": (
