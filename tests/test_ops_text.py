@@ -322,3 +322,34 @@ def test_source_distribution_tv_hand_computed(ray_session):
                                   num_buckets=4)
     # TV = 1/2 (|.5-1| + |.5-0|) = .5
     assert out2["tv_ppm"].iloc[0] == 500_000
+
+
+def test_repetition_stats_hand_cases(ray_session):
+    from zeeklog_ray.ops.text import repetition_stats
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3, 4], "text": [
+        "spam spam spam spam",              # 1 distinct, top bigram 3/3
+        "a b a b a",                        # top word a=3/5, bigram "a b"=2/4
+        "all words here are unique today",  # no repetition
+        "",                                 # empty
+    ]})
+    out = repetition_stats(ray.data.from_pandas(df)).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert out.loc[1].tolist() == [4, 1 * 10000 // 4, 10000, 10000]
+    assert out.loc[2].tolist() == [5, 2 * 10000 // 5, 3 * 10000 // 5,
+                                   2 * 10000 // 4]
+    assert out.loc[3, "distinct_ratio_e4"] == 10000
+    assert out.loc[3, "top_word_ratio_e4"] == 10000 // 6
+    assert out.loc[4].tolist() == [0, 0, 0, 0]
+
+
+def test_repetition_stats_multi_space(ray_session):
+    """Adjacency is over the FILTERED word list (multiple spaces collapse),
+    matching the oracle's LIST_FILTER(STRING_SPLIT) semantics."""
+    from zeeklog_ray.ops.text import repetition_stats
+
+    df = pd.DataFrame({"doc_id": [1], "text": ["x  y x  y"]})
+    out = repetition_stats(ray.data.from_pandas(df)).to_pandas()
+    # words = [x, y, x, y]: bigrams x y / y x / x y → top = 2 of 3
+    assert out.loc[0, "n_words"] == 4
+    assert out.loc[0, "top_bigram_ratio_e4"] == 2 * 10000 // 3

@@ -687,3 +687,59 @@ def source_distribution_tv(docs: "ray.data.Dataset", k: int = 50,
             rows.append((sa, sb, acc * 1_000_000 // (2 * na * nb)))
     return pd.DataFrame(rows, columns=["source_a", "source_b", "tv_ppm"]) \
         .astype({"tv_ppm": "int64"})
+
+
+def repetition_stats(ds: "ray.data.Dataset", text_col: str = "text",
+                     id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Intra-document repetition features — the Gopher-rules repetition
+    filter family (Rae et al. 2021 §A1.1: repetitive documents are
+    low-quality even when their surface stats look fine):
+
+    - ``distinct_ratio_e4``  — distinct words / words (low ⇒ repetitive)
+    - ``top_word_ratio_e4``  — occurrences of the most frequent word / words
+    - ``top_bigram_ratio_e4``— occurrences of the most frequent word bigram
+      / (words-1)
+
+    Words are the non-empty ' '-split tokens (the doc_quality definition).
+    All-integer 1e-4 fixed point, so the DuckDB oracle matches exactly.
+    ZERO shuffle: documents are rows, so every feature is row-local; the
+    heavy lifting is one explode + two C-level pandas groupbys per batch.
+    """
+
+    def feats(batch: pd.DataFrame) -> pd.DataFrame:
+        n = len(batch)
+        text = batch[text_col].reset_index(drop=True)
+        ex = text.str.split(" ").explode()
+        keep = ex.notna() & (ex != "")
+        exv = ex[keep]
+        n_words = np.zeros(n, dtype=np.int64)
+        distinct = np.zeros(n, dtype=np.int64)
+        top_w = np.zeros(n, dtype=np.int64)
+        top_b = np.zeros(n, dtype=np.int64)
+        if len(exv):
+            rows = exv.index.to_numpy().astype(np.int64)
+            n_words = np.bincount(rows, minlength=n).astype(np.int64)
+            wc = pd.DataFrame({"_r": rows, "_w": exv.to_numpy()}) \
+                .groupby(["_r", "_w"], sort=False).size()
+            byrow = wc.groupby(level=0, sort=False)
+            distinct[byrow.size().index.to_numpy()] = byrow.size().to_numpy()
+            top_w[byrow.max().index.to_numpy()] = byrow.max().to_numpy()
+            same = rows[:-1] == rows[1:]
+            if same.any():
+                wv = exv.to_numpy()
+                bseries = (pd.Series(wv[:-1][same]) + " "
+                           + pd.Series(wv[1:][same]))
+                bc = pd.DataFrame({"_r": rows[:-1][same], "_b": bseries}) \
+                    .groupby(["_r", "_b"], sort=False).size() \
+                    .groupby(level=0, sort=False).max()
+                top_b[bc.index.to_numpy()] = bc.to_numpy()
+        nw1 = np.maximum(n_words, 1)
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy(),
+            "n_words": n_words,
+            "distinct_ratio_e4": distinct * _E4 // nw1,
+            "top_word_ratio_e4": top_w * _E4 // nw1,
+            "top_bigram_ratio_e4": top_b * _E4 // np.maximum(n_words - 1, 1),
+        })
+
+    return ds.map_batches(feats, batch_format="pandas", batch_size=None)

@@ -2098,6 +2098,16 @@ def docs_dup_windows(sf_dir: str) -> "ray.data.Dataset":
         num_buckets=32)
 
 
+def docs_repetition(sf_dir: str) -> "ray.data.Dataset":
+    """Gopher-style intra-document repetition filter features
+    (ops/text.repetition_stats): distinct-word / top-word / top-bigram
+    ratios, integer e4 fixed point, zero shuffle (row-local)."""
+    from zeeklog_ray.ops.text import repetition_stats
+
+    return repetition_stats(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
 def docs_source_tv(sf_dir: str) -> pd.DataFrame:
     """Pairwise total-variation distance (ppm) between the per-source
     word distributions over the global top-50 vocabulary — the
@@ -3149,6 +3159,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "docs_source_tv": docs_source_tv,
     "docs_dup_rate_by_source": docs_dup_rate_by_source,
     "docs_dup_windows": docs_dup_windows,
+    "docs_repetition": docs_repetition,
     "users_click_and_purchase": users_click_and_purchase,
     "users_big_view_no_big_purchase": users_big_view_no_big_purchase,
     "event_type_counts_cm": event_type_counts_cm,
@@ -3569,6 +3580,27 @@ ORACLE_SQL: dict[str, str] = {
         "CAST(COUNT(*) AS BIGINT) AS n_distinct, "
         "CAST((SUM(n) - COUNT(*)) * 1000000 // SUM(n) AS BIGINT) "
         "AS dup_rate_ppm FROM g GROUP BY source"),
+    # Gopher repetition rules over the filtered ' '-split word list; all
+    # ratios are integer-e4 with // (truncating) division
+    "docs_repetition": (
+        "WITH w AS (SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), "
+        "x -> x <> '') AS words FROM documents), "
+        "base AS (SELECT doc_id, words, len(words) AS nw, "
+        "len(list_distinct(words)) AS nd FROM w), "
+        "wc AS (SELECT doc_id, MAX(c) AS topw FROM (SELECT doc_id, word, "
+        "COUNT(*) AS c FROM (SELECT doc_id, unnest(words) AS word FROM w) "
+        "GROUP BY 1, 2) GROUP BY 1), "
+        "bg AS (SELECT doc_id, MAX(c) AS topb FROM (SELECT doc_id, bigram, "
+        "COUNT(*) AS c FROM (SELECT doc_id, unnest(list_transform("
+        "range(1, nw), i -> words[i] || ' ' || words[i+1])) AS bigram "
+        "FROM base WHERE nw >= 2) GROUP BY 1, 2) GROUP BY 1) "
+        "SELECT base.doc_id, CAST(nw AS BIGINT) AS n_words, "
+        "CAST(nd * 10000 // GREATEST(nw, 1) AS BIGINT) AS distinct_ratio_e4, "
+        "CAST(COALESCE(topw, 0) * 10000 // GREATEST(nw, 1) AS BIGINT) "
+        "AS top_word_ratio_e4, "
+        "CAST(COALESCE(topb, 0) * 10000 // GREATEST(nw - 1, 1) AS BIGINT) "
+        "AS top_bigram_ratio_e4 "
+        "FROM base LEFT JOIN wc USING (doc_id) LEFT JOIN bg USING (doc_id)"),
     # bit-exact HUGEINT replay of the window-hash dup-span signal: per-word
     # codepoint Horner (base 1000003, acc0 = first codepoint — the
     # doc_simhash technique), then an 8-word Horner combine (base
