@@ -353,3 +353,72 @@ def test_repetition_stats_multi_space(ray_session):
     # words = [x, y, x, y]: bigrams x y / y x / x y → top = 2 of 3
     assert out.loc[0, "n_words"] == 4
     assert out.loc[0, "top_bigram_ratio_e4"] == 2 * 10000 // 3
+
+
+def test_bigram_pmi_topk_hand_case(ray_session):
+    from zeeklog_ray.ops.text import bigram_pmi_topk
+
+    # corpus: "x y" appears 3x, "x z" 2x; N = 12 words
+    df = pd.DataFrame({"doc_id": [1, 2], "text": [
+        "x y q x y", "x y r x z x z"]})
+    out = bigram_pmi_topk(ray.data.from_pandas(df), k=2, min_count=2,
+                          num_buckets=4)
+    out = out.sort_values("pair_count", ascending=False) \
+        .reset_index(drop=True)
+    assert out.loc[0].tolist() == ["x", "y", 3, 3 * 12 * 10000 // (5 * 3)]
+    assert out.loc[1].tolist() == ["x", "z", 2, 2 * 12 * 10000 // (5 * 2)]
+
+
+def test_bigram_pmi_no_cross_doc_bigrams(ray_session):
+    """The last word of one doc and the first of the next never pair."""
+    from zeeklog_ray.ops.text import bigram_pmi_topk
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3, 4],
+                       "text": ["a b", "b a", "a b", "b a"]})
+    out = bigram_pmi_topk(ray.data.from_pandas(df).repartition(4),
+                          k=10, min_count=1, num_buckets=4)
+    got = {(r.w1, r.w2): r.pair_count for r in out.itertuples()}
+    assert got == {("a", "b"): 2, ("b", "a"): 2}
+
+
+def test_rare_word_stats_hand_case(ray_session):
+    from zeeklog_ray.ops.text import rare_word_stats
+
+    # "common" appears 4x (not rare at threshold 3); each "rareN" once
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "text": [
+        "common common rare1",
+        "common rare2 rare2",
+        "common",
+    ]})
+    out = rare_word_stats(ray.data.from_pandas(df), min_corpus_count=3,
+                          num_buckets=4).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert out.loc[1].tolist() == [3, 1, 1 * 10000 // 3]
+    assert out.loc[2].tolist() == [3, 2, 2 * 10000 // 3]  # rare2 → 2 positions
+    assert out.loc[3].tolist() == [1, 0, 0]
+
+
+def test_unigram_logprob_matches_pandas(ray_session):
+    from zeeklog_ray.ops.text import unigram_logprob
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(1, 30)))
+             for _ in range(50)] + [""]
+    df = pd.DataFrame({"doc_id": np.arange(51), "text": texts})
+    got = unigram_logprob(ray.data.from_pandas(df).repartition(7),
+                          num_buckets=4).to_pandas() \
+        .set_index("doc_id").sort_index()
+
+    words = df.set_index("doc_id")["text"].str.split(" ") \
+        .apply(lambda ws: [w for w in ws if w])
+    all_words = words.explode().dropna()
+    wc = all_words.value_counts()
+    n = int(len(all_words))
+    exp = words.apply(
+        lambda ws: (sum(np.log2(wc[w]) for w in ws) - len(ws) * np.log2(n))
+        / len(ws) if ws else 0.0)
+    assert got.loc[50, "n_words"] == 0 and got.loc[50, "avg_logprob"] == 0.0
+    np.testing.assert_allclose(got["avg_logprob"].to_numpy(),
+                               exp.to_numpy(), atol=1e-9)
+    assert (got["avg_logprob"].to_numpy()[:-1] < 0).all()

@@ -743,3 +743,243 @@ def repetition_stats(ds: "ray.data.Dataset", text_col: str = "text",
         })
 
     return ds.map_batches(feats, batch_format="pandas", batch_size=None)
+
+
+# --------------------------------------------------------------------------
+# Corpus-statistics scoring: PMI collocations, rare-word ratio, unigram LM
+# --------------------------------------------------------------------------
+
+
+def doc_word_long(docs: "ray.data.Dataset", text_col: str = "text",
+                  id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Row-local (doc_id, word, cnt, n_words) long table — one map pass, no
+    shuffle (a document lives entirely in its row, so its per-word counts
+    are already global).  Words are the non-empty ' '-split tokens."""
+
+    def doc_terms(batch: pd.DataFrame) -> pd.DataFrame:
+        w = batch[text_col].reset_index(drop=True).str.split(" ").explode()
+        w = w[w != ""].dropna()
+        tf = (pd.DataFrame({"i": w.index.to_numpy(np.int64),
+                            "word": w.to_numpy()})
+              .groupby(["i", "word"], sort=False).size()
+              .rename("cnt").reset_index())
+        tf["n_words"] = tf.groupby("i", sort=False)["cnt"].transform("sum")
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy()[tf["i"].to_numpy()],
+            "word": tf["word"],
+            "cnt": tf["cnt"].astype("int64"),
+            "n_words": tf["n_words"].astype("int64"),
+        })
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        doc_terms, batch_format="pandas", batch_size=None)
+
+
+def bigram_pmi_topk(docs: "ray.data.Dataset", k: int = 20,
+                    min_count: int = 5, text_col: str = "text",
+                    num_buckets: int = 1024) -> pd.DataFrame:
+    """Top-``k`` word-bigram collocations by count with EXACT pointwise
+    mutual information: ``pmi_e4 = c_xy · N · 10^4 // (c_x · c_y)`` where
+    ``N`` is total word occurrences — the linear (un-logged) PMI ratio in
+    big-int arithmetic, so the HUGEINT SQL replay matches bit-for-bit
+    (log-PMI preserves the same ordering at fixed N but drags floats into
+    the hash gate).
+
+    Shuffle shape: per-batch COMBINED partial counts for unigrams and
+    bigrams (row-local explode; only (word, c) / (w1, w2, c) partial rows
+    cross the wire), one entity-shaped bucketed sum each, a global top-k
+    on the bigram table, then the ≤ 2k needed unigram counts come back as
+    a tiny filtered pull.  The finish is k rows of Python big-int on the
+    driver."""
+    from zeeklog_ray.relational import grouped_sum_bucketed, top_k
+
+    def uni_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        w = batch[text_col].str.split(" ").explode()
+        w = w[w != ""].dropna()
+        c = w.groupby(w.values, sort=False).size()
+        return pd.DataFrame({"word": c.index.to_numpy(),
+                             "c": c.to_numpy().astype("int64")})
+
+    def bi_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ex = batch[text_col].reset_index(drop=True).str.split(" ").explode()
+        keep = ex.notna() & (ex != "")
+        exv = ex[keep]
+        empty = pd.DataFrame({"w1": pd.Series([], dtype=object),
+                              "w2": pd.Series([], dtype=object),
+                              "c": pd.Series([], dtype="int64")})
+        if len(exv) < 2:
+            return empty
+        rows = exv.index.to_numpy().astype(np.int64)
+        wv = exv.to_numpy()
+        same = rows[:-1] == rows[1:]
+        if not same.any():
+            return empty
+        d = pd.DataFrame({"w1": wv[:-1][same], "w2": wv[1:][same]})
+        c = d.groupby(["w1", "w2"], sort=False).size().rename("c")
+        return c.reset_index().astype({"c": "int64"})
+
+    uni = grouped_sum_bucketed(
+        docs.map_batches(uni_partial, batch_format="pandas",
+                         batch_size=None),
+        ["word"], sums={"c": "c"}, num_buckets=num_buckets)
+    bi = grouped_sum_bucketed(
+        docs.map_batches(bi_partial, batch_format="pandas", batch_size=None),
+        ["w1", "w2"], sums={"c": "c"}, num_buckets=num_buckets)
+    uni = uni.materialize()          # consumed twice: N and the k-word pull
+    n_total = int(uni.sum("c"))
+    top = top_k(bi.filter(expr=f"c >= {min_count}"),
+                by=["c", "w1", "w2"], descending=[True, False, False],
+                k=k).to_pandas()
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    need = pa.array(sorted(frozenset(top["w1"]) | frozenset(top["w2"])),
+                    type=pa.string())
+
+    def pull(t: "pa.Table") -> "pa.Table":
+        # Arrow-native semi-filter: empty results stay typed (an empty
+        # pandas object block trips Ray's block-size estimator)
+        return t.filter(pc.is_in(t["word"], value_set=need))
+
+    wc = uni.map_batches(pull, batch_format="pyarrow",
+                         batch_size=None).to_pandas()
+    lut = dict(zip(wc["word"], wc["c"].astype(int)))
+    pmi = [int(cxy) * n_total * 10_000
+           // (lut[w1] * lut[w2])
+           for w1, w2, cxy in zip(top["w1"], top["w2"], top["c"])]
+    return pd.DataFrame({"w1": top["w1"], "w2": top["w2"],
+                         "pair_count": top["c"].astype("int64"),
+                         "pmi_e4": pd.Series(pmi, dtype="int64")})
+
+
+def rare_word_stats(docs: "ray.data.Dataset", min_corpus_count: int = 5,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    num_buckets: int = 1024,
+                    broadcast_vocab: int = 2_000_000) -> "ray.data.Dataset":
+    """Per-document rare-word ratio against the CORPUS unigram table — the
+    integer-exact core of perplexity-style quality filtering (a doc made
+    of words the corpus has barely seen is noise, OCR garbage, or another
+    language).  ``n_rare`` counts word POSITIONS whose corpus count is
+    below ``min_corpus_count``.
+
+    Shape: row-local long extraction (:func:`doc_word_long`), entity-shaped
+    corpus counts, tiered attach (broadcast ≤ ``broadcast_vocab`` distinct
+    words, bucketed equi-join above — the tfidf_top_terms tier), doc-shaped
+    bucketed finish.  Text never shuffles."""
+    from zeeklog_ray.relational import (
+        broadcast_merge,
+        bucketed_equi_join,
+        grouped_sum_bucketed,
+    )
+
+    long = doc_word_long(docs, text_col=text_col, id_col=id_col) \
+        .materialize()
+    wc = grouped_sum_bucketed(long.select_columns(["word", "cnt"]),
+                              ["word"], sums={"cnt": "c"},
+                              num_buckets=num_buckets).materialize()
+    if wc.count() <= broadcast_vocab:
+        joined = broadcast_merge(long, wc.to_pandas(), on="word")
+    else:
+        joined = bucketed_equi_join(long, wc, on="word",
+                                    num_buckets=num_buckets)
+
+    def rare_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rare = batch["c"].to_numpy() < min_corpus_count
+        out = pd.DataFrame({
+            id_col: batch[id_col].to_numpy(),
+            "n_words": np.int64(0),
+            "n_rare": np.where(rare, batch["cnt"].to_numpy(), 0)
+            .astype("int64"),
+        })
+        return out[out["n_rare"] > 0]
+
+    def spine(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy(),
+            "n_words": batch[text_col].str.count(r"[^ ]+").astype("int64"),
+            "n_rare": np.int64(0),
+        })
+
+    both = docs.map_batches(spine, batch_format="pandas", batch_size=None) \
+        .union(joined.map_batches(rare_partial, batch_format="pandas",
+                                  batch_size=None))
+    summed = grouped_sum_bucketed(both, [id_col],
+                                  sums={"n_words": "n_words",
+                                        "n_rare": "n_rare"},
+                                  num_buckets=num_buckets)
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        nw = batch["n_words"].to_numpy().astype(np.int64)
+        nr = batch["n_rare"].to_numpy().astype(np.int64)
+        batch["rare_ratio_e4"] = nr * _E4 // np.maximum(nw, 1)
+        return batch
+
+    return summed.map_batches(finish, batch_format="pandas",
+                              batch_size=None)
+
+
+def unigram_logprob(docs: "ray.data.Dataset", text_col: str = "text",
+                    id_col: str = "doc_id",
+                    num_buckets: int = 1024,
+                    broadcast_vocab: int = 2_000_000) -> "ray.data.Dataset":
+    """Per-document average unigram log-likelihood under the corpus's own
+    unigram LM: ``avg_logprob = (Σ cnt_w·log2 c_w − n_words·log2 N) /
+    n_words`` — the classic perplexity-style quality score (docs far from
+    the corpus distribution score low).
+
+    FLOAT by design (log2), so the driver gate is rows-only; exactness is
+    pinned by a pure-pandas parity pytest, and the integer-exact twin that
+    IS hash-gated is :func:`rare_word_stats` (same pass structure).  Every
+    word has corpus count ≥ 1 (the doc itself), so no smoothing term is
+    needed."""
+    from zeeklog_ray.relational import (
+        broadcast_merge,
+        bucketed_equi_join,
+        grouped_sum_bucketed,
+    )
+
+    long = doc_word_long(docs, text_col=text_col, id_col=id_col) \
+        .materialize()
+    wc = grouped_sum_bucketed(long.select_columns(["word", "cnt"]),
+                              ["word"], sums={"cnt": "c"},
+                              num_buckets=num_buckets).materialize()
+    n_total = int(wc.sum("c"))
+    if wc.count() <= broadcast_vocab:
+        joined = broadcast_merge(long, wc.to_pandas(), on="word")
+    else:
+        joined = bucketed_equi_join(long, wc, on="word",
+                                    num_buckets=num_buckets)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy(),
+            "n_words": np.int64(0),
+            "sum_log2c": batch["cnt"].to_numpy()
+            * np.log2(batch["c"].to_numpy().astype(np.float64)),
+        })
+
+    def spine(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy(),
+            "n_words": batch[text_col].str.count(r"[^ ]+").astype("int64"),
+            "sum_log2c": np.float64(0.0),
+        })
+
+    both = docs.map_batches(spine, batch_format="pandas", batch_size=None) \
+        .union(joined.map_batches(partial, batch_format="pandas",
+                                  batch_size=None))
+    summed = grouped_sum_bucketed(both, [id_col],
+                                  sums={"n_words": "n_words",
+                                        "sum_log2c": "sum_log2c"},
+                                  num_buckets=num_buckets)
+    log2n = np.log2(np.float64(n_total)) if n_total else np.float64(0.0)
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        nw = batch["n_words"].to_numpy().astype(np.float64)
+        s = batch["sum_log2c"].to_numpy()
+        batch["avg_logprob"] = np.where(
+            nw > 0, (s - nw * log2n) / np.maximum(nw, 1.0), 0.0)
+        return batch[[id_col, "n_words", "avg_logprob"]]
+
+    return summed.map_batches(finish, batch_format="pandas",
+                              batch_size=None)

@@ -2108,6 +2108,42 @@ def docs_repetition(sf_dir: str) -> "ray.data.Dataset":
         read_table(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def docs_bigram_pmi(sf_dir: str) -> pd.DataFrame:
+    """Top-20 bigram collocations with exact linear PMI
+    (ops/text.bigram_pmi_topk): big-int c_xy·N·10^4 // (c_x·c_y), HUGEINT
+    oracle, ties broken by (count desc, w1, w2)."""
+    from zeeklog_ray.ops.text import bigram_pmi_topk
+
+    return bigram_pmi_topk(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+        k=20, min_count=5, num_buckets=32)
+
+
+def docs_rare_word_ratio(sf_dir: str) -> "ray.data.Dataset":
+    """Per-doc rare-word position ratio against the corpus unigram table
+    (ops/text.rare_word_stats) — the integer-exact core of
+    perplexity-style filtering; tiered vocab attach, text never
+    shuffles."""
+    from zeeklog_ray.ops.text import rare_word_stats
+
+    return rare_word_stats(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+        min_corpus_count=5, num_buckets=32)
+
+
+def docs_unigram_logprob(sf_dir: str) -> "ray.data.Dataset":
+    """Per-doc average unigram log-likelihood under the corpus's own LM
+    (ops/text.unigram_logprob).  Rows-only for the driver: log2 is float,
+    so a hash gate would compare libm ulps; the exactness evidence is the
+    pure-pandas parity pytest (tests/test_ops_text.py) and the hash-gated
+    integer twin docs_rare_word_ratio (same pass structure)."""
+    from zeeklog_ray.ops.text import unigram_logprob
+
+    return unigram_logprob(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+        num_buckets=32)
+
+
 def docs_source_tv(sf_dir: str) -> pd.DataFrame:
     """Pairwise total-variation distance (ppm) between the per-source
     word distributions over the global top-50 vocabulary — the
@@ -3160,6 +3196,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "docs_dup_rate_by_source": docs_dup_rate_by_source,
     "docs_dup_windows": docs_dup_windows,
     "docs_repetition": docs_repetition,
+    "docs_bigram_pmi": docs_bigram_pmi,
+    "docs_rare_word_ratio": docs_rare_word_ratio,
+    "docs_unigram_logprob": docs_unigram_logprob,
     "users_click_and_purchase": users_click_and_purchase,
     "users_big_view_no_big_purchase": users_big_view_no_big_purchase,
     "event_type_counts_cm": event_type_counts_cm,
@@ -3580,6 +3619,37 @@ ORACLE_SQL: dict[str, str] = {
         "CAST(COUNT(*) AS BIGINT) AS n_distinct, "
         "CAST((SUM(n) - COUNT(*)) * 1000000 // SUM(n) AS BIGINT) "
         "AS dup_rate_ppm FROM g GROUP BY source"),
+    # exact linear PMI in HUGEINT; ties at the k boundary break by
+    # (count desc, w1, w2) on both sides
+    "docs_bigram_pmi": (
+        "WITH w AS (SELECT LIST_FILTER(STRING_SPLIT(text, ' '), "
+        "x -> x <> '') AS words FROM documents), "
+        "u AS (SELECT unnest(words) AS word FROM w), "
+        "wc AS (SELECT word, COUNT(*) AS c FROM u GROUP BY 1), "
+        "n AS (SELECT SUM(c)::HUGEINT AS n FROM wc), "
+        "b AS (SELECT words[i] AS w1, words[i+1] AS w2 FROM w, "
+        "UNNEST(range(1, len(words))) AS t(i)), "
+        "bc AS (SELECT w1, w2, COUNT(*) AS cxy FROM b GROUP BY 1, 2), "
+        "top AS (SELECT * FROM bc WHERE cxy >= 5 "
+        "ORDER BY cxy DESC, w1, w2 LIMIT 20) "
+        "SELECT top.w1, top.w2, CAST(top.cxy AS BIGINT) AS pair_count, "
+        "CAST(top.cxy::HUGEINT * n.n * 10000 // "
+        "(a.c::HUGEINT * b2.c::HUGEINT) AS BIGINT) AS pmi_e4 "
+        "FROM top CROSS JOIN n "
+        "JOIN wc a ON a.word = top.w1 JOIN wc b2 ON b2.word = top.w2"),
+    # rare = corpus unigram count < 5, counted per word POSITION
+    "docs_rare_word_ratio": (
+        "WITH w AS (SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), "
+        "x -> x <> '') AS words FROM documents), "
+        "u AS (SELECT doc_id, unnest(words) AS word FROM w), "
+        "wc AS (SELECT word, COUNT(*) AS c FROM u GROUP BY 1), "
+        "r AS (SELECT u.doc_id, COUNT(*) AS n_rare FROM u "
+        "JOIN wc USING (word) WHERE wc.c < 5 GROUP BY 1) "
+        "SELECT w.doc_id, CAST(len(words) AS BIGINT) AS n_words, "
+        "CAST(COALESCE(r.n_rare, 0) AS BIGINT) AS n_rare, "
+        "CAST(COALESCE(r.n_rare, 0) * 10000 // GREATEST(len(words), 1) "
+        "AS BIGINT) AS rare_ratio_e4 "
+        "FROM w LEFT JOIN r USING (doc_id)"),
     # Gopher repetition rules over the filtered ' '-split word list; all
     # ratios are integer-e4 with // (truncating) division
     "docs_repetition": (
