@@ -274,3 +274,32 @@ def test_split_assign_saturated_band_truncates_not_crashes(ray_session):
         assert (got["split"].to_numpy() == exp["split"].to_numpy()).all()
     # the saturating label absorbs everything; later labels are unreachable
     assert set(got["split"]) <= {"a", "b"}
+
+
+def test_stratified_sample_balance_and_determinism(ray_session):
+    from zeeklog_ray.ops.sample import stratified_sample
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(3000),
+        "lang": np.repeat(["en", "de", "fr"], [2000, 940, 60]),
+    })
+    a = stratified_sample(ray.data.from_pandas(df), "doc_id", "lang", 80) \
+        .to_pandas()
+    b = stratified_sample(ray.data.from_pandas(df).repartition(17),
+                          "doc_id", "lang", 80).to_pandas()
+    # partition-independent: identical kept set
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+    per = a.groupby("lang").size()
+    # binomial noise around the target for sampled groups
+    assert 40 <= per["en"] <= 120 and 40 <= per["de"] <= 120
+    # group below target keeps everything (threshold >= 2^64)
+    assert per["fr"] == 60
+
+
+def test_stratified_sample_rejects_float_keys(ray_session):
+    from zeeklog_ray.ops.sample import stratified_sample
+
+    df = pd.DataFrame({"doc_id": [1.5, 2.5], "lang": ["en", "en"]})
+    with pytest.raises(Exception):
+        stratified_sample(ray.data.from_pandas(df), "doc_id", "lang", 1) \
+            .to_pandas()

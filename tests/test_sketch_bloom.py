@@ -391,3 +391,37 @@ def test_grouped_approx_vs_exact_twin_on_events(ray_session):
     # exact is in cents; sketch in raw value — compare on the cents scale
     err = (m["value_a"] * 100 - m["value_e"]).abs()
     assert (err <= 0.03 * m["value_e"].abs() + 200).all(), m
+
+
+def test_grouped_heavy_hitters_exact_small(ray_session):
+    from zeeklog_ray.ops.sketch import grouped_heavy_hitters
+
+    df = pd.DataFrame({
+        "g": ["a"] * 10 + ["b"] * 6,
+        "v": [1, 1, 1, 2, 2, 3, 4, 5, 6, 7] + [9, 9, 8, 8, 7, 6],
+    })
+    out = grouped_heavy_hitters(ray.data.from_pandas(df), "g", "v", k=2,
+                                capacity=64)
+    got = [(r.g, r.v, r.n, r.rank) for r in out.itertuples()]
+    # ties break value-ascending: in b, 8 and 9 both have 2 → 8 first
+    assert got == [("a", 1, 3, 1), ("a", 2, 2, 2),
+                   ("b", 8, 2, 1), ("b", 9, 2, 2)]
+
+
+def test_grouped_heavy_hitters_lossy_regime_planted_skew(ray_session):
+    """capacity ≪ distinct values per group: the MG guarantee still
+    surfaces the planted heavy keys with exact counts."""
+    from zeeklog_ray.ops.sketch import grouped_heavy_hitters
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for g in ["x", "y"]:
+        rows += [(g, int(v)) for v in rng.integers(1000, 9000, size=20_000)]
+        rows += [(g, 1)] * 3000 + [(g, 2)] * 2000   # planted heavies
+    df = pd.DataFrame(rows, columns=["g", "v"])
+    out = grouped_heavy_hitters(
+        ray.data.from_pandas(df).repartition(8), "g", "v", k=2, capacity=64)
+    for g in ["x", "y"]:
+        sub = out[out["g"] == g].sort_values("rank")
+        assert sub["v"].tolist() == [1, 2]
+        assert sub["n"].tolist() == [3000, 2000]   # recount is exact

@@ -471,3 +471,68 @@ def split_assign_sql(table_sql: str, key_col: str, select_cols: str,
         f"_m1 AS (SELECT *, {steps[1]} AS z1 FROM _m0), "
         f"_m2 AS (SELECT *, {steps[2]} AS z2 FROM _m1) "
         f"SELECT {select_cols}, {case} AS {out} FROM _m2")
+
+
+# Salt for the stratified-sample draw — decorrelated from hash_sample's
+# unsalted mix, the epoch/shuffle/split/cap salts, so stratifying the same
+# id column is an independent decision.
+STRATA_SALT = 0x9E3779B97F4A7C15
+
+
+def stratified_sample(ds: "ray.data.Dataset", key_col: str, by: str,
+                      target_per_group: int) -> "ray.data.Dataset":
+    """Balanced stratified sample: keep ~``target_per_group`` rows per
+    value of ``by``, deterministically, by deriving each stratum's
+    keep-rate from its actual size (two passes: count → row-local hash
+    filter).  The threshold is the EXACT integer
+    ``target · 2^64 // n_group`` (no float rate), so the HUGEINT SQL
+    replay matches bit-for-bit; groups at or under target keep
+    everything.
+
+    Scale shape: pass 1 is a report-shaped grouped count (strata are
+    bounded: languages, sources, buckets — for entity-shaped strata use
+    cap_per_key instead, which needs no global counts); pass 2 is a
+    row-local shuffle-free filter, the hash_sample property.  Expected
+    kept per group is target ± binomial noise; for an EXACTLY-target
+    sample use cap_per_key (rank-based) at the cost of a shuffle.
+    """
+    from zeeklog_ray.relational import grouped_sum
+
+    counts = grouped_sum(ds.select_columns([by]), [by],
+                         count_as="n").to_pandas()
+    thr_map = {g: (int(target_per_group) << 64) // int(n)
+               for g, n in zip(counts[by], counts["n"])}
+    salt = np.uint64(STRATA_SALT)
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return batch
+        keys = batch[key_col].to_numpy()
+        if not np.issubdtype(keys.dtype, np.integer):
+            raise TypeError(f"{key_col} must be integer, got {keys.dtype}")
+        h = _mix64(keys.astype(np.uint64, copy=False) + salt)
+        codes, uniq = pd.factorize(batch[by], use_na_sentinel=False)
+        u_thr = [thr_map.get(g, 0) for g in uniq]
+        full = np.array([t >= _M64 for t in u_thr], dtype=bool)[codes]
+        thr_exact = np.array([min(t, _M64 - 1) for t in u_thr],
+                             dtype=np.uint64)[codes]
+        return batch[(h < thr_exact) | full]
+
+    return ds.map_batches(keep, batch_format="pandas", batch_size=None)
+
+
+def stratified_sample_sql(table_sql: str, key_col: str, select_cols: str,
+                          by: str, target_per_group: int) -> str:
+    """Oracle SQL equivalent of :func:`stratified_sample` — the group
+    counts and the exact integer threshold recomputed in HUGEINT."""
+    steps, final = mix64_sql(key_col, salt=STRATA_SALT)
+    return (
+        f"WITH _c AS (SELECT {by}, COUNT(*) AS n FROM {table_sql} "
+        f"GROUP BY 1), "
+        f"_m0 AS (SELECT t.*, _c.n AS _n, {steps[0]} AS z0 "
+        f"FROM {table_sql} t JOIN _c USING ({by})), "
+        f"_m1 AS (SELECT *, {steps[1]} AS z1 FROM _m0), "
+        f"_m2 AS (SELECT *, {steps[2]} AS z2 FROM _m1) "
+        f"SELECT {select_cols} FROM _m2 WHERE {final} < "
+        f"({target_per_group}::HUGEINT * 18446744073709551616::HUGEINT) "
+        f"// _n::HUGEINT")

@@ -650,3 +650,66 @@ def grouped_approx_quantiles(ds: "ray.data.Dataset", key: str, col: str,
         for q, e in zip(qs, est):
             rows.append({key: kk, "q": float(q), "value": float(e)})
     return pd.DataFrame(rows)
+
+
+def grouped_heavy_hitters(ds: "ray.data.Dataset", group_col: str, col: str,
+                          k: int = 5, capacity: int = 4096) -> pd.DataFrame:
+    """Per-GROUP top-k most frequent values — :func:`heavy_hitters` run
+    once per group in a single pair of passes (one summary pass, one
+    recount pass), not once per group.
+
+    Per batch, each group's (value, count) table is truncated
+    Misra-Gries-style to ≤ ``capacity`` rows (decrement by the
+    (capacity+1)-th count), all vectorized through ONE pandas groupby —
+    so the exchange is bounded at |batches| × |groups-in-batch| ×
+    capacity rows.  Candidates merge on the driver (report-shaped group
+    cardinality: event types, languages, sinks — for entity-shaped
+    groups use ranks_per_key over pre-aggregated counts instead), then
+    one exact recount pass scores only candidate (group, value) pairs.
+    Counts returned are EXACT; the top-k is exact whenever the k-th true
+    count in a group exceeds n_group/capacity.  Ties break (count DESC,
+    value ASC) — deterministic on both sides of the oracle.
+    """
+
+    def mg(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch.groupby([group_col, col], sort=False).size() \
+            .rename("c").reset_index()
+        vc = vc.sort_values([group_col, "c", col],
+                            ascending=[True, False, True], kind="mergesort")
+        g = vc.groupby(group_col, sort=False)
+        pos = g.cumcount()
+        # (capacity+1)-th count per group (0 when the group fits)
+        sub = vc["c"].where(pos == capacity, 0).groupby(
+            vc[group_col], sort=False).transform("max")
+        vc["c"] = vc["c"] - sub
+        return vc[(pos < capacity) & (vc["c"] > 0)]
+
+    parts = ds.select_columns([group_col, col]).map_batches(
+        mg, batch_format="pandas", batch_size=None).to_pandas()
+    merged = parts.groupby([group_col, col], sort=False)["c"].sum() \
+        .reset_index() \
+        .sort_values([group_col, "c", col], ascending=[True, False, True])
+    cand = merged.groupby(group_col, sort=False).head(capacity)
+    cand_set = set(zip(cand[group_col], cand[col]))
+
+    import ray as _ray
+
+    ref = _ray.put(cand_set)
+
+    def recount(batch: pd.DataFrame) -> pd.DataFrame:
+        ks = _ray.get(ref)
+        ix = pd.MultiIndex.from_arrays([batch[group_col], batch[col]])
+        sel = batch[ix.isin(ks)]
+        vc = sel.groupby([group_col, col], sort=False).size().rename("n")
+        return vc.reset_index()
+
+    counts = ds.select_columns([group_col, col]).map_batches(
+        recount, batch_format="pandas", batch_size=None).to_pandas()
+    out = counts.groupby([group_col, col], sort=False)["n"].sum() \
+        .reset_index()
+    out["n"] = out["n"].astype("int64")
+    out = out.sort_values([group_col, "n", col],
+                          ascending=[True, False, True], kind="mergesort")
+    out["rank"] = (out.groupby(group_col, sort=False).cumcount() + 1) \
+        .astype("int64")
+    return out[out["rank"] <= k].reset_index(drop=True)

@@ -2144,6 +2144,29 @@ def docs_unigram_logprob(sf_dir: str) -> "ray.data.Dataset":
         num_buckets=32)
 
 
+def docs_stratified_sample(sf_dir: str) -> "ray.data.Dataset":
+    """Balanced per-language sample (~40 docs/lang) with keep-rates derived
+    from the actual group sizes (ops/sample.stratified_sample): one
+    report-shaped count pass, then a row-local exact-integer-threshold
+    hash filter — deterministic on any partitioning."""
+    from zeeklog_ray.ops.sample import stratified_sample
+
+    return stratified_sample(
+        read_table(sf_dir, "documents", columns=["doc_id", "lang", "source"]),
+        key_col="doc_id", by="lang", target_per_group=40)
+
+
+def event_type_heavy_users(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type top-5 users by event count via the grouped two-pass
+    Misra-Gries pattern (ops/sketch.grouped_heavy_hitters): bounded
+    per-batch summaries, driver candidate merge, exact recount."""
+    from zeeklog_ray.ops.sketch import grouped_heavy_hitters
+
+    return grouped_heavy_hitters(
+        read_table(sf_dir, "events", columns=["event_type", "user_id"]),
+        "event_type", "user_id", k=5, capacity=8192)
+
+
 def docs_source_tv(sf_dir: str) -> pd.DataFrame:
     """Pairwise total-variation distance (ppm) between the per-source
     word distributions over the global top-50 vocabulary — the
@@ -3197,6 +3220,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "docs_dup_windows": docs_dup_windows,
     "docs_repetition": docs_repetition,
     "docs_bigram_pmi": docs_bigram_pmi,
+    "docs_stratified_sample": docs_stratified_sample,
+    "event_type_heavy_users": event_type_heavy_users,
     "docs_rare_word_ratio": docs_rare_word_ratio,
     "docs_unigram_logprob": docs_unigram_logprob,
     "users_click_and_purchase": users_click_and_purchase,
@@ -3619,6 +3644,19 @@ ORACLE_SQL: dict[str, str] = {
         "CAST(COUNT(*) AS BIGINT) AS n_distinct, "
         "CAST((SUM(n) - COUNT(*)) * 1000000 // SUM(n) AS BIGINT) "
         "AS dup_rate_ppm FROM g GROUP BY source"),
+    # balanced stratified sample: exact integer threshold target·2^64//n_g
+    # recomputed in HUGEINT over the same splitmix64 draw
+    "docs_stratified_sample": _sample_sql.stratified_sample_sql(
+        "documents", "doc_id", "doc_id, lang, source",
+        by="lang", target_per_group=40),
+    # per-type top-5 users; Ray recounts MG candidates exactly, so plain
+    # windowed SQL is the oracle; ties (count DESC, user ASC)
+    "event_type_heavy_users": (
+        "SELECT event_type, user_id, n, rank FROM ("
+        "SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY event_type "
+        "ORDER BY COUNT(*) DESC, user_id) AS BIGINT) AS rank "
+        "FROM events GROUP BY event_type, user_id) WHERE rank <= 5"),
     # exact linear PMI in HUGEINT; ties at the k boundary break by
     # (count desc, w1, w2) on both sides
     "docs_bigram_pmi": (
