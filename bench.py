@@ -435,6 +435,59 @@ def _run_scale_ops(timings: dict, minmax: dict, extras: dict) -> None:
 
     timed2("scale_zonemap_scan_5m", zm_scan)
 
+    # round-4 continuation ops over the same cached corpora: substring-
+    # level dup spans (~n_words window rows per doc through ONE
+    # gram-bucketed shuffle), row-local Gopher repetition, corpus-
+    # frequency scoring (two word-keyed exchanges + doc-shaped finish),
+    # PMI collocations, and the per-group MG heavy hitters / two-pass
+    # stratified sample at 5M events
+    from zeeklog_ray.ops.dedup import duplicated_window_stats
+    from zeeklog_ray.ops.sample import stratified_sample
+    from zeeklog_ray.ops.sketch import grouped_heavy_hitters
+    from zeeklog_ray.ops.text import (
+        bigram_pmi_topk,
+        rare_word_stats,
+        repetition_stats,
+    )
+
+    def dup_windows():
+        out = duplicated_window_stats(ray.data.read_parquet(dc),
+                                      num_buckets=256)
+        assert out.count() == SCALE_DOC_ROWS
+
+    timed2(f"scale_dup_windows_{dtag}", dup_windows)
+    timed2(f"scale_repetition_{dtag}",
+           lambda: repetition_stats(ray.data.read_parquet(dc)).count())
+    timed2(f"scale_rare_words_{dtag}",
+           lambda: rare_word_stats(ray.data.read_parquet(dc),
+                                   num_buckets=256).count())
+
+    def pmi():
+        out = bigram_pmi_topk(ray.data.read_parquet(dc), k=20,
+                              min_count=5, num_buckets=256)
+        assert len(out) == 20
+
+    timed2(f"scale_bigram_pmi_{dtag}", pmi)
+
+    def add_etype(b):
+        b["etype"] = "t" + (b["user_id"] % 7).astype(str)
+        return b
+
+    evg = ray.data.read_parquet(ev).map_batches(
+        add_etype, batch_format="pandas", batch_size=None)
+    timed2(f"scale_grouped_heavy_hitters_{mtag}",
+           lambda: grouped_heavy_hitters(evg, "etype", "user_id", k=10,
+                                         capacity=4096))
+
+    def strat():
+        n = stratified_sample(evg, key_col="user_id", by="etype",
+                              target_per_group=100_000).count()
+        # 7 strata × ~100k kept each, binomial noise; the per-USER draw
+        # keeps all rows of a sampled user in its stratum
+        assert 400_000 < n < 1_200_000, n
+
+    timed2(f"scale_stratified_sample_{mtag}", strat)
+
 
 def _sf_tag(sf_dir: str) -> str:
     return os.path.basename(os.path.normpath(sf_dir)).removeprefix("sf")

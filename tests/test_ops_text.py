@@ -422,3 +422,23 @@ def test_unigram_logprob_matches_pandas(ray_session):
     np.testing.assert_allclose(got["avg_logprob"].to_numpy(),
                                exp.to_numpy(), atol=1e-9)
     assert (got["avg_logprob"].to_numpy()[:-1] < 0).all()
+
+
+def test_rare_word_stats_join_tier_parity(ray_session):
+    """broadcast_vocab=0 forces the long-table bucketed-join tier; both
+    tiers must agree exactly."""
+    from zeeklog_ray.ops.text import rare_word_stats
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(60)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(0, 25)))
+             for _ in range(80)]
+    df = pd.DataFrame({"doc_id": np.arange(80), "text": texts})
+    a = rare_word_stats(ray.data.from_pandas(df), min_corpus_count=10,
+                        num_buckets=4).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = rare_word_stats(ray.data.from_pandas(df).repartition(9),
+                        min_corpus_count=10, num_buckets=8,
+                        broadcast_vocab=0).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns.tolist()])

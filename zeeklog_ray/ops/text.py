@@ -862,36 +862,87 @@ def rare_word_stats(docs: "ray.data.Dataset", min_corpus_count: int = 5,
     language).  ``n_rare`` counts word POSITIONS whose corpus count is
     below ``min_corpus_count``.
 
-    Shape: row-local long extraction (:func:`doc_word_long`), entity-shaped
-    corpus counts, tiered attach (broadcast ≤ ``broadcast_vocab`` distinct
-    words, bucketed equi-join above — the tfidf_top_terms tier), doc-shaped
-    bucketed finish.  Text never shuffles."""
+    Tiered on the size of the RARE TAIL itself (not the whole vocab):
+
+    * tail ≤ ``broadcast_vocab`` distinct words — broadcast the rare SET
+      once and finish in ONE row-local pass (n_words and n_rare per doc
+      straight out of the explode; no long table, no join, no doc-shaped
+      shuffle — measured 42.8 s → ~8 s at 1M docs);
+    * huge tail (a raw web crawl where most of the vocabulary is
+      singletons) — the long-table path: row-local extraction
+      (:func:`doc_word_long`), bucketed equi-join against the rare subset,
+      doc-shaped bucketed finish (the tfidf_top_terms tier shape).
+
+    Both tiers are exact and text never shuffles."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray as _ray
+
     from zeeklog_ray.relational import (
-        broadcast_merge,
         bucketed_equi_join,
         grouped_sum_bucketed,
     )
 
-    long = doc_word_long(docs, text_col=text_col, id_col=id_col) \
-        .materialize()
-    wc = grouped_sum_bucketed(long.select_columns(["word", "cnt"]),
-                              ["word"], sums={"cnt": "c"},
-                              num_buckets=num_buckets).materialize()
-    if wc.count() <= broadcast_vocab:
-        joined = broadcast_merge(long, wc.to_pandas(), on="word")
-    else:
-        joined = bucketed_equi_join(long, wc, on="word",
-                                    num_buckets=num_buckets)
+    def uni_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        w = batch[text_col].str.split(" ").explode()
+        w = w[w != ""].dropna()
+        c = w.groupby(w.values, sort=False).size()
+        return pd.DataFrame({"word": c.index.to_numpy(),
+                             "cnt": c.to_numpy().astype("int64")})
+
+    wc = grouped_sum_bucketed(
+        docs.map_batches(uni_partial, batch_format="pandas",
+                         batch_size=None),
+        ["word"], sums={"cnt": "c"}, num_buckets=num_buckets).materialize()
+
+    def rare_only(t: "pa.Table") -> "pa.Table":
+        return t.filter(pc.less(t["c"], min_corpus_count))
+
+    rare_wc = wc.map_batches(rare_only, batch_format="pyarrow",
+                             batch_size=None)
+    n_rare_words = rare_wc.count()
+    if n_rare_words <= broadcast_vocab:
+        # an all-empty dataset's to_pandas() loses its columns (the Ray
+        # empty-block schema wart) — build the empty set explicitly
+        rare_ref = _ray.put(
+            frozenset(rare_wc.to_pandas()["word"]) if n_rare_words
+            else frozenset())
+
+        def stats(batch: pd.DataFrame) -> pd.DataFrame:
+            n = len(batch)
+            words = batch[text_col].reset_index(drop=True).str.split(" ")
+            ex = words.explode()
+            ex = ex[ex.notna() & (ex != "")]
+            n_words = np.zeros(n, dtype=np.int64)
+            n_rare = np.zeros(n, dtype=np.int64)
+            if len(ex):
+                rows = ex.index.to_numpy().astype(np.int64)
+                n_words = np.bincount(rows, minlength=n).astype(np.int64)
+                hit = ex.isin(_ray.get(rare_ref)).to_numpy()
+                n_rare = np.bincount(rows[hit], minlength=n) \
+                    .astype(np.int64)
+            return pd.DataFrame({
+                id_col: batch[id_col].to_numpy(),
+                "n_words": n_words,
+                "n_rare": n_rare,
+                "rare_ratio_e4": n_rare * _E4 // np.maximum(n_words, 1),
+            })
+
+        return docs.map_batches(stats, batch_format="pandas",
+                                batch_size=None)
+
+    long = doc_word_long(docs, text_col=text_col, id_col=id_col)
+    joined = bucketed_equi_join(long, rare_wc, on="word",
+                                num_buckets=num_buckets)
 
     def rare_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        rare = batch["c"].to_numpy() < min_corpus_count
-        out = pd.DataFrame({
+        # inner join against the rare subset: every surviving row is rare
+        return pd.DataFrame({
             id_col: batch[id_col].to_numpy(),
             "n_words": np.int64(0),
-            "n_rare": np.where(rare, batch["cnt"].to_numpy(), 0)
-            .astype("int64"),
+            "n_rare": batch["cnt"].to_numpy().astype("int64"),
         })
-        return out[out["n_rare"] > 0]
 
     def spine(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
