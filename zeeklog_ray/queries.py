@@ -2199,6 +2199,21 @@ def docs_bpe_merges(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def docs_bpe_tokenize(sf_dir: str) -> "ray.data.Dataset":
+    """END-TO-END tokenizer pass: train 16 BPE merges on the corpus, then
+    tokenize every document with them (ops/bpetrain.tokenize_with_merges
+    — row-local merge replay as CODE pairs, per-doc token counts).  NO
+    SQL oracle — the merge list comes from the iterative trainer; the
+    apply kernel is pytest-gated (monotone-in-merges, UNK handling,
+    novel-word generalization) and fully deterministic, so the rows-only
+    check pins a stable result."""
+    from zeeklog_ray.ops.bpetrain import tokenize_with_merges, train_bpe
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    fit = train_bpe(docs, n_merges=16)
+    return tokenize_with_merges(docs, fit)
+
+
 def event_value_winsorized(sf_dir: str) -> "ray.data.Dataset":
     """Outlier-robust per-type revenue: clamp value-cents at the exact
     global [p01, p99] (ops/sketch.exact_quantiles — distributed value
@@ -3215,6 +3230,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "docs_length_rank": docs_length_rank,
     "event_value_winsorized": event_value_winsorized,
     "docs_bpe_merges": docs_bpe_merges,
+    "docs_bpe_tokenize": docs_bpe_tokenize,
     "docs_source_tv": docs_source_tv,
     "docs_dup_rate_by_source": docs_dup_rate_by_source,
     "docs_dup_windows": docs_dup_windows,
