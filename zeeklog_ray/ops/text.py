@@ -785,53 +785,54 @@ def bigram_pmi_topk(docs: "ray.data.Dataset", k: int = 20,
     (log-PMI preserves the same ordering at fixed N but drags floats into
     the hash gate).
 
-    Shuffle shape: per-batch COMBINED partial counts for unigrams and
-    bigrams (row-local explode; only (word, c) / (w1, w2, c) partial rows
-    cross the wire), one entity-shaped bucketed sum each, a global top-k
-    on the bigram table, then the ≤ 2k needed unigram counts come back as
-    a tiny filtered pull.  The finish is k rows of Python big-int on the
+    Shuffle shape: ONE pass over the corpus emits unigram and bigram
+    partial counts into a single (w1, w2, c) table — unigrams ride with
+    ``w2 = ''`` (words are non-empty after the split filter, so the
+    sentinel can't collide) — so the corpus is read/exploded once and the
+    entity-shaped bucketed sum runs once.  A global top-k on the bigram
+    slice, then the ≤ 2k needed unigram counts come back as a tiny
+    filtered pull.  The finish is k rows of Python big-int on the
     driver."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     from zeeklog_ray.relational import grouped_sum_bucketed, top_k
 
-    def uni_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        w = batch[text_col].str.split(" ").explode()
-        w = w[w != ""].dropna()
-        c = w.groupby(w.values, sort=False).size()
-        return pd.DataFrame({"word": c.index.to_numpy(),
-                             "c": c.to_numpy().astype("int64")})
-
-    def bi_partial(batch: pd.DataFrame) -> pd.DataFrame:
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
         ex = batch[text_col].reset_index(drop=True).str.split(" ").explode()
         keep = ex.notna() & (ex != "")
         exv = ex[keep]
-        empty = pd.DataFrame({"w1": pd.Series([], dtype=object),
-                              "w2": pd.Series([], dtype=object),
-                              "c": pd.Series([], dtype="int64")})
-        if len(exv) < 2:
-            return empty
-        rows = exv.index.to_numpy().astype(np.int64)
+        if not len(exv):
+            return pd.DataFrame({"w1": pd.Series([], dtype=object),
+                                 "w2": pd.Series([], dtype=object),
+                                 "c": pd.Series([], dtype="int64")})
         wv = exv.to_numpy()
+        uc = pd.Series(wv).groupby(wv, sort=False).size()
+        uni = pd.DataFrame({"w1": uc.index.to_numpy(), "w2": "",
+                            "c": uc.to_numpy().astype("int64")})
+        rows = exv.index.to_numpy().astype(np.int64)
         same = rows[:-1] == rows[1:]
         if not same.any():
-            return empty
+            return uni
         d = pd.DataFrame({"w1": wv[:-1][same], "w2": wv[1:][same]})
-        c = d.groupby(["w1", "w2"], sort=False).size().rename("c")
-        return c.reset_index().astype({"c": "int64"})
+        bc = d.groupby(["w1", "w2"], sort=False).size().rename("c") \
+            .reset_index().astype({"c": "int64"})
+        return pd.concat([uni, bc], ignore_index=True)
 
-    uni = grouped_sum_bucketed(
-        docs.map_batches(uni_partial, batch_format="pandas",
-                         batch_size=None),
-        ["word"], sums={"c": "c"}, num_buckets=num_buckets)
-    bi = grouped_sum_bucketed(
-        docs.map_batches(bi_partial, batch_format="pandas", batch_size=None),
-        ["w1", "w2"], sums={"c": "c"}, num_buckets=num_buckets)
-    uni = uni.materialize()          # consumed twice: N and the k-word pull
+    counts = grouped_sum_bucketed(
+        docs.map_batches(partial, batch_format="pandas", batch_size=None),
+        ["w1", "w2"], sums={"c": "c"},
+        num_buckets=num_buckets).materialize()
+    uni = counts.map_batches(
+        lambda t: t.filter(pc.equal(t["w2"], "")),
+        batch_format="pyarrow", batch_size=None)
+    bi = counts.map_batches(
+        lambda t: t.filter(pc.not_equal(t["w2"], "")),
+        batch_format="pyarrow", batch_size=None)
     n_total = int(uni.sum("c"))
     top = top_k(bi.filter(expr=f"c >= {min_count}"),
                 by=["c", "w1", "w2"], descending=[True, False, False],
                 k=k).to_pandas()
-    import pyarrow as pa
-    import pyarrow.compute as pc
 
     need = pa.array(sorted(frozenset(top["w1"]) | frozenset(top["w2"])),
                     type=pa.string())
@@ -839,10 +840,12 @@ def bigram_pmi_topk(docs: "ray.data.Dataset", k: int = 20,
     def pull(t: "pa.Table") -> "pa.Table":
         # Arrow-native semi-filter: empty results stay typed (an empty
         # pandas object block trips Ray's block-size estimator)
-        return t.filter(pc.is_in(t["word"], value_set=need))
+        return t.filter(pc.and_(pc.is_in(t["w1"], value_set=need),
+                                pc.equal(t["w2"], "")))
 
-    wc = uni.map_batches(pull, batch_format="pyarrow",
-                         batch_size=None).to_pandas()
+    wc = counts.map_batches(pull, batch_format="pyarrow",
+                            batch_size=None).to_pandas() \
+        .rename(columns={"w1": "word"})
     lut = dict(zip(wc["word"], wc["c"].astype(int)))
     pmi = [int(cxy) * n_total * 10_000
            // (lut[w1] * lut[w2])
