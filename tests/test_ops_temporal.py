@@ -263,3 +263,26 @@ def test_lead_lag_tie_break_deterministic(ray_session):
         assert out.loc[0, "prev_ts"] is pd.NaT
         assert out.loc[0, "next_ts"] == t
         assert out.loc[1, "prev_ts"] == t
+
+
+def test_time_decayed_sum_closed_form(ray_session):
+    from zeeklog_ray.ops.streaming import time_decayed_sum
+
+    base = pd.Timestamp("2024-06-10 00:00:00")
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 2],
+        "ts": [base - pd.Timedelta(days=2), base - pd.Timedelta(days=1),
+               base, base, base + pd.Timedelta(hours=1)],
+        "value": [8.0, 4.0, 2.0, 10.0, 99.0],
+    })
+    out = time_decayed_sum(ray.data.from_pandas(df).repartition(3),
+                           key="user_id", ts="ts", value="value",
+                           half_life_s=86_400.0, t_ref=base,
+                           num_buckets=2).to_pandas() \
+        .set_index("user_id").sort_index()
+    # user 1: 8*2^-2 + 4*2^-1 + 2*2^0 = 6.0 (exact powers of two)
+    assert out.loc[1, "decayed_sum"] == 6.0
+    assert out.loc[1, "n_events"] == 3
+    # user 2: the future event (ts > t_ref) is excluded
+    assert out.loc[2, "decayed_sum"] == 10.0
+    assert out.loc[2, "n_events"] == 1

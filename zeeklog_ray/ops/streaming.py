@@ -303,3 +303,39 @@ def sliding_window_counts(ds: "ray.data.Dataset", key: str = "user_id",
     if not parts:
         return pd.DataFrame(columns=[key, ts, "w_count", "w_sum"])
     return pd.concat(parts, ignore_index=True)
+
+
+def time_decayed_sum(ds: "ray.data.Dataset", key: str, ts: str, value: str,
+                     half_life_s: float, t_ref: "pd.Timestamp | str",
+                     num_buckets: int = 1024) -> "ray.data.Dataset":
+    """Per-key exponentially time-decayed sum at a reference instant:
+    ``decayed = Σ value_i · 2^(−(t_ref − t_i)/half_life)`` — the
+    recency-weighted engagement/feature score.  Expressed as weight-at-map
+    + grouped sum (NOT a per-key recurrence), so it is one row-local pass
+    and one entity-shaped bucketed sum — the same wire shape as any
+    grouped aggregate, and no ordered scan per key exists to serialize.
+
+    FLOAT by design (2^x): driver gate is rows-only; determinism at fixed
+    block layout plus a closed-form parity pytest pin the kernel.  Events
+    after ``t_ref`` are excluded (their weight would exceed 1).
+    Output: (key, decayed_sum, n_events).
+    """
+    from zeeklog_ray.relational import grouped_sum_bucketed
+
+    t_ref = pd.Timestamp(t_ref)
+    hl_us = float(half_life_s) * 1e6
+
+    def weigh(batch: pd.DataFrame) -> pd.DataFrame:
+        age_us = (t_ref - batch[ts]).dt.total_seconds().to_numpy() * 1e6
+        keep = age_us >= 0
+        w = np.exp2(-age_us[keep] / hl_us)
+        return pd.DataFrame({
+            key: batch[key].to_numpy()[keep],
+            "decayed_sum": batch[value].to_numpy()[keep] * w,
+            "n_events": np.int64(1),
+        })
+
+    return grouped_sum_bucketed(
+        ds.map_batches(weigh, batch_format="pandas", batch_size=None),
+        [key], sums={"decayed_sum": "decayed_sum", "n_events": "n_events"},
+        num_buckets=num_buckets)

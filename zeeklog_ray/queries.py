@@ -2214,6 +2214,22 @@ def docs_bpe_tokenize(sf_dir: str) -> "ray.data.Dataset":
     return tokenize_with_merges(docs, fit)
 
 
+def user_value_decayed(sf_dir: str) -> "ray.data.Dataset":
+    """Per-user exponentially time-decayed value sum (1-day half-life,
+    referenced at the corpus max timestamp) —
+    ops/streaming.time_decayed_sum: weight-at-map + one entity-shaped
+    bucketed sum, no per-key recurrence.  Rows-only for the driver (2^x
+    is float); the kernel is pinned by a closed-form parity pytest and
+    the row count equals the exact-twin user_value_sums cardinality."""
+    from zeeklog_ray.ops.streaming import time_decayed_sum
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+    t_ref = ev.max("ts")
+    return time_decayed_sum(ev, key="user_id", ts="ts", value="value",
+                            half_life_s=86_400.0, t_ref=t_ref,
+                            num_buckets=32)
+
+
 def event_value_winsorized(sf_dir: str) -> "ray.data.Dataset":
     """Outlier-robust per-type revenue: clamp value-cents at the exact
     global [p01, p99] (ops/sketch.exact_quantiles — distributed value
@@ -3231,6 +3247,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "event_value_winsorized": event_value_winsorized,
     "docs_bpe_merges": docs_bpe_merges,
     "docs_bpe_tokenize": docs_bpe_tokenize,
+    "user_value_decayed": user_value_decayed,
     "docs_source_tv": docs_source_tv,
     "docs_dup_rate_by_source": docs_dup_rate_by_source,
     "docs_dup_windows": docs_dup_windows,
