@@ -82,3 +82,38 @@ def test_actor_pool_map_batches(ray_session):
                                "max_retries": 2, "backoff_s": 0.0},
         concurrency=1).to_pandas()
     assert (out["geo_country_code"] == _GEO[_HIT]["geo_country_code"]).all()
+
+
+def test_ip_to_int_and_range_lookup(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from zeeklog_ray.enrich import (
+        broadcast_range_lookup,
+        build_geo_ranges,
+        ip_to_int,
+    )
+
+    assert ip_to_int(pd.Series(["0.0.0.1", "1.0.0.0", "255.255.255.255"])) \
+        .tolist() == [1, 16_777_216, 4_294_967_295]
+
+    ranges = pd.DataFrame({
+        "lo": [100, 300], "hi": [199, 399],
+        "cc": ["AA", "BB"],
+    })
+    df = pd.DataFrame({"ip": ["0.0.0.150", "0.0.1.44", None, "0.0.0.250"]})
+    # 0.0.1.44 = 300 → BB boundary hit; 250 falls between ranges → miss
+    out = broadcast_range_lookup(ray.data.from_pandas(df), "ip", ranges,
+                                 ["cc"]).to_pandas()
+    assert out["cc"].tolist() == ["AA", "BB", None, None]
+
+    with pytest.raises(ValueError, match="overlap"):
+        broadcast_range_lookup(
+            ray.data.from_pandas(df), "ip",
+            pd.DataFrame({"lo": [0, 50], "hi": [60, 99], "cc": ["x", "y"]}),
+            ["cc"]).to_pandas()
+
+    r = build_geo_ranges()
+    assert (r["lo"].to_numpy()[1:] > r["hi"].to_numpy()[:-1]).all()
+    assert (r["hi"] - r["lo"] == 255).all()

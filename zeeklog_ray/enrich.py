@@ -197,3 +197,88 @@ class Enricher:
             sidx = sidx.combine_chunks()
         batch = batch.append_column("service_name", self._svc_vals.take(sidx))
         return batch
+
+
+# --------------------------------------------------------------------------
+# CIDR-range enrichment (the shape real IP2Location data actually has)
+# --------------------------------------------------------------------------
+
+
+def ip_to_int(ips: "pd.Series") -> "np.ndarray":
+    """Dotted-quad → int64 (a.b.c.d → a·2^24 + b·2^16 + c·2^8 + d),
+    vectorized via one split-expand.  Matches the SQL replay
+    ``split_part(ip,'.',k)::BIGINT`` arithmetic exactly."""
+    import numpy as np
+
+    parts = ips.str.split(".", expand=True).astype("int64")
+    return (parts[0].to_numpy() * 16_777_216 + parts[1].to_numpy() * 65_536
+            + parts[2].to_numpy() * 256 + parts[3].to_numpy())
+
+
+def build_geo_ranges() -> "pd.DataFrame":
+    """Deterministic /24-block range table derived from the exact-IP geo
+    dict: one (lo, hi, geo_country_code, geo_asn) row per distinct /24
+    containing a covered pool IP; when several covered IPs share a /24,
+    the numerically lowest one's attributes win (deterministic).  Sorted
+    by ``lo``, non-overlapping by construction (/24s are disjoint)."""
+    import pandas as pd
+
+    geo = build_geo_dict()
+    ips = pd.Series(sorted(geo))
+    nums = ip_to_int(ips)
+    rows: dict[int, tuple] = {}
+    for ip, num in sorted(zip(ips, nums), key=lambda t: t[1]):
+        lo = int(num) & ~0xFF
+        if lo not in rows:
+            rec = geo[ip]
+            rows[lo] = (lo, lo + 255, rec["geo_country_code"],
+                        rec["geo_asn"])
+    out = pd.DataFrame(sorted(rows.values()),
+                       columns=["lo", "hi", "geo_country_code", "geo_asn"])
+    return out.astype({"lo": "int64", "hi": "int64"})
+
+
+def broadcast_range_lookup(ds: "ray.data.Dataset", ip_col: str,
+                           ranges: "pd.DataFrame",
+                           attach: list[str]) -> "ray.data.Dataset":
+    """Left-outer RANGE lookup against a broadcast interval table: attach
+    ``attach`` columns of the (sorted, non-overlapping) ``ranges`` row
+    whose ``[lo, hi]`` contains the integer form of ``ip_col``; misses
+    get NULLs (the Enricher silent-miss contract).
+
+    The interval table rides ``ray.put`` ONCE and every batch resolves
+    containment with a single ``np.searchsorted`` against the ``lo``
+    bounds — row-local, zero shuffle, the correct shape for the
+    million-range tables real CIDR databases have (a shuffle join on
+    range membership has no equi-key at all).  Rows with null IPs miss.
+    """
+    import numpy as np
+    import pandas as pd
+
+    import ray as _ray
+
+    r = ranges.sort_values("lo").reset_index(drop=True)
+    if (r["lo"].to_numpy()[1:] <= r["hi"].to_numpy()[:-1]).any():
+        raise ValueError("broadcast_range_lookup: ranges overlap")
+    ref = _ray.put((r["lo"].to_numpy(), r["hi"].to_numpy(),
+                    {c: r[c].to_numpy() for c in attach}))
+
+    def look(batch: pd.DataFrame) -> pd.DataFrame:
+        los, his, cols = _ray.get(ref)
+        n = len(batch)
+        ok = np.zeros(n, dtype=bool)
+        idx = np.zeros(n, dtype=np.int64)
+        valid = batch[ip_col].notna().to_numpy()
+        if valid.any() and len(los):
+            nums = ip_to_int(batch.loc[valid, ip_col].astype(str))
+            i = np.searchsorted(los, nums, side="right") - 1
+            hit = (i >= 0) & (nums <= his[np.maximum(i, 0)])
+            ok[np.flatnonzero(valid)[hit]] = True
+            idx[np.flatnonzero(valid)[hit]] = i[hit]
+        for c in attach:
+            vals = cols[c][idx].astype(object)
+            vals[~ok] = None
+            batch[c] = vals
+        return batch
+
+    return ds.map_batches(look, batch_format="pandas", batch_size=None)

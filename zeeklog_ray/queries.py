@@ -275,6 +275,36 @@ def zeek_geo_summary(sf_dir: str) -> "ray.data.Dataset":
     return distinct_column(ds, "geo_country_code", by=["id_orig_h"])
 
 
+def zeek_geo_range_summary(sf_dir: str) -> "ray.data.Dataset":
+    """CIDR-RANGE geo enrichment — the shape real IP2Location data has
+    (interval tables, not exact-IP dicts): distinct conn-prefixed origin
+    IPs resolved against a broadcast /24 range table via one
+    ``np.searchsorted`` per batch (enrich.broadcast_range_lookup — a
+    range join has no equi-key, so broadcasting the sorted interval
+    table is the ONLY shuffle-free shape).  Inner summary (misses drop);
+    the oracle replays with a VALUES BETWEEN join on the same integer
+    arithmetic."""
+    from zeeklog_ray.enrich import broadcast_range_lookup, build_geo_ranges
+    from zeeklog_ray.relational import bucketed_distinct
+    from zeeklog_ray.sources import CONN_PREFIXED
+
+    corpus = corpus_for_sf_dir(sf_dir)
+    ds = build_dataset(PipelineConfig(corpus_dir=corpus))
+    conn = frozenset(CONN_PREFIXED)
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.loc[batch["sink"].isin(conn), ["id_orig_h"]]
+
+    dist = bucketed_distinct(
+        ds.map_batches(keep, batch_format="pandas", batch_size=None),
+        ["id_orig_h"], num_buckets=16)
+    hit = broadcast_range_lookup(dist, "id_orig_h", build_geo_ranges(),
+                                 ["geo_country_code", "geo_asn"])
+    return hit.map_batches(
+        lambda b: b[b["geo_country_code"].notna()],
+        batch_format="pandas", batch_size=None)
+
+
 def geo_ip_lookup(sf_dir: str) -> pd.DataFrame:
     """Direct-IP lookup — the reference's E3 entry point (main.rs:250-268):
     given only IPs (no dates, no base dir), skip log scanning and query the
@@ -3142,6 +3172,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "zeek_golden_ip_filter": zeek_golden_ip_filter,
     "zeek_plan_matrix": zeek_plan_matrix,
     "zeek_geo_summary": zeek_geo_summary,
+    "zeek_geo_range_summary": zeek_geo_range_summary,
     "geo_ip_lookup": geo_ip_lookup,
     "zeek_hourly_sink_counts": zeek_hourly_sink_counts,
     "zeek_token_vocab": zeek_token_vocab,
@@ -3361,6 +3392,15 @@ def _zeek_oracle_sql(sf_dir: str) -> dict[str, str]:
     geo = build_geo_dict()
     geo_values = ", ".join(
         f"('{k}', '{v['geo_country_code']}')" for k, v in sorted(geo.items()))
+    from zeeklog_ray.enrich import build_geo_ranges
+
+    range_values = ", ".join(
+        f"({r.lo}, {r.hi}, '{r.geo_country_code}', '{r.geo_asn}')"
+        for r in build_geo_ranges().itertuples())
+    ipnum_sql = ("(split_part(p[3], '.', 1)::BIGINT * 16777216 + "
+                 "split_part(p[3], '.', 2)::BIGINT * 65536 + "
+                 "split_part(p[3], '.', 3)::BIGINT * 256 + "
+                 "split_part(p[3], '.', 4)::BIGINT)")
 
     # TSV-ingest oracle: re-read the same .log.gz files with read_csv —
     # skip the 8 header lines, null-pad the #close footer, drop '#' rows
@@ -3466,6 +3506,14 @@ def _zeek_oracle_sql(sf_dir: str) -> dict[str, str]:
         "zeek_geo_summary": (
             z + "SELECT DISTINCT p[3] AS id_orig_h, g.cc AS geo_country_code "
             f"FROM z JOIN (VALUES {geo_values}) AS g(ip, cc) ON p[3] = g.ip "
+            f"WHERE src IN {connp}"),
+        # the CIDR-range variant: BETWEEN join on the same dotted-quad →
+        # BIGINT arithmetic the Ray side vectorizes (enrich.ip_to_int)
+        "zeek_geo_range_summary": (
+            z + "SELECT DISTINCT p[3] AS id_orig_h, "
+            "r.cc AS geo_country_code, r.asn AS geo_asn "
+            f"FROM z JOIN (VALUES {range_values}) AS r(lo, hi, cc, asn) "
+            f"ON {ipnum_sql} BETWEEN r.lo AND r.hi "
             f"WHERE src IN {connp}"),
         "zeek_multiday_first_wins": (
             z + "SELECT MIN(date) AS date, id_orig_h FROM "
