@@ -41,7 +41,8 @@ def value_hash(df: pd.DataFrame) -> str:
     return h.hexdigest()[:16]
 
 
-def main(sf_dir: str, num_cpus: int = 8, md_path: str | None = None) -> int:
+def main(sf_dir: str, num_cpus: int = 8, md_path: str | None = None,
+         only: list[str] | None = None) -> int:
     import ray
 
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
@@ -58,6 +59,11 @@ def main(sf_dir: str, num_cpus: int = 8, md_path: str | None = None) -> int:
     import __ray_entry__ as entrymod
 
     qs = entrymod.queries()
+    if only:
+        missing = [n for n in only if n not in qs]
+        if missing:
+            raise SystemExit(f"--only names not in registry: {missing}")
+        qs = {n: qs[n] for n in only}
     # build the oracles for THIS sf dir directly (the driver runs at
     # sf0.01; locally we check other scales too) — calling
     # entrymod.oracle_sql() here would generate the sf0.01 corpus/TSV/
@@ -129,5 +135,9 @@ if __name__ == "__main__":
     ap.add_argument("--cpus", type=int, default=8)
     ap.add_argument("--md", default=None,
                     help="append a certification markdown section here")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated query names (incremental re-check)")
     a = ap.parse_args()
-    sys.exit(1 if main(a.sf_dir, num_cpus=a.cpus, md_path=a.md) else 0)
+    only = a.only.split(",") if a.only else None
+    sys.exit(1 if main(a.sf_dir, num_cpus=a.cpus, md_path=a.md, only=only)
+             else 0)
