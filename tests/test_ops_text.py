@@ -442,3 +442,26 @@ def test_rare_word_stats_join_tier_parity(ray_session):
                         broadcast_vocab=0).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b[a.columns.tolist()])
+
+
+def test_corpus_stat_spill_dir_parity(ray_session, tmp_path):
+    """spill_dir= swaps the object-store pin for Parquet write+re-read
+    (spill.pin_or_spill); results must be identical."""
+    from zeeklog_ray.ops.text import bigram_pmi_topk, rare_word_stats
+
+    rng = np.random.default_rng(13)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(2, 20)))
+             for _ in range(60)]
+    df = pd.DataFrame({"doc_id": np.arange(60), "text": texts})
+    ds = ray.data.from_pandas(df)
+    a = bigram_pmi_topk(ds, k=5, min_count=2, num_buckets=4)
+    b = bigram_pmi_topk(ds, k=5, min_count=2, num_buckets=4,
+                        spill_dir=str(tmp_path / "pmi"))
+    pd.testing.assert_frame_equal(a, b)
+    ra = rare_word_stats(ds, min_corpus_count=8, num_buckets=4) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    rb = rare_word_stats(ds, min_corpus_count=8, num_buckets=4,
+                         spill_dir=str(tmp_path / "rare")).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(ra, rb[ra.columns.tolist()])

@@ -777,7 +777,8 @@ def doc_word_long(docs: "ray.data.Dataset", text_col: str = "text",
 
 def bigram_pmi_topk(docs: "ray.data.Dataset", k: int = 20,
                     min_count: int = 5, text_col: str = "text",
-                    num_buckets: int = 1024) -> pd.DataFrame:
+                    num_buckets: int = 1024,
+                    spill_dir: str | None = None) -> pd.DataFrame:
     """Top-``k`` word-bigram collocations by count with EXACT pointwise
     mutual information: ``pmi_e4 = c_xy · N · 10^4 // (c_x · c_y)`` where
     ``N`` is total word occurrences — the linear (un-logged) PMI ratio in
@@ -819,10 +820,16 @@ def bigram_pmi_topk(docs: "ray.data.Dataset", k: int = 20,
             .reset_index().astype({"c": "int64"})
         return pd.concat([uni, bc], ignore_index=True)
 
-    counts = grouped_sum_bucketed(
+    from zeeklog_ray.spill import pin_or_spill
+
+    # thrice-consumed intermediate (N, top-k, unigram pull); the pin is
+    # entity-shaped (unigram+bigram vocabulary) — at web scale pass
+    # spill_dir= and it streams through Parquet instead of the object
+    # store (spill.pin_or_spill)
+    counts = pin_or_spill(grouped_sum_bucketed(
         docs.map_batches(partial, batch_format="pandas", batch_size=None),
         ["w1", "w2"], sums={"c": "c"},
-        num_buckets=num_buckets).materialize()
+        num_buckets=num_buckets), spill_dir, "pmi_counts")
     uni = counts.map_batches(
         lambda t: t.filter(pc.equal(t["w2"], "")),
         batch_format="pyarrow", batch_size=None)
@@ -858,7 +865,8 @@ def bigram_pmi_topk(docs: "ray.data.Dataset", k: int = 20,
 def rare_word_stats(docs: "ray.data.Dataset", min_corpus_count: int = 5,
                     text_col: str = "text", id_col: str = "doc_id",
                     num_buckets: int = 1024,
-                    broadcast_vocab: int = 2_000_000) -> "ray.data.Dataset":
+                    broadcast_vocab: int = 2_000_000,
+                    spill_dir: str | None = None) -> "ray.data.Dataset":
     """Per-document rare-word ratio against the CORPUS unigram table — the
     integer-exact core of perplexity-style quality filtering (a doc made
     of words the corpus has barely seen is noise, OCR garbage, or another
@@ -894,10 +902,15 @@ def rare_word_stats(docs: "ray.data.Dataset", min_corpus_count: int = 5,
         return pd.DataFrame({"word": c.index.to_numpy(),
                              "cnt": c.to_numpy().astype("int64")})
 
-    wc = grouped_sum_bucketed(
+    from zeeklog_ray.spill import pin_or_spill
+
+    # twice-consumed vocab table (tail count + tail pull/join); at a
+    # raw-crawl vocabulary pass spill_dir= (spill.pin_or_spill)
+    wc = pin_or_spill(grouped_sum_bucketed(
         docs.map_batches(uni_partial, batch_format="pandas",
                          batch_size=None),
-        ["word"], sums={"cnt": "c"}, num_buckets=num_buckets).materialize()
+        ["word"], sums={"cnt": "c"}, num_buckets=num_buckets),
+        spill_dir, "rare_wc")
 
     def rare_only(t: "pa.Table") -> "pa.Table":
         return t.filter(pc.less(t["c"], min_corpus_count))
@@ -975,7 +988,8 @@ def rare_word_stats(docs: "ray.data.Dataset", min_corpus_count: int = 5,
 def unigram_logprob(docs: "ray.data.Dataset", text_col: str = "text",
                     id_col: str = "doc_id",
                     num_buckets: int = 1024,
-                    broadcast_vocab: int = 2_000_000) -> "ray.data.Dataset":
+                    broadcast_vocab: int = 2_000_000,
+                    spill_dir: str | None = None) -> "ray.data.Dataset":
     """Per-document average unigram log-likelihood under the corpus's own
     unigram LM: ``avg_logprob = (Σ cnt_w·log2 c_w − n_words·log2 N) /
     n_words`` — the classic perplexity-style quality score (docs far from
@@ -991,12 +1005,15 @@ def unigram_logprob(docs: "ray.data.Dataset", text_col: str = "text",
         bucketed_equi_join,
         grouped_sum_bucketed,
     )
+    from zeeklog_ray.spill import pin_or_spill
 
-    long = doc_word_long(docs, text_col=text_col, id_col=id_col) \
-        .materialize()
-    wc = grouped_sum_bucketed(long.select_columns(["word", "cnt"]),
-                              ["word"], sums={"cnt": "c"},
-                              num_buckets=num_buckets).materialize()
+    # long = O(doc·distinct-word) rows, wc = vocab-shaped — both consumed
+    # twice; pass spill_dir= at corpus scale (spill.pin_or_spill)
+    long = pin_or_spill(doc_word_long(docs, text_col=text_col,
+                                      id_col=id_col), spill_dir, "lm_long")
+    wc = pin_or_spill(grouped_sum_bucketed(
+        long.select_columns(["word", "cnt"]), ["word"],
+        sums={"cnt": "c"}, num_buckets=num_buckets), spill_dir, "lm_wc")
     n_total = int(wc.sum("c"))
     if wc.count() <= broadcast_vocab:
         joined = broadcast_merge(long, wc.to_pandas(), on="word")
