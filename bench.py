@@ -456,6 +456,14 @@ def _run_scale_ops(timings: dict, minmax: dict, extras: dict) -> None:
         assert out.count() == SCALE_DOC_ROWS
 
     timed2(f"scale_dup_windows_{dtag}", dup_windows)
+
+    from zeeklog_ray.ops.dedup import remove_dup_spans
+
+    def dup_span_clean():
+        out = remove_dup_spans(ray.data.read_parquet(dc), num_buckets=256)
+        assert out.count() == SCALE_DOC_ROWS
+
+    timed2(f"scale_remove_dup_spans_{dtag}", dup_span_clean)
     timed2(f"scale_repetition_{dtag}",
            lambda: repetition_stats(ray.data.read_parquet(dc)).count())
     timed2(f"scale_rare_words_{dtag}",

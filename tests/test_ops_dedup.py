@@ -400,3 +400,71 @@ def test_duplicated_window_stats_batch_invariance(ray_session):
     got = {int(r.doc_id): (int(r.n_windows), int(r.dup_windows))
            for r in a.itertuples()}
     assert got == ref
+
+
+def _brute_remove_spans(df: pd.DataFrame, k: int = 8) -> dict[int, tuple]:
+    grams: dict[tuple, set] = {}
+    per_doc: dict[int, list] = {}
+    for _, r in df.iterrows():
+        words = [w for w in r["text"].split(" ") if w != ""]
+        per_doc[r["doc_id"]] = words
+        for i in range(len(words) - k + 1):
+            grams.setdefault(tuple(words[i:i + k]), set()).add(r["doc_id"])
+    out = {}
+    for d, words in per_doc.items():
+        cov = [False] * len(words)
+        for i in range(len(words) - k + 1):
+            if len(grams[tuple(words[i:i + k])]) >= 2:
+                for j in range(i, i + k):
+                    cov[j] = True
+        kept = [w for w, c in zip(words, cov) if not c]
+        out[d] = (" ".join(kept), len(words), sum(cov))
+    return out
+
+
+@pytest.mark.parametrize("broadcast_grams", [2_000_000, 0])
+def test_remove_dup_spans_tiers(ray_session, broadcast_grams):
+    from zeeklog_ray.ops.dedup import remove_dup_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = pd.DataFrame({"doc_id": [1, 2, 3, 4], "text": [
+        "intro words here " + shared + " tail one",
+        "other opening " + shared + " different ending stuff",
+        "no overlap at all in this particular document body text "
+        "keeps going onward",
+        "short doc",
+    ]})
+    out = remove_dup_spans(ray.data.from_pandas(df).repartition(3),
+                           num_buckets=4,
+                           broadcast_grams=broadcast_grams) \
+        .to_pandas().set_index("doc_id").sort_index()
+    ref = _brute_remove_spans(df)
+    for d, (clean, nw, nr) in ref.items():
+        assert out.loc[d, "text_clean"] == clean, d
+        assert out.loc[d, "n_words"] == nw
+        assert out.loc[d, "n_removed"] == nr
+    # the shared span is gone from both docs that contained it
+    assert "gamma" not in out.loc[1, "text_clean"]
+    assert out.loc[3, "n_removed"] == 0
+    assert out.loc[4, "text_clean"] == "short doc"
+
+
+def test_remove_dup_spans_random_cross_tier(ray_session):
+    from zeeklog_ray.ops.dedup import remove_dup_spans
+
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(25)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(0, 30)))
+             for _ in range(50)]
+    texts += texts[:10]                      # planted exact dups
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    a = remove_dup_spans(ray.data.from_pandas(df), num_buckets=4) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = remove_dup_spans(ray.data.from_pandas(df).repartition(7),
+                         num_buckets=8, broadcast_grams=0) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns.tolist()])
+    ref = _brute_remove_spans(df)
+    got = {int(r.doc_id): (r.text_clean, int(r.n_words), int(r.n_removed))
+           for r in a.itertuples()}
+    assert got == ref

@@ -851,3 +851,198 @@ def duplicated_window_stats(ds: "ray.data.Dataset", text_col: str = "text",
         return batch
 
     return summed.map_batches(finish, batch_format="pandas", batch_size=None)
+
+
+def _gram_hashes(wh: np.ndarray, k: int) -> np.ndarray:
+    """Horner combine (base ``_GRAM_Q``) of every k consecutive word
+    hashes — k shift-and-add passes, uint64 wraparound."""
+    n = len(wh) - k + 1
+    if n <= 0:
+        return np.zeros(0, dtype=np.uint64)
+    g = np.zeros(n, dtype=np.uint64)
+    for j in range(k):
+        g = g * _GRAM_Q + wh[j:j + n]
+    return g
+
+
+def remove_dup_spans(ds: "ray.data.Dataset", text_col: str = "text",
+                     id_col: str = "doc_id", k: int = 8,
+                     num_buckets: int = 256,
+                     broadcast_grams: int = 2_000_000) -> "ray.data.Dataset":
+    """The CLEANING transform behind :func:`duplicated_window_stats`:
+    delete every word covered by a k-word window whose hash appears in
+    >= 2 distinct documents (Lee et al. 2022 remove the duplicated spans,
+    not the documents).  Output: (doc_id, text_clean, n_words, n_removed)
+    for every document; surviving words re-join with single spaces (the
+    filtered-word-list normalization the oracle replays).
+
+    Tiered on the duplicated-gram count:
+
+    * fits a broadcast — ship the SORTED dup-hash array once; a second
+      row-local pass recomputes each doc's window hashes, probes with one
+      ``np.searchsorted``, and deletes covered words via an interval
+      difference array.  No text ever shuffles.
+    * web-scale dup set — (doc, gram, pos) window rows join the dup grams
+      on a gram-hash bucket, the hit positions collapse to one list row
+      per doc, and ONE doc-bucketed LEFT merge attaches them to the text
+      for the same row-local rebuild (text shuffles exactly once).
+
+    Both tiers are exact and agree (pytest cross-tier parity).
+    """
+    from zeeklog_ray.relational import with_hash_bucket
+
+    import ray as _ray
+
+    dg = window_gram_counts(ds, text_col=text_col, id_col=id_col, k=k)
+
+    def dup_grams(group: pd.DataFrame) -> pd.DataFrame:
+        sz = group.groupby("gram", sort=False)["cnt"].transform("size")
+        return group.loc[sz >= 2, ["gram"]].drop_duplicates()
+
+    dup = with_hash_bucket(dg, "gram", num_buckets) \
+        .groupby("_bucket").map_groups(dup_grams, batch_format="pandas") \
+        .materialize()
+    n_dup = dup.count()
+
+    def _explode_words(batch: pd.DataFrame):
+        words = batch[text_col].reset_index(drop=True).str.split(" ")
+        ex = words.explode()
+        keep = ex.notna() & (ex != "")
+        exv = ex[keep]
+        doc_of = exv.index.to_numpy().astype(np.int64) if len(exv) \
+            else np.zeros(0, dtype=np.int64)
+        return exv, doc_of
+
+    def _rebuild(batch: pd.DataFrame, exv: pd.Series, doc_of: np.ndarray,
+                 covered: np.ndarray) -> pd.DataFrame:
+        n = len(batch)
+        n_words = np.bincount(doc_of, minlength=n).astype(np.int64)
+        n_removed = np.bincount(doc_of[covered], minlength=n) \
+            .astype(np.int64) if covered.any() else np.zeros(n, np.int64)
+        kept = pd.Series(exv.to_numpy()[~covered],
+                         index=doc_of[~covered])
+        joined = kept.groupby(level=0).agg(" ".join) if len(kept) \
+            else pd.Series(dtype=object)
+        clean = np.full(n, "", dtype=object)
+        clean[joined.index.to_numpy()] = joined.to_numpy()
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy(),
+            "text_clean": clean,
+            "n_words": n_words,
+            "n_removed": n_removed,
+        })
+
+    if n_dup <= broadcast_grams:
+        dset = np.sort(dup.to_pandas()["gram"].to_numpy().astype(np.int64)) \
+            if n_dup else np.zeros(0, dtype=np.int64)
+        dref = _ray.put(dset)
+
+        def clean_bc(batch: pd.DataFrame) -> pd.DataFrame:
+            exv, doc_of = _explode_words(batch)
+            covered = np.zeros(len(exv), dtype=bool)
+            if len(exv):
+                wh = _word_horner_hashes(exv.to_numpy(),
+                                         exv.str.len().to_numpy())
+                g = _gram_hashes(wh, k)
+                ds_ = _ray.get(dref)
+                if len(g) and len(ds_):
+                    valid = doc_of[:len(g)] == doc_of[k - 1:]
+                    pos = np.searchsorted(ds_, g.view(np.int64))
+                    hit = valid & (pos < len(ds_)) & \
+                        (ds_[np.minimum(pos, len(ds_) - 1)]
+                         == g.view(np.int64))
+                    if len(starts := np.flatnonzero(hit)):
+                        diff = np.zeros(len(exv) + 1, dtype=np.int64)
+                        np.add.at(diff, starts, 1)
+                        np.add.at(diff, starts + k, -1)
+                        covered = np.cumsum(diff[:-1]) > 0
+            return _rebuild(batch, exv, doc_of, covered)
+
+        return ds.map_batches(clean_bc, batch_format="pandas",
+                              batch_size=None)
+
+    # ---- join tier: dup set too large to broadcast ----
+    from zeeklog_ray.relational import bucketed_equi_join
+
+    def win_positions(batch: pd.DataFrame) -> pd.DataFrame:
+        exv, doc_of = _explode_words(batch)
+        empty = pd.DataFrame({id_col: pd.Series([], dtype=batch[id_col].dtype),
+                              "gram": pd.Series([], dtype="int64"),
+                              "pos": pd.Series([], dtype="int64")})
+        if not len(exv):
+            return empty
+        wh = _word_horner_hashes(exv.to_numpy(), exv.str.len().to_numpy())
+        g = _gram_hashes(wh, k)
+        if not len(g):
+            return empty
+        valid = doc_of[:len(g)] == doc_of[k - 1:]
+        if not valid.any():
+            return empty
+        flat = np.flatnonzero(valid)
+        # word-position within the doc = flat index − doc's first flat idx
+        first = np.full(len(batch), len(exv), dtype=np.int64)
+        np.minimum.at(first, doc_of, np.arange(len(exv), dtype=np.int64))
+        rows = doc_of[flat]
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy()[rows],
+            "gram": g[valid].view(np.int64),
+            "pos": flat - first[rows],
+        })
+
+    winpos = ds.map_batches(win_positions, batch_format="pandas",
+                            batch_size=None)
+    hits = bucketed_equi_join(winpos, dup, on="gram",
+                              num_buckets=num_buckets)
+
+    def starts_per_doc(group: pd.DataFrame) -> pd.DataFrame:
+        agg = group.groupby(id_col, sort=False)["pos"] \
+            .agg(lambda s: sorted(s)).reset_index(name="_starts")
+        return agg
+
+    starts = with_hash_bucket(hits.select_columns([id_col, "pos"]),
+                              id_col, num_buckets) \
+        .groupby("_bucket").map_groups(starts_per_doc,
+                                       batch_format="pandas")
+
+    # ONE doc-bucketed LEFT attach of the starts lists onto the text
+    def tag_docs(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[[id_col, text_col]].copy()
+        out["_starts"] = None
+        return out
+
+    def tag_starts(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[[id_col, "_starts"]].copy()
+        out[text_col] = None
+        return out[[id_col, text_col, "_starts"]]
+
+    both = ds.map_batches(tag_docs, batch_format="pandas",
+                          batch_size=None) \
+        .union(starts.map_batches(tag_starts, batch_format="pandas",
+                                  batch_size=None))
+
+    def clean_join(group: pd.DataFrame) -> pd.DataFrame:
+        docs = group[group[text_col].notna()]
+        st = group[group[text_col].isna()]
+        batch = docs[[id_col, text_col]].reset_index(drop=True)
+        exv, doc_of = _explode_words(batch)
+        covered = np.zeros(len(exv), dtype=bool)
+        if len(exv) and len(st):
+            first = np.full(len(batch), len(exv), dtype=np.int64)
+            np.minimum.at(first, doc_of,
+                          np.arange(len(exv), dtype=np.int64))
+            # vectorized start scatter: left-merge the starts lists onto
+            # the batch rows, explode to (row, pos) pairs
+            m = batch[[id_col]].merge(st[[id_col, "_starts"]], on=id_col,
+                                      how="left")
+            sx = m["_starts"].explode().dropna()
+            if len(sx):
+                rows_s = sx.index.to_numpy().astype(np.int64)
+                idx = first[rows_s] + sx.to_numpy().astype(np.int64)
+                diff = np.zeros(len(exv) + 1, dtype=np.int64)
+                np.add.at(diff, idx, 1)
+                np.add.at(diff, idx + k, -1)
+                covered = np.cumsum(diff[:-1]) > 0
+        return _rebuild(batch, exv, doc_of, covered)
+
+    return with_hash_bucket(both, id_col, num_buckets) \
+        .groupby("_bucket").map_groups(clean_join, batch_format="pandas")

@@ -2128,6 +2128,19 @@ def docs_dup_windows(sf_dir: str) -> "ray.data.Dataset":
         num_buckets=32)
 
 
+def docs_remove_dup_spans(sf_dir: str) -> "ray.data.Dataset":
+    """Duplicated-span REMOVAL (ops/dedup.remove_dup_spans): delete every
+    word covered by an 8-word window shared by >= 2 docs — the cleaning
+    transform behind docs_dup_windows (Lee et al. remove the spans, not
+    the documents).  Tiered broadcast/join; bit-exact HUGEINT oracle
+    replays the hashes and rebuilds the cleaned text the same way."""
+    from zeeklog_ray.ops.dedup import remove_dup_spans
+
+    return remove_dup_spans(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+        num_buckets=32)
+
+
 def docs_repetition(sf_dir: str) -> "ray.data.Dataset":
     """Gopher-style intra-document repetition filter features
     (ops/text.repetition_stats): distinct-word / top-word / top-bigram
@@ -3282,6 +3295,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "docs_source_tv": docs_source_tv,
     "docs_dup_rate_by_source": docs_dup_rate_by_source,
     "docs_dup_windows": docs_dup_windows,
+    "docs_remove_dup_spans": docs_remove_dup_spans,
     "docs_repetition": docs_repetition,
     "docs_bigram_pmi": docs_bigram_pmi,
     "docs_stratified_sample": docs_stratified_sample,
@@ -3769,6 +3783,35 @@ ORACLE_SQL: dict[str, str] = {
         "CAST(COALESCE(r.n_rare, 0) * 10000 // GREATEST(len(words), 1) "
         "AS BIGINT) AS rare_ratio_e4 "
         "FROM w LEFT JOIN r USING (doc_id)"),
+    # span REMOVAL over the same bit-replayed window hashes: a word at
+    # 1-based position j survives iff no dup window start s has
+    # s <= j <= s+7; cleaned text rebuilds from the filtered word list
+    "docs_remove_dup_spans": (
+        "WITH w AS (SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), "
+        "x -> x <> '') AS words FROM documents), "
+        "wh AS (SELECT doc_id, words, list_transform(words, w -> "
+        "list_reduce(list_transform(range(1, length(w)+1), "
+        "j -> ord(substring(w, j, 1))::HUGEINT), "
+        "(acc, c) -> (acc*1000003::HUGEINT + c) % "
+        "18446744073709551616::HUGEINT)) AS whs, "
+        "len(words) AS nw FROM w), "
+        "g AS (SELECT doc_id, i, list_reduce(whs[i:i+7], "
+        "(acc, c) -> (acc*1099511628211::HUGEINT + c) % "
+        "18446744073709551616::HUGEINT) AS gram FROM wh, "
+        "UNNEST(range(1, nw - 6)) AS t(i) WHERE nw >= 8), "
+        "gd AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g) "
+        "GROUP BY gram HAVING COUNT(*) >= 2), "
+        "st AS (SELECT g.doc_id, list(g.i) AS starts FROM g "
+        "JOIN gd USING (gram) GROUP BY 1) "
+        "SELECT wh.doc_id, COALESCE(array_to_string(list_transform("
+        "list_filter(range(1, wh.nw + 1), j -> len(list_filter("
+        "COALESCE(st.starts, []), s -> s <= j AND j <= s + 7)) = 0), "
+        "j -> wh.words[j]), ' '), '') AS text_clean, "
+        "CAST(wh.nw AS BIGINT) AS n_words, "
+        "CAST(len(list_filter(range(1, wh.nw + 1), j -> len(list_filter("
+        "COALESCE(st.starts, []), s -> s <= j AND j <= s + 7)) > 0)) "
+        "AS BIGINT) AS n_removed "
+        "FROM wh LEFT JOIN st USING (doc_id)"),
     # Gopher repetition rules over the filtered ' '-split word list; all
     # ratios are integer-e4 with // (truncating) division
     "docs_repetition": (
