@@ -868,7 +868,8 @@ def _gram_hashes(wh: np.ndarray, k: int) -> np.ndarray:
 def remove_dup_spans(ds: "ray.data.Dataset", text_col: str = "text",
                      id_col: str = "doc_id", k: int = 8,
                      num_buckets: int = 256,
-                     broadcast_grams: int = 2_000_000) -> "ray.data.Dataset":
+                     broadcast_grams: int = 2_000_000,
+                     carry_cols: tuple[str, ...] = ()) -> "ray.data.Dataset":
     """The CLEANING transform behind :func:`duplicated_window_stats`:
     delete every word covered by a k-word window whose hash appears in
     >= 2 distinct documents (Lee et al. 2022 remove the duplicated spans,
@@ -925,12 +926,15 @@ def remove_dup_spans(ds: "ray.data.Dataset", text_col: str = "text",
             else pd.Series(dtype=object)
         clean = np.full(n, "", dtype=object)
         clean[joined.index.to_numpy()] = joined.to_numpy()
-        return pd.DataFrame({
+        out = pd.DataFrame({
             id_col: batch[id_col].to_numpy(),
             "text_clean": clean,
             "n_words": n_words,
             "n_removed": n_removed,
         })
+        for c in carry_cols:               # pass-through payload columns
+            out[c] = batch[c].to_numpy()
+        return out
 
     if n_dup <= broadcast_grams:
         dset = np.sort(dup.to_pandas()["gram"].to_numpy().astype(np.int64)) \
@@ -1006,14 +1010,16 @@ def remove_dup_spans(ds: "ray.data.Dataset", text_col: str = "text",
 
     # ONE doc-bucketed LEFT attach of the starts lists onto the text
     def tag_docs(batch: pd.DataFrame) -> pd.DataFrame:
-        out = batch[[id_col, text_col]].copy()
+        out = batch[[id_col, text_col, *carry_cols]].copy()
         out["_starts"] = None
         return out
 
     def tag_starts(batch: pd.DataFrame) -> pd.DataFrame:
         out = batch[[id_col, "_starts"]].copy()
         out[text_col] = None
-        return out[[id_col, text_col, "_starts"]]
+        for c in carry_cols:
+            out[c] = None
+        return out[[id_col, text_col, *carry_cols, "_starts"]]
 
     both = ds.map_batches(tag_docs, batch_format="pandas",
                           batch_size=None) \
@@ -1023,7 +1029,7 @@ def remove_dup_spans(ds: "ray.data.Dataset", text_col: str = "text",
     def clean_join(group: pd.DataFrame) -> pd.DataFrame:
         docs = group[group[text_col].notna()]
         st = group[group[text_col].isna()]
-        batch = docs[[id_col, text_col]].reset_index(drop=True)
+        batch = docs[[id_col, text_col, *carry_cols]].reset_index(drop=True)
         exv, doc_of = _explode_words(batch)
         covered = np.zeros(len(exv), dtype=bool)
         if len(exv) and len(st):

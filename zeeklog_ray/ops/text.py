@@ -1054,3 +1054,47 @@ def unigram_logprob(docs: "ray.data.Dataset", text_col: str = "text",
 
     return summed.map_batches(finish, batch_format="pandas",
                               batch_size=None)
+
+
+def repetition_filter(ds: "ray.data.Dataset",
+                      min_distinct_e4: int = 3000,
+                      max_top_bigram_e4: int = 1000,
+                      text_col: str = "text") -> "ray.data.Dataset":
+    """Row-local Gopher-rule FILTER: keep documents whose distinct-word
+    ratio is at least ``min_distinct_e4`` and whose top-bigram ratio is
+    at most ``max_top_bigram_e4`` (integer e4, the repetition_stats
+    definitions).  All original columns pass through; zero shuffle."""
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        n = len(batch)
+        if not n:
+            return batch
+        ex = batch[text_col].reset_index(drop=True).str.split(" ").explode()
+        ex = ex[ex.notna() & (ex != "")]
+        n_words = np.zeros(n, dtype=np.int64)
+        distinct = np.zeros(n, dtype=np.int64)
+        top_b = np.zeros(n, dtype=np.int64)
+        if len(ex):
+            rows = ex.index.to_numpy().astype(np.int64)
+            n_words = np.bincount(rows, minlength=n).astype(np.int64)
+            byrow = pd.DataFrame({"_r": rows, "_w": ex.to_numpy()}) \
+                .groupby(["_r", "_w"], sort=False).size() \
+                .groupby(level=0, sort=False)
+            distinct[byrow.size().index.to_numpy()] = byrow.size().to_numpy()
+            same = rows[:-1] == rows[1:]
+            if same.any():
+                wv = ex.to_numpy()
+                bc = pd.DataFrame({
+                    "_r": rows[:-1][same],
+                    "_b": pd.Series(wv[:-1][same]) + " "
+                    + pd.Series(wv[1:][same]),
+                }).groupby(["_r", "_b"], sort=False).size() \
+                    .groupby(level=0, sort=False).max()
+                top_b[bc.index.to_numpy()] = bc.to_numpy()
+        nw1 = np.maximum(n_words, 1)
+        ok = (distinct * _E4 // nw1 >= min_distinct_e4) \
+            & (top_b * _E4 // np.maximum(n_words - 1, 1)
+               <= max_top_bigram_e4)
+        return batch[ok]
+
+    return ds.map_batches(keep, batch_format="pandas", batch_size=None)

@@ -2141,6 +2141,36 @@ def docs_remove_dup_spans(sf_dir: str) -> "ray.data.Dataset":
         num_buckets=32)
 
 
+def docs_clean_pipeline(sf_dir: str) -> "ray.data.Dataset":
+    """End-to-end corpus CLEANING chain wiring the round-4 operators:
+    Gopher repetition filter (distinct-word ratio >= 0.30, top-bigram
+    ratio <= 0.10) → duplicated-span removal among the survivors →
+    min-length gate on the CLEANED word count (>= 15) → per-language
+    rollup.  Every stage is the already-oracle-gated kernel; the chain's
+    oracle is one CTE composition of the proven SQL pieces."""
+    from zeeklog_ray.ops.dedup import remove_dup_spans
+    from zeeklog_ray.ops.text import repetition_filter
+    from zeeklog_ray.relational import grouped_sum
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "text", "lang"])
+    kept = repetition_filter(docs, min_distinct_e4=3000,
+                             max_top_bigram_e4=1000)
+    cleaned = remove_dup_spans(kept, num_buckets=32, carry_cols=("lang",))
+
+    def gate(batch: pd.DataFrame) -> pd.DataFrame:
+        cw = (batch["n_words"] - batch["n_removed"]).astype("int64")
+        out = pd.DataFrame({"lang": batch["lang"],
+                            "clean_words": cw,
+                            "removed": batch["n_removed"].astype("int64")})
+        return out[out["clean_words"] >= 15]
+
+    return grouped_sum(
+        cleaned.map_batches(gate, batch_format="pandas", batch_size=None),
+        ["lang"], sums={"clean_words": "sum_clean_words",
+                        "removed": "sum_removed"}, count_as="n_docs")
+
+
 def docs_repetition(sf_dir: str) -> "ray.data.Dataset":
     """Gopher-style intra-document repetition filter features
     (ops/text.repetition_stats): distinct-word / top-word / top-bigram
@@ -3296,6 +3326,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "docs_dup_rate_by_source": docs_dup_rate_by_source,
     "docs_dup_windows": docs_dup_windows,
     "docs_remove_dup_spans": docs_remove_dup_spans,
+    "docs_clean_pipeline": docs_clean_pipeline,
     "docs_repetition": docs_repetition,
     "docs_bigram_pmi": docs_bigram_pmi,
     "docs_stratified_sample": docs_stratified_sample,
@@ -3783,6 +3814,46 @@ ORACLE_SQL: dict[str, str] = {
         "CAST(COALESCE(r.n_rare, 0) * 10000 // GREATEST(len(words), 1) "
         "AS BIGINT) AS rare_ratio_e4 "
         "FROM w LEFT JOIN r USING (doc_id)"),
+    # the full cleaning chain as one CTE composition of the proven
+    # repetition-filter and span-removal pieces; thresholds are literals
+    # shared with the Ray side (0.30 distinct / 0.10 top-bigram / 15
+    # clean words)
+    "docs_clean_pipeline": (
+        "WITH w0 AS (SELECT doc_id, lang, LIST_FILTER(STRING_SPLIT(text, "
+        "' '), x -> x <> '') AS words FROM documents), "
+        "m AS (SELECT doc_id, lang, words, len(words) AS nw, "
+        "len(list_distinct(words)) AS nd FROM w0), "
+        "bgc AS (SELECT doc_id, MAX(c) AS topb FROM (SELECT doc_id, "
+        "bigram, COUNT(*) AS c FROM (SELECT doc_id, "
+        "unnest(list_transform(range(1, nw), i -> words[i] || ' ' || "
+        "words[i+1])) AS bigram FROM m WHERE nw >= 2) GROUP BY 1, 2) "
+        "GROUP BY 1), "
+        "f AS (SELECT m.doc_id, m.lang, m.words, m.nw FROM m "
+        "LEFT JOIN bgc USING (doc_id) "
+        "WHERE nd * 10000 // GREATEST(nw, 1) >= 3000 "
+        "AND COALESCE(topb, 0) * 10000 // GREATEST(nw - 1, 1) <= 1000), "
+        "wh AS (SELECT doc_id, lang, words, list_transform(words, w -> "
+        "list_reduce(list_transform(range(1, length(w)+1), "
+        "j -> ord(substring(w, j, 1))::HUGEINT), "
+        "(acc, c) -> (acc*1000003::HUGEINT + c) % "
+        "18446744073709551616::HUGEINT)) AS whs, nw FROM f), "
+        "g AS (SELECT doc_id, i, list_reduce(whs[i:i+7], "
+        "(acc, c) -> (acc*1099511628211::HUGEINT + c) % "
+        "18446744073709551616::HUGEINT) AS gram FROM wh, "
+        "UNNEST(range(1, nw - 6)) AS t(i) WHERE nw >= 8), "
+        "gd AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g) "
+        "GROUP BY gram HAVING COUNT(*) >= 2), "
+        "st AS (SELECT g.doc_id, list(g.i) AS starts FROM g "
+        "JOIN gd USING (gram) GROUP BY 1), "
+        "c AS (SELECT wh.doc_id, wh.lang, wh.nw, "
+        "COALESCE(len(list_filter(range(1, wh.nw + 1), "
+        "j -> len(list_filter(COALESCE(st.starts, []), "
+        "s -> s <= j AND j <= s + 7)) > 0)), 0) AS n_removed "
+        "FROM wh LEFT JOIN st USING (doc_id)) "
+        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(nw - n_removed) AS BIGINT) AS sum_clean_words, "
+        "CAST(SUM(n_removed) AS BIGINT) AS sum_removed "
+        "FROM c WHERE nw - n_removed >= 15 GROUP BY lang"),
     # span REMOVAL over the same bit-replayed window hashes: a word at
     # 1-based position j survives iff no dup window start s has
     # s <= j <= s+7; cleaned text rebuilds from the filtered word list
