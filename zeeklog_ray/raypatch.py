@@ -82,6 +82,7 @@ def apply_patches() -> None:
     _APPLIED = True
     _patch_hash_shuffle_schema_broadcast()
     _patch_unify_schemas_metadata_hash()
+    _quiet_empty_block_schema_warning()
 
 
 def _empty_block_from_schema(schema):
@@ -273,3 +274,30 @@ def _patch_unify_schemas_metadata_hash() -> None:
             return "Failed to hash the schemas" not in record.getMessage()
 
     tp.logger.addFilter(_DropSchemaHashWarning())
+
+
+def _quiet_empty_block_schema_warning() -> None:
+    """Cosmetic wart, documented: the streaming executor warns ("Operator
+    produced a RefBundle with a different schema than the previous one
+    ... new schema: PandasBlockSchema(names=[], types=[])") every time a
+    stage emits a zero-COLUMN empty pandas block — which Ray itself
+    manufactures (repartition/groupby on sparse buckets) and which the
+    hash-shuffle patches above already make semantically harmless.  The
+    warning fires hundreds of times per bench run and says nothing
+    actionable, so drop EXACTLY that message shape (empty new schema);
+    real schema drift between non-empty blocks still warns."""
+    import logging
+
+    class _DropEmptySchemaDrift(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            msg = record.getMessage()
+            return not ("different schema than the previous one" in msg
+                        and "names=[], types=[]" in msg)
+
+    try:
+        from ray.data._internal.execution import streaming_executor_state
+    except ImportError:                 # pragma: no cover - internals moved
+        return
+    logger = getattr(streaming_executor_state, "logger", None)
+    if logger is not None:
+        logger.addFilter(_DropEmptySchemaDrift())
