@@ -465,3 +465,52 @@ def test_corpus_stat_spill_dir_parity(ray_session, tmp_path):
                          spill_dir=str(tmp_path / "rare")).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(ra, rb[ra.columns.tolist()])
+
+
+def test_source_distinctive_terms_hand_computed(ray_session):
+    """Two sources, one word exclusive to each: the exclusive word tops
+    its source's ranking with the hand-computed integer score; the
+    shared word scores low in both.  Also checks min_count filtering
+    and block-layout invariance (1 block vs row-per-block)."""
+    import ray.data
+
+    from zeeklog_ray.ops.text import source_distinctive_terms
+
+    # s1: code x5, the x5 (N_s1=10); s2: legal x10, the x10 (N_s2=20)
+    docs = pd.DataFrame({
+        "source": ["s1", "s1", "s2", "s2"],
+        "text": ["code code code code code", "the the the the the",
+                 "legal legal legal legal legal legal legal legal legal legal",
+                 "the the the the the the the the the the"],
+    })
+    out = source_distinctive_terms(ray.data.from_pandas(docs), k=10,
+                                   min_count=1, num_buckets=4) \
+        .to_pandas().sort_values(["source", "rank"]).reset_index(drop=True)
+    s1 = out[out["source"] == "s1"].set_index("word")
+    # code: rin = 5*1e6//10 = 500000; rout = 0*1e6//20 = 0
+    #   score = 500000*1e4 // 1 = 5_000_000_000
+    assert s1.loc["code", "score_e4"] == 5_000_000_000
+    assert s1.loc["code", "rank"] == 1
+    assert s1.loc["code", "tf_source"] == 5
+    # the: rin = 500000; rout = 10*1e6//20 = 500000
+    #   score = 500000*1e4 // 500001 = 9999
+    assert s1.loc["the", "score_e4"] == 9_999
+    s2 = out[out["source"] == "s2"].set_index("word")
+    # legal: rin = 10*1e6//20 = 500000; rout = 0 -> 5e9
+    assert s2.loc["legal", "score_e4"] == 5_000_000_000
+    # the in s2: rin = 500000; rout = 5*1e6//10 = 500000 -> 9999
+    assert s2.loc["the", "score_e4"] == 9_999
+
+    # min_count filters the rare word out entirely
+    out2 = source_distinctive_terms(ray.data.from_pandas(docs), k=10,
+                                    min_count=6, num_buckets=4).to_pandas()
+    assert "code" not in set(out2["word"])      # c_w = 5 < 6
+    assert {"legal", "the"} == set(out2["word"])
+
+    # block-layout invariance: one row per block gives identical output
+    rowwise = ray.data.from_pandas(
+        [docs.iloc[[i]] for i in range(len(docs))])
+    out3 = source_distinctive_terms(rowwise, k=10, min_count=1,
+                                    num_buckets=4).to_pandas() \
+        .sort_values(["source", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out3)

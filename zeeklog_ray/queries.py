@@ -2251,6 +2251,19 @@ def docs_source_tv(sf_dir: str) -> pd.DataFrame:
         read_table(sf_dir, "documents", columns=["source", "text"]), k=50)
 
 
+def docs_distinctive_terms(sf_dir: str) -> "ray.data.Dataset":
+    """Per-source distinctive vocabulary: top-10 words by the integer
+    in-source vs rest-of-corpus rate ratio
+    (ops/text.source_distinctive_terms) — the domain-characterization
+    report behind mixture design; entity-shaped counts, tiered vocab
+    attach, pre-shuffle per-source head(k)."""
+    from zeeklog_ray.ops.text import source_distinctive_terms
+
+    return source_distinctive_terms(
+        read_table(sf_dir, "documents", columns=["source", "text"]),
+        k=10, min_count=20, num_buckets=32)
+
+
 def docs_bpe_merges(sf_dir: str) -> pd.DataFrame:
     """BPE tokenizer TRAINING on the corpus: the first 16 learned merges
     with their weighted pair counts (ops/bpetrain.train_bpe — one corpus
@@ -3323,6 +3336,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "docs_bpe_tokenize": docs_bpe_tokenize,
     "user_value_decayed": user_value_decayed,
     "docs_source_tv": docs_source_tv,
+    "docs_distinctive_terms": docs_distinctive_terms,
     "docs_dup_rate_by_source": docs_dup_rate_by_source,
     "docs_dup_windows": docs_dup_windows,
     "docs_remove_dup_spans": docs_remove_dup_spans,
@@ -3935,6 +3949,29 @@ ORACLE_SQL: dict[str, str] = {
         "CAST(COALESCE(dd.dupw, 0) * 10000 // GREATEST(wh.nw - 7, 1) "
         "AS BIGINT) AS dup_ratio_e4 "
         "FROM wh LEFT JOIN dd USING (doc_id)"),
+    # per-source distinctive terms: all-integer rate ratio (ppm rates,
+    # e4 score), // truncates on both sides (all positive); SUM() is
+    # HUGEINT in DuckDB so the products are exact
+    "docs_distinctive_terms": (
+        "WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS word "
+        "FROM documents), "
+        "c AS (SELECT source, word, COUNT(*) AS c_sw FROM w "
+        "WHERE word <> '' GROUP BY source, word), "
+        "cw AS (SELECT word, SUM(c_sw) AS c_w FROM c GROUP BY word), "
+        "ns AS (SELECT source, SUM(c_sw) AS n_s FROM c GROUP BY source), "
+        "tot AS (SELECT SUM(c_sw) AS n_tot FROM c), "
+        "sc AS (SELECT c.source, c.word, c.c_sw, "
+        "c.c_sw * 1000000 // ns.n_s AS rin, "
+        "(cw.c_w - c.c_sw) * 1000000 // GREATEST(tot.n_tot - ns.n_s, 1) "
+        "AS rout FROM c JOIN cw USING (word) JOIN ns USING (source) "
+        "CROSS JOIN tot WHERE cw.c_w >= 20), "
+        "r AS (SELECT source, word, c_sw, "
+        "rin * 10000 // (rout + 1) AS score_e4, "
+        "ROW_NUMBER() OVER (PARTITION BY source "
+        "ORDER BY rin * 10000 // (rout + 1) DESC, word) AS rank FROM sc) "
+        "SELECT source, CAST(rank AS BIGINT) AS rank, word, "
+        "CAST(c_sw AS BIGINT) AS tf_source, "
+        "CAST(score_e4 AS BIGINT) AS score_e4 FROM r WHERE rank <= 10"),
     # exact integer TV over the top-50 vocabulary: HUGEINT products in
     # SQL, Python big-int finish on the Ray side; // truncates (positive)
     "docs_source_tv": (
