@@ -286,3 +286,46 @@ def test_time_decayed_sum_closed_form(ray_session):
     # user 2: the future event (ts > t_ref) is excluded
     assert out.loc[2, "decayed_sum"] == 10.0
     assert out.loc[2, "n_events"] == 1
+
+
+def test_trailing_deviation_hand_computed(ray_session):
+    """Planted spike over a flat series: window truncation at the key
+    start, exact integer spike score, per-key isolation, and
+    block-layout invariance."""
+    import ray.data
+
+    from zeeklog_ray.ops.streaming import trailing_deviation
+
+    df = pd.DataFrame({
+        "k": ["a"] * 6 + ["b"] * 3,
+        "hour": [f"h{i}" for i in range(6)] + [f"h{i}" for i in range(3)],
+        "n": [10, 10, 10, 10, 50, 10,      # spike at h4
+              7, 7, 7],
+    })
+    out = trailing_deviation(ray.data.from_pandas(df).repartition(4),
+                             key="k", order="hour", value="n",
+                             window=3, num_buckets=2).to_pandas() \
+        .set_index(["k", "hour"]).sort_index()
+    # a/h0: no history
+    assert tuple(out.loc[("a", "h0")][["trail_sum", "trail_cnt",
+                                       "spike_e4"]]) == (0, 0, 0)
+    # a/h2: truncated window of 2
+    assert tuple(out.loc[("a", "h2")][["trail_sum", "trail_cnt"]]) == (20, 2)
+    # a/h4 spike: trail = [10,10,10] -> num = 50*3-30 = 120
+    #   spike = 120*10^4 // 30 = 40000
+    row = out.loc[("a", "h4")]
+    assert (row["trail_sum"], row["trail_cnt"], row["spike_e4"]) \
+        == (30, 3, 40_000)
+    # a/h5 below the (spike-inflated) mean -> clamped to 0
+    assert out.loc[("a", "h5"), "spike_e4"] == 0
+    # key b is isolated from key a's history
+    assert tuple(out.loc[("b", "h0")][["trail_sum", "trail_cnt",
+                                       "spike_e4"]]) == (0, 0, 0)
+    assert tuple(out.loc[("b", "h2")][["trail_sum", "spike_e4"]]) == (14, 0)
+
+    # block-layout invariance
+    rowwise = ray.data.from_pandas([df.iloc[[i]] for i in range(len(df))])
+    out2 = trailing_deviation(rowwise, key="k", order="hour", value="n",
+                              window=3, num_buckets=2).to_pandas() \
+        .set_index(["k", "hour"]).sort_index()
+    pd.testing.assert_frame_equal(out, out2)

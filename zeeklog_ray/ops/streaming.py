@@ -339,3 +339,58 @@ def time_decayed_sum(ds: "ray.data.Dataset", key: str, ts: str, value: str,
         ds.map_batches(weigh, batch_format="pandas", batch_size=None),
         [key], sums={"decayed_sum": "decayed_sum", "n_events": "n_events"},
         num_buckets=num_buckets)
+
+
+def trailing_deviation(ds: "ray.data.Dataset", key: str, order: str,
+                       value: str, window: int = 24,
+                       num_buckets: int = 1024) -> "ray.data.Dataset":
+    """Per-key trailing-window spike score over an ORDERED series — the
+    anomaly-detection pass a monitoring consumer runs on the gap-filled
+    hourly counts (feed it :func:`queries.events_hourly_dense`-shaped
+    rows): for each row, the sum/count of the previous ``window`` rows of
+    the same key and the integer relative-spike score
+
+        spike_e4 = (v·trail_cnt − trail_sum) · 10^4 // max(trail_sum, 1)
+                   (clamped to 0 when the numerator is ≤ 0)
+
+    i.e. how far the current value sits ABOVE the trailing mean, in 1e-4
+    units — all positive floor divisions, so the DuckDB window-function
+    replay (`ROWS BETWEEN w PRECEDING AND 1 PRECEDING`) hash-matches.
+    Rows with no history (first of a key) score 0 by construction.
+
+    Scale shape: one key-hash-bucketed shuffle co-partitions each key's
+    series (the bucketed-groupby pattern); inside a group the trailing
+    sums are one prefix-sum + two fancy-indexes — no per-row Python, no
+    driver pass.  Partitioning assumption: one key's series fits a group
+    (series length = hours/days of retention — thousands, not millions).
+
+    Output: ``(key, order, value, trail_sum, trail_cnt, spike_e4)``.
+    """
+    from zeeklog_ray.relational import with_hash_bucket
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, order], kind="mergesort") \
+            .reset_index(drop=True)
+        v = g[value].to_numpy().astype("int64")
+        n = len(g)
+        # absolute row positions restart at each key boundary
+        starts = np.flatnonzero(
+            np.r_[True, g[key].to_numpy()[1:] != g[key].to_numpy()[:-1]])
+        key_start = np.repeat(starts, np.diff(np.r_[starts, n]))
+        pos = np.arange(n) - key_start           # position within key
+        cs = np.concatenate([[0], np.cumsum(v)])  # global prefix sums
+        lo = np.maximum(pos - window, 0) + key_start
+        trail_sum = cs[np.arange(n)] - cs[lo]
+        trail_cnt = np.arange(n) - lo
+        num = v * trail_cnt - trail_sum
+        spike = np.where(num > 0,
+                         num * 10_000 // np.maximum(trail_sum, 1), 0)
+        return pd.DataFrame({
+            key: g[key], order: g[order], value: v.astype("int64"),
+            "trail_sum": trail_sum.astype("int64"),
+            "trail_cnt": trail_cnt.astype("int64"),
+            "spike_e4": spike.astype("int64"),
+        })
+
+    return with_hash_bucket(ds, key, num_buckets) \
+        .groupby("_bucket").map_groups(per_bucket, batch_format="pandas")

@@ -703,6 +703,19 @@ def events_hourly_dense(sf_dir: str) -> "ray.data.Dataset":
     return _rd.from_pandas(dense)
 
 
+def events_hourly_spikes(sf_dir: str) -> "ray.data.Dataset":
+    """Trailing-window anomaly scores over the gap-filled hourly series
+    (ops/streaming.trailing_deviation over events_hourly_dense): per
+    (event_type, hour), the previous-24h sum/count and the integer
+    relative-spike score — the monitoring pass that flags traffic
+    anomalies.  All positive floor divisions; hash-gated."""
+    from zeeklog_ray.ops.streaming import trailing_deviation
+
+    dense = events_hourly_dense(sf_dir)
+    return trailing_deviation(dense, key="event_type", order="hour",
+                              value="n", window=24, num_buckets=32)
+
+
 def lineitem_pricing(sf_dir: str) -> "ray.data.Dataset":
     """TPC-H Q1-shaped pricing summary; integer-cent exact sums."""
     import pyarrow.compute as pc
@@ -3251,6 +3264,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "user_funnel_counts": user_funnel_counts,
     "events_partitioned_prune": events_partitioned_prune,
     "events_hourly_dense": events_hourly_dense,
+    "events_hourly_spikes": events_hourly_spikes,
     "orders_fk_violations": orders_fk_violations,
     "events_column_profile": events_column_profile,
     "docs_snapshot_diff": docs_snapshot_diff,
@@ -4068,6 +4082,32 @@ ORACLE_SQL: dict[str, str] = {
         "CAST(COALESCE(s.n, 0) AS BIGINT) AS n "
         "FROM t CROSS JOIN h "
         "LEFT JOIN s ON s.event_type = t.event_type AND s.hr = h.hr"),
+    # trailing-24h spike score over the dense hourly series; ROWS BETWEEN
+    # 24 PRECEDING AND 1 PRECEDING replays trail_sum/trail_cnt exactly and
+    # every division is positive floor, so the hash gate is exact
+    "events_hourly_spikes": (
+        "WITH h AS (SELECT unnest(generate_series("
+        "date_trunc('hour', (SELECT MIN(ts) FROM events)), "
+        "date_trunc('hour', (SELECT MAX(ts) FROM events)), "
+        "INTERVAL 1 HOUR)) AS hr), "
+        "t AS (SELECT DISTINCT event_type FROM events), "
+        "s AS (SELECT event_type, date_trunc('hour', ts) AS hr, "
+        "COUNT(*) AS cnt FROM events GROUP BY 1, 2), "
+        "dense AS (SELECT t.event_type, h.hr, "
+        "COALESCE(s.cnt, 0) AS n FROM t CROSS JOIN h "
+        "LEFT JOIN s ON s.event_type = t.event_type AND s.hr = h.hr), "
+        "w AS (SELECT event_type, hr, n, "
+        "COALESCE(SUM(n) OVER (PARTITION BY event_type ORDER BY hr "
+        "ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING), 0) AS trail_sum, "
+        "COUNT(n) OVER (PARTITION BY event_type ORDER BY hr "
+        "ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS trail_cnt "
+        "FROM dense) "
+        "SELECT event_type, strftime(hr, '%Y-%m-%d %H:00:00') AS hour, "
+        "CAST(n AS BIGINT) AS n, CAST(trail_sum AS BIGINT) AS trail_sum, "
+        "CAST(trail_cnt AS BIGINT) AS trail_cnt, "
+        "CAST(CASE WHEN n * trail_cnt - trail_sum > 0 THEN "
+        "(n * trail_cnt - trail_sum) * 10000 // GREATEST(trail_sum, 1) "
+        "ELSE 0 END AS BIGINT) AS spike_e4 FROM w"),
     "orders_fk_violations": (
         "SELECT CAST(COUNT(*) AS BIGINT) AS n_orders, "
         "CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) "
