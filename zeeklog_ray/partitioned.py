@@ -168,3 +168,125 @@ def zonemap_scan(root: str, lo, hi) -> "ray.data.Dataset":
 
     return ray.data.read_parquet(paths).map_batches(
         trim, batch_format="pyarrow", batch_size=None)
+
+
+def compact_partition_dir(part_dir: str, target_rows: int) -> dict:
+    """Compact ONE partition directory's small Parquet files into files
+    of ~``target_rows`` rows, crash-safe via a roll-forward journal.
+
+    Protocol (rerunnable at every step):
+
+    1. recover any interrupted compaction (see :func:`_recover_compaction`)
+    2. PLAN from footer metadata only (``pq.read_metadata`` per file —
+       no data bytes): greedy-pack files in name order into groups whose
+       row sum reaches ``target_rows``; groups of one file are skipped
+       (already compact), so a second run is a no-op
+    3. write every group's merged file as ``compact-*.parquet.tmp``
+    4. journal ``{"olds": [...], "news": [...]}`` (atomic replace)
+    5. rename tmps into place, delete olds, delete the journal
+
+    A crash before (4) leaves only tmps — recovery deletes them and the
+    originals are untouched.  A crash after (4) is rolled FORWARD —
+    recovery re-renames any surviving tmps and deletes any surviving
+    olds, because the journal only commits after every tmp is fully
+    written.  Readers between (4) and (5) may see both an old and its
+    compacted copy — compact into a quiesced snapshot (the standard
+    table-maintenance contract; a manifest-pinned reader like
+    ``zonemap_scan`` never sees uncommitted files).
+
+    Returns ``{"dir", "files_before", "files_after", "rows"}``.
+    """
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    _recover_compaction(part_dir)
+    files = sorted(f for f in os.listdir(part_dir)
+                   if f.endswith(".parquet") and not f.startswith("."))
+    counts = {f: pq.read_metadata(os.path.join(part_dir, f)).num_rows
+              for f in files}
+    groups: list[list[str]] = []
+    cur: list[str] = []
+    acc = 0
+    for f in files:
+        cur.append(f)
+        acc += counts[f]
+        if acc >= target_rows:
+            groups.append(cur)
+            cur, acc = [], 0
+    if cur:
+        groups.append(cur)
+    plan = [g for g in groups if len(g) > 1]
+    olds, news = [], []
+    for g in plan:
+        tables = [pq.read_table(os.path.join(part_dir, f)) for f in g]
+        import pyarrow as pa
+
+        merged = pa.concat_tables(tables, promote_options="default")
+        name = f"compact-{uuid.uuid4().hex[:12]}.parquet"
+        pq.write_table(merged, os.path.join(part_dir, name + ".tmp"))
+        olds.extend(g)
+        news.append(name)
+    if plan:
+        fd, tmp = tempfile.mkstemp(dir=part_dir, suffix=".journal.tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump({"olds": olds, "news": news}, f)
+        os.replace(tmp, os.path.join(part_dir, "_compaction.journal"))
+        _recover_compaction(part_dir)  # the same roll-forward commits it
+    after = [f for f in os.listdir(part_dir)
+             if f.endswith(".parquet") and not f.startswith(".")]
+    return {"dir": part_dir, "files_before": len(files),
+            "files_after": len(after),
+            "rows": int(sum(counts.values()))}
+
+
+def _recover_compaction(part_dir: str) -> None:
+    """Roll an interrupted :func:`compact_partition_dir` forward (journal
+    present: finish renames + deletes) or back (no journal: drop orphan
+    tmps)."""
+    journal_path = os.path.join(part_dir, "_compaction.journal")
+    if os.path.exists(journal_path):
+        with open(journal_path) as f:
+            j = json.load(f)
+        for name in j["news"]:
+            tmp = os.path.join(part_dir, name + ".tmp")
+            if os.path.exists(tmp):
+                os.replace(tmp, os.path.join(part_dir, name))
+        for old in j["olds"]:
+            p = os.path.join(part_dir, old)
+            if os.path.exists(p):
+                os.remove(p)
+        os.remove(journal_path)
+    else:
+        for f in os.listdir(part_dir):
+            if f.endswith(".parquet.tmp"):
+                os.remove(os.path.join(part_dir, f))
+
+
+def compact_partitions(root: str, target_rows: int = 1_000_000,
+                       concurrency: int | None = None) -> pd.DataFrame:
+    """Compact every ``<col>=<value>`` partition directory under ``root``
+    — the small-file table-maintenance pass every long-running ingest
+    needs (each incremental run appends a few small files per partition;
+    unmaintained, a year of runs makes reads metadata-bound).
+
+    Fan-out: one :func:`compact_partition_dir` call per partition via a
+    ``map_batches`` task pool — partitions are independent, so this
+    parallelizes to the cluster width and a re-run skips already-compact
+    partitions (the per-dir protocol is idempotent).  Only the per-dir
+    report rows return to the driver."""
+    parts = sorted(
+        os.path.join(root, d) for d in os.listdir(root)
+        if os.path.isdir(os.path.join(root, d)) and "=" in d)
+    if not parts:
+        raise ValueError(f"compact_partitions: no hive partitions in {root}")
+
+    def compact_one(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame([compact_partition_dir(d, target_rows)
+                             for d in batch["dir"]])
+
+    reports = ray.data.from_pandas(pd.DataFrame({"dir": parts})) \
+        .repartition(len(parts)) \
+        .map_batches(compact_one, batch_format="pandas", batch_size=None,
+                     concurrency=concurrency)
+    return reports.to_pandas().sort_values("dir").reset_index(drop=True)

@@ -2659,6 +2659,45 @@ def event_type_user_counts(sf_dir: str) -> "ray.data.Dataset":
 _PREP_RATES = {"src0": 2.5, "src1": 0.5}  # oversample + downsample mix
 
 
+def events_compact_roundtrip(sf_dir: str) -> "ray.data.Dataset":
+    """Table-maintenance round trip: write events hive-partitioned by
+    day as many SMALL files, run the journal-committed small-file
+    compaction (partitioned.compact_partitions), read the compacted
+    layout back and roll it up per day.  The hash gate proves the
+    maintenance pass preserved content exactly; pytest
+    (tests/test_compaction.py) covers file-count reduction, idempotence
+    and crash recovery."""
+    import shutil
+
+    import pyarrow.compute as pc
+
+    from zeeklog_ray.partitioned import compact_partitions, write_partitioned
+
+    out = (f"/tmp/zeeklog_compact/"
+           f"{os.path.basename(os.path.normpath(sf_dir))}-{os.getpid()}")
+    shutil.rmtree(out, ignore_errors=True)
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        day = pc.strftime(pc.floor_temporal(batch["ts"], unit="day"),
+                          format="%Y-%m-%d")
+        return pa.table({"event_id": batch["event_id"], "day": day})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
+    write_partitioned(prepped.repartition(16), out, ["day"])
+    compact_partitions(out, target_rows=10_000_000)
+    back = ray.data.read_parquet(out)
+
+    def norm(batch: pd.DataFrame) -> pd.DataFrame:
+        # hive partition values come back as categorical/dictionary
+        return pd.DataFrame({"day": batch["day"].astype(str),
+                             "event_id": batch["event_id"]})
+
+    return grouped_sum(
+        back.map_batches(norm, batch_format="pandas", batch_size=None),
+        ["day"], sums={"event_id": "sum_id"}, count_as="n")
+
+
 def docs_prep_export(sf_dir: str) -> pd.DataFrame:
     """The FULL training-data export chain (zeeklog_ray.prep): quality
     filter → exact dedup → source-mixture resample (src0 ×2.5, src1
@@ -3265,6 +3304,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_partitioned_prune": events_partitioned_prune,
     "events_hourly_dense": events_hourly_dense,
     "events_hourly_spikes": events_hourly_spikes,
+    "events_compact_roundtrip": events_compact_roundtrip,
     "orders_fk_violations": orders_fk_violations,
     "events_column_profile": events_column_profile,
     "docs_snapshot_diff": docs_snapshot_diff,
@@ -4108,6 +4148,13 @@ ORACLE_SQL: dict[str, str] = {
         "CAST(CASE WHEN n * trail_cnt - trail_sum > 0 THEN "
         "(n * trail_cnt - trail_sum) * 10000 // GREATEST(trail_sum, 1) "
         "ELSE 0 END AS BIGINT) AS spike_e4 FROM w"),
+    # the compaction round trip must preserve content exactly: per-day
+    # rollup of what the compacted layout reads back vs the source table
+    "events_compact_roundtrip": (
+        "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, "
+        "CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(event_id) AS BIGINT) AS sum_id "
+        "FROM events GROUP BY day"),
     "orders_fk_violations": (
         "SELECT CAST(COUNT(*) AS BIGINT) AS n_orders, "
         "CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) "
