@@ -468,3 +468,107 @@ def test_remove_dup_spans_random_cross_tier(ray_session):
     got = {int(r.doc_id): (r.text_clean, int(r.n_words), int(r.n_removed))
            for r in a.itertuples()}
     assert got == ref
+
+
+def _ref_cdc(text, window=4, mask_bits=5, min_words=8, max_words=64):
+    """Pure-Python reference for cdc_chunk_table: per-word codepoint
+    Horner (seed 0, base 1000003), rolling window Horner (base
+    1099511628211) mask test, min/max-bounded boundary walk."""
+    P, Q, M = 1000003, 1099511628211, 1 << 64
+    mask = (1 << mask_bits) - 1
+    words = [w for w in text.split(" ") if w]
+    wh = []
+    for w in words:
+        h = 0
+        for c in w:
+            h = (h * P + ord(c)) % M
+        wh.append(h)
+    n = len(wh)
+    cand = set()
+    for i in range(window - 1, n):
+        g = 0
+        for j in range(i - window + 1, i + 1):
+            g = (g * Q + wh[j]) % M
+        if g & mask == 0:
+            cand.add(i)
+    out = []
+    start = 0
+    while start < n:
+        lo, hi = start + min_words - 1, start + max_words - 1
+        cut = next((i for i in range(lo, min(hi, n - 1) + 1) if i in cand),
+                   None)
+        if cut is None:
+            cut = min(hi, n - 1)
+        h = 0
+        for j in range(start, cut + 1):
+            h = (h * Q + wh[j]) % M
+        out.append((h - M if h >= M // 2 else h, cut + 1 - start))
+        start = cut + 1
+    return out
+
+
+def test_cdc_chunk_table_matches_reference(ray_session):
+    """Vectorized chunker == pure-Python reference on random docs
+    (including empty / short / single-word docs), in document order."""
+    import ray.data
+
+    from zeeklog_ray.ops.dedup import cdc_chunk_table
+
+    rng = np.random.default_rng(42)
+    vocab = [f"w{i:03d}" for i in range(200)]
+    texts = ["", "one", "  double  spaces  "]
+    for L in [5, 8, 30, 100, 400]:
+        texts.append(" ".join(rng.choice(vocab, size=L)))
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = cdc_chunk_table(ray.data.from_pandas(df).repartition(3),
+                          window=4, mask_bits=4, min_words=4,
+                          max_words=32).to_pandas()
+    for doc_id, text in zip(df["doc_id"], df["text"]):
+        ref = _ref_cdc(text, window=4, mask_bits=4, min_words=4,
+                       max_words=32)
+        sub = got[got["doc_id"] == doc_id]
+        assert [(h, w) for h, w in
+                zip(sub["chunk_hash"], sub["chunk_words"])] == ref, doc_id
+    # coverage: chunk words sum to doc words; length bounds hold for all
+    # but each doc's final chunk
+    for doc_id, text in zip(df["doc_id"], df["text"]):
+        nw = len([w for w in text.split(" ") if w])
+        sub = got[got["doc_id"] == doc_id]
+        assert sub["chunk_words"].sum() == nw
+        assert (sub["chunk_words"] <= 32).all()
+        if len(sub) > 1:
+            assert (sub["chunk_words"].iloc[:-1] >= 4).all()
+
+
+def test_cdc_dup_stats_planted_and_edit_robust(ray_session):
+    """A planted copy with a novel 5-word prefix still shares most
+    chunks with the original (boundaries resync on content); unrelated
+    docs share nothing; block layout does not change the answer."""
+    import ray.data
+
+    from zeeklog_ray.ops.dedup import cdc_dup_stats
+
+    rng = np.random.default_rng(7)
+    vocab = [f"tok{i:04d}" for i in range(500)]
+    base = " ".join(rng.choice(vocab, size=400))
+    edited = "alpha beta gamma delta epsilon " + base
+    other = " ".join(rng.choice(vocab, size=400))  # same vocab, new order
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [base, edited, other],
+    })
+    kw = dict(window=4, mask_bits=4, min_words=4, max_words=32,
+              num_buckets=8)
+    out = cdc_dup_stats(ray.data.from_pandas(df), **kw).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert out.loc[1, "n_words"] == 400
+    assert out.loc[2, "n_words"] == 405
+    # the edit perturbs only the chunk(s) before the first resync point
+    assert out.loc[1, "shared_ratio_e4"] >= 7_000
+    assert out.loc[2, "shared_words"] == out.loc[1, "shared_words"]
+    assert out.loc[3, "shared_words"] == 0
+
+    rowwise = ray.data.from_pandas([df.iloc[[i]] for i in range(3)])
+    out2 = cdc_dup_stats(rowwise, **kw).to_pandas() \
+        .set_index("doc_id").sort_index()
+    pd.testing.assert_frame_equal(out, out2)

@@ -1052,3 +1052,171 @@ def remove_dup_spans(ds: "ray.data.Dataset", text_col: str = "text",
 
     return with_hash_bucket(both, id_col, num_buckets) \
         .groupby("_bucket").map_groups(clean_join, batch_format="pandas")
+
+
+def cdc_chunk_table(ds: "ray.data.Dataset", text_col: str = "text",
+                    id_col: str = "doc_id", window: int = 4,
+                    mask_bits: int = 5, min_words: int = 8,
+                    max_words: int = 64) -> "ray.data.Dataset":
+    """Content-defined chunking: split every document into variable-size
+    word chunks whose boundaries are chosen by CONTENT (a rolling-hash
+    mask test), not position — the Rabin/FastCDC scheme storage dedup
+    systems use (LBFS, Muthitacharoen et al. SOSP'01), at the word
+    granularity this corpus pipeline already speaks.
+
+    Boundary rule: after word ``i``, cut when the Horner hash of the
+    trailing ``window`` word hashes has its low ``mask_bits`` bits zero
+    (expected chunk ≈ ``2^mask_bits`` words), subject to
+    ``min_words``/``max_words`` (a cut is never taken before ``min_words``
+    words into the chunk; a chunk is force-cut at ``max_words``).  Because
+    boundaries re-synchronize on content, an edit perturbs only the
+    chunk(s) containing it — and each chunk contributes ONE hash row for
+    ~``2^mask_bits`` words, so the downstream dup-detection shuffle is
+    ~``2^mask_bits``× smaller than the per-window gram table of
+    :func:`duplicated_window_stats` — the cheap screening tier at corpus
+    scale, same bucketed pattern after it.
+
+    Vectorization: word hashes + rolling window hashes + per-chunk
+    Horner combines are all numpy (the reduceat technique of
+    :func:`_word_horner_hashes`); only the boundary WALK is a Python
+    loop, and it iterates once per emitted CHUNK (≈ words / 2^mask_bits),
+    not per word.  Documents are rows, so everything here is row-local —
+    only ``(doc_id, chunk_hash, chunk_words)`` rows leave the stage.
+
+    Output: ``(doc_id, chunk_hash int64, chunk_words int64)``, one row
+    per chunk in document order.
+    """
+    if not (1 <= min_words <= max_words):
+        raise ValueError("cdc_chunk_table: need 1 <= min_words <= max_words")
+    mask = np.uint64((1 << mask_bits) - 1)
+
+    def chunks(batch: pd.DataFrame) -> pd.DataFrame:
+        words = batch[text_col].reset_index(drop=True).str.split(" ")
+        ex = words.explode()
+        keep = ex.notna() & (ex != "")
+        exv = ex[keep]
+        empty = pd.DataFrame({
+            id_col: pd.Series([], dtype=batch[id_col].dtype),
+            "chunk_hash": pd.Series([], dtype="int64"),
+            "chunk_words": pd.Series([], dtype="int64")})
+        if not len(exv):
+            return empty
+        doc_of = exv.index.to_numpy().astype(np.int64)
+        wh = _word_horner_hashes(exv.to_numpy(),
+                                 exv.str.len().to_numpy())
+        n = len(wh)
+        # rolling hash of the trailing `window` word hashes, aligned so
+        # roll[i] covers words [i-window+1 .. i]; windows that span a
+        # document boundary can never be cut points (cut positions below
+        # are constrained to the doc anyway via per-doc candidate lists)
+        nw = n - window + 1
+        cand_mask = np.zeros(n, dtype=bool)
+        if nw > 0:
+            g = _gram_hashes(wh, window)
+            same_doc = doc_of[:nw] == doc_of[window - 1:]
+            cand_mask[window - 1:] = (g & mask == 0) & same_doc
+        # per-document boundary walk: iterate over chunks, not words
+        doc_starts = np.flatnonzero(np.r_[True, doc_of[1:] != doc_of[:-1]])
+        doc_ends = np.r_[doc_starts[1:], n]
+        chunk_start_idx: list[int] = []
+        chunk_end_idx: list[int] = []   # exclusive
+        for ds_i, de_i in zip(doc_starts, doc_ends):
+            cands = np.flatnonzero(cand_mask[ds_i:de_i]) + ds_i
+            start = ds_i
+            while start < de_i:
+                lo = start + min_words - 1
+                hi = start + max_words - 1
+                j = np.searchsorted(cands, lo)
+                if j < len(cands) and cands[j] <= hi:
+                    cut = int(cands[j])
+                else:
+                    cut = min(hi, de_i - 1)
+                chunk_start_idx.append(start)
+                chunk_end_idx.append(cut + 1)
+                start = cut + 1
+        starts = np.asarray(chunk_start_idx, dtype=np.int64)
+        ends = np.asarray(chunk_end_idx, dtype=np.int64)
+        lens = ends - starts
+        # per-chunk Horner combine, vectorized: word j in its chunk
+        # contributes wh[j] * Q^(chunk_end-1-j)
+        word_chunk = np.repeat(np.arange(len(starts)), lens)
+        maxlen = int(lens.max())
+        qpow = np.full(maxlen, _GRAM_Q, dtype=np.uint64)
+        qpow[0] = np.uint64(1)
+        np.multiply.accumulate(qpow, out=qpow)
+        pos_from_end = (ends[word_chunk] - 1) - np.arange(n, dtype=np.int64)
+        terms = wh * qpow[pos_from_end]
+        ch = np.add.reduceat(terms, starts)
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy()[doc_of[starts]],
+            "chunk_hash": ch.view(np.int64),
+            "chunk_words": lens,
+        })
+
+    return ds.map_batches(chunks, batch_format="pandas", batch_size=None)
+
+
+def cdc_dup_stats(ds: "ray.data.Dataset", text_col: str = "text",
+                  id_col: str = "doc_id", window: int = 4,
+                  mask_bits: int = 5, min_words: int = 8,
+                  max_words: int = 64,
+                  num_buckets: int = 256) -> "ray.data.Dataset":
+    """Per-document shared-content estimate from content-defined chunks:
+    words covered by a chunk whose hash appears in >= 2 distinct
+    documents — :func:`duplicated_window_stats`' signal at
+    ~``2^mask_bits``× less shuffle (one row per chunk, not per window),
+    the screening tier that decides which docs enter the expensive
+    verify tiers.
+
+    Same scale shape as duplicated_window_stats: stage 1 row-local
+    (chunking), stage 2 ONE chunk-hash-bucketed pass (>= 2-docs test +
+    per-doc shared-word partials inside the bucket), stage 3 a
+    doc-shaped bucketed sum against the n_words spine.
+
+    Output: ``(doc_id, n_words, shared_words, shared_ratio_e4)`` for
+    every document.
+    """
+    from zeeklog_ray.relational import grouped_sum_bucketed, with_hash_bucket
+
+    ch = cdc_chunk_table(ds, text_col=text_col, id_col=id_col,
+                         window=window, mask_bits=mask_bits,
+                         min_words=min_words, max_words=max_words)
+    # collapse repeats within a doc: (doc, hash) -> total words covered
+    per_doc = grouped_sum_bucketed(ch, [id_col, "chunk_hash"],
+                                   sums={"chunk_words": "w"},
+                                   count_as="reps",
+                                   num_buckets=num_buckets)
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        ndocs = group.groupby("chunk_hash", sort=False)["w"] \
+            .transform("size")
+        dup = group[ndocs >= 2]
+        out = dup.groupby(id_col, sort=False)["w"].sum() \
+            .reset_index(name="shared_words")
+        out["n_words"] = np.int64(0)
+        return out[[id_col, "n_words", "shared_words"]]
+
+    dup_partial = with_hash_bucket(per_doc, "chunk_hash", num_buckets) \
+        .groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
+
+    def spine(batch: pd.DataFrame) -> pd.DataFrame:
+        n_words = batch[text_col].str.count(r"[^ ]+").astype("int64")
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy(),
+            "n_words": n_words,
+            "shared_words": np.int64(0),
+        })
+
+    spine_ds = ds.map_batches(spine, batch_format="pandas", batch_size=None)
+    summed = grouped_sum_bucketed(
+        spine_ds.union(dup_partial), [id_col],
+        sums={"n_words": "n_words", "shared_words": "shared_words"},
+        num_buckets=num_buckets)
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        nw = batch["n_words"].to_numpy().astype(np.int64)
+        sw = batch["shared_words"].to_numpy().astype(np.int64)
+        batch["shared_ratio_e4"] = sw * 10_000 // np.maximum(nw, 1)
+        return batch
+
+    return summed.map_batches(finish, batch_format="pandas", batch_size=None)

@@ -2141,6 +2141,24 @@ def docs_dup_windows(sf_dir: str) -> "ray.data.Dataset":
         num_buckets=32)
 
 
+def docs_cdc_dup(sf_dir: str) -> "ray.data.Dataset":
+    """Shared-content estimate from CONTENT-DEFINED chunks
+    (ops/dedup.cdc_dup_stats): Rabin/FastCDC-style word chunking
+    (rolling-hash mask boundaries, min/max bounded), then the
+    duplicated-window >= 2-docs signal at one hash row per ~16-word
+    chunk — the screening tier that costs ~16x less shuffle than
+    docs_dup_windows.  Rows-only by design: the min/max-bounded boundary
+    WALK is inherently sequential state (no SQL window replay); the
+    exactness evidence is the pure-Python chunker parity pytest and the
+    planted-copy recall test (tests/test_ops_dedup.py), and the
+    hash-gated docs_dup_windows twin shares the downstream structure."""
+    from zeeklog_ray.ops.dedup import cdc_dup_stats
+
+    return cdc_dup_stats(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+        window=4, mask_bits=4, min_words=4, max_words=32, num_buckets=32)
+
+
 def docs_remove_dup_spans(sf_dir: str) -> "ray.data.Dataset":
     """Duplicated-span REMOVAL (ops/dedup.remove_dup_spans): delete every
     word covered by an 8-word window shared by >= 2 docs — the cleaning
@@ -3393,6 +3411,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "docs_distinctive_terms": docs_distinctive_terms,
     "docs_dup_rate_by_source": docs_dup_rate_by_source,
     "docs_dup_windows": docs_dup_windows,
+    "docs_cdc_dup": docs_cdc_dup,
     "docs_remove_dup_spans": docs_remove_dup_spans,
     "docs_clean_pipeline": docs_clean_pipeline,
     "docs_repetition": docs_repetition,
