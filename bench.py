@@ -496,6 +496,82 @@ def _run_scale_ops(timings: dict, minmax: dict, extras: dict) -> None:
 
     timed2(f"scale_stratified_sample_{mtag}", strat)
 
+    # ---- round-4 continuation: CDC screening tier, distinctive terms,
+    # trailing-deviation anomaly pass, partition compaction ----
+    import pandas as pd
+
+    from zeeklog_ray.ops.dedup import cdc_dup_stats
+    from zeeklog_ray.ops.streaming import trailing_deviation
+    from zeeklog_ray.ops.text import source_distinctive_terms
+    from zeeklog_ray.relational import grouped_sum_bucketed
+
+    def cdc():
+        out = cdc_dup_stats(ray.data.read_parquet(dc), num_buckets=256)
+        assert out.count() == SCALE_DOC_ROWS
+
+    timed2(f"scale_cdc_dup_{dtag}", cdc)
+
+    def distinctive():
+        docs_s = ray.data.read_parquet(dc).map_batches(
+            add_src, batch_format="pandas", batch_size=None)
+        out = source_distinctive_terms(docs_s, k=10, min_count=20,
+                                       num_buckets=256)
+        assert out.count() == 40   # 4 sources × top-10
+
+    timed2(f"scale_distinctive_terms_{dtag}", distinctive)
+
+    # (user, hour) counts (entity-shaped bucketed sum over 5M events,
+    # ~3.4M groups) -> bucketed trailing-deviation window pass
+    def hour_col(b):
+        return pd.DataFrame({"user_id": b["user_id"],
+                             "hour": b["ts"].dt.floor("h")
+                             .dt.strftime("%Y-%m-%d %H")})
+
+    def spikes():
+        hourly = grouped_sum_bucketed(
+            ray.data.read_parquet(ev).map_batches(
+                hour_col, batch_format="pandas", batch_size=None),
+            ["user_id", "hour"], count_as="n", num_buckets=256)
+        n = trailing_deviation(hourly, key="user_id", order="hour",
+                               value="n", window=24,
+                               num_buckets=256).count()
+        assert n > SCALE_EVENT_ROWS // 2
+
+    timed2(f"scale_trailing_deviation_{mtag}", spikes)
+
+    # compaction of a 30-partition × 16-small-files day layout: template
+    # built once (untimed); each run restores the template with a local
+    # copy (untimed) and times ONLY compact_partitions
+    from zeeklog_ray.partitioned import compact_partitions, write_partitioned
+
+    tmpl = "/tmp/zeeklog_bench/compact-template"
+    work = "/tmp/zeeklog_bench/compact-work"
+    if not os.path.exists(os.path.join(tmpl, "_DONE")):
+        shutil.rmtree(tmpl, ignore_errors=True)
+
+        def add_day(b):
+            return pd.DataFrame({
+                "user_id": b["user_id"], "value": b["value"],
+                "day": b["ts"].dt.floor("d").dt.strftime("%Y-%m-%d")})
+
+        write_partitioned(
+            ray.data.read_parquet(ev).map_batches(
+                add_day, batch_format="pandas", batch_size=None)
+            .repartition(16), tmpl, ["day"])
+        with open(os.path.join(tmpl, "_DONE"), "w") as f:
+            f.write("ok")
+    vals = []
+    for _ in range(2):
+        shutil.rmtree(work, ignore_errors=True)
+        shutil.copytree(tmpl, work)             # untimed reset
+        t0 = time.monotonic()
+        rep = compact_partitions(work, target_rows=10_000_000)
+        vals.append(round(time.monotonic() - t0, 3))
+        assert int(rep["rows"].sum()) == SCALE_EVENT_ROWS
+        assert (rep["files_after"] < rep["files_before"]).all()
+    timings[f"scale_compaction_{mtag}"] = min(vals)
+    minmax[f"scale_compaction_{mtag}"] = [min(vals), max(vals)]
+
 
 def _sf_tag(sf_dir: str) -> str:
     return os.path.basename(os.path.normpath(sf_dir)).removeprefix("sf")

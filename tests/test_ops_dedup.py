@@ -572,3 +572,49 @@ def test_cdc_dup_stats_planted_and_edit_robust(ray_session):
     out2 = cdc_dup_stats(rowwise, **kw).to_pandas() \
         .set_index("doc_id").sort_index()
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_cdc_screen_then_verify_planted(ray_session):
+    """Planted near-copies screen in together and get exact window
+    stats; clean docs never reach (or pay for) the verify tier; an
+    all-clean corpus returns an empty frame with the contract schema."""
+    import ray.data
+
+    from zeeklog_ray.ops.dedup import (
+        cdc_screen_then_verify,
+        duplicated_window_stats,
+    )
+
+    rng = np.random.default_rng(11)
+    vocab = [f"tok{i:04d}" for i in range(500)]
+    base = " ".join(rng.choice(vocab, size=300))
+    near = "zzz yyy xxx " + base           # shared spans with base
+    clean = [" ".join(rng.choice(vocab, size=300)) for _ in range(4)]
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "text": [base, near] + clean,
+    })
+    kw = dict(window=4, mask_bits=4, min_words=4, max_words=32,
+              screen_ratio_e4=2_000, num_buckets=8)
+    out = cdc_screen_then_verify(ray.data.from_pandas(df), **kw) \
+        .to_pandas().set_index("doc_id").sort_index()
+    # only the planted pair survives the screen
+    assert set(out.index) == {1, 2}
+    # exact tier within the suspect subset == window stats over just
+    # the pair (both copies screened in together)
+    ref = duplicated_window_stats(
+        ray.data.from_pandas(df[df.doc_id.isin([1, 2])]), k=8,
+        num_buckets=8).to_pandas().set_index("doc_id").sort_index()
+    for c in ["n_windows", "dup_windows", "dup_ratio_e4"]:
+        assert (out[c] == ref[c]).all(), c
+    assert (out["screen_ratio_e4"] >= 2_000).all()
+    assert out.loc[1, "dup_ratio_e4"] > 8_000
+
+    # all-clean corpus -> empty result with the contract schema on the
+    # DATASET (zero-row .to_pandas() loses columns — the documented Ray
+    # 2.49 empty-block wart, see raypatch.py)
+    ds2 = cdc_screen_then_verify(
+        ray.data.from_pandas(df[df.doc_id >= 3]), **kw)
+    assert ds2.count() == 0
+    assert ds2.schema().names == ["doc_id", "n_windows", "dup_windows",
+                                  "dup_ratio_e4", "screen_ratio_e4"]

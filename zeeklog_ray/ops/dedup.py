@@ -1220,3 +1220,73 @@ def cdc_dup_stats(ds: "ray.data.Dataset", text_col: str = "text",
         return batch
 
     return summed.map_batches(finish, batch_format="pandas", batch_size=None)
+
+
+def cdc_screen_then_verify(ds: "ray.data.Dataset", text_col: str = "text",
+                           id_col: str = "doc_id",
+                           screen_ratio_e4: int = 2_000,
+                           window: int = 4, mask_bits: int = 5,
+                           min_words: int = 8, max_words: int = 64,
+                           k: int = 8,
+                           num_buckets: int = 256) -> "ray.data.Dataset":
+    """The two-tier corpus-scale dup workflow as ONE operator: the cheap
+    CDC screening pass (:func:`cdc_dup_stats` — one hash row per
+    ~``2^mask_bits`` words) flags suspect documents whose shared-content
+    ratio reaches ``screen_ratio_e4``; only the suspects then pay the
+    bit-exact per-window tier (:func:`duplicated_window_stats`, one gram
+    row per word) — the shape that makes substring-level dedup
+    affordable at 10^12 docs, where running the window tier corpus-wide
+    would shuffle ~n_words rows.
+
+    The suspect filter is a broadcast semi-join on doc ids when the
+    suspect set is small (the expected case: dup rates are a few
+    percent), else a bucketed equi-join — the decontam/ngram tiering.
+
+    Output: per SUSPECT document, the exact window stats **within the
+    suspect subset** plus the screening ratio:
+    ``(doc_id, n_windows, dup_windows, dup_ratio_e4, screen_ratio_e4)``.
+    Duplicated spans whose every other copy was screened OUT don't
+    count — by construction both/all copies of a real shared span share
+    its chunks, so they screen in together; the planted-dup pytest
+    pins that.
+    """
+    from zeeklog_ray.relational import broadcast_merge, bucketed_equi_join
+
+    screen = cdc_dup_stats(ds, text_col=text_col, id_col=id_col,
+                           window=window, mask_bits=mask_bits,
+                           min_words=min_words, max_words=max_words,
+                           num_buckets=num_buckets)
+
+    def keep_suspects(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[batch["shared_ratio_e4"] >= screen_ratio_e4]
+        return out[[id_col, "shared_ratio_e4"]] \
+            .rename(columns={"shared_ratio_e4": "screen_ratio_e4"})
+
+    suspects = screen.map_batches(keep_suspects, batch_format="pandas",
+                                  batch_size=None).materialize()
+    n_susp = suspects.count()
+    if n_susp == 0:
+        import pyarrow as pa
+
+        return ray.data.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "n_windows": pa.array([], pa.int64()),
+            "dup_windows": pa.array([], pa.int64()),
+            "dup_ratio_e4": pa.array([], pa.int64()),
+            "screen_ratio_e4": pa.array([], pa.int64())}))
+    if n_susp <= 2_000_000:
+        susp_docs = broadcast_merge(
+            ds.select_columns([id_col, text_col]), suspects.to_pandas(),
+            on=id_col)
+    else:
+        susp_docs = bucketed_equi_join(
+            ds.select_columns([id_col, text_col]), suspects, on=id_col,
+            num_buckets=num_buckets)
+    exact = duplicated_window_stats(
+        susp_docs, text_col=text_col, id_col=id_col, k=k,
+        num_buckets=num_buckets)
+    # re-attach the screening ratio (suspects are small; broadcast)
+    if n_susp <= 2_000_000:
+        return broadcast_merge(exact, suspects.to_pandas(), on=id_col)
+    return bucketed_equi_join(exact, suspects, on=id_col,
+                              num_buckets=num_buckets)

@@ -2159,6 +2159,21 @@ def docs_cdc_dup(sf_dir: str) -> "ray.data.Dataset":
         window=4, mask_bits=4, min_words=4, max_words=32, num_buckets=32)
 
 
+def docs_screen_verify(sf_dir: str) -> "ray.data.Dataset":
+    """Two-tier dup workflow (ops/dedup.cdc_screen_then_verify): cheap
+    CDC screening flags suspect docs, only suspects pay the bit-exact
+    per-window tier — the affordable shape at 10^12 docs.  Rows-only by
+    design (the CDC boundary walk has no SQL replay); the exact tier it
+    feeds is the hash-gated docs_dup_windows, and the planted-dup
+    equivalence pytest pins the composition."""
+    from zeeklog_ray.ops.dedup import cdc_screen_then_verify
+
+    return cdc_screen_then_verify(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+        window=4, mask_bits=4, min_words=4, max_words=32,
+        screen_ratio_e4=2_000, num_buckets=32)
+
+
 def docs_remove_dup_spans(sf_dir: str) -> "ray.data.Dataset":
     """Duplicated-span REMOVAL (ops/dedup.remove_dup_spans): delete every
     word covered by an 8-word window shared by >= 2 docs — the cleaning
@@ -3412,6 +3427,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "docs_dup_rate_by_source": docs_dup_rate_by_source,
     "docs_dup_windows": docs_dup_windows,
     "docs_cdc_dup": docs_cdc_dup,
+    "docs_screen_verify": docs_screen_verify,
     "docs_remove_dup_spans": docs_remove_dup_spans,
     "docs_clean_pipeline": docs_clean_pipeline,
     "docs_repetition": docs_repetition,
