@@ -83,6 +83,7 @@ def apply_patches() -> None:
     _patch_hash_shuffle_schema_broadcast()
     _patch_unify_schemas_metadata_hash()
     _quiet_empty_block_schema_warning()
+    _quiet_empty_block_size_warning()
 
 
 def _empty_block_from_schema(schema):
@@ -301,3 +302,29 @@ def _quiet_empty_block_schema_warning() -> None:
     logger = getattr(streaming_executor_state, "logger", None)
     if logger is not None:
         logger.addFilter(_DropEmptySchemaDrift())
+
+
+def _quiet_empty_block_size_warning() -> None:
+    """Cosmetic wart, documented: PandasBlockAccessor's size estimator
+    samples object columns and feeds the sample through ``np.vectorize``,
+    which RAISES on a zero-row sample ("cannot call `vectorize` on size 0
+    inputs unless `otypes` is set") — so every EMPTY pandas block with an
+    object column (sparse join/groupby buckets manufacture them
+    routinely) logs a scary-looking warning whose true meaning is "this
+    empty block is size 0".  Drop exactly that message shape; genuine
+    size-estimation failures on non-empty samples still warn."""
+    import logging
+
+    class _DropEmptySizeCalc(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            msg = record.getMessage()
+            return not ("Error calculating size for column" in msg
+                        and "size 0 inputs" in msg)
+
+    try:
+        from ray.data._internal import pandas_block
+    except ImportError:                 # pragma: no cover - internals moved
+        return
+    logger = getattr(pandas_block, "logger", None)
+    if logger is not None:
+        logger.addFilter(_DropEmptySizeCalc())
