@@ -2601,6 +2601,40 @@ def docs_df_boilerplate(sf_dir: str) -> "ray.data.Dataset":
     return df_token_scrub(docs, freq)
 
 
+def events_orc_roundtrip(sf_dir: str) -> "ray.data.Dataset":
+    """ORC sink/source round-trip (jsonio.write_orc / read_orc — the
+    data-lake interchange format Ray lacks natively, grafted on as a
+    per-block map_batches sink + per-file parallel source): export
+    (event_id, ts, event_type), read the shards back, bucket the
+    ROUNDTRIPPED timestamps to hours and roll up with integer sums —
+    the oracle reads the original parquet, so any timestamp or integer
+    fidelity loss in the ORC hop fails the hash."""
+    import shutil
+
+    import pyarrow.compute as pc
+
+    from zeeklog_ray.jsonio import read_orc, write_orc
+    from zeeklog_ray.relational import grouped_sum
+
+    out_dir = (f"/tmp/zeeklog_orc/"
+               f"{os.path.basename(os.path.normpath(sf_dir))}-{os.getpid()}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "event_type"])
+    write_orc(ev, out_dir)
+    back = read_orc(out_dir)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        hour = pc.strftime(pc.floor_temporal(batch["ts"], unit="hour"),
+                           format="%Y-%m-%d %H:00:00")
+        return pa.table({"event_type": batch["event_type"], "hour": hour,
+                         "event_id": batch["event_id"]})
+
+    return grouped_sum(
+        back.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        ["event_type", "hour"], sums={"event_id": "sum_id"}, count_as="n")
+
+
 def docs_jsonl_roundtrip(sf_dir: str) -> "ray.data.Dataset":
     """JSONL sink/source round-trip (jsonio.write_jsonl / read_jsonl):
     export the integer/string document projection as JSONL shards (one
@@ -3324,6 +3358,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # oracle-checked relational/analytics operators
     "docs_by_source": docs_by_source,
     "docs_jsonl_roundtrip": docs_jsonl_roundtrip,
+    "events_orc_roundtrip": events_orc_roundtrip,
     "docs_csv_roundtrip": docs_csv_roundtrip,
     "docs_prep_export": docs_prep_export,
     "user_value_sums": user_value_sums,
@@ -4123,6 +4158,13 @@ ORACLE_SQL: dict[str, str] = {
         " SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles "
         "FROM pairs e1 JOIN pairs e2 ON e2.id_a = e1.id_b "
         "JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b"),
+    # ORC hop fidelity: hour-bucketed rollup of the roundtripped
+    # timestamps + integer id sums vs the original parquet
+    "events_orc_roundtrip": (
+        "SELECT event_type, strftime(date_trunc('hour', ts), "
+        "'%Y-%m-%d %H:00:00') AS hour, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(event_id) AS BIGINT) AS sum_id "
+        "FROM events GROUP BY event_type, hour"),
     "docs_jsonl_roundtrip": (
         "SELECT source, CAST(SUM(n_chars) AS BIGINT) AS sum_chars, "
         "CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source"),
