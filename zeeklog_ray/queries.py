@@ -2263,6 +2263,71 @@ def docs_unigram_logprob(sf_dir: str) -> "ray.data.Dataset":
         num_buckets=32)
 
 
+_QR_RATES = {"q0": 0.2, "q1": 0.7, "q2": 1.0, "q3": 1.5}
+
+
+def docs_quality_resample(sf_dir: str) -> "ray.data.Dataset":
+    """Quality-bucketed resampling — the quality-curation pipeline with
+    every stage exact: score docs by the integer Gopher distinct-word
+    ratio (ops/text.repetition_stats — repetitive docs score low), cut
+    the corpus into quartile buckets at the EXACT score quantiles
+    (ops/sketch.exact_quantiles, quantile_disc semantics), then
+    mixture-resample by bucket (oversample the cleanest quartile x1.5,
+    keep the repetitive tail at x0.2) with the splitmix64 draw —
+    deterministic on any partitioning.  The oracle replays the whole
+    chain in one CTE composition (repetition SQL + quantile_disc +
+    HUGEINT splitmix64 expansion).  Output: per-bucket kept-row and
+    word totals."""
+    from zeeklog_ray.ops.sample import mixture_resample
+    from zeeklog_ray.ops.sketch import exact_quantiles
+    from zeeklog_ray.ops.text import repetition_stats
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    # doc-shaped scalars-only intermediate: consumed twice (quantile
+    # histogram + bucketing), so the pin is the designed shape
+    scored = repetition_stats(docs).materialize()
+    qdf = exact_quantiles(scored, "distinct_ratio_e4", [0.25, 0.5, 0.75])
+    q1, q2, q3 = (int(v) for v in qdf["value"])
+
+    def bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["distinct_ratio_e4"].to_numpy()
+        b = np.where(s <= q1, "q0",
+                     np.where(s <= q2, "q1",
+                              np.where(s <= q3, "q2", "q3")))
+        return pd.DataFrame({"doc_id": batch["doc_id"],
+                             "n_words": batch["n_words"], "qbucket": b})
+
+    bucketed = scored.map_batches(bucket, batch_format="pandas",
+                                  batch_size=None)
+    kept = mixture_resample(bucketed, key_col="doc_id", by="qbucket",
+                            rates=_QR_RATES, default_rate=1.0)
+    return grouped_sum(kept, ["qbucket"], sums={"n_words": "sum_words"},
+                       count_as="n_rows")
+
+
+def _quality_resample_oracle_sql() -> str:
+    from zeeklog_ray.ops.sample import mixture_resample_sql
+
+    rep_sql = ORACLE_SQL["docs_repetition"]
+    bucketed = (
+        f"(WITH scored AS ({rep_sql}), "
+        "qq AS (SELECT quantile_disc(distinct_ratio_e4, 0.25) AS q1, "
+        "quantile_disc(distinct_ratio_e4, 0.50) AS q2, "
+        "quantile_disc(distinct_ratio_e4, 0.75) AS q3 FROM scored) "
+        "SELECT s.doc_id, s.n_words, "
+        "CASE WHEN s.distinct_ratio_e4 <= qq.q1 THEN 'q0' "
+        "WHEN s.distinct_ratio_e4 <= qq.q2 THEN 'q1' "
+        "WHEN s.distinct_ratio_e4 <= qq.q3 THEN 'q2' ELSE 'q3' END "
+        "AS qbucket FROM scored s CROSS JOIN qq) b")
+    mix = mixture_resample_sql(bucketed, key_col="doc_id",
+                               select_cols="qbucket, n_words",
+                               by="qbucket", rates=_QR_RATES,
+                               default_rate=1.0)
+    return (f"SELECT qbucket, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            f"CAST(SUM(n_words) AS BIGINT) AS sum_words "
+            f"FROM ({mix}) t GROUP BY qbucket")
+
+
 def docs_stratified_sample(sf_dir: str) -> "ray.data.Dataset":
     """Balanced per-language sample (~40 docs/lang) with keep-rates derived
     from the actual group sizes (ops/sample.stratified_sample): one
@@ -3468,6 +3533,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "docs_repetition": docs_repetition,
     "docs_bigram_pmi": docs_bigram_pmi,
     "docs_stratified_sample": docs_stratified_sample,
+    "docs_quality_resample": docs_quality_resample,
     "event_type_heavy_users": event_type_heavy_users,
     "docs_rare_word_ratio": docs_rare_word_ratio,
     "docs_unigram_logprob": docs_unigram_logprob,
@@ -4921,6 +4987,7 @@ ORACLE_SQL: dict[str, str] = {
 
 # The flagship zeek_* oracles read the tokenized corpus by absolute path at
 # the driver's comparison scale (sf0.01).
+ORACLE_SQL["docs_quality_resample"] = _quality_resample_oracle_sql()
 ORACLE_SQL.update(_zeek_oracle_sql(DRIVER_SF_DIR))
 
 
