@@ -618,3 +618,51 @@ def test_cdc_screen_then_verify_planted(ray_session):
     assert ds2.count() == 0
     assert ds2.schema().names == ["doc_id", "n_windows", "dup_windows",
                                   "dup_ratio_e4", "screen_ratio_e4"]
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_word = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=0x2FF),
+    min_size=1, max_size=6)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.lists(_word, min_size=0, max_size=80),
+                min_size=1, max_size=6),
+       st.integers(min_value=1, max_value=4),
+       st.integers(min_value=4, max_value=16))
+def test_cdc_chunker_property_matches_reference(ray_session, doc_words,
+                                                min_words, max_span):
+    """Property: for arbitrary unicode words and min/max bounds, the
+    vectorized chunker equals the pure-Python reference per doc, chunks
+    cover every word exactly once, and no chunk exceeds max_words."""
+    import ray.data
+
+    from zeeklog_ray.ops.dedup import cdc_chunk_table
+
+    max_words = min_words + max_span
+    df = pd.DataFrame({
+        "doc_id": range(len(doc_words)),
+        "text": [" ".join(ws) for ws in doc_words],
+    })
+    got = cdc_chunk_table(ray.data.from_pandas(df), window=3, mask_bits=2,
+                          min_words=min_words, max_words=max_words) \
+        .to_pandas()
+    if got.empty:
+        # zero-row to_pandas loses columns (documented Ray 2.49 wart);
+        # the property still holds iff every reference is empty too
+        assert all(_ref_cdc(t, window=3, mask_bits=2,
+                            min_words=min_words, max_words=max_words) == []
+                   for t in df["text"])
+        return
+    for doc_id, text in zip(df["doc_id"], df["text"]):
+        ref = _ref_cdc(text, window=3, mask_bits=2, min_words=min_words,
+                       max_words=max_words)
+        sub = got[got["doc_id"] == doc_id]
+        assert [(h, w) for h, w in
+                zip(sub["chunk_hash"], sub["chunk_words"])] == ref
+        nw = len([w for w in text.split(" ") if w])
+        assert sub["chunk_words"].sum() == nw
+        assert (sub["chunk_words"] <= max_words).all()
