@@ -2700,6 +2700,28 @@ def events_orc_roundtrip(sf_dir: str) -> "ray.data.Dataset":
         ["event_type", "hour"], sums={"event_id": "sum_id"}, count_as="n")
 
 
+def docs_feather_roundtrip(sf_dir: str) -> "ray.data.Dataset":
+    """Feather (Arrow IPC) sink/source round-trip (jsonio.write_feather /
+    read_feather — the zero-parse local interchange hop, grafted like the
+    ORC pair): export the document projection, read the shards back, and
+    aggregate per source against the original-parquet oracle."""
+    import shutil
+
+    from zeeklog_ray.jsonio import read_feather, write_feather
+    from zeeklog_ray.relational import grouped_sum
+
+    out_dir = (f"/tmp/zeeklog_feather/"
+               f"{os.path.basename(os.path.normpath(sf_dir))}-{os.getpid()}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "source", "n_chars"])
+    write_feather(docs, out_dir)
+    back = read_feather(out_dir)
+    return grouped_sum(back, ["source"],
+                       sums={"n_chars": "sum_chars", "doc_id": "sum_ids"},
+                       count_as="n")
+
+
 def docs_jsonl_roundtrip(sf_dir: str) -> "ray.data.Dataset":
     """JSONL sink/source round-trip (jsonio.write_jsonl / read_jsonl):
     export the integer/string document projection as JSONL shards (one
@@ -3424,6 +3446,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "docs_by_source": docs_by_source,
     "docs_jsonl_roundtrip": docs_jsonl_roundtrip,
     "events_orc_roundtrip": events_orc_roundtrip,
+    "docs_feather_roundtrip": docs_feather_roundtrip,
     "docs_csv_roundtrip": docs_csv_roundtrip,
     "docs_prep_export": docs_prep_export,
     "user_value_sums": user_value_sums,
@@ -4231,6 +4254,12 @@ ORACLE_SQL: dict[str, str] = {
         "'%Y-%m-%d %H:00:00') AS hour, CAST(COUNT(*) AS BIGINT) AS n, "
         "CAST(SUM(event_id) AS BIGINT) AS sum_id "
         "FROM events GROUP BY event_type, hour"),
+    # Feather hop fidelity: per-source rollup with integer id sums
+    "docs_feather_roundtrip": (
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(n_chars) AS BIGINT) AS sum_chars, "
+        "CAST(SUM(doc_id) AS BIGINT) AS sum_ids "
+        "FROM documents GROUP BY source"),
     "docs_jsonl_roundtrip": (
         "SELECT source, CAST(SUM(n_chars) AS BIGINT) AS sum_chars, "
         "CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source"),
