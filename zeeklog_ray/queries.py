@@ -2813,6 +2813,19 @@ def event_type_user_counts(sf_dir: str) -> "ray.data.Dataset":
 _PREP_RATES = {"src0": 2.5, "src1": 0.5}  # oversample + downsample mix
 
 
+def event_spike_topk(sf_dir: str) -> "ray.data.Dataset":
+    """The anomaly report a monitoring consumer actually reads: top-20
+    (event_type, hour) cells by the trailing-deviation spike score
+    (relational.top_k over events_hourly_spikes — per-block partial
+    top-k bounds the sort input); deterministic (spike desc, type, hour)
+    tie-break on both sides."""
+    from zeeklog_ray.relational import top_k
+
+    spikes = events_hourly_spikes(sf_dir)
+    return top_k(spikes, by=["spike_e4", "event_type", "hour"],
+                 descending=[True, False, False], k=20)
+
+
 def events_compact_roundtrip(sf_dir: str) -> "ray.data.Dataset":
     """Table-maintenance round trip: write events hive-partitioned by
     day as many SMALL files, run the journal-committed small-file
@@ -3460,6 +3473,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_partitioned_prune": events_partitioned_prune,
     "events_hourly_dense": events_hourly_dense,
     "events_hourly_spikes": events_hourly_spikes,
+    "event_spike_topk": event_spike_topk,
     "events_compact_roundtrip": events_compact_roundtrip,
     "orders_fk_violations": orders_fk_violations,
     "events_column_profile": events_column_profile,
@@ -5017,6 +5031,11 @@ ORACLE_SQL: dict[str, str] = {
 # The flagship zeek_* oracles read the tokenized corpus by absolute path at
 # the driver's comparison scale (sf0.01).
 ORACLE_SQL["docs_quality_resample"] = _quality_resample_oracle_sql()
+# top-20 spike report over the dense-series window replay; the
+# (spike desc, type, hour) tie-break makes LIMIT deterministic
+ORACLE_SQL["event_spike_topk"] = (
+    "SELECT * FROM (" + ORACLE_SQL["events_hourly_spikes"] + ") "
+    "ORDER BY spike_e4 DESC, event_type, hour LIMIT 20")
 ORACLE_SQL.update(_zeek_oracle_sql(DRIVER_SF_DIR))
 
 
