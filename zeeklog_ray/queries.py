@@ -2813,6 +2813,32 @@ def event_type_user_counts(sf_dir: str) -> "ray.data.Dataset":
 _PREP_RATES = {"src0": 2.5, "src1": 0.5}  # oversample + downsample mix
 
 
+def user_daily_spikes(sf_dir: str) -> "ray.data.Dataset":
+    """Per-USER trailing-deviation scores over each user's observed
+    daily activity — the same window pass as events_hourly_spikes but at
+    ENTITY key cardinality (every user, not a handful of types), gating
+    the key-hash-bucketed path: (user, day) counts are one entity-shaped
+    bucketed sum, then ops/streaming.trailing_deviation with a 7-row
+    window over the sparse per-user series."""
+    import pyarrow.compute as pc
+
+    from zeeklog_ray.ops.streaming import trailing_deviation
+    from zeeklog_ray.relational import grouped_sum_bucketed
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        day = pc.strftime(pc.floor_temporal(batch["ts"], unit="day"),
+                          format="%Y-%m-%d")
+        return pa.table({"user_id": batch["user_id"], "day": day})
+
+    daily = grouped_sum_bucketed(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        ["user_id", "day"], count_as="n", num_buckets=32)
+    return trailing_deviation(daily, key="user_id", order="day",
+                              value="n", window=7, num_buckets=32)
+
+
 def event_spike_topk(sf_dir: str) -> "ray.data.Dataset":
     """The anomaly report a monitoring consumer actually reads: top-20
     (event_type, hour) cells by the trailing-deviation spike score
@@ -3474,6 +3500,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_hourly_dense": events_hourly_dense,
     "events_hourly_spikes": events_hourly_spikes,
     "event_spike_topk": event_spike_topk,
+    "user_daily_spikes": user_daily_spikes,
     "events_compact_roundtrip": events_compact_roundtrip,
     "orders_fk_violations": orders_fk_violations,
     "events_column_profile": events_column_profile,
@@ -5031,6 +5058,22 @@ ORACLE_SQL: dict[str, str] = {
 # The flagship zeek_* oracles read the tokenized corpus by absolute path at
 # the driver's comparison scale (sf0.01).
 ORACLE_SQL["docs_quality_resample"] = _quality_resample_oracle_sql()
+# per-user daily spike scores over the SPARSE observed-day series —
+# no gap filling, so the ROWS frame replays the op exactly
+ORACLE_SQL["user_daily_spikes"] = (
+    "WITH s AS (SELECT user_id, strftime(date_trunc('day', ts), "
+    "'%Y-%m-%d') AS day, COUNT(*) AS cnt FROM events GROUP BY 1, 2), "
+    "w AS (SELECT user_id, day, cnt, "
+    "COALESCE(SUM(cnt) OVER (PARTITION BY user_id ORDER BY day "
+    "ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS trail_sum, "
+    "COUNT(cnt) OVER (PARTITION BY user_id ORDER BY day "
+    "ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS trail_cnt FROM s) "
+    "SELECT user_id, day, CAST(cnt AS BIGINT) AS n, "
+    "CAST(trail_sum AS BIGINT) AS trail_sum, "
+    "CAST(trail_cnt AS BIGINT) AS trail_cnt, "
+    "CAST(CASE WHEN cnt * trail_cnt - trail_sum > 0 THEN "
+    "(cnt * trail_cnt - trail_sum) * 10000 // GREATEST(trail_sum, 1) "
+    "ELSE 0 END AS BIGINT) AS spike_e4 FROM w")
 # top-20 spike report over the dense-series window replay; the
 # (spike desc, type, hour) tie-break makes LIMIT deterministic
 ORACLE_SQL["event_spike_topk"] = (
