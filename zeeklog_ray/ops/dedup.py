@@ -1115,20 +1115,29 @@ def cdc_chunk_table(ds: "ray.data.Dataset", text_col: str = "text",
             g = _gram_hashes(wh, window)
             same_doc = doc_of[:nw] == doc_of[window - 1:]
             cand_mask[window - 1:] = (g & mask == 0) & same_doc
-        # per-document boundary walk: iterate over chunks, not words
+        # per-document boundary walk: iterate over chunks, not words.
+        # One GLOBAL flatnonzero + python-int bisect beats a per-doc
+        # numpy flatnonzero/searchsorted pair: numpy call overhead
+        # (~2-4 µs) × docs dominated the walk at 1M short docs
+        # (measured 1.23 s → 0.29 s single-thread on a 200k-doc block)
+        import bisect as _bisect
+
         doc_starts = np.flatnonzero(np.r_[True, doc_of[1:] != doc_of[:-1]])
         doc_ends = np.r_[doc_starts[1:], n]
+        cand_list = np.flatnonzero(cand_mask).tolist()
+        n_cand = len(cand_list)
         chunk_start_idx: list[int] = []
         chunk_end_idx: list[int] = []   # exclusive
-        for ds_i, de_i in zip(doc_starts, doc_ends):
-            cands = np.flatnonzero(cand_mask[ds_i:de_i]) + ds_i
+        for ds_i, de_i in zip(doc_starts.tolist(), doc_ends.tolist()):
             start = ds_i
+            j = _bisect.bisect_left(cand_list, ds_i)
             while start < de_i:
                 lo = start + min_words - 1
                 hi = start + max_words - 1
-                j = np.searchsorted(cands, lo)
-                if j < len(cands) and cands[j] <= hi:
-                    cut = int(cands[j])
+                while j < n_cand and cand_list[j] < lo:
+                    j += 1
+                if j < n_cand and cand_list[j] <= hi and cand_list[j] < de_i:
+                    cut = cand_list[j]
                 else:
                     cut = min(hi, de_i - 1)
                 chunk_start_idx.append(start)
