@@ -46,32 +46,92 @@ def read_partition(root: str, col: str, value: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(f"{root}/{col}={value}")
 
 
+def _streaming_boundaries(ds: "ray.data.Dataset", col: str,
+                          num_files: int, per_block: int = 65,
+                          ctx: str = "write_sorted_zonemap") -> np.ndarray:
+    """Range boundaries for ``col`` from ONE streaming pass — no
+    ``count()``, no ``materialize()``: each block emits ≤ ``per_block``
+    evenly spaced order statistics weighted by the rows they stand for,
+    and one reduce task merges them into ``num_files - 1`` weighted
+    quantiles.  Deterministic (order statistics, no RNG), and the driver
+    only ever sees the final boundary array; the per-block sample table
+    (O(blocks × per_block) scalar pairs) merges inside a worker task, so
+    at 10^12 rows nothing larger than the boundaries reaches the driver.
+    Nulls in the sort key raise, same contract as ``global_rank``."""
+
+    def block_stats(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[col]
+        if v.isna().any():
+            raise ValueError(f"{ctx}: null values in {col!r}")
+        arr = np.sort(v.to_numpy())
+        k = min(len(arr), per_block)
+        if k == 0:
+            return pd.DataFrame({"v": arr[:0], "w": np.zeros(0)})
+        idx = ((np.arange(k) + 0.5) * len(arr) / k).astype(np.int64)
+        return pd.DataFrame({"v": arr[idx],
+                             "w": np.full(k, len(arr) / k)})
+
+    def merge(stats: pd.DataFrame) -> pd.DataFrame:
+        if len(stats) == 0:
+            return stats.iloc[:0]
+        stats = stats.sort_values("v", kind="mergesort")
+        cw = stats["w"].cumsum().to_numpy()
+        targets = (np.arange(1, num_files) * cw[-1]) / num_files
+        pos = np.minimum(np.searchsorted(cw, targets, side="left"),
+                         len(stats) - 1)
+        return pd.DataFrame({"v": np.unique(stats["v"].to_numpy()[pos])})
+
+    merged = ds.select_columns([col]) \
+        .map_batches(block_stats, batch_format="pandas", batch_size=None) \
+        .repartition(1) \
+        .map_batches(merge, batch_format="pandas", batch_size=None) \
+        .to_pandas()
+    if len(merged) == 0:
+        raise ValueError(f"{ctx}: empty dataset")
+    return merged["v"].to_numpy()
+
+
 def write_sorted_zonemap(ds: "ray.data.Dataset", col: str, root: str,
                          num_files: int = 64, sample_n: int = 8192,
-                         seed: int = 7) -> dict:
+                         seed: int = 7, spill_dir: str | None = None,
+                         pin: bool = False) -> dict:
     """Range-sorted Parquet export with a zone-map manifest.
 
-    Shape: sample ``col`` for range boundaries (deterministic seed, the
-    ``global_rank`` scheme), tag each row with its range bucket
-    row-locally, then ONE bucketed shuffle where each range sorts itself
-    and writes its own file (``part-<bucket>.parquet``, tempfile +
-    ``os.replace`` so a re-run of a failed range is atomic — the
-    resumable-output contract).  Only the one-row-per-file stats table
-    returns to the driver, which writes ``manifest.json``:
-    ``{"col", "files": [{"path", "min", "max", "rows"}, ...]}``.
+    Shape: ONE streaming pass computes range boundaries for ``col``
+    (per-block order statistics merged into weighted quantiles —
+    :func:`_streaming_boundaries`; deterministic, nothing pinned), then a
+    second pass tags each row with its range bucket row-locally and ONE
+    bucketed shuffle lets each range sort itself and write its own file
+    (``part-<bucket>.parquet``, tempfile + ``os.replace`` so a re-run of a
+    failed range is atomic — the resumable-output contract).  Only the
+    one-row-per-file stats table returns to the driver, which writes
+    ``manifest.json``: ``{"col", "files": [{"path", "min", "max",
+    "rows"}, ...]}``.
+
+    The default path never materializes the input: the two passes each
+    re-execute the upstream plan, which for the intended input (a
+    deterministic ``read_parquet``) costs one extra scan and keeps the
+    object store flat — at 10^12 rows a full-input pin would BE the
+    bottleneck.  For an expensive or non-deterministic upstream, pass
+    ``spill_dir`` (stage the input once as Parquet via ``pin_or_spill``
+    and run both passes off the staged copy — the 100-TB-safe pin) or
+    ``pin=True`` (object-store materialize, small inputs only).
 
     Sorting is a global all-to-all by construction (same as any ORDER BY);
     everything after it is file-local.  Null sort keys are rejected like
     ``global_rank`` (make the null policy explicit upstream).  Returns the
-    manifest dict."""
-    from zeeklog_ray.relational import sampled_range_boundaries
+    manifest dict.  ``sample_n``/``seed`` are accepted for signature
+    compatibility; the streaming sampler is deterministic without RNG."""
+    from zeeklog_ray.spill import pin_or_spill
 
     os.makedirs(root, exist_ok=True)
-    proj = ds.materialize()
-    if proj.count() == 0:
-        raise ValueError("write_sorted_zonemap: empty dataset")
-    boundaries = sampled_range_boundaries(proj, col, num_files, sample_n,
-                                          seed, ctx="write_sorted_zonemap")
+    if spill_dir is not None:
+        proj = pin_or_spill(ds, spill_dir, "zonemap_input")
+    elif pin:
+        proj = ds.materialize()
+    else:
+        proj = ds
+    boundaries = _streaming_boundaries(proj, col, num_files)
     bref = ray.put(boundaries)
 
     def assign(batch: pd.DataFrame) -> pd.DataFrame:
@@ -93,6 +153,7 @@ def write_sorted_zonemap(ds: "ray.data.Dataset", col: str, root: str,
         fd, tmp = tempfile.mkstemp(dir=root, suffix=".parquet.tmp")
         os.close(fd)
         pq.write_table(pa.Table.from_pandas(g, preserve_index=False), tmp)
+        _fsync_file(tmp)  # data durable before the rename publishes it
         os.replace(tmp, path)
         lo, hi = g[col].iloc[0], g[col].iloc[-1]
         return pd.DataFrame({"path": [path],
@@ -112,8 +173,32 @@ def write_sorted_zonemap(ds: "ray.data.Dataset", col: str, root: str,
     fd, tmp = tempfile.mkstemp(dir=root, suffix=".json.tmp")
     with os.fdopen(fd, "w") as f:
         json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, os.path.join(root, "manifest.json"))
+    _fsync_dir(root)
     return manifest
+
+
+def _fsync_file(path: str) -> None:
+    """fsync a file's data blocks.  Durability ordering is the whole
+    point of the compaction journal: the journal must not become durable
+    before the merged data it commits, or a crash rolls FORWARD onto
+    truncated files."""
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
+def _fsync_dir(d: str) -> None:
+    """fsync a directory so renames within it are durable."""
+    fd = os.open(d, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
 
 
 def _json_bound(v, col: str):
@@ -145,21 +230,96 @@ def zonemap_files_for_range(manifest: dict, lo, hi) -> list[str]:
             if not (f["max"] < lo or f["min"] > hi)]
 
 
-def zonemap_scan(root: str, lo, hi) -> "ray.data.Dataset":
+def zonemap_manifest_is_stale(root: str, manifest: dict) -> bool:
+    """True when ``manifest.json`` no longer describes the files actually
+    in ``root`` — the file set differs (a compaction or manual edit
+    renamed/merged files) or any file's footer row count disagrees with
+    the manifest (a file was overwritten in place).  A stale manifest
+    must never drive pruning: a zone entry pointing at a replaced file
+    would silently hide matching rows."""
+    import pyarrow.parquet as pq
+
+    disk = {f for f in os.listdir(root)
+            if f.endswith(".parquet") and not f.startswith(".")}
+    entries = {os.path.basename(e["path"]): e for e in manifest["files"]}
+    if disk != set(entries):
+        return True
+    for name, e in entries.items():
+        md = pq.read_metadata(os.path.join(root, name))
+        if md.num_rows != e["rows"]:
+            return True
+    return False
+
+
+def rebuild_zonemap_manifest(root: str, col: str | None = None) -> dict:
+    """Rebuild ``manifest.json`` from the Parquet files currently in
+    ``root`` — the refresh step after :func:`compact_partition_dir`
+    merges a zonemapped directory's files.  Zones stay correct under any
+    file rearrangement because a zone is just the file's actual
+    ``[min, max]``: a compacted file spanning two old ranges gets the
+    union zone (coarser pruning, same answers).
+
+    Bounds are computed from the zone COLUMN's data (one-column read per
+    file), not footer statistics — Parquet string min/max stats may be
+    truncated, and a rounded bound could prune a file that holds matching
+    rows.  The files were just fully read+written by the merge, so the
+    extra one-column scan is marginal."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    if col is None:
+        with open(os.path.join(root, "manifest.json")) as f:
+            col = json.load(f)["col"]
+    entries = []
+    for name in sorted(f for f in os.listdir(root)
+                       if f.endswith(".parquet") and not f.startswith(".")):
+        path = os.path.join(root, name)
+        t = pq.read_table(path, columns=[col])
+        if t.num_rows == 0:
+            continue
+        mm = pc.min_max(t.column(0)).as_py()
+        entries.append({"path": path,
+                        "min": _json_bound(mm["min"], col),
+                        "max": _json_bound(mm["max"], col),
+                        "rows": int(t.num_rows)})
+    manifest = {"col": col, "files": entries}
+    fd, tmp = tempfile.mkstemp(dir=root, suffix=".json.tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(root, "manifest.json"))
+    _fsync_dir(root)
+    return manifest
+
+
+def zonemap_scan(root: str, lo, hi, validate: bool = True
+                 ) -> "ray.data.Dataset":
     """Range query over a :func:`write_sorted_zonemap` export: open ONLY
     the overlapping files (zone pruning), then a row-local Arrow filter
     trims the two boundary files.  An empty intersection still reads one
     file's schema (and filters everything) so the result Dataset keeps
     its columns — the empty-``to_pandas`` schema-loss quirk is documented
-    in BASELINE.md."""
+    in BASELINE.md.
+
+    ``validate=True`` (default) guards against a stale manifest
+    (:func:`zonemap_manifest_is_stale` — file set or row-count mismatch,
+    e.g. a compaction that didn't refresh): pruning is abandoned and ALL
+    files are scanned with the row-local trim, which is slower but never
+    wrong.  Pass ``validate=False`` to skip the footer checks when the
+    caller owns the root's lifecycle."""
     import pyarrow.compute as pc
 
     with open(os.path.join(root, "manifest.json")) as f:
         manifest = json.load(f)
     col = manifest["col"]
-    paths = zonemap_files_for_range(manifest, lo, hi)
-    if not paths:
-        paths = [manifest["files"][0]["path"]]
+    if validate and zonemap_manifest_is_stale(root, manifest):
+        paths = [os.path.join(root, f) for f in sorted(os.listdir(root))
+                 if f.endswith(".parquet") and not f.startswith(".")]
+    else:
+        paths = zonemap_files_for_range(manifest, lo, hi)
+        if not paths:
+            paths = [manifest["files"][0]["path"]]
 
     def trim(batch):
         keep = pc.and_(pc.greater_equal(batch[col], lo),
@@ -224,15 +384,24 @@ def compact_partition_dir(part_dir: str, target_rows: int) -> dict:
 
         merged = pa.concat_tables(tables, promote_options="default")
         name = f"compact-{uuid.uuid4().hex[:12]}.parquet"
-        pq.write_table(merged, os.path.join(part_dir, name + ".tmp"))
+        tmp_data = os.path.join(part_dir, name + ".tmp")
+        pq.write_table(merged, tmp_data)
+        _fsync_file(tmp_data)  # data durable BEFORE the journal commits it
         olds.extend(g)
         news.append(name)
     if plan:
         fd, tmp = tempfile.mkstemp(dir=part_dir, suffix=".journal.tmp")
         with os.fdopen(fd, "w") as f:
             json.dump({"olds": olds, "news": news}, f)
+            f.flush()
+            os.fsync(f.fileno())  # journal blocks durable before the rename
         os.replace(tmp, os.path.join(part_dir, "_compaction.journal"))
+        _fsync_dir(part_dir)  # the commit point: journal rename durable
         _recover_compaction(part_dir)  # the same roll-forward commits it
+    if plan and os.path.exists(os.path.join(part_dir, "manifest.json")):
+        # a zonemapped dir was compacted: refresh the manifest so
+        # zonemap_scan keeps pruning (a stale one falls back to full scan)
+        rebuild_zonemap_manifest(part_dir)
     after = [f for f in os.listdir(part_dir)
              if f.endswith(".parquet") and not f.startswith(".")]
     return {"dir": part_dir, "files_before": len(files),
@@ -242,12 +411,23 @@ def compact_partition_dir(part_dir: str, target_rows: int) -> dict:
 
 def _recover_compaction(part_dir: str) -> None:
     """Roll an interrupted :func:`compact_partition_dir` forward (journal
-    present: finish renames + deletes) or back (no journal: drop orphan
-    tmps)."""
+    present and parseable: finish renames + deletes) or back (no journal,
+    OR a torn/unparseable journal: drop orphan tmps, keep the originals).
+
+    A torn journal is safe to treat as PRE-commit because the writer
+    fsyncs the journal's blocks before renaming it into place and fsyncs
+    the directory after — a durable, complete rename implies complete
+    contents, so torn contents mean the crash hit before the commit point
+    and the original files are all still present."""
     journal_path = os.path.join(part_dir, "_compaction.journal")
+    j = None
     if os.path.exists(journal_path):
-        with open(journal_path) as f:
-            j = json.load(f)
+        try:
+            with open(journal_path) as f:
+                j = json.load(f)
+        except (ValueError, OSError):
+            j = None  # torn journal → pre-commit rollback below
+    if j is not None:
         for name in j["news"]:
             tmp = os.path.join(part_dir, name + ".tmp")
             if os.path.exists(tmp):
@@ -257,10 +437,13 @@ def _recover_compaction(part_dir: str) -> None:
             if os.path.exists(p):
                 os.remove(p)
         os.remove(journal_path)
+        _fsync_dir(part_dir)
     else:
         for f in os.listdir(part_dir):
             if f.endswith(".parquet.tmp"):
                 os.remove(os.path.join(part_dir, f))
+        if os.path.exists(journal_path):
+            os.remove(journal_path)
 
 
 def compact_partitions(root: str, target_rows: int = 1_000_000,
