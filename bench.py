@@ -613,24 +613,39 @@ def run_bench() -> dict:
     # (fused file-granular flagship — see zeeklog_ray/flagship.py)
     from zeeklog_ray.flagship import run_flagship
 
+    # best-of-2 for the HEADLINE too (VERDICT r4 #4): the r4 driver
+    # recorded a single-shot flagship 3.3× off the live number on this
+    # ±25-40%-spread host; scale_* entries were already best-of-2, the
+    # one number the driver quotes was not
     out_dir = f"/tmp/zeeklog_bench/routed-{NUM_CPUS}"
-    shutil.rmtree(out_dir, ignore_errors=True)
-    t0 = time.monotonic()
-    stats = run_flagship(PipelineConfig(corpus_dir=corpus, enrich=True), out_dir)
-    headline = time.monotonic() - t0
+    minmax: dict[str, list[float]] = {}
+    vals = []
+    # scaling subprocesses (_FLAGSHIP_ONLY) are already best-of-2 at the
+    # process level in run_scaling — don't double up inside them
+    for _ in range(1 if os.environ.get(_FLAGSHIP_ONLY_ENV) else 2):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.monotonic()
+        stats = run_flagship(PipelineConfig(corpus_dir=corpus, enrich=True),
+                             out_dir)
+        vals.append(time.monotonic() - t0)
+    headline = min(vals)
+    minmax["flagship_parse_enrich_route_aggregate"] = [
+        round(min(vals), 3), round(max(vals), 3)]
     n_seq = int(stats["n"].sum())
     n_tok = int(stats["sum_n_tok"].sum())
 
     timings: dict[str, float] = {"flagship_parse_enrich_route_aggregate": round(headline, 3)}
     for name in ([] if os.environ.get(_FLAGSHIP_ONLY_ENV) else BENCH_QUERIES):
         fn = Q.QUERIES[name]
-        t0 = time.monotonic()
-        res = fn(SF_DIR)
-        if hasattr(res, "to_pandas"):
-            res.to_pandas()
-        timings[name] = round(time.monotonic() - t0, 3)
-
-    minmax: dict[str, list[float]] = {}
+        q_vals = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            res = fn(SF_DIR)
+            if hasattr(res, "to_pandas"):
+                res.to_pandas()
+            q_vals.append(round(time.monotonic() - t0, 3))
+        timings[name] = min(q_vals)
+        minmax[name] = [min(q_vals), max(q_vals)]
     extras: dict[str, int] = {}
     if not (os.environ.get(_FLAGSHIP_ONLY_ENV)
             or os.environ.get(_SKIP_SCALE_OPS_ENV)):

@@ -763,18 +763,12 @@ def window_gram_counts(ds: "ray.data.Dataset", text_col: str = "text",
     """
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        words = batch[text_col].reset_index(drop=True).str.split(" ")
-        ex = words.explode()
-        keep = ex.notna() & (ex != "")
-        exv = ex[keep]
+        from zeeklog_ray.ops.wordhash import split_word_hashes
+
+        doc_of, wh = split_word_hashes(batch[text_col])
         empty = pd.DataFrame({id_col: pd.Series([], dtype=batch[id_col].dtype),
                               "gram": pd.Series([], dtype="int64"),
                               "cnt": pd.Series([], dtype="int64")})
-        if not len(exv):
-            return empty
-        doc_of = exv.index.to_numpy().astype(np.int64)
-        wvals = exv.to_numpy()
-        wh = _word_horner_hashes(wvals, exv.str.len().to_numpy())
         n = len(wh) - k + 1
         if n <= 0:
             return empty
@@ -796,7 +790,9 @@ def window_gram_counts(ds: "ray.data.Dataset", text_col: str = "text",
 
 def duplicated_window_stats(ds: "ray.data.Dataset", text_col: str = "text",
                             id_col: str = "doc_id", k: int = 8,
-                            num_buckets: int = 256) -> "ray.data.Dataset":
+                            num_buckets: int = 256,
+                            broadcast_docs: int = 2_000_000
+                            ) -> "ray.data.Dataset":
     """Per-document duplicated-span statistics: of the document's k-word
     windows, how many (counting repeats) have a window hash that appears in
     >= 2 DISTINCT documents corpus-wide.
@@ -828,10 +824,54 @@ def duplicated_window_stats(ds: "ray.data.Dataset", text_col: str = "text",
         return out[[id_col, "n_windows", "dup_windows"]]
 
     dup_partial = with_hash_bucket(dg, "gram", num_buckets) \
-        .groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
+        .groupby("_bucket").map_groups(per_bucket, batch_format="pandas") \
+        .materialize()
+
+    # TIERED finish (same reasoning as cdc_dup_stats): the dup partials
+    # are DUP-doc cardinality — broadcast them onto a row-local pass
+    # instead of a corpus-cardinality doc-shaped Sort; union-sum
+    # fallback above the broadcast cap
+    n_dup_docs = dup_partial.count()
+    if n_dup_docs <= broadcast_docs:
+        import ray as _ray
+
+        # an all-empty dataset's to_pandas() loses its columns (the Ray
+        # empty-block schema wart) — build the empty map explicitly
+        if n_dup_docs:
+            # one partial row per (doc, bucket) — SUM per doc before
+            # building the map (a dict(zip(...)) would keep only the
+            # last bucket's partial)
+            dp = dup_partial.to_pandas() \
+                .groupby(id_col)["dup_windows"].sum()
+            dmap = dict(zip(dp.index, dp.to_numpy().astype(np.int64)))
+        else:
+            dmap = {}
+        dref = _ray.put(dmap)
+
+        def finish_bc(batch: pd.DataFrame) -> pd.DataFrame:
+            from zeeklog_ray.ops.wordhash import split_words
+
+            n = len(batch)
+            doc_of, _flat = split_words(batch[text_col])
+            n_words = np.bincount(doc_of, minlength=n).astype(np.int64)
+            nw = np.maximum(n_words - (k - 1), 0)
+            dw = batch[id_col].map(_ray.get(dref)).fillna(0) \
+                .to_numpy().astype(np.int64)
+            return pd.DataFrame({
+                id_col: batch[id_col].to_numpy(),
+                "n_windows": nw,
+                "dup_windows": dw,
+                "dup_ratio_e4": dw * 10_000 // np.maximum(nw, 1),
+            })
+
+        return ds.map_batches(finish_bc, batch_format="pandas",
+                              batch_size=None)
 
     def spine(batch: pd.DataFrame) -> pd.DataFrame:
-        n_words = batch[text_col].str.count(r"[^ ]+").astype("int64")
+        from zeeklog_ray.ops.wordhash import split_words
+
+        doc_of, _flat = split_words(batch[text_col])
+        n_words = np.bincount(doc_of, minlength=len(batch)).astype(np.int64)
         return pd.DataFrame({
             id_col: batch[id_col].to_numpy(),
             "n_windows": np.maximum(n_words - (k - 1), 0).astype("int64"),
@@ -905,23 +945,15 @@ def remove_dup_spans(ds: "ray.data.Dataset", text_col: str = "text",
         .materialize()
     n_dup = dup.count()
 
-    def _explode_words(batch: pd.DataFrame):
-        words = batch[text_col].reset_index(drop=True).str.split(" ")
-        ex = words.explode()
-        keep = ex.notna() & (ex != "")
-        exv = ex[keep]
-        doc_of = exv.index.to_numpy().astype(np.int64) if len(exv) \
-            else np.zeros(0, dtype=np.int64)
-        return exv, doc_of
+    from zeeklog_ray.ops.wordhash import split_word_hashes
 
-    def _rebuild(batch: pd.DataFrame, exv: pd.Series, doc_of: np.ndarray,
+    def _rebuild(batch: pd.DataFrame, wvals: np.ndarray, doc_of: np.ndarray,
                  covered: np.ndarray) -> pd.DataFrame:
         n = len(batch)
         n_words = np.bincount(doc_of, minlength=n).astype(np.int64)
         n_removed = np.bincount(doc_of[covered], minlength=n) \
             .astype(np.int64) if covered.any() else np.zeros(n, np.int64)
-        kept = pd.Series(exv.to_numpy()[~covered],
-                         index=doc_of[~covered])
+        kept = pd.Series(wvals[~covered], index=doc_of[~covered])
         joined = kept.groupby(level=0).agg(" ".join) if len(kept) \
             else pd.Series(dtype=object)
         clean = np.full(n, "", dtype=object)
@@ -942,11 +974,10 @@ def remove_dup_spans(ds: "ray.data.Dataset", text_col: str = "text",
         dref = _ray.put(dset)
 
         def clean_bc(batch: pd.DataFrame) -> pd.DataFrame:
-            exv, doc_of = _explode_words(batch)
-            covered = np.zeros(len(exv), dtype=bool)
-            if len(exv):
-                wh = _word_horner_hashes(exv.to_numpy(),
-                                         exv.str.len().to_numpy())
+            doc_of, wh, wvals = split_word_hashes(batch[text_col],
+                                                  want_words=True)
+            covered = np.zeros(len(wvals), dtype=bool)
+            if len(wvals):
                 g = _gram_hashes(wh, k)
                 ds_ = _ray.get(dref)
                 if len(g) and len(ds_):
@@ -956,11 +987,11 @@ def remove_dup_spans(ds: "ray.data.Dataset", text_col: str = "text",
                         (ds_[np.minimum(pos, len(ds_) - 1)]
                          == g.view(np.int64))
                     if len(starts := np.flatnonzero(hit)):
-                        diff = np.zeros(len(exv) + 1, dtype=np.int64)
+                        diff = np.zeros(len(wvals) + 1, dtype=np.int64)
                         np.add.at(diff, starts, 1)
                         np.add.at(diff, starts + k, -1)
                         covered = np.cumsum(diff[:-1]) > 0
-            return _rebuild(batch, exv, doc_of, covered)
+            return _rebuild(batch, wvals, doc_of, covered)
 
         return ds.map_batches(clean_bc, batch_format="pandas",
                               batch_size=None)
@@ -969,13 +1000,12 @@ def remove_dup_spans(ds: "ray.data.Dataset", text_col: str = "text",
     from zeeklog_ray.relational import bucketed_equi_join
 
     def win_positions(batch: pd.DataFrame) -> pd.DataFrame:
-        exv, doc_of = _explode_words(batch)
+        doc_of, wh = split_word_hashes(batch[text_col])
         empty = pd.DataFrame({id_col: pd.Series([], dtype=batch[id_col].dtype),
                               "gram": pd.Series([], dtype="int64"),
                               "pos": pd.Series([], dtype="int64")})
-        if not len(exv):
+        if not len(wh):
             return empty
-        wh = _word_horner_hashes(exv.to_numpy(), exv.str.len().to_numpy())
         g = _gram_hashes(wh, k)
         if not len(g):
             return empty
@@ -984,8 +1014,8 @@ def remove_dup_spans(ds: "ray.data.Dataset", text_col: str = "text",
             return empty
         flat = np.flatnonzero(valid)
         # word-position within the doc = flat index − doc's first flat idx
-        first = np.full(len(batch), len(exv), dtype=np.int64)
-        np.minimum.at(first, doc_of, np.arange(len(exv), dtype=np.int64))
+        first = np.full(len(batch), len(wh), dtype=np.int64)
+        np.minimum.at(first, doc_of, np.arange(len(wh), dtype=np.int64))
         rows = doc_of[flat]
         return pd.DataFrame({
             id_col: batch[id_col].to_numpy()[rows],
@@ -1030,12 +1060,13 @@ def remove_dup_spans(ds: "ray.data.Dataset", text_col: str = "text",
         docs = group[group[text_col].notna()]
         st = group[group[text_col].isna()]
         batch = docs[[id_col, text_col, *carry_cols]].reset_index(drop=True)
-        exv, doc_of = _explode_words(batch)
-        covered = np.zeros(len(exv), dtype=bool)
-        if len(exv) and len(st):
-            first = np.full(len(batch), len(exv), dtype=np.int64)
+        doc_of, _wh, wvals = split_word_hashes(batch[text_col],
+                                               want_words=True)
+        covered = np.zeros(len(wvals), dtype=bool)
+        if len(wvals) and len(st):
+            first = np.full(len(batch), len(wvals), dtype=np.int64)
             np.minimum.at(first, doc_of,
-                          np.arange(len(exv), dtype=np.int64))
+                          np.arange(len(wvals), dtype=np.int64))
             # vectorized start scatter: left-merge the starts lists onto
             # the batch rows, explode to (row, pos) pairs
             m = batch[[id_col]].merge(st[[id_col, "_starts"]], on=id_col,
@@ -1044,11 +1075,11 @@ def remove_dup_spans(ds: "ray.data.Dataset", text_col: str = "text",
             if len(sx):
                 rows_s = sx.index.to_numpy().astype(np.int64)
                 idx = first[rows_s] + sx.to_numpy().astype(np.int64)
-                diff = np.zeros(len(exv) + 1, dtype=np.int64)
+                diff = np.zeros(len(wvals) + 1, dtype=np.int64)
                 np.add.at(diff, idx, 1)
                 np.add.at(diff, idx + k, -1)
                 covered = np.cumsum(diff[:-1]) > 0
-        return _rebuild(batch, exv, doc_of, covered)
+        return _rebuild(batch, wvals, doc_of, covered)
 
     return with_hash_bucket(both, id_col, num_buckets) \
         .groupby("_bucket").map_groups(clean_join, batch_format="pandas")
@@ -1091,19 +1122,15 @@ def cdc_chunk_table(ds: "ray.data.Dataset", text_col: str = "text",
     mask = np.uint64((1 << mask_bits) - 1)
 
     def chunks(batch: pd.DataFrame) -> pd.DataFrame:
-        words = batch[text_col].reset_index(drop=True).str.split(" ")
-        ex = words.explode()
-        keep = ex.notna() & (ex != "")
-        exv = ex[keep]
+        from zeeklog_ray.ops.wordhash import split_word_hashes
+
+        doc_of, wh = split_word_hashes(batch[text_col])
         empty = pd.DataFrame({
             id_col: pd.Series([], dtype=batch[id_col].dtype),
             "chunk_hash": pd.Series([], dtype="int64"),
             "chunk_words": pd.Series([], dtype="int64")})
-        if not len(exv):
+        if not len(wh):
             return empty
-        doc_of = exv.index.to_numpy().astype(np.int64)
-        wh = _word_horner_hashes(exv.to_numpy(),
-                                 exv.str.len().to_numpy())
         n = len(wh)
         # rolling hash of the trailing `window` word hashes, aligned so
         # roll[i] covers words [i-window+1 .. i]; windows that span a
@@ -1169,7 +1196,8 @@ def cdc_dup_stats(ds: "ray.data.Dataset", text_col: str = "text",
                   id_col: str = "doc_id", window: int = 4,
                   mask_bits: int = 5, min_words: int = 8,
                   max_words: int = 64,
-                  num_buckets: int = 256) -> "ray.data.Dataset":
+                  num_buckets: int = 256,
+                  broadcast_docs: int = 2_000_000) -> "ray.data.Dataset":
     """Per-document shared-content estimate from content-defined chunks:
     words covered by a chunk whose hash appears in >= 2 distinct
     documents — :func:`duplicated_window_stats`' signal at
@@ -1190,26 +1218,85 @@ def cdc_dup_stats(ds: "ray.data.Dataset", text_col: str = "text",
     ch = cdc_chunk_table(ds, text_col=text_col, id_col=id_col,
                          window=window, mask_bits=mask_bits,
                          min_words=min_words, max_words=max_words)
-    # collapse repeats within a doc: (doc, hash) -> total words covered
-    per_doc = grouped_sum_bucketed(ch, [id_col, "chunk_hash"],
-                                   sums={"chunk_words": "w"},
-                                   count_as="reps",
-                                   num_buckets=num_buckets)
+
+    # collapse repeats within a doc: (doc, hash) -> total words covered.
+    # A document's chunks all come out of ONE chunking batch (documents
+    # are rows), so the collapse is BATCH-LOCAL — the old bucketed sum
+    # here paid a full Sort exchange for an aggregation the chunking
+    # stage had already co-located (measured ~4 s of the 16 s wall at
+    # 1M docs, 32 CPUs).  per_bucket below re-collapses (hash, doc)
+    # inside its bucket, so even a block split mid-doc cannot double-
+    # count a document in the >= 2-docs test.
+    def collapse(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.groupby([id_col, "chunk_hash"], sort=False,
+                            as_index=False)["chunk_words"].sum()
+        return out.rename(columns={"chunk_words": "w"})
+
+    per_doc = ch.map_batches(collapse, batch_format="pandas",
+                             batch_size=None)
 
     def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        ndocs = group.groupby("chunk_hash", sort=False)["w"] \
+        g2 = group.groupby(["chunk_hash", id_col], sort=False,
+                           as_index=False)["w"].sum()
+        ndocs = g2.groupby("chunk_hash", sort=False)["w"] \
             .transform("size")
-        dup = group[ndocs >= 2]
+        dup = g2[ndocs >= 2]
         out = dup.groupby(id_col, sort=False)["w"].sum() \
             .reset_index(name="shared_words")
         out["n_words"] = np.int64(0)
         return out[[id_col, "n_words", "shared_words"]]
 
     dup_partial = with_hash_bucket(per_doc, "chunk_hash", num_buckets) \
-        .groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
+        .groupby("_bucket").map_groups(per_bucket, batch_format="pandas") \
+        .materialize()
+
+    # TIERED finish: dup partials are DUP-doc cardinality (docs holding
+    # any shared chunk — a few % of the corpus at realistic dup rates),
+    # so broadcast them onto a row-local pass over the docs instead of
+    # paying a corpus-cardinality doc-shaped Sort (the union path
+    # measured ~6 s of the 16 s wall at 1M docs); the union sum stays as
+    # the fallback for a pathological corpus where most docs share
+    # content
+    n_dup_docs = dup_partial.count()
+    if n_dup_docs <= broadcast_docs:
+        import ray as _ray
+
+        # an all-empty dataset's to_pandas() loses its columns (the Ray
+        # empty-block schema wart) — build the empty map explicitly
+        if n_dup_docs:
+            # one partial row per (doc, bucket) — SUM per doc before
+            # building the map (a dict(zip(...)) would keep only the
+            # last bucket's partial)
+            dp = dup_partial.to_pandas() \
+                .groupby(id_col)["shared_words"].sum()
+            smap = dict(zip(dp.index, dp.to_numpy().astype(np.int64)))
+        else:
+            smap = {}
+        sref = _ray.put(smap)
+
+        def finish_bc(batch: pd.DataFrame) -> pd.DataFrame:
+            from zeeklog_ray.ops.wordhash import split_words
+
+            n = len(batch)
+            doc_of, _flat = split_words(batch[text_col])
+            nw = np.bincount(doc_of, minlength=n).astype(np.int64)
+            sw = batch[id_col].map(_ray.get(sref)).fillna(0) \
+                .to_numpy().astype(np.int64)
+            return pd.DataFrame({
+                id_col: batch[id_col].to_numpy(),
+                "n_words": nw,
+                "shared_words": sw,
+                "shared_ratio_e4": sw * 10_000 // np.maximum(nw, 1),
+            })
+
+        return ds.map_batches(finish_bc, batch_format="pandas",
+                              batch_size=None)
 
     def spine(batch: pd.DataFrame) -> pd.DataFrame:
-        n_words = batch[text_col].str.count(r"[^ ]+").astype("int64")
+        from zeeklog_ray.ops.wordhash import split_words
+
+        doc_of, _flat = split_words(batch[text_col])
+        n_words = np.bincount(doc_of, minlength=len(batch)).astype(np.int64)
         return pd.DataFrame({
             id_col: batch[id_col].to_numpy(),
             "n_words": n_words,

@@ -565,17 +565,28 @@ def tfidf_top_terms(docs: "ray.data.Dataset", k: int = 3,
         n_docs = docs.count()
 
     def doc_terms(batch: pd.DataFrame) -> pd.DataFrame:
-        w = batch[text_col].str.split(" ").explode()
-        w = w[w != ""].dropna()
-        tf = (pd.DataFrame({"i": w.index, "word": w.to_numpy()})
-              .groupby(["i", "word"], sort=False).size()
-              .rename("tf").reset_index())
-        tf["n_words"] = tf.groupby("i", sort=False)["tf"].transform("sum")
+        # integer-code census (ops/wordhash): (doc, word) pairs pack into
+        # one int64 (row·|vocab| + code) and count via np.unique — no
+        # object-string groupby in the hot path
+        from zeeklog_ray.ops.wordhash import split_word_codes
+
+        batch = batch.reset_index(drop=True)
+        doc_of, codes, vocab = split_word_codes(batch[text_col])
+        if not len(codes):
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype=batch[id_col].dtype),
+                "word": pd.Series([], dtype=object),
+                "tf": pd.Series([], dtype="int64"),
+                "n_words": pd.Series([], dtype="int64")})
+        n_uniq = np.int64(len(vocab))
+        pk, tf = np.unique(doc_of * n_uniq + codes, return_counts=True)
+        rows = (pk // n_uniq).astype(np.int64)
+        n_words_doc = np.bincount(doc_of, minlength=len(batch))
         return pd.DataFrame({
-            id_col: batch[id_col].to_numpy()[tf["i"].to_numpy()],
-            "word": tf["word"],
-            "tf": tf["tf"].astype("int64"),
-            "n_words": tf["n_words"].astype("int64"),
+            id_col: batch[id_col].to_numpy()[rows],
+            "word": vocab[(pk % n_uniq).astype(np.int64)],
+            "tf": tf.astype("int64"),
+            "n_words": n_words_doc[rows].astype("int64"),
         })
 
     long = docs.select_columns([id_col, text_col]).map_batches(
@@ -647,17 +658,30 @@ def source_distribution_tv(docs: "ray.data.Dataset", k: int = 50,
     from zeeklog_ray.relational import grouped_sum_bucketed, top_k
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        # pre-aggregated (source, word, n) partials — integer-code census
+        # (ops/wordhash), same shape as source_distinctive_terms
+        from zeeklog_ray.ops.wordhash import split_word_codes
+
         batch = batch.reset_index(drop=True)  # blocks may carry any index
-        w = batch[text_col].str.split(" ").explode()
-        w = w[(w != "") & w.notna()]
+        doc_of, codes, vocab = split_word_codes(batch[text_col])
+        if not len(codes):
+            return pd.DataFrame({
+                source_col: pd.Series([], dtype=object),
+                "word": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype="int64")})
+        src_codes, src_uniq = pd.factorize(batch[source_col])
+        sc = src_codes.astype(np.int64)[doc_of]
+        n_uniq = np.int64(len(vocab))
+        pk, c = np.unique(sc * n_uniq + codes, return_counts=True)
         return pd.DataFrame({
-            source_col: batch[source_col].to_numpy()[w.index.to_numpy()],
-            "word": w.to_numpy()})
+            source_col: src_uniq.to_numpy()[(pk // n_uniq).astype(np.int64)],
+            "word": vocab[(pk % n_uniq).astype(np.int64)],
+            "n": c.astype("int64")})
 
     long = docs.select_columns([source_col, text_col]).map_batches(
         explode, batch_format="pandas", batch_size=None)
     counts = grouped_sum_bucketed(long, [source_col, "word"],
-                                  count_as="n",
+                                  sums={"n": "n"},
                                   num_buckets=num_buckets).materialize()
     # per-word totals are VOCABULARY-cardinality — entity-shaped bucketed
     # sum (report-shaped grouped_sum would funnel the vocab into one block)
@@ -801,24 +825,29 @@ def bigram_pmi_topk(docs: "ray.data.Dataset", k: int = 20,
     from zeeklog_ray.relational import grouped_sum_bucketed, top_k
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        ex = batch[text_col].reset_index(drop=True).str.split(" ").explode()
-        keep = ex.notna() & (ex != "")
-        exv = ex[keep]
-        if not len(exv):
+        # integer-code census (ops/wordhash): dictionary-encode once,
+        # count unigram codes with bincount and bigram PAIRS as packed
+        # int64 codes (c1·|vocab| + c2, no overflow: per-batch vocab ≪
+        # 2^31) — strings only materialize for the unique output rows
+        from zeeklog_ray.ops.wordhash import split_word_codes
+
+        doc_of, codes, vocab = split_word_codes(batch[text_col])
+        if not len(codes):
             return pd.DataFrame({"w1": pd.Series([], dtype=object),
                                  "w2": pd.Series([], dtype=object),
                                  "c": pd.Series([], dtype="int64")})
-        wv = exv.to_numpy()
-        uc = pd.Series(wv).groupby(wv, sort=False).size()
-        uni = pd.DataFrame({"w1": uc.index.to_numpy(), "w2": "",
-                            "c": uc.to_numpy().astype("int64")})
-        rows = exv.index.to_numpy().astype(np.int64)
-        same = rows[:-1] == rows[1:]
+        n_uniq = np.int64(len(vocab))
+        uni = pd.DataFrame({
+            "w1": vocab, "w2": "",
+            "c": np.bincount(codes, minlength=len(vocab)).astype("int64")})
+        same = doc_of[:-1] == doc_of[1:]
         if not same.any():
             return uni
-        d = pd.DataFrame({"w1": wv[:-1][same], "w2": wv[1:][same]})
-        bc = d.groupby(["w1", "w2"], sort=False).size().rename("c") \
-            .reset_index().astype({"c": "int64"})
+        packed = codes[:-1][same] * n_uniq + codes[1:][same]
+        pk, pcount = np.unique(packed, return_counts=True)
+        bc = pd.DataFrame({"w1": vocab[pk // n_uniq],
+                           "w2": vocab[pk % n_uniq],
+                           "c": pcount.astype("int64")})
         return pd.concat([uni, bc], ignore_index=True)
 
     from zeeklog_ray.spill import pin_or_spill
@@ -897,11 +926,13 @@ def rare_word_stats(docs: "ray.data.Dataset", min_corpus_count: int = 5,
     )
 
     def uni_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        w = batch[text_col].str.split(" ").explode()
-        w = w[w != ""].dropna()
-        c = w.groupby(w.values, sort=False).size()
-        return pd.DataFrame({"word": c.index.to_numpy(),
-                             "cnt": c.to_numpy().astype("int64")})
+        from zeeklog_ray.ops.wordhash import split_word_codes
+
+        _doc_of, codes, vocab = split_word_codes(batch[text_col])
+        return pd.DataFrame({
+            "word": vocab,
+            "cnt": np.bincount(codes, minlength=len(vocab))
+                     .astype("int64")})
 
     from zeeklog_ray.spill import pin_or_spill
 
@@ -927,17 +958,17 @@ def rare_word_stats(docs: "ray.data.Dataset", min_corpus_count: int = 5,
             else frozenset())
 
         def stats(batch: pd.DataFrame) -> pd.DataFrame:
+            from zeeklog_ray.ops.wordhash import split_word_codes
+
             n = len(batch)
-            words = batch[text_col].reset_index(drop=True).str.split(" ")
-            ex = words.explode()
-            ex = ex[ex.notna() & (ex != "")]
+            doc_of, codes, vocab = split_word_codes(batch[text_col])
             n_words = np.zeros(n, dtype=np.int64)
             n_rare = np.zeros(n, dtype=np.int64)
-            if len(ex):
-                rows = ex.index.to_numpy().astype(np.int64)
-                n_words = np.bincount(rows, minlength=n).astype(np.int64)
-                hit = ex.isin(_ray.get(rare_ref)).to_numpy()
-                n_rare = np.bincount(rows[hit], minlength=n) \
+            if len(codes):
+                n_words = np.bincount(doc_of, minlength=n).astype(np.int64)
+                # membership per UNIQUE word, gathered back per occurrence
+                vhit = pd.Series(vocab).isin(_ray.get(rare_ref)).to_numpy()
+                n_rare = np.bincount(doc_of[vhit[codes]], minlength=n) \
                     .astype(np.int64)
             return pd.DataFrame({
                 id_col: batch[id_col].to_numpy(),
@@ -1150,17 +1181,31 @@ def source_distinctive_terms(docs: "ray.data.Dataset", k: int = 10,
     )
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        # pre-aggregated (source, word, c_sw) partials via integer codes
+        # (ops/wordhash): the map output shrinks from one row per word
+        # OCCURRENCE to one per distinct (source, word) in the block
+        from zeeklog_ray.ops.wordhash import split_word_codes
+
         batch = batch.reset_index(drop=True)  # blocks may carry any index
-        w = batch[text_col].str.split(" ").explode()
-        w = w[(w != "") & w.notna()]
+        doc_of, codes, vocab = split_word_codes(batch[text_col])
+        if not len(codes):
+            return pd.DataFrame({
+                source_col: pd.Series([], dtype=object),
+                "word": pd.Series([], dtype=object),
+                "c_sw": pd.Series([], dtype="int64")})
+        src_codes, src_uniq = pd.factorize(batch[source_col])
+        sc = src_codes.astype(np.int64)[doc_of]
+        n_uniq = np.int64(len(vocab))
+        pk, c = np.unique(sc * n_uniq + codes, return_counts=True)
         return pd.DataFrame({
-            source_col: batch[source_col].to_numpy()[w.index.to_numpy()],
-            "word": w.to_numpy()})
+            source_col: src_uniq.to_numpy()[(pk // n_uniq).astype(np.int64)],
+            "word": vocab[(pk % n_uniq).astype(np.int64)],
+            "c_sw": c.astype("int64")})
 
     long = docs.select_columns([source_col, text_col]).map_batches(
         explode, batch_format="pandas", batch_size=None)
     counts = grouped_sum_bucketed(long, [source_col, "word"],
-                                  count_as="c_sw",
+                                  sums={"c_sw": "c_sw"},
                                   num_buckets=num_buckets).materialize()
     word_tot = grouped_sum_bucketed(
         counts.select_columns(["word", "c_sw"]), ["word"],
