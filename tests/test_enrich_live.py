@@ -117,3 +117,29 @@ def test_ip_to_int_and_range_lookup(ray_session):
     r = build_geo_ranges()
     assert (r["lo"].to_numpy()[1:] > r["hi"].to_numpy()[:-1]).all()
     assert (r["hi"] - r["lo"] == 255).all()
+
+
+def test_ip_to_int_malformed_values_miss_not_crash(ray_session):
+    """Malformed/non-IPv4 values (empty, hostname, IPv6, 5-octet,
+    non-numeric octet) map to the -1 miss sentinel instead of raising,
+    honoring the silent-miss contract (ADVICE r4); valid quads in the
+    same batch still resolve."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from zeeklog_ray.enrich import broadcast_range_lookup, ip_to_int
+
+    vals = pd.Series(["1.2.3.4", "", "example.com", "::1",
+                      "1.2.3.4.5", "1.2.x.4", "10.0.0"])
+    nums = ip_to_int(vals)
+    assert nums[0] == (1 << 24) + (2 << 16) + (3 << 8) + 4
+    assert (nums[1:] == -1).all()
+
+    ranges = pd.DataFrame({"lo": [np.int64(16_909_060)],
+                           "hi": [np.int64(16_909_069)],
+                           "cc": ["AA"]})
+    df = pd.DataFrame({"ip": vals.tolist() + [None]})
+    out = broadcast_range_lookup(ray.data.from_pandas(df), "ip", ranges,
+                                 ["cc"]).to_pandas()
+    assert out["cc"].tolist() == ["AA"] + [None] * 7

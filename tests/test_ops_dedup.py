@@ -666,3 +666,41 @@ def test_cdc_chunker_property_matches_reference(ray_session, doc_words,
         nw = len([w for w in text.split(" ") if w])
         assert sub["chunk_words"].sum() == nw
         assert (sub["chunk_words"] <= max_words).all()
+
+
+def test_cdc_screen_asymmetric_copy_documents_recall_limit(ray_session):
+    """ADVICE r4: a span shared between a SHORT doc and a LONG doc whose
+    overall shared ratio stays below the screen threshold drops the long
+    doc at the screen; the surviving short copy then verifies with
+    dup_windows = 0 for that span.  This pins the documented recall
+    condition (per-document overall ratio), and that a lower threshold
+    recovers both copies."""
+    import ray.data
+
+    from zeeklog_ray.ops.dedup import cdc_screen_then_verify
+
+    rng = np.random.default_rng(23)
+    vocab = [f"tok{i:04d}" for i in range(800)]
+    span = " ".join(rng.choice(vocab, size=60))
+    long_filler = " ".join(rng.choice(vocab, size=900))
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [span,                        # short doc = the span
+                 long_filler + " " + span,    # long doc, ~6% shared
+                 " ".join(rng.choice(vocab, size=200))],
+    })
+    kw = dict(window=4, mask_bits=4, min_words=4, max_words=32, k=8,
+              num_buckets=8)
+    # high threshold: only the short copy screens in, and within the
+    # suspect subset its span has no partner -> dup_windows == 0
+    hi = cdc_screen_then_verify(ray.data.from_pandas(df),
+                                screen_ratio_e4=5_000, **kw).to_pandas()
+    assert set(hi["doc_id"]) == {1}
+    assert int(hi["dup_windows"].iloc[0]) == 0
+    # low threshold recovers both copies and the span verifies
+    lo = cdc_screen_then_verify(ray.data.from_pandas(df),
+                                screen_ratio_e4=300, **kw).to_pandas() \
+        .set_index("doc_id")
+    assert {1, 2} <= set(lo.index)
+    assert int(lo.loc[1, "dup_windows"]) > 0
+    assert int(lo.loc[2, "dup_windows"]) > 0

@@ -425,3 +425,33 @@ def test_grouped_heavy_hitters_lossy_regime_planted_skew(ray_session):
         sub = out[out["g"] == g].sort_values("rank")
         assert sub["v"].tolist() == [1, 2]
         assert sub["n"].tolist() == [3000, 2000]   # recount is exact
+
+
+def test_grouped_approx_distinct_replayable_matches_sql(ray_session):
+    """The replayable HLL tier (splitmix64 + integer estimator) must
+    match its generated DuckDB oracle bit-for-bit AND stay within the
+    documented error of the true distinct count."""
+    import duckdb
+    import ray.data
+
+    from zeeklog_ray.ops.sketch import grouped_approx_distinct, hll_oracle_sql
+
+    rng = np.random.default_rng(17)
+    n = 40000
+    df = pd.DataFrame({
+        "event_type": rng.choice(["x", "y", "z"], n),
+        "user_id": rng.integers(0, 9000, n).astype(np.int64),
+    })
+    got = grouped_approx_distinct(
+        ray.data.from_pandas(df, override_num_blocks=5),
+        "event_type", "user_id", replayable=True) \
+        .sort_values("event_type").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("events", df)
+    want = con.execute(hll_oracle_sql("events", "event_type", "user_id")
+                       + " ORDER BY event_type").df()
+    assert got["approx_n"].tolist() == [int(v) for v in want["approx_n"]]
+    exact = df.groupby("event_type")["user_id"].nunique() \
+        .sort_index().to_numpy()
+    rel = np.abs(got["approx_n"].to_numpy() / exact - 1)
+    assert (rel < 0.05).all(), rel

@@ -206,13 +206,31 @@ class Enricher:
 
 def ip_to_int(ips: "pd.Series") -> "np.ndarray":
     """Dotted-quad → int64 (a.b.c.d → a·2^24 + b·2^16 + c·2^8 + d),
-    vectorized via one split-expand.  Matches the SQL replay
-    ``split_part(ip,'.',k)::BIGINT`` arithmetic exactly."""
+    vectorized via one split-expand; any value that is not a clean
+    4-octet quad (empty string, hostname, IPv6, null) yields -1 — a
+    sentinel below every valid address, so range lookups treat it as a
+    MISS instead of crashing the batch (the Enricher silent-miss
+    contract; ADVICE r4).  Matches the SQL replay
+    ``split_part(ip,'.',k)::BIGINT`` arithmetic exactly on valid quads."""
     import numpy as np
+    import pandas as pd
 
-    parts = ips.str.split(".", expand=True).astype("int64")
-    return (parts[0].to_numpy() * 16_777_216 + parts[1].to_numpy() * 65_536
-            + parts[2].to_numpy() * 256 + parts[3].to_numpy())
+    parts = ips.str.split(".", expand=True)
+    if parts.shape[1] != 4:
+        # no value in the batch had 4 dot-parts — pad to keep shape
+        for i in range(parts.shape[1], 4):
+            parts[i] = None
+    cols = [pd.to_numeric(parts[i], errors="coerce") for i in range(4)]
+    # a 5+-octet string puts text in a 5th column; treat it as malformed
+    extra_bad = parts[4].notna() if parts.shape[1] > 4 else False
+    bad = (cols[0].isna() | cols[1].isna() | cols[2].isna() | cols[3].isna()
+           | extra_bad)
+    out = (cols[0].fillna(0).to_numpy(dtype="int64") * 16_777_216
+           + cols[1].fillna(0).to_numpy(dtype="int64") * 65_536
+           + cols[2].fillna(0).to_numpy(dtype="int64") * 256
+           + cols[3].fillna(0).to_numpy(dtype="int64"))
+    out[np.asarray(bad)] = -1
+    return out
 
 
 def build_geo_ranges() -> "pd.DataFrame":

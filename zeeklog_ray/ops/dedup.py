@@ -1341,10 +1341,18 @@ def cdc_screen_then_verify(ds: "ray.data.Dataset", text_col: str = "text",
     Output: per SUSPECT document, the exact window stats **within the
     suspect subset** plus the screening ratio:
     ``(doc_id, n_windows, dup_windows, dup_ratio_e4, screen_ratio_e4)``.
-    Duplicated spans whose every other copy was screened OUT don't
-    count — by construction both/all copies of a real shared span share
-    its chunks, so they screen in together; the planted-dup pytest
-    pins that.
+
+    RECALL CONDITION (screening is per-document, on the OVERALL shared
+    ratio): a span's copies are each counted only if every copy's own
+    document reaches ``screen_ratio_e4``.  Copies of a real shared span
+    always share its chunks, so two similar-length near-dups screen in
+    together (the planted-dup pytest) — but a span duplicated between a
+    short doc and a LONG doc whose overall ratio stays below the
+    threshold drops the long doc at the screen, and the surviving copy
+    then verifies with ``dup_windows = 0`` for that span (the
+    asymmetric-copy pytest pins this, documented trade: it is exactly
+    the screening economy that makes the tier affordable — lower
+    ``screen_ratio_e4`` when long-doc partial overlap matters).
     """
     from zeeklog_ray.relational import broadcast_merge, bucketed_equi_join
 

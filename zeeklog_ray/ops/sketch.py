@@ -29,6 +29,17 @@ def _hash64(s: pd.Series) -> np.ndarray:
     return pd.util.hash_pandas_object(s, index=False).to_numpy(dtype=np.uint64)
 
 
+def _hash64_mix(s: pd.Series) -> np.ndarray:
+    """Replayable 64-bit hash for INTEGER keys: the engine-wide splitmix64
+    finalizer (``relational._mix64``), bit-replayable in DuckDB HUGEINT
+    via ``ops.sample.mix64_sql`` — the hash that lets an HLL query carry a
+    deterministic SQL oracle (pandas' hash is SipHash-keyed and has no
+    SQL replay)."""
+    from zeeklog_ray.relational import _mix64
+
+    return _mix64(s.to_numpy().astype(np.int64).view(np.uint64))
+
+
 def _sketch_of(values: np.ndarray) -> np.ndarray:
     """uint8[M] register array from 64-bit hashes."""
     regs = np.zeros(M, dtype=np.uint8)
@@ -36,12 +47,13 @@ def _sketch_of(values: np.ndarray) -> np.ndarray:
         return regs
     idx = (values >> np.uint64(64 - P)).astype(np.int64)
     rest = values << np.uint64(P)  # top (64-P) significant bits remain
-    # rank = leading zeros of `rest` + 1, capped at 64-P+1; log2 trick on
-    # the float mantissa is exact for the leading-bit position
-    rank = np.where(
-        rest == 0, np.uint8(64 - P + 1),
-        (64 - np.floor(np.log2(rest.astype(np.float64) + 0.5)) )
-        .astype(np.uint8))
+    # rank = leading zeros of `rest` + 1, capped at 64-P+1.  rest has its
+    # low P bits zero, so float64(rest) is EXACT (<= 52 significant
+    # bits) and np.frexp extracts the leading-bit exponent with no libm
+    # rounding at all (the old log2 trick could round up at 2^k - eps)
+    _m, e = np.frexp(rest.astype(np.float64))
+    rank = np.where(rest == 0, np.uint8(64 - P + 1),
+                    (65 - e).astype(np.uint8))
     np.maximum.at(regs, idx, rank.astype(np.uint8))
     return regs
 
@@ -53,6 +65,45 @@ def hll_estimate(regs: np.ndarray) -> float:
     if est <= 2.5 * M and zeros:
         est = M * np.log(M / zeros)
     return float(est)
+
+
+# Integer-exact estimator for the REPLAYABLE path: alpha is pinned as a
+# e12 fixed-point constant, the harmonic sum is computed as the exact
+# integer S = sum(2^(RMAX - reg)) (every term a power of two, RMAX =
+# 64 - P + 1 the max rank), and the small-range linear-counting branch
+# reads a precomputed round(M*ln(M/zeros)) table — so Python big-int and
+# DuckDB HUGEINT produce the SAME integer, no float in the gate.
+_RMAX = 64 - P + 1                      # 53 for P=12
+ALPHA_E12 = int(_ALPHA * 10**12)        # floor at e12 — pinned constant
+
+
+def _lc_table() -> list[int]:
+    """``round(M * ln(M / zeros))`` for zeros = 0..M (index 0 unused).
+    Shared verbatim by :func:`hll_estimate_int` and the generated SQL
+    oracle (inline VALUES list), so libm never sits between the two."""
+    import math
+
+    return [0] + [round(M * math.log(M / z)) for z in range(1, M + 1)]
+
+
+_LC: list[int] | None = None
+
+
+def hll_estimate_int(regs: np.ndarray) -> int:
+    """Integer-deterministic HLL estimate (see the block comment above).
+    ``raw = ALPHA_E12 * M^2 * 2^RMAX // (S * 10^12)`` with the standard
+    linear-counting swap below ``2.5 * M`` — every step exact big-int."""
+    global _LC
+    counts = np.bincount(regs.astype(np.int64), minlength=_RMAX + 1)
+    s_exact = sum(int(c) << (_RMAX - r)
+                  for r, c in enumerate(counts.tolist()) if c)
+    raw = (ALPHA_E12 * M * M * (1 << _RMAX)) // (s_exact * 10**12)
+    zeros = int(counts[0])
+    if raw * 2 <= 5 * M and zeros:
+        if _LC is None:
+            _LC = _lc_table()
+        return _LC[zeros]
+    return int(raw)
 
 
 def approx_distinct(ds: "ray.data.Dataset", col: str) -> int:
@@ -72,7 +123,8 @@ def approx_distinct(ds: "ray.data.Dataset", col: str) -> int:
 
 
 def grouped_approx_distinct(ds: "ray.data.Dataset", key: str, col: str,
-                            num_buckets: int = 256) -> pd.DataFrame:
+                            num_buckets: int = 256,
+                            replayable: bool = False) -> pd.DataFrame:
     """Approximate COUNT(DISTINCT col) PER KEY — the grouped twin of
     :func:`approx_distinct`, for when the exact pair-distinct
     (``relational.bucketed_distinct`` + count) would shuffle every
@@ -84,12 +136,19 @@ def grouped_approx_distinct(ds: "ray.data.Dataset", key: str, col: str,
     one C-level ``np.maximum.reduce`` per key; only the final one-row-
     per-key table reaches the driver for estimation.  Error ~1.6%
     (2^12 registers).  Intended for report-to-entity key cardinalities;
-    the exchange is |blocks| × |keys-per-block| × 4 KB."""
+    the exchange is |blocks| × |keys-per-block| × 4 KB.
+
+    ``replayable=True`` (INTEGER value columns only) swaps the pandas
+    SipHash for the engine's splitmix64 mixer and the float estimator
+    for the exact-integer one (:func:`hll_estimate_int`) — the estimate
+    becomes bit-replayable in DuckDB (``hll_oracle_sql``), closing the
+    contract gap a keyed hash leaves (same approximation quality, ~1.6%)."""
+    hash_fn = _hash64_mix if replayable else _hash64
 
     def sketch(batch: pd.DataFrame) -> pd.DataFrame:
         b = batch.dropna(subset=[col])
         codes, uniq = pd.factorize(b[key], use_na_sentinel=False)
-        h = _hash64(b[col])
+        h = hash_fn(b[col])
         # sorted-segment sweep: one argsort, then contiguous slices per
         # key — NOT a per-key boolean re-mask of the whole batch, which
         # would be O(rows × distinct keys)
@@ -120,10 +179,63 @@ def grouped_approx_distinct(ds: "ray.data.Dataset", key: str, col: str,
     merged = with_hash_bucket(parts, key, num_buckets) \
         .groupby("_bucket").map_groups(merge_bucket, batch_format="pandas") \
         .to_pandas()
+    est = hll_estimate_int if replayable else \
+        (lambda r: round(hll_estimate(r)))
     merged["approx_n"] = [
-        round(hll_estimate(np.frombuffer(b, dtype=np.uint8)))
-        for b in merged["_sk"]]
+        est(np.frombuffer(b, dtype=np.uint8)) for b in merged["_sk"]]
+    merged["approx_n"] = merged["approx_n"].astype("int64")
     return merged[[key, "approx_n"]].reset_index(drop=True)
+
+
+def hll_oracle_sql(table_sql: str, key_col: str, col: str) -> str:
+    """DuckDB replay of ``grouped_approx_distinct(..., replayable=True)``
+    — bit-exact, no float anywhere:
+
+    * splitmix64 via ``ops.sample.mix64_sql`` (HUGEINT, 32-bit split
+      multiplication);
+    * register index = ``h // 2^52``; rank = ``53 - length(bin(m))``
+      with ``m = h % 2^52`` (the binary-string length IS the integer
+      floor-log2 + 1 — no log in the gate), 53 when ``m = 0``;
+    * harmonic sum as the exact integer ``S = sum(2^(53-reg))`` with
+      absent registers contributing ``2^53`` each;
+    * ``raw = ALPHA_E12 * M^2 * 2^53 // (S * 10^12)`` in HUGEINT;
+    * the linear-counting branch joins the SAME precomputed
+      ``round(M*ln(M/zeros))`` table the Python side reads
+      (:func:`_lc_table`, inlined as VALUES) — libm never compares
+      across engines.
+
+    Integer value columns only (the mixer hashes the int64 bit pattern).
+    """
+    from zeeklog_ray.ops.sample import mix64_sql
+
+    steps, final = mix64_sql("v")
+    lc_rows = ",".join(f"({z},{e})"
+                       for z, e in enumerate(_lc_table()) if z)
+    m52, m53 = 1 << 52, 1 << 53
+    return (
+        f"WITH _kv AS (SELECT DISTINCT {key_col} AS k, {col} AS v "
+        f"FROM {table_sql} WHERE {col} IS NOT NULL), "
+        f"_m0 AS (SELECT k, {steps[0]} AS z0 FROM _kv), "
+        f"_m1 AS (SELECT k, {steps[1]} AS z1 FROM _m0), "
+        f"_m2 AS (SELECT k, {steps[2]} AS z2 FROM _m1), "
+        f"_h AS (SELECT k, {final} AS h FROM _m2), "
+        f"_r AS (SELECT k, (h // {m52}::HUGEINT)::BIGINT AS idx, "
+        f"(h % {m52}::HUGEINT)::BIGINT AS m FROM _h), "
+        f"_regs AS (SELECT k, idx, MAX(CASE WHEN m = 0 THEN {_RMAX} "
+        f"ELSE {_RMAX} - length(bin(m)) END) AS reg "
+        f"FROM _r GROUP BY k, idx), "
+        f"_agg AS (SELECT k, SUM(1::BIGINT << ({_RMAX} - reg)) AS sp, "
+        f"COUNT(*) AS np FROM _regs GROUP BY k), "
+        f"_est AS (SELECT k, sp::HUGEINT + ({M} - np)::HUGEINT * "
+        f"{m53}::HUGEINT AS s, ({M} - np)::BIGINT AS zeros FROM _agg), "
+        f"_raw AS (SELECT k, zeros, ({ALPHA_E12}::HUGEINT * "
+        f"{M * M}::HUGEINT * {m53}::HUGEINT) // "
+        f"(s * 1000000000000::HUGEINT) AS raw FROM _est) "
+        f"SELECT k AS {key_col}, (CASE WHEN raw * 2 <= {5 * M} AND "
+        f"zeros > 0 THEN lc.est ELSE raw END)::BIGINT AS approx_n "
+        f"FROM _raw LEFT JOIN (VALUES {lc_rows}) lc(z, est) "
+        f"ON lc.z = _raw.zeros"
+    )
 
 
 def exact_quantiles(ds: "ray.data.Dataset", col: str,

@@ -2619,14 +2619,18 @@ def docs_length_buckets(sf_dir: str) -> "ray.data.Dataset":
 
 def event_type_users_hll(sf_dir: str) -> pd.DataFrame:
     """Approximate COUNT(DISTINCT user) per event type
-    (ops/sketch.grouped_approx_distinct): per-batch per-key HLL sketches,
-    distributed register-max merge — the 10^12-row tier of the EXACT
-    twin `event_type_user_counts` (oracle-gated); this one is approximate
-    by design (~1.6% error, pytest-gated)."""
+    (ops/sketch.grouped_approx_distinct, ``replayable=True``): per-batch
+    per-key HLL sketches, distributed register-max merge — the 10^12-row
+    tier of the EXACT twin `event_type_user_counts`.  Approximate vs the
+    TRUE distinct count (~1.6% error, pytest-gated) yet fully
+    DETERMINISTIC and hash-gated: the splitmix64 register construction
+    and the integer estimator replay bit-exactly in DuckDB
+    (ops/sketch.hll_oracle_sql — closes the r3/r4 `no_oracle` gap)."""
     from zeeklog_ray.ops.sketch import grouped_approx_distinct
 
     ev = read_table(sf_dir, "events", columns=["event_type", "user_id"])
-    return grouped_approx_distinct(ev, "event_type", "user_id")
+    return grouped_approx_distinct(ev, "event_type", "user_id",
+                                   replayable=True)
 
 
 _SCRUB_TERMS = ["spark", "dup", "slow"]
@@ -5058,6 +5062,17 @@ ORACLE_SQL: dict[str, str] = {
 # The flagship zeek_* oracles read the tokenized corpus by absolute path at
 # the driver's comparison scale (sf0.01).
 ORACLE_SQL["docs_quality_resample"] = _quality_resample_oracle_sql()
+
+
+def _hll_oracle() -> str:
+    """Generated at call time (the inlined linear-counting table is a
+    4096-row VALUES list — see ops/sketch.hll_oracle_sql)."""
+    from zeeklog_ray.ops.sketch import hll_oracle_sql
+
+    return hll_oracle_sql("events", "event_type", "user_id")
+
+
+ORACLE_SQL["event_type_users_hll"] = _hll_oracle()
 # per-user daily spike scores over the SPARSE observed-day series —
 # no gap filling, so the ROWS frame replays the op exactly
 ORACLE_SQL["user_daily_spikes"] = (
