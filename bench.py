@@ -139,6 +139,24 @@ def _run_scale_ops(timings: dict, minmax: dict, extras: dict) -> None:
 
     timed2(f"scale_prep_manifest_{dtag}", prep_chain)
 
+    # VERDICT r4 #6: the optional duplicated-span SCREEN in the prep
+    # chain, benched BOTH ways on a LONG-doc corpus (200k docs × ~150
+    # words) — the regime where the CDC tier's ~8-32× smaller exchange
+    # should beat the per-window gram table outright
+    dcl = bench_docs_parquet(200_000, n_words=150)   # cached, untimed
+
+    def prep_screened(mode):
+        def run():
+            docs = ray.data.read_parquet(dcl).map_batches(
+                add_src, batch_format="pandas", batch_size=None)
+            prep_manifest(docs, min_words=5, min_stop_ratio_e4=0,
+                          span_screen_ratio_e4=6_000,
+                          span_screen_mode=mode).count()
+        return run
+
+    timed2("scale_prep_screen_cdc_200k_long", prep_screened("cdc"))
+    timed2("scale_prep_screen_window_200k_long", prep_screened("window"))
+
     # per-key ROW_NUMBER (full-table window) and latest-wins compaction
     # at the same 5M-event scale — both ride the bucketed-groupby pattern
     from zeeklog_ray.relational import latest_per_key, seq_index_per_key
@@ -326,6 +344,20 @@ def _run_scale_ops(timings: dict, minmax: dict, extras: dict) -> None:
         extras["bpe64_distinct_words"] = fit["n_distinct_words"]
 
     timed2("scale_bpe_train_distributed_64merges", bpe_64)
+
+    # VERDICT r4 #2 evidence: the incremental-census tier at 4× the
+    # merges — wall must grow SUB-linearly (the full pair census
+    # shuffles once; later rounds exchange only the deltas of changed
+    # words and the provable merge batches grow).  Single-shot (the
+    # 64-merge twin above is best-of-2; this entry exists for the
+    # growth ratio, not the absolute number).
+    t0 = time.monotonic()
+    fit256 = train_bpe(docs_z, n_merges=256, driver_vocab=0,
+                       num_buckets=32)
+    timings["scale_bpe_train_distributed_256merges"] = round(
+        time.monotonic() - t0, 3)
+    assert len(fit256["merges"]) == 256
+    extras["bpe256_rounds"] = fit256["n_rounds"]
 
     # full-data k-means (3 Lloyd passes) + int8 quantization over 1M
     # 16-dim vectors synthesized row-locally from the id

@@ -80,3 +80,53 @@ def test_prep_export_roundtrip(ray_session, tmp_path):
     assert len(back) == sum(v["n_rows"] for v in summary["sources"].values())
     assert int(back["n_bpe"].sum()) == sum(
         v["sum_tokens"] for v in summary["sources"].values())
+
+
+def test_span_screen_drops_duplicated_span_docs(ray_session):
+    """The optional prep screen drops docs whose shared-span ratio
+    reaches the threshold, in BOTH scoring modes; the default (off)
+    leaves prep_manifest output unchanged."""
+    import numpy as np
+    import ray.data
+
+    from zeeklog_ray.prep import prep_manifest, span_screen
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i:03d}" for i in range(400)]
+    shared = " ".join(rng.choice(vocab, size=64))
+    rows = []
+    for i in range(40):
+        unique = " ".join(rng.choice(vocab, size=64))
+        # docs 0..9 are ~100% shared boilerplate; the rest unique
+        rows.append({"doc_id": i,
+                     "source": f"s{i % 2}",
+                     "text": shared if i < 10 else unique})
+    df = pd.DataFrame(rows)
+    docs = ray.data.from_pandas(df, override_num_blocks=3)
+
+    for mode in ("cdc", "window"):
+        kept = span_screen(docs, ratio_e4=5000, mode=mode,
+                           num_buckets=4).to_pandas()
+        assert set(kept["doc_id"]) == set(range(10, 40)), mode
+
+    base = prep_manifest(docs, min_words=5, min_stop_ratio_e4=0,
+                         num_buckets=8).to_pandas()
+    screened = prep_manifest(docs, min_words=5, min_stop_ratio_e4=0,
+                             num_buckets=8, span_screen_ratio_e4=5000
+                             ).to_pandas()
+    # the exact-dedup stage already keeps one copy of the shared text;
+    # the screen removes the whole boilerplate cluster
+    assert set(base["doc_id"]) - set(screened["doc_id"]) <= set(range(10))
+    assert not (set(screened["doc_id"]) & set(range(10)))
+    assert len(screened) == len(base) - 1  # the kept first copy drops too
+
+
+def test_span_screen_mode_validation(ray_session):
+    import ray.data
+
+    from zeeklog_ray.prep import span_screen
+
+    docs = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": [1], "text": ["a b c"]}))
+    with pytest.raises(ValueError, match="unknown mode"):
+        span_screen(docs, ratio_e4=100, mode="bogus").to_pandas()

@@ -33,12 +33,30 @@ def _finalize(tmp: str, out_dir: str) -> str:
     return out_dir
 
 
+def _write_sharded(t, tmp: str, chunk_idx: int, n_total: int) -> None:
+    """Write one generated chunk as ~``n_total/32``-row shard files so a
+    bench corpus always has ≥ ~32 independent Parquet fragments.  Ray
+    parallelizes parquet reads per FILE (a single-file corpus reads
+    through ONE task regardless of downstream block splitting — measured
+    as a 4.5 s single-thread decode floor under EVERY pass over the
+    200k-long-doc corpus); sharding lifts that floor for every bench
+    entry.  One row group per shard."""
+    import pyarrow.parquet as pq
+
+    shard_rows = max(25_000, n_total // 32 + 1)
+    for j, lo in enumerate(range(0, t.num_rows, shard_rows)):
+        pq.write_table(t.slice(lo, shard_rows),
+                       os.path.join(tmp, f"part-{chunk_idx:04d}-{j:03d}"
+                                         ".parquet"))
+
+
 def bench_events_parquet(n_rows: int = 5_000_000, n_users: int = 100_000,
                          seed: int = 31) -> str:
     """Events table (user_id:int64, ts:timestamp[us], value:float64) —
     ``n_rows`` over ``n_users`` keys across 30 days, the input shape of
     trailing_windows / sessionize at certification scale."""
-    out_dir = os.path.join(_CACHE_ROOT, f"bench-events-n{n_rows}-u{n_users}-s{seed}")
+    out_dir = os.path.join(
+        _CACHE_ROOT, f"bench-events-v2-n{n_rows}-u{n_users}-s{seed}")
     if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
         return out_dir
     import pyarrow as pa
@@ -57,7 +75,7 @@ def bench_events_parquet(n_rows: int = 5_000_000, n_users: int = 100_000,
                 "ts": pa.array(ts),
                 "value": pa.array(np.round(rng.exponential(20.0, n), 2)),
             })
-            pq.write_table(t, os.path.join(tmp, f"part-{i:04d}.parquet"))
+            _write_sharded(t, tmp, i, n_rows)
         return _finalize(tmp, out_dir)
     except BaseException:
         import shutil
@@ -73,8 +91,10 @@ def bench_docs_parquet(n_docs: int = 1_000_000, dup_rate: float = 0.10,
     near-dup clusters the MinHash banding must catch), the rest are random
     word sequences.  Word-pool text keeps shingle entropy realistic while
     the vectorized generator stays fast (~1M docs in tens of seconds)."""
+    wtag = f"-w{n_words}" if n_words != 18 else ""
     out_dir = os.path.join(
-        _CACHE_ROOT, f"bench-docs-n{n_docs}-d{int(dup_rate * 100)}-s{seed}")
+        _CACHE_ROOT,
+        f"bench-docs-v2-n{n_docs}-d{int(dup_rate * 100)}-s{seed}{wtag}")
     if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
         return out_dir
     import pyarrow as pa
@@ -109,7 +129,7 @@ def bench_docs_parquet(n_docs: int = 1_000_000, dup_rate: float = 0.10,
             texts[is_dup] = src_texts[rng.integers(0, n_src, int(is_dup.sum()))]
             t = pa.table({"doc_id": pa.array(ids, pa.int64()),
                           "text": pa.array(texts.tolist(), pa.string())})
-            pq.write_table(t, os.path.join(tmp, f"part-{i:04d}.parquet"))
+            _write_sharded(t, tmp, i, n_docs)
         return _finalize(tmp, out_dir)
     except BaseException:
         import shutil

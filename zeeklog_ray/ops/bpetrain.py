@@ -75,14 +75,26 @@ def _apply_merge(seq: np.ndarray, offs: np.ndarray, a: int, b: int,
     ``new_code`` — vectorized: candidate mask, run-parity overlap
     resolution (overlaps only arise for a == b runs), boolean
     compaction; offsets shrink by the per-word merge count."""
+    out, new_offs, _ch = _apply_merge_tracked(seq, offs, a, b, new_code)
+    return out, new_offs
+
+
+def _apply_merge_tracked(seq: np.ndarray, offs: np.ndarray, a: int, b: int,
+                         new_code: int
+                         ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """:func:`_apply_merge` plus a per-word CHANGED mask — which words
+    contained at least one applied merge.  The incremental-census tier
+    computes pair-count deltas over exactly these words."""
     n = len(seq)
+    n_words = len(offs) - 1
+    no_change = np.zeros(n_words, dtype=bool)
     if n < 2:
-        return seq, offs
+        return seq, offs, no_change
     m = (seq[:-1] == a) & (seq[1:] == b)
     starts = offs[1:-1]
     m[starts - 1] = False                      # never merge across words
     if not m.any():
-        return seq, offs
+        return seq, offs, no_change
     # resolve overlapping candidates: within each run of consecutive
     # True positions keep alternating entries starting at the run head
     run_start = m & ~np.concatenate([[False], m[:-1]])
@@ -102,7 +114,22 @@ def _apply_merge(seq: np.ndarray, offs: np.ndarray, a: int, b: int,
     np.add.at(dec, word_of, 1)
     new_offs = offs.copy()
     new_offs[1:] -= np.cumsum(dec)
-    return out[~drop], new_offs
+    changed = dec > 0
+    return out[~drop], new_offs, changed
+
+
+def _take_words(seq: np.ndarray, offs: np.ndarray,
+                mask: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Extract the flattened (values, offsets) sub-stream of the words
+    selected by ``mask`` — pure index arithmetic, no Python loop."""
+    lens = np.diff(offs)
+    sl = lens[mask]
+    total = int(sl.sum())
+    new_offs = np.zeros(len(sl) + 1, dtype=np.int64)
+    np.cumsum(sl, out=new_offs[1:])
+    pos = np.arange(total, dtype=np.int64) - np.repeat(new_offs[:-1], sl)
+    idx = np.repeat(offs[:-1][mask], sl) + pos
+    return seq[idx], new_offs
 
 
 def _best_pair(census: pd.Series) -> tuple[int, int, int] | None:
@@ -289,25 +316,30 @@ def train_bpe(docs: "ray.data.Dataset", n_merges: int = 50,
 
         from zeeklog_ray.relational import grouped_sum_bucketed
 
-        # One census pass per ROUND, each round applying a BATCH of
-        # provably-sequential merges (_select_merge_batch) — shuffle
-        # count is n_merges / avg_batch, not n_merges (measured ~3-4×
-        # fewer rounds at 64 merges on natural-statistics corpora).  The
-        # full census reaches the driver (not just the argmax): its size
-        # is the DISTINCT adjacent-pair count — bounded by corpus
-        # content, ≤ |alphabet+merges|², a few thousand rows for real
-        # text — and batch selection needs the whole table.
-        while len(merges) < n_merges:
-            n_rounds += 1
-            cen = grouped_sum_bucketed(
-                enc.map_batches(census_rows, batch_format="pyarrow",
-                                batch_size=None),
-                ["pk"], sums={"m": "m"}, num_buckets=num_buckets) \
-                .to_pandas()
-            if "pk" not in cen.columns or not len(cen):
-                break
-            census = pd.Series(cen["m"].to_numpy(np.int64),
-                               index=cen["pk"].to_numpy(np.int64))
+        # INCREMENTAL census (VERDICT r4 #2): the FULL pair census
+        # shuffles exactly ONCE; every subsequent round's apply stage
+        # also emits the pair-count DELTAS of the words it changed
+        # (census-after minus census-before over the changed-word subset
+        # only — exact by construction), and only those deltas shuffle.
+        # Per round the exchange is O(pairs adjacent to merged
+        # occurrences), not O(distinct pairs in the corpus); the driver
+        # folds the summed deltas into its census copy.  Each round
+        # still applies a BATCH of provably-sequential merges
+        # (_select_merge_batch), so the round count is n_merges /
+        # avg_batch.  The census table itself is DISTINCT-adjacent-pair
+        # sized (≤ |alphabet+merges|², a few thousand rows for real
+        # text) and batch selection needs all of it.
+        n_rounds += 1
+        cen = grouped_sum_bucketed(
+            enc.map_batches(census_rows, batch_format="pyarrow",
+                            batch_size=None),
+            ["pk"], sums={"m": "m"}, num_buckets=num_buckets) \
+            .to_pandas()
+        census = pd.Series(cen["m"].to_numpy(np.int64),
+                           index=cen["pk"].to_numpy(np.int64)) \
+            if "pk" in cen.columns and len(cen) else \
+            pd.Series(dtype=np.int64)
+        while len(merges) < n_merges and len(census):
             batch_sel = _select_merge_batch(
                 census, n_merges - len(merges), min_pair_count)
             if not batch_sel:
@@ -321,22 +353,73 @@ def train_bpe(docs: "ray.data.Dataset", n_merges: int = 50,
                 next_code += 1
             rref = ray.put(round_codes)
 
-            def apply(batch: "pa.Table", _rref=rref) -> "pa.Table":
+            def apply_with_delta(batch: "pa.Table",
+                                 _rref=rref) -> "pa.Table":
                 # ONE flattened (seq, offs) stream per batch — the same
-                # vectorized kernel as the driver tier, not per-row Python;
-                # the batch's merges are symbol-disjoint, so left-to-right
-                # application equals any order (and sequential BPE)
+                # vectorized kernel as the driver tier, not per-row
+                # Python; the batch's merges are symbol-disjoint, so
+                # left-to-right application equals any order (and
+                # sequential BPE).  Output carries BOTH the rewritten
+                # word rows (pk null) and the delta rows (codes null) —
+                # downstream row-local filters split them.
                 mc = ray.get(_rref)
-                seq, offs = list_values_offsets(batch.column("codes"))
-                seq = np.asarray(seq, dtype=np.int64)
+                seq0, offs0 = list_values_offsets(batch.column("codes"))
+                seq0 = np.asarray(seq0, dtype=np.int64)
+                w = batch.column("n").to_numpy()
+                seq, offs = seq0, offs0
+                changed = np.zeros(len(offs0) - 1, dtype=bool)
                 for aa, bb, code in mc:
-                    seq, offs = _apply_merge(seq, offs, aa, bb, code)
+                    seq, offs, ch = _apply_merge_tracked(seq, offs, aa,
+                                                         bb, code)
+                    changed |= ch
+                if changed.any():
+                    sb, ob = _take_words(seq0, offs0, changed)
+                    sa, oa = _take_words(seq, offs, changed)
+                    wc_ = np.asarray(w, dtype=np.int64)[changed]
+                    d = _pair_census(sa, oa, wc_).sub(
+                        _pair_census(sb, ob, wc_), fill_value=0) \
+                        .astype(np.int64)
+                    d = d[d != 0]
+                else:
+                    d = pd.Series(dtype=np.int64)
+                n_w, n_d = len(offs) - 1, len(d)
                 return pa.table({
-                    "codes": pa.ListArray.from_arrays(offs, seq),
-                    "n": batch.column("n")})
+                    "codes": pa.concat_arrays([
+                        pa.ListArray.from_arrays(offs, seq),
+                        pa.nulls(n_d, pa.list_(pa.int64()))]),
+                    "n": pa.concat_arrays([
+                        batch.column("n").cast(pa.int64()).combine_chunks()
+                        if isinstance(batch.column("n"), pa.ChunkedArray)
+                        else batch.column("n").cast(pa.int64()),
+                        pa.nulls(n_d, pa.int64())]),
+                    "pk": pa.concat_arrays([
+                        pa.nulls(n_w, pa.int64()),
+                        pa.array(d.index.to_numpy(np.int64), pa.int64())]),
+                    "m": pa.concat_arrays([
+                        pa.nulls(n_w, pa.int64()),
+                        pa.array(d.to_numpy(np.int64), pa.int64())]),
+                })
 
-            enc = enc.map_batches(apply, batch_format="pyarrow",
-                                  batch_size=None).materialize()
+            combined = enc.map_batches(apply_with_delta,
+                                       batch_format="pyarrow",
+                                       batch_size=None).materialize()
+            enc = combined.map_batches(
+                lambda t: t.filter(t.column("pk").is_null())
+                           .select(["codes", "n"]),
+                batch_format="pyarrow", batch_size=None)
+            deltas = combined.map_batches(
+                lambda t: t.filter(t.column("pk").is_valid())
+                           .select(["pk", "m"]),
+                batch_format="pyarrow", batch_size=None)
+            n_rounds += 1
+            dsum = grouped_sum_bucketed(deltas, ["pk"], sums={"m": "m"},
+                                        num_buckets=num_buckets) \
+                .to_pandas()
+            if "pk" in dsum.columns and len(dsum):
+                delta = pd.Series(dsum["m"].to_numpy(np.int64),
+                                  index=dsum["pk"].to_numpy(np.int64))
+                census = census.add(delta, fill_value=0).astype(np.int64)
+                census = census[census > 0]
 
     return {"merges": merges, "merge_codes": merge_codes,
             "symbols": symbols, "n_distinct_words": n_words,

@@ -442,11 +442,26 @@ def df_census(ds: "ray.data.Dataset", text_col: str = "text",
     from zeeklog_ray.relational import grouped_sum
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        e = pd.DataFrame({id_col: batch[id_col],
-                          "token": batch[text_col].str.split(" ")}) \
-            .explode("token").drop_duplicates([id_col, "token"])
-        return (e.groupby("token", sort=False).size()
-                .rename("df").reset_index())
+        # integer-code census (ops/wordhash, keep_empty=True — the
+        # plain-STRING_SPLIT contract): per-doc distinct via packed
+        # (row, code) np.unique, then df per code with bincount; token
+        # strings materialize only for the distinct output rows
+        from zeeklog_ray.ops.wordhash import split_words
+
+        batch = batch.reset_index(drop=True)
+        doc_of, flat = split_words(batch[text_col], keep_empty=True)
+        if not len(doc_of):
+            return pd.DataFrame({"token": pd.Series([], dtype=object),
+                                 "df": pd.Series([], dtype="int64")})
+        de = flat.dictionary_encode()
+        codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = de.dictionary.to_numpy(zero_copy_only=False)
+        n_uniq = np.int64(len(vocab))
+        pk = np.unique(doc_of * n_uniq + codes)
+        df_counts = np.bincount((pk % n_uniq).astype(np.int64),
+                                minlength=len(vocab))
+        return pd.DataFrame({"token": vocab,
+                             "df": df_counts.astype("int64")})
 
     partials = ds.map_batches(partial, batch_format="pandas",
                               batch_size=None)

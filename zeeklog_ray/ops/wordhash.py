@@ -74,26 +74,40 @@ def horner_hash_strings(sa: "pa.Array") -> np.ndarray:
     return np.add.reduceat(terms, starts)
 
 
-def split_words(texts) -> tuple[np.ndarray, "pa.Array"]:
+def split_words(texts, keep_empty: bool = False
+                ) -> tuple[np.ndarray, "pa.Array"]:
     """Split ``texts`` (pandas Series / pyarrow array of strings) on ' ',
     dropping empty tokens and treating null text as no words (the
     ``LIST_FILTER(STRING_SPLIT(text,' '), x -> x <> '')`` tokenization
     every oracle replays).  Returns ``(doc_of, flat)``: the int64 row
     index of each word and the flat word StringArray, in document
-    order."""
+    order.  ``keep_empty=True`` keeps empty tokens (plain
+    ``STRING_SPLIT`` semantics — the df_census contract); null text
+    contributes no tokens in either mode (SQL ``string_split(NULL)``
+    unnests to nothing)."""
     if isinstance(texts, pd.Series):
         arr = pa.array(texts, type=pa.string(), from_pandas=True)
     elif isinstance(texts, pa.ChunkedArray):
         arr = texts.combine_chunks()
     else:
         arr = texts
+    null_docs = None
     if arr.null_count:
+        # null -> '' keeps the flatten/offset bookkeeping simple; the
+        # synthetic '' token is filtered below (drop-empties mode) or
+        # removed via the null-doc mask (keep_empty mode)
+        null_docs = pc.is_null(arr).to_numpy(zero_copy_only=False)
         arr = pc.coalesce(arr, pa.scalar("", type=arr.type))
     lst = pc.split_pattern(arr, " ")
     flat = lst.flatten()
     loff = _offsets_view(lst)
     doc_of = np.repeat(np.arange(len(lst), dtype=np.int64),
                        np.diff(loff).astype(np.int64))
+    if keep_empty:
+        if null_docs is not None:
+            keep = ~null_docs[doc_of]
+            return doc_of[keep], flat.filter(pa.array(keep))
+        return doc_of, flat
     mask = pc.not_equal(flat, "")
     keep = mask.to_numpy(zero_copy_only=False)
     return doc_of[keep], flat.filter(mask)

@@ -29,6 +29,65 @@ import ray.data
 MAX_EPOCHS = 8
 
 
+def span_screen(docs: "ray.data.Dataset", ratio_e4: int,
+                mode: str = "cdc", id_col: str = "doc_id",
+                text_col: str = "text", num_buckets: int = 256,
+                broadcast_docs: int = 2_000_000) -> "ray.data.Dataset":
+    """Boilerplate/duplication SCREEN for the prep chain: drop every
+    document whose duplicated-span ratio reaches ``ratio_e4`` — the
+    Gopher/Lee-style cleaning gate that removes syndicated copy and
+    template-heavy pages BEFORE tokenization spends on them.
+
+    ``mode="cdc"`` (default) scores with content-defined chunks
+    (:func:`ops.dedup.cdc_dup_stats` — ONE hash row per ~2^mask_bits
+    words, the cheap screening tier); ``mode="window"`` scores with the
+    bit-exact per-window gram table
+    (:func:`ops.dedup.duplicated_window_stats` — one row per word, the
+    expensive exact tier).  At long documents the CDC exchange is
+    ~8-32× smaller, which is the whole point of offering the screen
+    (benched both ways in bench.py, ``scale_prep_screen_*``).
+
+    The drop set is DUP-doc cardinality and broadcasts
+    (``ray.put`` once, row-local isin filter — text never shuffles);
+    above ``broadcast_docs`` this raises rather than silently shuffling
+    text — at that dup rate run the id-manifest pattern (screen → id
+    anti-join → re-attach text by doc_id) explicitly."""
+    import ray as _ray
+
+    from zeeklog_ray.ops.dedup import cdc_dup_stats, duplicated_window_stats
+
+    if mode == "cdc":
+        stats = cdc_dup_stats(docs, text_col=text_col, id_col=id_col,
+                              num_buckets=num_buckets)
+        ratio_col = "shared_ratio_e4"
+    elif mode == "window":
+        stats = duplicated_window_stats(docs, text_col=text_col,
+                                        id_col=id_col,
+                                        num_buckets=num_buckets)
+        ratio_col = "dup_ratio_e4"
+    else:
+        raise ValueError(f"span_screen: unknown mode {mode!r}")
+
+    def drops(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.loc[batch[ratio_col] >= ratio_e4, [id_col]]
+
+    drop = stats.map_batches(drops, batch_format="pandas",
+                             batch_size=None).materialize()
+    n_drop = drop.count()
+    if n_drop == 0:
+        return docs
+    if n_drop > broadcast_docs:
+        raise ValueError(
+            f"span_screen: {n_drop} docs exceed the broadcast cap "
+            f"({broadcast_docs}) — run the id-manifest pattern instead")
+    dref = _ray.put(frozenset(drop.to_pandas()[id_col]))
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[~batch[id_col].isin(_ray.get(dref))]
+
+    return docs.map_batches(keep, batch_format="pandas", batch_size=None)
+
+
 def prep_manifest(docs: "ray.data.Dataset",
                   rates: dict[str, float] | None = None,
                   default_rate: float = 1.0,
@@ -36,10 +95,18 @@ def prep_manifest(docs: "ray.data.Dataset",
                   min_words: int = 15,
                   min_stop_ratio_e4: int = 200,
                   num_buckets: int = 2048,
-                  spill_dir: str | None = None) -> "ray.data.Dataset":
+                  spill_dir: str | None = None,
+                  span_screen_ratio_e4: int | None = None,
+                  span_screen_mode: str = "cdc") -> "ray.data.Dataset":
     """The manifest Dataset: one row per (kept doc × epoch copy) with its
     pack placement.  Columns: doc_id, epoch, source, n_bpe, pack_id,
-    pack_offset."""
+    pack_offset.
+
+    ``span_screen_ratio_e4`` (optional) inserts the duplicated-span
+    screen (:func:`span_screen`) ahead of the quality/digest stage —
+    docs whose shared-span ratio reaches the threshold are dropped
+    before any tokenization; ``span_screen_mode`` picks the cheap CDC
+    tier (default) or the exact window tier."""
     from zeeklog_ray.ops.sample import mixture_resample
     from zeeklog_ray.ops.text import digest_dedup, prep_digest_stage
     from zeeklog_ray.ops.packing import pack_assignments
@@ -48,6 +115,10 @@ def prep_manifest(docs: "ray.data.Dataset",
     if any(r >= MAX_EPOCHS for r in list(rates.values()) + [default_rate]):
         raise ValueError(f"mixture rates must be < {MAX_EPOCHS} "
                          "(packing order-key headroom)")
+
+    if span_screen_ratio_e4 is not None:
+        docs = span_screen(docs, span_screen_ratio_e4,
+                           mode=span_screen_mode)
 
     # row-local quality filter + digest + token count, then bucketed
     # first-wins dedup — the SAME stages corpus_prep composes (one source

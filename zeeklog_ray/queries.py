@@ -2920,6 +2920,27 @@ def docs_prep_export(sf_dir: str) -> pd.DataFrame:
         .sort_values("source").reset_index(drop=True)
 
 
+def docs_prep_screened(sf_dir: str) -> pd.DataFrame:
+    """The prep chain with the OPTIONAL duplicated-span screen enabled
+    (prep.span_screen, CDC scoring tier): docs whose shared-span ratio
+    reaches 20% drop before tokenization, then the standard filter →
+    dedup → resample → pack manifest; output is the per-source rollup.
+    Rows-only gate: the CDC boundary walk is the documented
+    non-SQL-expressible step (same as docs_cdc_dup); the unscreened
+    chain itself stays fully hash-gated via docs_prep_export."""
+    from zeeklog_ray.prep import prep_manifest
+    from zeeklog_ray.relational import grouped_sum
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "text", "source"])
+    manifest = prep_manifest(docs, rates=_PREP_RATES,
+                             span_screen_ratio_e4=2_000)
+    return grouped_sum(manifest.select_columns(["source", "n_bpe"]),
+                       ["source"], sums={"n_bpe": "sum_tokens"},
+                       count_as="n_rows").to_pandas() \
+        .sort_values("source").reset_index(drop=True)
+
+
 def _prep_export_oracle_sql() -> str:
     """Composed SQL replay of the prep-export chain (see prep.py)."""
     import zeeklog_ray.ops.sample as sample_sql
@@ -3492,6 +3513,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "docs_feather_roundtrip": docs_feather_roundtrip,
     "docs_csv_roundtrip": docs_csv_roundtrip,
     "docs_prep_export": docs_prep_export,
+    "docs_prep_screened": docs_prep_screened,
     "user_value_sums": user_value_sums,
     "event_type_user_counts": event_type_user_counts,
     "event_pivot_unpivot": event_pivot_unpivot,
