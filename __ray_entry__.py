@@ -23,10 +23,12 @@ the library) calls ``ray.init`` / ``ray.shutdown``.
   ``near_dup_components`` (the full 64-permutation replay measures >5 min
   in DuckDB; the SAME code path is hash-checked by the _small variants and
   recall-tested), ``ann_lsh_topk`` / ``ivf_ann_topk`` (approximate by
-  design; recall-tested), ``approx_distinct_users`` /
-  ``event_type_users_hll`` (HLL, global and grouped; accuracy-tested,
-  the grouped one with the exact twin ``event_type_user_counts``
-  oracle-checked), ``event_value_quantiles_sketch`` (mergeable
+  design; recall-tested), ``approx_distinct_users`` (global HLL over the
+  pandas SipHash, accuracy-tested; the GROUPED ``event_type_users_hll``
+  left this list in round 5 — it now runs the replayable
+  splitmix64/integer-estimator tier with a full bit-exact DuckDB
+  oracle, ``ops/sketch.hll_oracle_sql``),
+  ``event_value_quantiles_sketch`` (mergeable
   rank-sample quantile sketch, approximate by design; rank-error-bound
   tested, with the exact twin ``event_value_quantiles`` oracle-checked),
   ``embedding_kmeans`` / ``embedding_graph_pagerank`` (iterative float
