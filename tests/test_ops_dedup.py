@@ -704,3 +704,42 @@ def test_cdc_screen_asymmetric_copy_documents_recall_limit(ray_session):
     assert {1, 2} <= set(lo.index)
     assert int(lo.loc[1, "dup_windows"]) > 0
     assert int(lo.loc[2, "dup_windows"]) > 0
+
+
+def test_incremental_dedup_exact_and_fp_removal():
+    from zeeklog_ray.ops.dedup import incremental_dedup
+
+    rng = np.random.default_rng(7)
+    words = np.array(["alpha", "beta", "gamma", "delta", "eps"])
+    base_txt = [" ".join(rng.choice(words, 6)) + f" b{i}" for i in range(300)]
+    base = pd.DataFrame({"doc_id": np.arange(300), "text": base_txt})
+    # new snapshot: 100 fresh docs + 40 exact re-crawls of base content
+    fresh = [" ".join(rng.choice(words, 6)) + f" n{i}" for i in range(100)]
+    new = pd.DataFrame({
+        "doc_id": np.arange(1000, 1140),
+        "text": fresh + [base_txt[i] for i in range(0, 120, 3)]})
+    # a TINY bloom (high false-positive rate) stresses the verify tier:
+    # exactness must come from the 128-bit semi-join, not the screen
+    out = incremental_dedup(ray.data.from_pandas(new).repartition(4),
+                            ray.data.from_pandas(base).repartition(4),
+                            n_bits=256, broadcast_ids=2_000_000) \
+        .to_pandas()
+    assert sorted(out["doc_id"]) == list(range(1000, 1100))
+    # bucketed anti tier (broadcast cap 0) must agree exactly
+    out2 = incremental_dedup(ray.data.from_pandas(new).repartition(4),
+                             ray.data.from_pandas(base).repartition(4),
+                             n_bits=256, broadcast_ids=0,
+                             num_buckets=8).to_pandas()
+    assert sorted(out2["doc_id"]) == sorted(out["doc_id"])
+    assert sorted(out2.columns) == sorted(new.columns)
+
+
+def test_incremental_dedup_empty_base_passes_everything():
+    from zeeklog_ray.ops.dedup import incremental_dedup
+
+    new = pd.DataFrame({"doc_id": [1, 2], "text": ["aa", "bb"]})
+    base = pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                         "text": pd.array([], dtype="string")})
+    out = incremental_dedup(ray.data.from_pandas(new),
+                            ray.data.from_pandas(base)).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 2]

@@ -630,3 +630,36 @@ def test_docs_dup_rate_by_source_planted(ray_session):
     assert out.loc["a", "n_docs"] == 4 and out.loc["a", "n_distinct"] == 2
     assert out.loc["a", "dup_rate_ppm"] == 500_000    # 2 of 4 are dups
     assert out.loc["b", "dup_rate_ppm"] == 0
+
+
+def test_bucketed_semi_anti_join():
+    from zeeklog_ray.relational import bucketed_semi_anti_join
+
+    l = ray.data.from_pandas(pd.DataFrame(
+        {"k": [1, 2, 3, 3, None, 5], "x": [10, 20, 30, 31, 40, 50]}))
+    # right has dup keys and an irrelevant payload column — neither may
+    # fan out or leak into the output
+    r = ray.data.from_pandas(pd.DataFrame(
+        {"kk": [2, 3, 3, 7, None], "y": ["a", "b", "c", "d", "e"]}))
+    semi = bucketed_semi_anti_join(l, r, on="k", right_on="kk",
+                                   num_buckets=4).to_pandas()
+    assert sorted(semi["x"]) == [20, 30, 31]
+    assert list(semi.columns) == ["k", "x"]
+    anti = bucketed_semi_anti_join(l, r, on="k", right_on="kk", anti=True,
+                                   num_buckets=4).to_pandas()
+    # NOT-EXISTS semantics: the null-key left row survives the anti join
+    assert sorted(anti["x"]) == [10, 40, 50]
+
+
+def test_bucketed_semi_anti_join_multicol_and_dtype_guard():
+    from zeeklog_ray.relational import bucketed_semi_anti_join
+
+    l = ray.data.from_pandas(pd.DataFrame(
+        {"a": [1, 1, 2], "b": ["x", "y", "x"], "v": [1, 2, 3]}))
+    r = ray.data.from_pandas(pd.DataFrame({"a": [1, 2], "b": ["y", "z"]}))
+    semi = bucketed_semi_anti_join(l, r, on=["a", "b"],
+                                   num_buckets=2).to_pandas()
+    assert semi["v"].tolist() == [2]
+    bad = ray.data.from_pandas(pd.DataFrame({"a": [1.0], "b": ["y"]}))
+    with pytest.raises(ValueError, match="integer on one side"):
+        bucketed_semi_anti_join(l, bad, on=["a", "b"])

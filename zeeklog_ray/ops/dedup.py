@@ -1394,3 +1394,97 @@ def cdc_screen_then_verify(ds: "ray.data.Dataset", text_col: str = "text",
         return broadcast_merge(exact, suspects.to_pandas(), on=id_col)
     return bucketed_equi_join(exact, suspects, on=id_col,
                               num_buckets=num_buckets)
+
+
+def incremental_dedup(new_docs: "ray.data.Dataset",
+                      base_docs: "ray.data.Dataset",
+                      text_col: str = "text", id_col: str = "doc_id",
+                      n_bits: int = 1 << 23, k_hashes: int = 5,
+                      broadcast_ids: int = 2_000_000,
+                      num_buckets: int = 1024) -> "ray.data.Dataset":
+    """Incremental EXACT dedup of a new snapshot against an existing base
+    corpus: keep each ``new_docs`` row iff its text content does NOT
+    appear in ``base_docs`` (dedup *within* the new snapshot stays
+    separate — that is ``exact_dedup_docs``' job).  This is the daily
+    shape of a 100-TB corpus: the crawl delta is small, the base is not,
+    and re-running full-corpus dedup per day would shuffle the world to
+    rediscover what the base already knows.
+
+    Scale shape (three tiers, nothing corpus-shaped ever broadcasts):
+
+    1. Base side reduces to its 128-bit content digests (16 bytes/doc)
+       and each BLOCK builds a bloom filter over its digest block;
+       blooms are mergeable (bitwise OR = filter of the union), so the
+       driver streams ``n_blocks`` small bitsets and holds one
+       (``n_bits/8`` bytes; at 10^12 base docs use ~10 bits/key and a
+       tree OR-reduce — the filter is still GBs where the digest set
+       would be tens of TB).
+    2. New side digests row-locally and probes the broadcast bloom:
+       definite-new rows are decided with ZERO exchange; only bloom
+       hits (true dups + ~1% false positives) emit (id, digest)
+       candidate rows.
+    3. Candidates semi-join the base digest table on the full 128 bits
+       (:func:`~zeeklog_ray.relational.bucketed_semi_anti_join` — one
+       key-shaped shuffle of candidates + base digests) which removes
+       the bloom false positives exactly; the confirmed-dup id set then
+       anti-filters ``new_docs`` — broadcast when ≤ ``broadcast_ids``,
+       bucketed anti-join above.
+
+    ``new_docs`` is read twice (probe pass + final filter pass) — the
+    deliberate streaming trade: re-executing a deterministic read costs
+    one extra scan, pinning the snapshot costs object-store residency
+    (same argument as partitioned.write_sorted_zonemap).  Output schema
+    = ``new_docs`` schema, row count ≤ ``new_docs``."""
+    import ray as _ray
+
+    from zeeklog_ray.relational import (build_bloom, bloom_contains,
+                                        bucketed_semi_anti_join)
+
+    def dig_only(batch: pd.DataFrame) -> pd.DataFrame:
+        d1, d2 = content_digest128(batch[text_col])
+        return pd.DataFrame({"d1": d1.view(np.int64),
+                             "d2": d2.view(np.int64)})
+
+    base_dig = base_docs.map_batches(dig_only, batch_format="pandas",
+                                     batch_size=None)
+
+    def bloom_of_block(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"bits": [build_bloom(batch["d1"], n_bits,
+                                                  k_hashes)]})
+
+    bits = np.zeros(((n_bits + 7) & ~7) // 8, dtype=np.uint8)
+    for blk in base_dig.map_batches(bloom_of_block, batch_format="pandas",
+                                    batch_size=None) \
+            .iter_batches(batch_format="pandas", batch_size=None):
+        for b in blk["bits"]:
+            np.bitwise_or(bits, b, out=bits)
+    if not bits.any():          # empty base: nothing can be a dup
+        return new_docs
+    bits_ref = _ray.put(bits)
+
+    def probe(batch: pd.DataFrame) -> pd.DataFrame:
+        bts = _ray.get(bits_ref)
+        d1, d2 = content_digest128(batch[text_col])
+        hit = bloom_contains(bts, pd.Series(d1.view(np.int64)), k_hashes)
+        return pd.DataFrame({id_col: batch[id_col].to_numpy()[hit],
+                             "d1": d1.view(np.int64)[hit],
+                             "d2": d2.view(np.int64)[hit]})
+
+    candidates = new_docs.map_batches(probe, batch_format="pandas",
+                                      batch_size=None)
+    confirmed = bucketed_semi_anti_join(
+        candidates, base_dig, on=["d1", "d2"], anti=False,
+        num_buckets=num_buckets).select_columns([id_col])
+    n_conf = confirmed.count()
+    if n_conf <= broadcast_ids:
+        ids_ref = _ray.put(
+            confirmed.to_pandas()[id_col].to_numpy() if n_conf
+            else np.array([], dtype=np.int64))
+
+        def anti(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch[~batch[id_col].isin(_ray.get(ids_ref))]
+
+        return new_docs.map_batches(anti, batch_format="pandas",
+                                    batch_size=None)
+    return bucketed_semi_anti_join(new_docs, confirmed, on=id_col,
+                                   anti=True, num_buckets=num_buckets)

@@ -505,6 +505,38 @@ def docs_snapshot_diff(sf_dir: str) -> pd.DataFrame:
                                    "unchanged")})
 
 
+def docs_incremental_dedup(sf_dir: str) -> "ray.data.Dataset":
+    """Incremental snapshot-vs-base exact dedup
+    (ops/dedup.incremental_dedup): the daily-crawl shape — the base
+    corpus is docs with ``doc_id % 10 < 7``; the "new crawl" is the
+    remaining docs PLUS a deterministic re-crawl of every base doc with
+    ``doc_id % 7 == 0`` (same text, new id offset by 10_000_000) — the
+    planted cross-snapshot dups the filter must drop.  Bloom screen
+    decides definite-new rows with zero exchange; the 128-bit semi-join
+    verify removes the bloom's false positives, so the gate is exact."""
+    from zeeklog_ray.ops.dedup import incremental_dedup
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "text", "source", "n_chars"])
+
+    def base_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["doc_id"] % 10 < 7]
+
+    def new_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        fresh = batch[batch["doc_id"] % 10 >= 7]
+        recrawl = batch[(batch["doc_id"] % 10 < 7)
+                        & (batch["doc_id"] % 7 == 0)].copy()
+        recrawl["doc_id"] = recrawl["doc_id"] + 10_000_000
+        return pd.concat([fresh, recrawl], ignore_index=True)
+
+    base = docs.map_batches(base_rows, batch_format="pandas",
+                            batch_size=None)
+    new = docs.map_batches(new_rows, batch_format="pandas",
+                           batch_size=None)
+    kept = incremental_dedup(new, base, n_bits=1 << 20)
+    return kept.select_columns(["doc_id", "source", "n_chars"])
+
+
 def events_partitioned_prune(sf_dir: str) -> "ray.data.Dataset":
     """Hive-partitioned export + partition-pruned read-back
     (zeeklog_ray.partitioned): events written as ``event_type=<v>/``
@@ -3531,6 +3563,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "orders_fk_violations": orders_fk_violations,
     "events_column_profile": events_column_profile,
     "docs_snapshot_diff": docs_snapshot_diff,
+    "docs_incremental_dedup": docs_incremental_dedup,
     "docs_lang_stats": docs_lang_stats,
     "events_hourly": events_hourly,
     "lineitem_pricing": lineitem_pricing,
@@ -4416,6 +4449,16 @@ ORACLE_SQL: dict[str, str] = {
         "CAST(COUNT(*) - COUNT(value) AS BIGINT), "
         "CAST(ROUND(MIN(value) * 100) AS BIGINT), "
         "CAST(ROUND(MAX(value) * 100) AS BIGINT) FROM events"),
+    "docs_incremental_dedup": (
+        "WITH base AS (SELECT * FROM documents WHERE doc_id % 10 < 7), "
+        "newd AS ("
+        "SELECT doc_id, text, source, n_chars FROM documents "
+        "WHERE doc_id % 10 >= 7 "
+        "UNION ALL "
+        "SELECT doc_id + 10000000 AS doc_id, text, source, n_chars "
+        "FROM base WHERE doc_id % 7 = 0) "
+        "SELECT doc_id, source, n_chars FROM newd "
+        "WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.text = newd.text)"),
     "docs_snapshot_diff": (
         "SELECT "
         "CAST(SUM(CASE WHEN doc_id % 10 = 1 THEN 1 ELSE 0 END) AS BIGINT) "

@@ -1125,6 +1125,129 @@ def bucketed_equi_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
         .groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
 
 
+def bucketed_semi_anti_join(left: "ray.data.Dataset",
+                            right: "ray.data.Dataset",
+                            on: str | Sequence[str],
+                            right_on: str | Sequence[str] | None = None,
+                            anti: bool = False,
+                            num_buckets: int = 1024) -> "ray.data.Dataset":
+    """SEMI (``anti=False``) / ANTI (``anti=True``) equi-join: keep each
+    ``left`` row iff its key tuple is present / absent in ``right``.
+
+    Output is the LEFT columns unchanged and never more rows than
+    ``left`` — the existence test dedups the right side, so unlike an
+    inner join a hot right key cannot fan rows out.  NOT-EXISTS null
+    semantics: a null key matches nothing (kept by anti, dropped by
+    semi), which is what ``WHERE [NOT] EXISTS`` — not ``NOT IN`` —
+    computes.
+
+    Scale shape: the right side is reduced to per-batch DISTINCT key
+    tuples BEFORE the exchange (key-shaped, not row-shaped), then both
+    sides take ONE key-hash-bucket shuffle and the per-bucket test is a
+    C-level indicator merge.  This is the big-right-side complement to
+    the broadcast tiers (``bloom_semi_filter``, the driver-set anti in
+    queries.customers_without_orders): broadcast when the key set fits a
+    worker's heap, bucket when it doesn't.  Same dtype-harmonization
+    rules as :func:`bucketed_equi_join` (mismatched key kinds would hash
+    the same value into different buckets — rejected outright)."""
+    on = [on] if isinstance(on, str) else list(on)
+    right_on = (on if right_on is None
+                else [right_on] if isinstance(right_on, str)
+                else list(right_on))
+    if len(on) != len(right_on):
+        raise ValueError("bucketed_semi_anti_join: on/right_on length "
+                         "mismatch")
+    lschema, rschema = left.schema(), right.schema()
+    # empty-side degenerate cases (schema unresolvable): an empty left has
+    # nothing to keep; an empty right matches nothing — semi keeps nothing,
+    # anti keeps everything
+    if lschema is None:
+        return left
+    if rschema is None:
+        return left if anti else left.limit(0)
+    lcols = list(lschema.names)
+    missing = [c for c in on if c not in lcols] + \
+        [c for c in right_on if c not in rschema.names]
+    if missing:
+        raise ValueError(f"bucketed_semi_anti_join: key columns {missing} "
+                         "not present in their side")
+    reserved = {"_side", "_bucket", "_m"} & set(lcols)
+    if reserved:
+        raise ValueError(f"bucketed_semi_anti_join: columns "
+                         f"{sorted(reserved)} are reserved internal names "
+                         "— rename first")
+    rename = dict(zip(right_on, on))
+    int_casts, nullable_casts = _nullable_int_casts((lschema,), set(lcols))
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = {rename.get(n, n): t for n, t in zip(rschema.names,
+                                                  rschema.types)}
+    for kcol in on:
+        li, ri = _int_np_dtype(ltypes[kcol]), _int_np_dtype(rtypes[kcol])
+        if (li is None) != (ri is None):
+            raise ValueError(
+                f"bucketed_semi_anti_join: key {kcol!r} is integer on one "
+                f"side ({ltypes[kcol]} vs {rtypes[kcol]}) — same values "
+                "would hash to different buckets; cast the sides to one "
+                "dtype")
+        if li is not None:
+            wide = li if li.itemsize >= ri.itemsize else ri
+            int_casts[kcol] = wide
+            nullable_casts[kcol] = _NULLABLE_INT[str(wide)]
+        elif _key_kind(ltypes[kcol]) != _key_kind(rtypes[kcol]):
+            raise ValueError(
+                f"bucketed_semi_anti_join: key {kcol!r} dtype differs "
+                f"across sides ({ltypes[kcol]} vs {rtypes[kcol]}); cast "
+                "first")
+
+    def tag_left(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        for c in batch.columns:
+            dt = nullable_casts.get(c)
+            if dt:
+                batch[c] = batch[c].astype(dt)
+        batch["_side"] = "L"
+        return batch
+
+    def keys_right(batch: pd.DataFrame) -> pd.DataFrame:
+        # key-shaped exchange: distinct non-null key tuples per batch
+        # (cross-batch dups collapse inside the bucket's merge — a full
+        # pre-distinct would cost a second shuffle for nothing)
+        kb = batch.rename(columns=rename)[on].dropna().drop_duplicates()
+        for c in on:
+            dt = nullable_casts.get(c)
+            if dt:
+                kb[c] = kb[c].astype(dt)
+        kb["_side"] = "R"
+        return kb
+
+    both = left.map_batches(tag_left, batch_format="pandas",
+                            batch_size=None) \
+        .union(right.map_batches(keys_right, batch_format="pandas",
+                                 batch_size=None))
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        lg = group.loc[group["_side"] == "L",
+                       [c for c in lcols if c in group.columns]]
+        if lg.empty:
+            return pd.DataFrame(columns=lcols).astype(int_casts)
+        rg = group.loc[group["_side"] == "R", on].dropna() \
+            .drop_duplicates()
+        if rg.empty:
+            out = lg if anti else lg.iloc[0:0]
+            return out[lcols].astype(int_casts)
+        null_keys = lg[on].isna().any(axis=1)
+        probe = lg.loc[~null_keys]
+        hit = probe.merge(rg, on=on, how="left",
+                          indicator="_m")["_m"].to_numpy() == "both"
+        kept = probe.loc[~hit if anti else hit]
+        if anti and null_keys.any():
+            kept = pd.concat([kept, lg.loc[null_keys]])
+        return kept[lcols].astype(int_casts)
+
+    return with_hash_bucket(both, on, num_buckets) \
+        .groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
+
+
 def key_skew_profile(ds: "ray.data.Dataset", key: str,
                      num_buckets: int = 1024) -> pd.DataFrame:
     """Single-row skew diagnostic of a grouping key — the first question
