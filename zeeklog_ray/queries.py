@@ -356,6 +356,35 @@ def docs_lang_stats(sf_dir: str) -> "ray.data.Dataset":
     return grouped_sum(ds, ["lang"], sums={"n_chars": "sum_chars"}, count_as="n")
 
 
+def docs_nb_source_clf(sf_dir: str) -> "ray.data.Dataset":
+    """Distributed hashed-feature Naive Bayes (ops/classify.py): train a
+    source classifier on alternating doc_id blocks (block = doc_id//20,
+    so every source appears on BOTH sides — source cycles with doc_id),
+    predict the other half, return the confusion counts (source, pred,
+    n).  Rows-only gated: prediction is an argmax over float
+    log-likelihoods (pytest parity vs the pure-Python reference +
+    exact-integer count invariance in tests/test_ops_classify.py); on
+    this synthetic corpus the vocabulary carries no label signal, so the
+    matrix shows the near-uniform chance pattern — the separable-data
+    accuracy bar lives in the pytest."""
+    from zeeklog_ray.ops.classify import nb_predict, train_nb
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "text", "source"])
+
+    def even(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[(batch["doc_id"] // 20) % 2 == 0]
+
+    def odd(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[(batch["doc_id"] // 20) % 2 == 1]
+
+    train = docs.map_batches(even, batch_format="pandas", batch_size=None)
+    test = docs.map_batches(odd, batch_format="pandas", batch_size=None)
+    model = train_nb(train, label_col="source", n_features=1 << 16)
+    pred = nb_predict(test, model)
+    return grouped_sum(pred, ["source", "pred"], count_as="n")
+
+
 def events_hourly(sf_dir: str) -> "ray.data.Dataset":
     """Tumbling 1-hour window per event type (streaming-shaped workload
     mapped to groupby — SURVEY.md §2.9: pre-materialized tumbling windows)."""
@@ -3565,6 +3594,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "docs_snapshot_diff": docs_snapshot_diff,
     "docs_incremental_dedup": docs_incremental_dedup,
     "docs_lang_stats": docs_lang_stats,
+    "docs_nb_source_clf": docs_nb_source_clf,
     "events_hourly": events_hourly,
     "lineitem_pricing": lineitem_pricing,
     "part_type_revenue": part_type_revenue,
