@@ -157,6 +157,51 @@ def _run_scale_ops(timings: dict, minmax: dict, extras: dict) -> None:
     timed2("scale_prep_screen_cdc_200k_long", prep_screened("cdc"))
     timed2("scale_prep_screen_window_200k_long", prep_screened("window"))
 
+    # hashed-feature Naive Bayes at corpus scale: train on the 1M docs
+    # (4 source classes), apply to the same 1M — two full corpus passes
+    # through the shared Arrow word kernel + one model-shaped sum
+    from zeeklog_ray.ops.classify import nb_predict, train_nb
+
+    def nb_chain():
+        docs1m = ray.data.read_parquet(dc).map_batches(
+            add_src, batch_format="pandas", batch_size=None)
+        model = train_nb(docs1m, label_col="source", n_features=1 << 18)
+        nb_predict(docs1m, model).count()
+
+    timed2(f"scale_nb_train_predict_{dtag}", nb_chain)
+
+    # incremental snapshot-vs-base dedup: 1M-doc base, 300k-doc "new
+    # crawl" of which 100k are exact re-crawls of base content — the
+    # bloom screen decides the 200k fresh docs with zero exchange and
+    # only the ~100k hits pay the 128-bit semi-join verify
+    from zeeklog_ray.ops.dedup import incremental_dedup
+
+    def inc_dedup(spill_dir=None):
+        import pandas as pd
+
+        base = ray.data.read_parquet(dc)
+
+        def as_new(b):
+            fresh = b[b["doc_id"] % 5 < 2].copy()          # disjoint text
+            fresh["doc_id"] = fresh["doc_id"] + 50_000_000
+            fresh["text"] = fresh["text"] + " nf" + fresh["doc_id"].astype(str)
+            recrawl = b[b["doc_id"] % 10 == 9].copy()       # exact copies
+            recrawl["doc_id"] = recrawl["doc_id"] + 90_000_000
+            return pd.concat([fresh, recrawl], ignore_index=True)
+
+        new = ray.data.read_parquet(dc).map_batches(
+            as_new, batch_format="pandas", batch_size=None)
+        n = incremental_dedup(new, base, n_bits=1 << 24,
+                              spill_dir=spill_dir).count()
+        extras.setdefault("incremental_dedup_kept", n)
+
+    timed2(f"scale_incremental_dedup_{dtag}", inc_dedup)
+    # digest table through the Parquet spill seam (measured FASTER than
+    # the object-store pin at this size — the pin serializes the digest
+    # pass; the lazy re-read overlaps with the probe side)
+    timed2(f"scale_incremental_dedup_{dtag}_spill",
+           lambda: inc_dedup("/tmp/zeeklog_bench/spill"))
+
     # per-key ROW_NUMBER (full-table window) and latest-wins compaction
     # at the same 5M-event scale — both ride the bucketed-groupby pattern
     from zeeklog_ray.relational import latest_per_key, seq_index_per_key

@@ -1401,7 +1401,8 @@ def incremental_dedup(new_docs: "ray.data.Dataset",
                       text_col: str = "text", id_col: str = "doc_id",
                       n_bits: int = 1 << 23, k_hashes: int = 5,
                       broadcast_ids: int = 2_000_000,
-                      num_buckets: int = 1024) -> "ray.data.Dataset":
+                      num_buckets: int = 1024,
+                      spill_dir: str | None = None) -> "ray.data.Dataset":
     """Incremental EXACT dedup of a new snapshot against an existing base
     corpus: keep each ``new_docs`` row iff its text content does NOT
     appear in ``base_docs`` (dedup *within* the new snapshot stays
@@ -1445,8 +1446,16 @@ def incremental_dedup(new_docs: "ray.data.Dataset",
         return pd.DataFrame({"d1": d1.view(np.int64),
                              "d2": d2.view(np.int64)})
 
-    base_dig = base_docs.map_batches(dig_only, batch_format="pandas",
-                                     batch_size=None)
+    # the digest table is consumed twice (bloom build + verify join) and
+    # is DIGEST-shaped (16 B/doc), so pinning it — not the corpus — is
+    # cheap; spill_dir swaps the pin for Parquet at the 10^12-doc scale
+    # where even digests outgrow the object store (spill.pin_or_spill)
+    from zeeklog_ray.spill import pin_or_spill
+
+    base_dig = pin_or_spill(
+        base_docs.map_batches(dig_only, batch_format="pandas",
+                              batch_size=None),
+        spill_dir, "incdedup_base_digests")
 
     def bloom_of_block(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"bits": [build_bloom(batch["d1"], n_bits,
