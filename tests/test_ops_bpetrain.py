@@ -214,3 +214,14 @@ def test_tokenize_sentinel_collision_and_unknown_chars(ray_session):
         .set_index("doc_id")["n_bpe_tok"]
     assert o2.loc[0] >= 2      # Z and ! are UNK tokens, never merged
     assert o2.loc[1] == 0 and o2.loc[2] == 0
+
+
+def test_train_bpe_distributed_spill_parity(ray_session, tmp_path):
+    """The Parquet spill seam for the per-round code-table pin must be
+    bit-identical to the object-store pin (same merges, same counts)."""
+    ds = ray.data.from_pandas(pd.DataFrame({"text": TEXTS})).repartition(3)
+    pinned = train_bpe(ds, n_merges=12, driver_vocab=0, num_buckets=8)
+    spilled = train_bpe(ds, n_merges=12, driver_vocab=0, num_buckets=8,
+                        spill_dir=str(tmp_path / "bpe_spill"))
+    assert spilled["merges"] == pinned["merges"]
+    assert spilled["n_rounds"] == pinned["n_rounds"]

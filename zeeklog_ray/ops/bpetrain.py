@@ -237,15 +237,42 @@ def _encode_words(words: pd.Series, char_code: dict[str, int]):
 def train_bpe(docs: "ray.data.Dataset", n_merges: int = 50,
               text_col: str = "text", min_pair_count: int = 2,
               driver_vocab: int = 1_000_000,
-              num_buckets: int = 1024) -> dict:
+              num_buckets: int = 1024,
+              spill_dir: str | None = None) -> dict:
     """Learn ``n_merges`` BPE merges from the corpus.  Returns
     ``{"merges": [(left_str, right_str, count), ...], "symbols":
     {code: string}, "n_distinct_words": int}`` — merges in learned
     order, each with the weighted pair count that won its round.
 
     One corpus pass builds the (word, count) table; training then runs
-    on that table only (see module docstring for the two tiers)."""
-    wc = _word_counts(docs, text_col, num_buckets).materialize()
+    on that table only (see module docstring for the two tiers).
+
+    ``spill_dir``: the distributed tier re-pins the code table each
+    census round; by default that pin is an object-store
+    ``materialize()`` (right for vocab-shaped tables).  With
+    ``spill_dir`` set, every pin goes through Parquet instead
+    (spill.pin_or_spill) with round-alternating paths — the 100-TB seam
+    for a vocabulary too large for the object store; bit-identical
+    merges (tests/test_ops_bpetrain.py)."""
+    import os
+    import shutil as _shutil
+
+    from zeeklog_ray.spill import pin_or_spill
+
+    _spill_prev: list[str] = []
+
+    def _pin(ds: "ray.data.Dataset", name: str) -> "ray.data.Dataset":
+        # round-alternating spill paths: the write of round N+1 CONSUMES
+        # round N's files, so the previous path is deleted only after
+        # the new write has fully landed
+        out = pin_or_spill(ds, spill_dir, name)
+        if spill_dir is not None:
+            for p in _spill_prev:
+                _shutil.rmtree(p, ignore_errors=True)
+            _spill_prev[:] = [os.path.join(spill_dir, name)]
+        return out
+
+    wc = _pin(_word_counts(docs, text_col, num_buckets), "bpe_wc")
     n_words = wc.count()
 
     # character alphabet: small by nature — collect distinct chars once
@@ -304,8 +331,8 @@ def train_bpe(docs: "ray.data.Dataset", n_merges: int = 50,
                 "codes": pa.ListArray.from_arrays(o, s),
                 "n": batch.column("n").cast(pa.int64())})
 
-        enc = wc.map_batches(encode, batch_format="pyarrow",
-                             batch_size=None).materialize()
+        enc = _pin(wc.map_batches(encode, batch_format="pyarrow",
+                                  batch_size=None), "bpe_enc_init")
 
         def census_rows(batch: "pa.Table") -> pd.DataFrame:
             seq, offs = list_values_offsets(batch.column("codes"))
@@ -400,9 +427,10 @@ def train_bpe(docs: "ray.data.Dataset", n_merges: int = 50,
                         pa.array(d.to_numpy(np.int64), pa.int64())]),
                 })
 
-            combined = enc.map_batches(apply_with_delta,
-                                       batch_format="pyarrow",
-                                       batch_size=None).materialize()
+            combined = _pin(enc.map_batches(apply_with_delta,
+                                            batch_format="pyarrow",
+                                            batch_size=None),
+                            f"bpe_enc_r{len(merges)}")
             enc = combined.map_batches(
                 lambda t: t.filter(t.column("pk").is_null())
                            .select(["codes", "n"]),
