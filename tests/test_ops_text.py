@@ -514,3 +514,26 @@ def test_source_distinctive_terms_hand_computed(ray_session):
                                     num_buckets=4).to_pandas() \
         .sort_values(["source", "rank"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(out, out3)
+
+
+def test_passage_chunks_hand_and_layout():
+    from zeeklog_ray.ops.text import passage_chunks
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": ["a b c d e f g", "x  y", ""]})
+    out = passage_chunks(ray.data.from_pandas(df), chunk_words=4,
+                         stride=3).to_pandas() \
+        .sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    assert out["chunk_text"].tolist() == ["a b c d", "d e f g", "g", "x y"]
+    assert out["n_words"].tolist() == [4, 4, 1, 2]
+    # block layout must not change the chunking
+    out2 = passage_chunks(ray.data.from_pandas(df).repartition(3),
+                          chunk_words=4, stride=3).to_pandas() \
+        .sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    assert out2.equals(out)
+    # stride larger than the window: disjoint chunks with gaps
+    gap = passage_chunks(ray.data.from_pandas(df), chunk_words=2,
+                         stride=5).to_pandas()
+    assert gap[gap["doc_id"] == 1]["chunk_text"].tolist() == ["a b", "f g"]
+    with pytest.raises(ValueError):
+        passage_chunks(ray.data.from_pandas(df), chunk_words=0)

@@ -1278,3 +1278,59 @@ def source_distinctive_terms(docs: "ray.data.Dataset", k: int = 10,
 
     return with_hash_bucket(pruned, source_col, num_buckets) \
         .groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+def passage_chunks(ds: "ray.data.Dataset", text_col: str = "text",
+                   id_col: str = "doc_id", chunk_words: int = 32,
+                   stride: int = 24) -> "ray.data.Dataset":
+    """Overlapping passage chunking — the RAG/context-window splitter:
+    each document becomes word windows starting at 0, stride, 2·stride,
+    ... (every start < the doc's word count; trailing windows may be
+    short), emitted as (id, chunk_idx, chunk_text, n_words).
+
+    Row-local, zero shuffle — chunking is embarrassingly parallel and
+    output size is ~(chunk_words/stride)× the corpus, so the only scale
+    concern is downstream block size, not exchange.  Construction is
+    one Arrow split + three numpy repeat/cumsum passes per batch; the
+    unavoidable per-chunk piece is the final string join (there is no C
+    kernel for grouped join), applied once per OUTPUT chunk."""
+    if stride <= 0 or chunk_words <= 0:
+        raise ValueError("passage_chunks: chunk_words and stride must "
+                         "be positive")
+
+    from zeeklog_ray.ops.wordhash import split_words
+
+    def chunk(batch: pd.DataFrame) -> pd.DataFrame:
+        n = len(batch)
+        out_cols = {id_col: np.int64, "chunk_idx": np.int64,
+                    "n_words": np.int64}
+        doc_of, flat = split_words(batch[text_col])
+        counts = np.bincount(doc_of, minlength=n).astype(np.int64)
+        n_chunks = -(-counts // stride)            # ceil; 0 words → 0
+        total_c = int(n_chunks.sum())
+        if total_c == 0:
+            empty = pd.DataFrame({c: np.array([], dtype=d)
+                                  for c, d in out_cols.items()})
+            empty["chunk_text"] = pd.array([], dtype="string")
+            return empty[[id_col, "chunk_idx", "chunk_text", "n_words"]]
+        chunk_doc = np.repeat(np.arange(n), n_chunks)
+        first_of_doc = np.concatenate(([0], np.cumsum(n_chunks)))[:-1]
+        chunk_idx = np.arange(total_c) - first_of_doc[chunk_doc]
+        starts = chunk_idx * stride
+        lens = np.minimum(counts[chunk_doc] - starts, chunk_words)
+        doc_start = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        total_w = int(lens.sum())
+        first_of_chunk = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        within = np.arange(total_w) - np.repeat(first_of_chunk, lens)
+        gidx = np.repeat(doc_start[chunk_doc] + starts, lens) + within
+        labels = np.repeat(np.arange(total_c), lens)
+        words_np = flat.to_numpy(zero_copy_only=False)
+        texts_out = pd.Series(words_np[gidx]).groupby(labels) \
+            .agg(" ".join)
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy()[chunk_doc],
+            "chunk_idx": chunk_idx,
+            "chunk_text": texts_out.to_numpy(),
+            "n_words": lens})
+
+    return ds.map_batches(chunk, batch_format="pandas", batch_size=None)

@@ -356,6 +356,17 @@ def docs_lang_stats(sf_dir: str) -> "ray.data.Dataset":
     return grouped_sum(ds, ["lang"], sums={"n_chars": "sum_chars"}, count_as="n")
 
 
+def docs_passage_chunks(sf_dir: str) -> "ray.data.Dataset":
+    """Overlapping passage chunking (ops/text.passage_chunks): 32-word
+    windows at stride 24 — the RAG / context-window splitter.  Row-local,
+    zero shuffle; the DuckDB oracle replays it with range() starts and
+    1-based list slices, so window boundaries are hash-gated."""
+    from zeeklog_ray.ops.text import passage_chunks
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return passage_chunks(docs, chunk_words=32, stride=24)
+
+
 def docs_nb_source_clf(sf_dir: str) -> "ray.data.Dataset":
     """Distributed hashed-feature Naive Bayes (ops/classify.py): train a
     source classifier on alternating doc_id blocks (block = doc_id//20,
@@ -3595,6 +3606,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "docs_incremental_dedup": docs_incremental_dedup,
     "docs_lang_stats": docs_lang_stats,
     "docs_nb_source_clf": docs_nb_source_clf,
+    "docs_passage_chunks": docs_passage_chunks,
     "events_hourly": events_hourly,
     "lineitem_pricing": lineitem_pricing,
     "part_type_revenue": part_type_revenue,
@@ -4479,6 +4491,15 @@ ORACLE_SQL: dict[str, str] = {
         "CAST(COUNT(*) - COUNT(value) AS BIGINT), "
         "CAST(ROUND(MIN(value) * 100) AS BIGINT), "
         "CAST(ROUND(MAX(value) * 100) AS BIGINT) FROM events"),
+    "docs_passage_chunks": (
+        "WITH w AS (SELECT doc_id, "
+        "list_filter(string_split(text, ' '), x -> x <> '') AS ws "
+        "FROM documents), "
+        "s AS (SELECT doc_id, ws, UNNEST(range(0, len(ws), 24)) AS st "
+        "FROM w WHERE len(ws) > 0) "
+        "SELECT doc_id, st // 24 AS chunk_idx, "
+        "array_to_string(ws[st+1:st+32], ' ') AS chunk_text, "
+        "CAST(least(len(ws) - st, 32) AS BIGINT) AS n_words FROM s"),
     "docs_incremental_dedup": (
         "WITH base AS (SELECT * FROM documents WHERE doc_id % 10 < 7), "
         "newd AS ("
