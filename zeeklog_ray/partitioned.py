@@ -473,3 +473,125 @@ def compact_partitions(root: str, target_rows: int = 1_000_000,
         .map_batches(compact_one, batch_format="pandas", batch_size=None,
                      concurrency=concurrency)
     return reports.to_pandas().sort_values("dir").reset_index(drop=True)
+
+
+def upsert_partition_dir(part_dir: str, staging_dir: str, key: str,
+                         order_col: str,
+                         deleted_col: str | None = None) -> dict:
+    """Apply one partition's change rows (Parquet files under
+    ``staging_dir``) to ``part_dir`` with LATEST-WINS per ``key`` on
+    ``order_col`` — copy-on-write upsert, crash-safe via the exact
+    journal protocol of :func:`compact_partition_dir` (same journal
+    name, same roll-forward recovery, same fsync ordering: tmp data →
+    journal blocks → journal rename → directory).
+
+    Ties on ``order_col`` break in favor of the CHANGE row (existing
+    rows sort first, stable sort, keep=last).  When ``deleted_col`` is
+    given, a change row with a true value there is a TOMBSTONE: if it is
+    the latest version of its key, the key disappears from the
+    partition (the tombstone itself is not written — this store has no
+    merge-on-read readers to replay it, so compaction of tombstones is
+    immediate).  A partition with no existing directory is created.
+
+    The whole partition rewrites into one file — the copy-on-write
+    trade: reads stay plain Parquet scans, and the write cost is why
+    callers partition by something change-local (ingest day), so a CDC
+    batch touches only recent partitions."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(part_dir, exist_ok=True)
+    _recover_compaction(part_dir)
+    olds = sorted(f for f in os.listdir(part_dir)
+                  if f.endswith(".parquet") and not f.startswith("."))
+    existing = [pq.read_table(os.path.join(part_dir, f)) for f in olds]
+    changes = [pq.read_table(os.path.join(staging_dir, f))
+               for f in sorted(os.listdir(staging_dir))
+               if f.endswith(".parquet")]
+    if not changes:
+        return {"dir": part_dir, "rows_before": int(
+            sum(t.num_rows for t in existing)), "rows_after": int(
+            sum(t.num_rows for t in existing)), "changes": 0,
+            "deleted": 0}
+    ch = pa.concat_tables(changes, promote_options="default") \
+        .to_pandas()
+    n_changes = len(ch)
+    if deleted_col is None:
+        ch = ch.assign(**{"_tomb": False})
+    else:
+        ch = ch.rename(columns={deleted_col: "_tomb"})
+        ch["_tomb"] = ch["_tomb"].fillna(False).astype(bool)
+    if existing:
+        ex = pa.concat_tables(existing, promote_options="default") \
+            .to_pandas()
+        ex["_tomb"] = False
+        both = pd.concat([ex, ch], ignore_index=True)  # changes LAST
+    else:
+        both = ch
+    both = both.sort_values(order_col, kind="stable")
+    merged = both.drop_duplicates(subset=[key], keep="last")
+    n_del = int(merged["_tomb"].sum())
+    merged = merged[~merged["_tomb"]].drop(columns=["_tomb"])
+    name = f"upsert-{uuid.uuid4().hex[:12]}.parquet"
+    tmp_data = os.path.join(part_dir, name + ".tmp")
+    pq.write_table(pa.Table.from_pandas(merged, preserve_index=False),
+                   tmp_data)
+    _fsync_file(tmp_data)   # data durable BEFORE the journal commits it
+    fd, tmp = tempfile.mkstemp(dir=part_dir, suffix=".journal.tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump({"olds": olds, "news": [name]}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(part_dir, "_compaction.journal"))
+    _fsync_dir(part_dir)    # commit point
+    _recover_compaction(part_dir)
+    if os.path.exists(os.path.join(part_dir, "manifest.json")):
+        rebuild_zonemap_manifest(part_dir)
+    return {"dir": part_dir,
+            "rows_before": int(sum(t.num_rows for t in existing)),
+            "rows_after": int(len(merged)), "changes": n_changes,
+            "deleted": n_del}
+
+
+def upsert_partitions(root: str, changes: "ray.data.Dataset",
+                      part_col: str, key: str, order_col: str,
+                      deleted_col: str | None = None,
+                      concurrency: int | None = None) -> pd.DataFrame:
+    """Apply a CDC change batch to a hive-partitioned store: stage the
+    changes AS a hive-partitioned write (so change rows route to their
+    partition without ever visiting the driver), then run one
+    :func:`upsert_partition_dir` task per TOUCHED partition — untouched
+    partitions are never read, listed, or rewritten, which is the whole
+    economics of partition-by-ingest-day CDC at 100 TB.
+
+    Returns the per-partition report frame (rows before/after, change
+    and tombstone counts)."""
+    import shutil as _shutil
+    import uuid
+
+    staging = os.path.join(root, f"_upsert_staging_{uuid.uuid4().hex[:8]}")
+    changes.write_parquet(staging, partition_cols=[part_col])
+    try:
+        touched = sorted(d for d in os.listdir(staging)
+                         if d.startswith(f"{part_col}="))
+        if not touched:
+            raise ValueError("upsert_partitions: change batch staged "
+                             "zero partitions")
+        pairs = pd.DataFrame({
+            "dir": [os.path.join(root, d) for d in touched],
+            "stage": [os.path.join(staging, d) for d in touched]})
+
+        def upsert_one(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame([
+                upsert_partition_dir(d, s, key, order_col, deleted_col)
+                for d, s in zip(batch["dir"], batch["stage"])])
+
+        reports = ray.data.from_pandas(pairs).repartition(len(pairs)) \
+            .map_batches(upsert_one, batch_format="pandas",
+                         batch_size=None, concurrency=concurrency)
+        return reports.to_pandas().sort_values("dir") \
+            .reset_index(drop=True)
+    finally:
+        _shutil.rmtree(staging, ignore_errors=True)

@@ -2967,6 +2967,73 @@ def events_compact_roundtrip(sf_dir: str) -> "ray.data.Dataset":
         ["day"], sums={"event_id": "sum_id"}, count_as="n")
 
 
+def events_upsert_roundtrip(sf_dir: str) -> "ray.data.Dataset":
+    """CDC upsert round trip: seed a day-partitioned store with the full
+    events table (ver=0), then apply one change batch — updates
+    (event_id % 5 == 0 bumps ver to 1), tombstones (event_id % 17 == 0,
+    taking precedence over updates), and inserts (event_id % 7 == 3
+    re-keyed +1e9) — via the journal-committed copy-on-write merge
+    (partitioned.upsert_partitions), read the store back and roll it up
+    per day.  The hash gate replays the whole MERGE in SQL (counts,
+    key sums, and version sums all shift when any row is mis-merged);
+    pytest (tests/test_upsert.py) covers latest-wins ordering,
+    tie-breaks, untouched-partition economics and crash recovery."""
+    import shutil
+
+    import pyarrow.compute as pc
+
+    from zeeklog_ray.partitioned import upsert_partitions, write_partitioned
+
+    out = (f"/tmp/zeeklog_upsert/"
+           f"{os.path.basename(os.path.normpath(sf_dir))}-{os.getpid()}")
+    shutil.rmtree(out, ignore_errors=True)
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        day = pc.strftime(pc.floor_temporal(batch["ts"], unit="day"),
+                          format="%Y-%m-%d")
+        n = batch.num_rows
+        return pa.table({"event_id": batch["event_id"], "day": day,
+                         "ver": pa.array(np.zeros(n, dtype=np.int64))})
+
+    base = ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
+    write_partitioned(base.repartition(16), out, ["day"])
+
+    def make_changes(batch: pa.Table) -> pa.Table:
+        day = pc.strftime(pc.floor_temporal(batch["ts"], unit="day"),
+                          format="%Y-%m-%d").to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy()
+        is_del = eid % 17 == 0
+        is_upd = (eid % 5 == 0) & ~is_del
+        is_ins = eid % 7 == 3
+        keys = np.concatenate([eid[is_del], eid[is_upd],
+                               eid[is_ins] + 1_000_000_000])
+        days = np.concatenate([day[is_del], day[is_upd], day[is_ins]])
+        deleted = np.concatenate([
+            np.ones(int(is_del.sum()), dtype=bool),
+            np.zeros(int(is_upd.sum() + is_ins.sum()), dtype=bool)])
+        return pa.table({"event_id": keys, "day": days,
+                         "ver": np.ones(len(keys), dtype=np.int64),
+                         "deleted": deleted})
+
+    changes = ds.map_batches(make_changes, batch_format="pyarrow",
+                             batch_size=None)
+    upsert_partitions(out, changes, part_col="day", key="event_id",
+                      order_col="ver", deleted_col="deleted")
+    back = ray.data.read_parquet(out)
+
+    def norm(batch: pd.DataFrame) -> pd.DataFrame:
+        # hive partition values come back as categorical/dictionary
+        return pd.DataFrame({"day": batch["day"].astype(str),
+                             "event_id": batch["event_id"],
+                             "ver": batch["ver"]})
+
+    return grouped_sum(
+        back.map_batches(norm, batch_format="pandas", batch_size=None),
+        ["day"], sums={"event_id": "sum_id", "ver": "sum_ver"},
+        count_as="n")
+
+
 def docs_prep_export(sf_dir: str) -> pd.DataFrame:
     """The FULL training-data export chain (zeeklog_ray.prep): quality
     filter → exact dedup → source-mixture resample (src0 ×2.5, src1
@@ -3600,6 +3667,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "event_spike_topk": event_spike_topk,
     "user_daily_spikes": user_daily_spikes,
     "events_compact_roundtrip": events_compact_roundtrip,
+    "events_upsert_roundtrip": events_upsert_roundtrip,
     "orders_fk_violations": orders_fk_violations,
     "events_column_profile": events_column_profile,
     "docs_snapshot_diff": docs_snapshot_diff,
@@ -4469,6 +4537,23 @@ ORACLE_SQL: dict[str, str] = {
         "CAST(COUNT(*) AS BIGINT) AS n, "
         "CAST(SUM(event_id) AS BIGINT) AS sum_id "
         "FROM events GROUP BY day"),
+    # the upsert MERGE replayed in SQL: tombstones (%17) drop keys,
+    # updates (%5, unless tombstoned) bump ver to 1, inserts (%7==3)
+    # arrive re-keyed +1e9 at ver 1; latest-wins per key is exactly this
+    # CASE because each key sees at most one change row
+    "events_upsert_roundtrip": (
+        "WITH base AS (SELECT event_id, "
+        "strftime(date_trunc('day', ts), '%Y-%m-%d') AS day FROM events), "
+        "final AS ("
+        "SELECT event_id, day, CASE WHEN event_id % 5 = 0 "
+        "THEN 1 ELSE 0 END AS ver FROM base WHERE event_id % 17 != 0 "
+        "UNION ALL "
+        "SELECT event_id + 1000000000, day, 1 FROM base "
+        "WHERE event_id % 7 = 3) "
+        "SELECT day, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(event_id) AS BIGINT) AS sum_id, "
+        "CAST(SUM(ver) AS BIGINT) AS sum_ver "
+        "FROM final GROUP BY day"),
     "orders_fk_violations": (
         "SELECT CAST(COUNT(*) AS BIGINT) AS n_orders, "
         "CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) "
