@@ -202,6 +202,34 @@ def _run_scale_ops(timings: dict, minmax: dict, extras: dict) -> None:
     timed2(f"scale_incremental_dedup_{dtag}_spill",
            lambda: inc_dedup("/tmp/zeeklog_bench/spill"))
 
+    # cross-snapshot NEAR-dup (LSH new×base join + exact-Jaccard verify):
+    # 1M-doc base, 200k new of which 100k are EDITED re-crawls — the
+    # near-dups the exact digest tier above cannot see; base band rows
+    # are the dominant cost (computed once per corpus version at 100 TB)
+    from zeeklog_ray.ops.dedup import incremental_near_dup
+
+    def inc_near_dup():
+        import pandas as pd
+
+        base = ray.data.read_parquet(dc)
+
+        def as_new(b):
+            fresh = b[b["doc_id"] % 10 == 4].copy()        # disjoint text
+            fresh["doc_id"] = fresh["doc_id"] + 50_000_000
+            fresh["text"] = fresh["text"] + " nf" + fresh["doc_id"].astype(str)
+            edited = b[b["doc_id"] % 10 == 9].copy()        # near copies
+            edited["doc_id"] = edited["doc_id"] + 90_000_000
+            edited["text"] = edited["text"] + " rev2"
+            return pd.concat([fresh, edited], ignore_index=True)
+
+        new = ray.data.read_parquet(dc).map_batches(
+            as_new, batch_format="pandas", batch_size=None)
+        n = incremental_near_dup(new, base, threshold_e4=5000).count()
+        extras.setdefault("incremental_near_dup_pairs", n)
+        assert n >= 90_000, n                   # planted edited re-crawls
+
+    timed2(f"scale_incremental_near_dup_{dtag}", inc_near_dup)
+
     # per-key ROW_NUMBER (full-table window) and latest-wins compaction
     # at the same 5M-event scale — both ride the bucketed-groupby pattern
     from zeeklog_ray.relational import latest_per_key, seq_index_per_key
@@ -648,6 +676,67 @@ def _run_scale_ops(timings: dict, minmax: dict, extras: dict) -> None:
         assert (rep["files_after"] < rep["files_before"]).all()
     timings[f"scale_compaction_{mtag}"] = min(vals)
     minmax[f"scale_compaction_{mtag}"] = [min(vals), max(vals)]
+
+    # CDC upsert into a 30-day keyed store: a ~14k-row change batch
+    # (updates + tombstones + inserts) lands in 3 of the 30 day
+    # partitions; the merge must rewrite ONLY those 3 (~17% of rows at
+    # this layout) — the touched-partition economics is the measured
+    # thing.  Template built once untimed, restored per run untimed.
+    from zeeklog_ray.partitioned import upsert_partitions
+
+    utmpl = "/tmp/zeeklog_bench/upsert-template"
+    uwork = "/tmp/zeeklog_bench/upsert-work"
+    if not os.path.exists(os.path.join(utmpl, "_DONE")):
+        shutil.rmtree(utmpl, ignore_errors=True)
+
+        def add_key_day(b):
+            ids = b["id"].to_numpy()
+            return pd.DataFrame({
+                "k": ids,
+                "day": pd.Series((ids % 30).astype("int64")).map(
+                    lambda d: f"2024-06-{d + 1:02d}"),
+                "v": (ids * 2654435761) % 1_000_000,
+                "ver": np.zeros(len(ids), dtype=np.int64)})
+
+        write_partitioned(
+            ray.data.range(SCALE_EVENT_ROWS, override_num_blocks=64)
+            .map_batches(add_key_day, batch_format="pandas",
+                         batch_size=None), utmpl, ["day"])
+        with open(os.path.join(utmpl, "_DONE"), "w") as f:
+            f.write("ok")
+    ids = np.arange(0, SCALE_EVENT_ROWS, 37, dtype=np.int64)
+    ids = ids[np.isin(ids % 30, [5, 12, 23])]          # 3 touched days
+    dels = np.arange(5, SCALE_EVENT_ROWS, 30 * 1111, dtype=np.int64)
+    ins = np.arange(SCALE_EVENT_ROWS, SCALE_EVENT_ROWS + 1000,
+                    dtype=np.int64)
+    chg = pd.DataFrame({
+        "k": np.concatenate([ids, dels, ins]),
+        "day": pd.Series(np.concatenate(
+            [ids % 30, dels % 30,
+             np.array([5, 12, 23], dtype=np.int64)[ins % 3]])
+            .astype("int64")).map(lambda d: f"2024-06-{d + 1:02d}"),
+        "v": np.int64(0),
+        "ver": np.int64(1),
+        "deleted": np.concatenate([
+            np.zeros(len(ids), dtype=bool), np.ones(len(dels), dtype=bool),
+            np.zeros(len(ins), dtype=bool)])})
+    vals = []
+    for _ in range(2):
+        shutil.rmtree(uwork, ignore_errors=True)
+        shutil.copytree(utmpl, uwork)               # untimed reset
+        changes = ray.data.from_pandas(chg)
+        t0 = time.monotonic()
+        rep = upsert_partitions(uwork, changes, part_col="day", key="k",
+                                order_col="ver", deleted_col="deleted")
+        vals.append(round(time.monotonic() - t0, 3))
+        assert len(rep) == 3, rep                   # touched-only merges
+        assert int(rep["deleted"].sum()) == len(dels)
+        assert (int(rep["rows_after"].sum())
+                == int(rep["rows_before"].sum()) + len(ins) - len(dels))
+    extras["upsert_partitions_touched"] = 3
+    extras["upsert_changes"] = int(len(chg))
+    timings[f"scale_upsert_{mtag}"] = min(vals)
+    minmax[f"scale_upsert_{mtag}"] = [min(vals), max(vals)]
 
 
 def _sf_tag(sf_dir: str) -> str:

@@ -743,3 +743,72 @@ def test_incremental_dedup_empty_base_passes_everything():
     out = incremental_dedup(ray.data.from_pandas(new),
                             ray.data.from_pandas(base)).to_pandas()
     assert sorted(out["doc_id"]) == [1, 2]
+
+
+def test_incremental_near_dup_planted_and_tiers(ray_session):
+    from zeeklog_ray.ops.dedup import incremental_near_dup
+
+    rng = np.random.default_rng(11)
+    words = np.array(["alpha", "bravo", "charlie", "delta", "echo",
+                      "foxtrot", "golf", "hotel", "india", "juliet"])
+    base_txt = [" ".join(rng.choice(words, 40)) + f" b{i}"
+                for i in range(250)]
+    base = pd.DataFrame({"doc_id": np.arange(250), "text": base_txt})
+    # new snapshot: 60 fresh + 25 EDITED re-crawls (suffix edit -> high
+    # Jaccard but not exact); planted pair (1060+i, i)
+    fresh = [" ".join(rng.choice(words, 40)) + f" n{i}" for i in range(60)]
+    new = pd.DataFrame({
+        "doc_id": np.arange(1000, 1085),
+        "text": fresh + [base_txt[i] + " rev2 tail" for i in range(25)]})
+    out = incremental_near_dup(
+        ray.data.from_pandas(new).repartition(4),
+        ray.data.from_pandas(base).repartition(4),
+        num_perm=16, bands=4, threshold_e4=5000).to_pandas()
+    got = set(zip(out["doc_id"], out["base_id"]))
+    planted = {(1060 + i, i) for i in range(25)}
+    # LSH at 16x4 on J≈0.95 pairs: P(miss) < 1e-2 per pair; planted
+    # recall is asserted exactly because the seed is pinned
+    assert planted <= got
+    assert (out["j_e4"] >= 5000).all()
+    # new-vs-new pairs must never appear (both ids in new id space)
+    assert not ((out["doc_id"] >= 1000) & (out["base_id"] >= 1000)).any()
+
+    # partitioned verify tier (broadcast cap 0) agrees bit-exactly
+    out2 = incremental_near_dup(
+        ray.data.from_pandas(new).repartition(4),
+        ray.data.from_pandas(base).repartition(4),
+        num_perm=16, bands=4, threshold_e4=5000,
+        broadcast_candidate_docs=0, num_buckets=8).to_pandas()
+    key = ["doc_id", "base_id", "j_e4"]
+    pd.testing.assert_frame_equal(
+        out[key].sort_values(key).reset_index(drop=True),
+        out2[key].sort_values(key).reset_index(drop=True))
+
+    # candidates-only mode: superset of the verified pair set
+    cand = incremental_near_dup(
+        ray.data.from_pandas(new), ray.data.from_pandas(base),
+        num_perm=16, bands=4, threshold_e4=None).to_pandas()
+    assert set(zip(out["doc_id"], out["base_id"])) <= \
+        set(zip(cand["doc_id"], cand["base_id"]))
+    assert sorted(cand.columns) == ["base_id", "doc_id"]
+
+
+def test_incremental_near_dup_over_cap_guard(ray_session):
+    """A degenerate bucket on the BASE side (identical docs beyond
+    max_bucket) must be excluded — its members emit no candidates."""
+    from zeeklog_ray.ops.dedup import incremental_near_dup
+
+    base = pd.DataFrame({"doc_id": np.arange(40),
+                         "text": ["same exact content here"] * 40})
+    new = pd.DataFrame({"doc_id": [100], "text": ["same exact content here"]})
+    out = incremental_near_dup(ray.data.from_pandas(new),
+                               ray.data.from_pandas(base),
+                               num_perm=16, bands=4, max_bucket=10,
+                               threshold_e4=5000).to_pandas()
+    assert len(out) == 0
+    # with a cap above the cluster size the pairs come back
+    out2 = incremental_near_dup(ray.data.from_pandas(new),
+                                ray.data.from_pandas(base),
+                                num_perm=16, bands=4, max_bucket=100,
+                                threshold_e4=5000).to_pandas()
+    assert len(out2) == 40 and (out2["j_e4"] == 10000).all()

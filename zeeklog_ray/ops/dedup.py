@@ -104,6 +104,96 @@ def minhash_signatures(ds: "ray.data.Dataset", text_col: str = "text",
     return ds.map_batches(sig, batch_format="pandas", batch_size=None)
 
 
+def _banded_rows(ds: "ray.data.Dataset", text_col: str, num_perm: int,
+                 bands: int, k: int) -> "ray.data.Dataset":
+    """(bb, doc_id) LSH band-bucket rows: MinHash signatures → per-band
+    Horner fold XOR band constant, folded to ONE int64 key (joinable and
+    isin-filterable without composite-key Python).  The shared banding
+    kernel of :func:`minhash_lsh_pairs` (self-join dedup) and
+    :func:`incremental_near_dup` (cross-snapshot join)."""
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(ds, text_col, num_perm, k)
+
+    def band_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        mh = batch[[f"mh_{j}" for j in range(num_perm)]].to_numpy(np.uint64)
+        outs = []
+        for bi in range(bands):
+            seg = mh[:, bi * rows_per_band:(bi + 1) * rows_per_band]
+            # mix the band's rows into one bucket hash
+            h = np.zeros(len(batch), dtype=np.uint64)
+            for c in range(rows_per_band):
+                h = h * np.uint64(1_000_003) + seg[:, c]
+            # (mod-2^64 fold precomputed in Python ints: numpy warns on
+            # intended uint64 scalar wraparound)
+            bb = h ^ np.uint64((bi * 0x9E3779B97F4A7C15) % (1 << 64))
+            outs.append(pd.DataFrame({"bb": bb.astype(np.int64),
+                                      "doc_id": batch["doc_id"]}))
+        return pd.concat(outs, ignore_index=True)
+
+    return sigs.map_batches(band_rows, batch_format="pandas",
+                            batch_size=None)
+
+
+def _over_cap_bucket_keys(banded: "ray.data.Dataset", n_banded: int,
+                          max_bucket: int) -> tuple[np.ndarray, int]:
+    """Over-cap LSH bucket keys (and their total row count) — the tiered
+    count pass shared by the dedup joins.  Band-bucket hashes are mostly
+    distinct, so per-batch ``value_counts`` partials are O(rows) —
+    merging them on the driver is the FAST path only while that is small
+    (≤ _GUARD_DRIVER_MERGE_MAX rows).  Past the threshold the count runs
+    as a bucketed Dataset groupby (one shuffle of the banded rows, one
+    C-level value_counts per key-hash bucket — a plain
+    ``groupby("bb").aggregate(Count)`` would pay Ray's per-group Python
+    per DISTINCT BUCKET).  Only the over-cap KEY SET — at most
+    |rows|/max_bucket entries — ever reaches the driver."""
+    if n_banded <= _GUARD_DRIVER_MERGE_MAX:
+        def bucket_partials(batch: pd.DataFrame) -> pd.DataFrame:
+            vc = batch["bb"].value_counts()
+            return pd.DataFrame({"bb": vc.index.to_numpy(np.int64),
+                                 "m": vc.to_numpy(np.int64)})
+
+        partials = banded.map_batches(bucket_partials, batch_format="pandas",
+                                      batch_size=None).to_pandas()
+        totals = partials.groupby("bb", sort=False)["m"].sum()
+        over = totals.to_numpy() > max_bucket
+        return (totals.index.to_numpy(np.int64)[over],
+                int(totals.to_numpy()[over].sum()))
+
+    from zeeklog_ray.relational import with_hash_bucket
+
+    def over_cap(group: pd.DataFrame) -> pd.DataFrame:
+        vc = group["bb"].value_counts()
+        vc = vc[vc > max_bucket]
+        return pd.DataFrame({"bb": vc.index.to_numpy(np.int64),
+                             "m": vc.to_numpy(np.int64)})
+
+    n_count_buckets = max(16, n_banded // 2_000_000)
+    big = with_hash_bucket(banded, "bb", n_count_buckets) \
+        .groupby("_bucket").map_groups(over_cap, batch_format="pandas") \
+        .to_pandas()
+    big_keys = (big["bb"].to_numpy(np.int64) if "bb" in big.columns
+                else np.zeros(0, np.int64))
+    return big_keys, (int(big["m"].sum()) if "m" in big.columns else 0)
+
+
+def _drop_buckets(banded: "ray.data.Dataset",
+                  big_keys: np.ndarray) -> "ray.data.Dataset":
+    """Filter band rows whose bucket key is in the (sorted, broadcast)
+    over-cap set — row-local ``np.isin`` per batch."""
+    import ray as _ray
+
+    big_ref = _ray.put(np.sort(big_keys))
+
+    def drop_big(batch: pd.DataFrame) -> pd.DataFrame:
+        bs = _ray.get(big_ref)
+        keep = ~np.isin(batch["bb"].to_numpy(np.int64), bs,
+                        assume_unique=False)
+        return batch[keep]
+
+    return banded.map_batches(drop_big, batch_format="pandas",
+                              batch_size=None)
+
+
 def minhash_lsh_pairs(ds: "ray.data.Dataset", text_col: str = "text",
                       num_perm: int = 64, bands: int = 8,
                       k: int = 5, max_bucket: int = 512,
@@ -137,76 +227,15 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", text_col: str = "text",
     Returns (doc_a, doc_b) candidate pairs (doc_a < doc_b, distinct).
     Verify with :func:`ngram_jaccard` on the candidates.
     """
-    rows_per_band = num_perm // bands
-    sigs = minhash_signatures(ds, text_col, num_perm, k)
-
-    def band_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        mh = batch[[f"mh_{j}" for j in range(num_perm)]].to_numpy(np.uint64)
-        outs = []
-        for bi in range(bands):
-            seg = mh[:, bi * rows_per_band:(bi + 1) * rows_per_band]
-            # mix the band's rows into one bucket hash
-            h = np.zeros(len(batch), dtype=np.uint64)
-            for c in range(rows_per_band):
-                h = h * np.uint64(1_000_003) + seg[:, c]
-            # fold the band id in so (band, bucket) is ONE int64 key —
-            # joinable and isin-filterable without composite-key Python
-            # (mod-2^64 fold precomputed in Python ints: numpy warns on
-            # intended uint64 scalar wraparound)
-            bb = h ^ np.uint64((bi * 0x9E3779B97F4A7C15) % (1 << 64))
-            outs.append(pd.DataFrame({"bb": bb.astype(np.int64),
-                                      "doc_id": batch["doc_id"]}))
-        return pd.concat(outs, ignore_index=True)
-
     from zeeklog_ray.spill import pin_or_spill
 
-    banded = pin_or_spill(
-        sigs.map_batches(band_rows, batch_format="pandas",
-                         batch_size=None),
-        spill_dir, "lsh_banded")
+    banded = pin_or_spill(_banded_rows(ds, text_col, num_perm, bands, k),
+                          spill_dir, "lsh_banded")
 
-    # Oversized-bucket guard.  Band-bucket hashes are mostly distinct, so
-    # the per-batch value_counts partials are O(rows) — merging them on
-    # the driver is the FAST path only while that is small.  Past the
-    # threshold the count runs as a proper Dataset groupby (one shuffle of
-    # (bb, count) pairs, amortized at the scale where it triggers); only
-    # the over-cap KEY SET — at most |rows|/max_bucket entries — ever
-    # reaches the driver.
+    # Oversized-bucket guard (tiered count pass: _over_cap_bucket_keys).
     n_banded = banded.count()
-    if n_banded <= _GUARD_DRIVER_MERGE_MAX:
-        def bucket_partials(batch: pd.DataFrame) -> pd.DataFrame:
-            vc = batch["bb"].value_counts()
-            return pd.DataFrame({"bb": vc.index.to_numpy(np.int64),
-                                 "m": vc.to_numpy(np.int64)})
-
-        partials = banded.map_batches(bucket_partials, batch_format="pandas",
-                                      batch_size=None).to_pandas()
-        totals = partials.groupby("bb", sort=False)["m"].sum()
-        over = totals.to_numpy() > max_bucket
-        big_keys = totals.index.to_numpy(np.int64)[over]
-        n_dropped_rows = int(totals.to_numpy()[over].sum())
-    else:
-        # one shuffle of the banded rows, counts per bb computed with ONE
-        # C-level value_counts per key-hash bucket: band buckets are
-        # mostly distinct, so a plain groupby("bb").aggregate(Count) would
-        # pay Ray's per-group Python per DISTINCT BUCKET (~0.19 ms × ~#rows
-        # — ~25 min at 8M banded rows); only the over-cap keys (≤
-        # |rows|/max_bucket) leave the tasks
-        from zeeklog_ray.relational import with_hash_bucket
-
-        def over_cap(group: pd.DataFrame) -> pd.DataFrame:
-            vc = group["bb"].value_counts()
-            vc = vc[vc > max_bucket]
-            return pd.DataFrame({"bb": vc.index.to_numpy(np.int64),
-                                 "m": vc.to_numpy(np.int64)})
-
-        n_count_buckets = max(16, n_banded // 2_000_000)
-        big = with_hash_bucket(banded, "bb", n_count_buckets) \
-            .groupby("_bucket").map_groups(over_cap, batch_format="pandas") \
-            .to_pandas()
-        big_keys = (big["bb"].to_numpy(np.int64) if "bb" in big.columns
-                    else np.zeros(0, np.int64))
-        n_dropped_rows = int(big["m"].sum()) if "m" in big.columns else 0
+    big_keys, n_dropped_rows = _over_cap_bucket_keys(banded, n_banded,
+                                                     max_bucket)
     if len(big_keys):
         # recall loss must be VISIBLE at runtime, not just in the docstring:
         # a legitimate near-dup cluster larger than max_bucket yields zero
@@ -219,18 +248,7 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", text_col: str = "text",
             "members emit NO candidate pairs — run exact dedup first to "
             "collapse identical-content clusters",
             len(big_keys), n_dropped_rows, max_bucket)
-        import ray as _ray
-
-        big_ref = _ray.put(np.sort(big_keys))
-
-        def drop_big(batch: pd.DataFrame) -> pd.DataFrame:
-            bs = _ray.get(big_ref)
-            keep = ~np.isin(batch["bb"].to_numpy(np.int64), bs,
-                            assume_unique=False)
-            return batch[keep]
-
-        banded = banded.map_batches(drop_big, batch_format="pandas",
-                                    batch_size=None)
+        banded = _drop_buckets(banded, big_keys)
 
     # Bucket-pair generation as a SELF-JOIN on the folded band-bucket key:
     # per-group map_groups paid Python overhead for thousands of tiny
@@ -1497,3 +1515,197 @@ def incremental_dedup(new_docs: "ray.data.Dataset",
                                     batch_size=None)
     return bucketed_semi_anti_join(new_docs, confirmed, on=id_col,
                                    anti=True, num_buckets=num_buckets)
+
+
+def incremental_near_dup(new_docs: "ray.data.Dataset",
+                         base_docs: "ray.data.Dataset",
+                         text_col: str = "text", id_col: str = "doc_id",
+                         num_perm: int = 64, bands: int = 8, k: int = 5,
+                         max_bucket: int = 512,
+                         threshold_e4: int | None = 5000,
+                         broadcast_candidate_docs: int = 100_000,
+                         num_buckets: int = 1024,
+                         spill_dir: str | None = None
+                         ) -> "ray.data.Dataset":
+    """Cross-snapshot NEAR-duplicate detection: which NEW docs are
+    near-dups of the BASE corpus — the daily-crawl complement of
+    :func:`incremental_dedup` (exact digests) for content that came back
+    slightly edited (boilerplate shifted, timestamp injected, template
+    re-rendered).
+
+    Shape, and why it scales: both sides reduce to LSH band rows
+    (:func:`_banded_rows` — signatures are the only thing ever derived
+    from the corpus text), and candidates come from ONE equi-join of
+    new-side band rows against base-side band rows on the folded bucket
+    key — new-vs-new pairs are never generated, so a crawl of n new docs
+    against an N-doc base costs O((n+N)·bands) band rows and a join
+    whose output is the candidate set, not a corpus cross product.  At
+    100 TB the base band table is computed ONCE per corpus version and
+    persisted (pass the re-read Dataset here); each daily increment then
+    pays only its own signatures plus the join.
+
+    The oversized-bucket guard applies to the UNION of both sides'
+    bucket populations (a bucket degenerate on either side explodes the
+    join the same way); excluded buckets emit no candidates, same
+    recall contract as :func:`minhash_lsh_pairs` (run exact incremental
+    dedup first — it catches exactly the identical-content mass).
+
+    With ``threshold_e4`` set, candidates are verified with EXACT
+    integer byte-k-gram Jaccard (``10000·inter >= t·union``), texts
+    attached by the same two-tier scheme as
+    :func:`ngram_jaccard_dedup_pairs`: broadcast lookups per side under
+    ``broadcast_candidate_docs`` candidates, two
+    :func:`zeeklog_ray.relational.bucketed_equi_join` passes above —
+    shuffle volume O(candidate texts), never the corpus.  Pass
+    ``threshold_e4=None`` for raw candidates.
+
+    Returns (doc_id, base_id[, j_e4]): distinct new-doc/base-doc pairs,
+    where ``doc_id`` is the new-snapshot id.  Reference analog: none
+    (the reference has no dedup); this is the Lee-et-al near-dedup
+    shape restricted to the snapshot boundary."""
+    import ray as _ray
+
+    from zeeklog_ray.spill import pin_or_spill
+
+    def _rename(col_from: str, col_to: str):
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.rename(columns={col_from: col_to})
+
+        return f
+
+    new_b = pin_or_spill(
+        _banded_rows(new_docs, text_col, num_perm, bands, k),
+        spill_dir, "incr_banded_new")
+    base_b = pin_or_spill(
+        _banded_rows(base_docs, text_col, num_perm, bands, k),
+        spill_dir, "incr_banded_base")
+
+    # over-cap guard on BOTH populations: union the two key sets
+    n_new_b, n_base_b = new_b.count(), base_b.count()
+    big_new, drop_new = _over_cap_bucket_keys(new_b, n_new_b, max_bucket)
+    big_base, drop_base = _over_cap_bucket_keys(base_b, n_base_b, max_bucket)
+    big_keys = np.union1d(big_new, big_base)
+    if len(big_keys):
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "incremental_near_dup: excluding %d oversized LSH buckets "
+            "(%d new-side + %d base-side rows > max_bucket=%d) from the "
+            "cross join; members emit NO candidates — run exact "
+            "incremental dedup first", len(big_keys), drop_new, drop_base,
+            max_bucket)
+        new_b = _drop_buckets(new_b, big_keys)
+        base_b = _drop_buckets(base_b, big_keys)
+        # a side whose every row sat in over-cap buckets is now EMPTY of
+        # non-empty blocks — Ray's hash join cannot resolve the key
+        # schema from all-empty pandas blocks, so short-circuit
+        n_new_b, n_base_b = new_b.count(), base_b.count()
+    if n_new_b == 0 or n_base_b == 0:
+        cols = {id_col: pd.Series(dtype="int64"),
+                "base_id": pd.Series(dtype="int64")}
+        if threshold_e4 is not None:
+            cols["j_e4"] = pd.Series(dtype="int64")
+        return ray.data.from_pandas(pd.DataFrame(cols))
+
+    from zeeklog_ray.relational import sized_join_partitions
+
+    left = new_b.map_batches(_rename("doc_id", "new_id"),
+                             batch_format="pandas", batch_size=None)
+    right = base_b.map_batches(_rename("doc_id", "base_id"),
+                               batch_format="pandas", batch_size=None)
+    cand = left.join(right, join_type="inner",
+                     num_partitions=sized_join_partitions(
+                         max(n_new_b, n_base_b)),
+                     on=("bb",), right_on=("bb",),
+                     left_suffix="_l", right_suffix="_r")
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[["new_id", "base_id"]]
+
+    from zeeklog_ray.relational import bucketed_distinct
+
+    cand = bucketed_distinct(
+        cand.map_batches(project, batch_format="pandas", batch_size=None),
+        ["new_id", "base_id"])
+    pairs = cand.map_batches(_rename("new_id", id_col),
+                             batch_format="pandas",
+                             batch_size=None).materialize()
+    if threshold_e4 is None:
+        return pairs
+
+    # ---- exact-Jaccard verify: texts attached per side, tiered ----
+    def side_ids(col: str):
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"doc_id": np.unique(batch[col].to_numpy())})
+
+        return f
+
+    def wanted_texts(src: "ray.data.Dataset", col: str) -> tuple:
+        idp = pairs.map_batches(side_ids(col), batch_format="pandas",
+                                batch_size=None).to_pandas()
+        ids = (np.unique(idp["doc_id"].to_numpy())
+               if "doc_id" in idp.columns else np.zeros(0, np.int64))
+        ids_ref = _ray.put(ids)
+
+        def keep(batch: pd.DataFrame) -> pd.DataFrame:
+            m = np.isin(batch[id_col].to_numpy(), _ray.get(ids_ref),
+                        assume_unique=False)
+            return batch.loc[m, [id_col, text_col]]
+
+        return len(ids), src.map_batches(keep, batch_format="pandas",
+                                         batch_size=None)
+
+    n_new_ids, new_texts = wanted_texts(new_docs, id_col)
+    n_base_ids, base_texts = wanted_texts(base_docs, "base_id")
+
+    def verify_cols(batch: pd.DataFrame, ta: pd.Series,
+                    tb: pd.Series) -> pd.DataFrame:
+        inter, union = ngram_jaccard_counts(ta, tb, k)
+        keep = (union > 0) & (10_000 * inter >= threshold_e4 * union)
+        out = batch.loc[keep, [id_col, "base_id"]].copy()
+        out["j_e4"] = ((10_000 * inter[keep]) //
+                       union[keep]).astype(np.int64)
+        return out
+
+    if n_new_ids + n_base_ids <= broadcast_candidate_docs:
+        def lut_of(ds_texts):
+            t = ds_texts.to_pandas()
+            return (dict(zip(t[id_col], t[text_col]))
+                    if id_col in t.columns else {})
+
+        lut_new_ref = _ray.put(lut_of(new_texts))
+        lut_base_ref = _ray.put(lut_of(base_texts))
+
+        def verify(batch: pd.DataFrame) -> pd.DataFrame:
+            return verify_cols(batch,
+                               batch[id_col].map(_ray.get(lut_new_ref)),
+                               batch["base_id"].map(_ray.get(lut_base_ref)))
+
+        return pairs.map_batches(verify, batch_format="pandas",
+                                 batch_size=None)
+
+    from zeeklog_ray.relational import bucketed_equi_join
+
+    def as_text(role: str, tag: str):
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.rename(columns={id_col: role, text_col: tag})
+
+        return f
+
+    with_a = bucketed_equi_join(
+        pairs, new_texts.map_batches(as_text(id_col, "_ta"),
+                                     batch_format="pandas",
+                                     batch_size=None),
+        on=id_col, num_buckets=num_buckets)
+    with_b = bucketed_equi_join(
+        with_a, base_texts.map_batches(as_text("base_id", "_tb"),
+                                       batch_format="pandas",
+                                       batch_size=None),
+        on="base_id", num_buckets=num_buckets)
+
+    def verify_joined(batch: pd.DataFrame) -> pd.DataFrame:
+        return verify_cols(batch, batch["_ta"], batch["_tb"])
+
+    return with_b.map_batches(verify_joined, batch_format="pandas",
+                              batch_size=None)

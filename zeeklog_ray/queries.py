@@ -577,6 +577,40 @@ def docs_incremental_dedup(sf_dir: str) -> "ray.data.Dataset":
     return kept.select_columns(["doc_id", "source", "n_chars"])
 
 
+def docs_incremental_near_dup(sf_dir: str) -> "ray.data.Dataset":
+    """Cross-snapshot NEAR-dup detection (ops/dedup.incremental_near_dup):
+    base corpus is docs with ``doc_id % 10 < 7``; the "new crawl" is the
+    remaining docs PLUS a deterministic EDITED re-crawl of every base doc
+    with ``doc_id % 13 == 0`` (text + " rev2 rev2", id offset 10_000_000)
+    — near-dups the exact digest tier cannot see.  LSH at the
+    oracle-feasible 16-perm × 4-band configuration joins new-side band
+    rows against base-side band rows (never new-vs-new), then exact
+    byte-5-gram Jaccard (J >= 0.5) verifies each candidate; the whole
+    composition — banding, cross join, over-cap guard, integer Jaccard —
+    is bit-replayed in SQL."""
+    from zeeklog_ray.ops.dedup import incremental_near_dup
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def base_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["doc_id"] % 10 < 7]
+
+    def new_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        fresh = batch[batch["doc_id"] % 10 >= 7]
+        recrawl = batch[(batch["doc_id"] % 10 < 7)
+                        & (batch["doc_id"] % 13 == 0)].copy()
+        recrawl["text"] = recrawl["text"] + " rev2 rev2"
+        recrawl["doc_id"] = recrawl["doc_id"] + 10_000_000
+        return pd.concat([fresh, recrawl], ignore_index=True)
+
+    base = docs.map_batches(base_rows, batch_format="pandas",
+                            batch_size=None)
+    new = docs.map_batches(new_rows, batch_format="pandas",
+                           batch_size=None)
+    return incremental_near_dup(new, base, num_perm=16, bands=4,
+                                threshold_e4=_JACCARD_THRESHOLD_E4)
+
+
 def events_partitioned_prune(sf_dir: str) -> "ray.data.Dataset":
     """Hive-partitioned export + partition-pruned read-back
     (zeeklog_ray.partitioned): events written as ``event_type=<v>/``
@@ -3672,6 +3706,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_column_profile": events_column_profile,
     "docs_snapshot_diff": docs_snapshot_diff,
     "docs_incremental_dedup": docs_incremental_dedup,
+    "docs_incremental_near_dup": docs_incremental_near_dup,
     "docs_lang_stats": docs_lang_stats,
     "docs_nb_source_clf": docs_nb_source_clf,
     "docs_passage_chunks": docs_passage_chunks,
@@ -4041,18 +4076,18 @@ def _sim_vector_sql() -> str:
     return "CAST([" + ", ".join(f"{v:.4f}" for v in _query_vector()) + "] AS DOUBLE[])"
 
 
-def _minhash_pairs_cte(num_perm: int = 16, bands: int = 4, k: int = 5,
-                       max_bucket: int = 512) -> str:
-    """Bit-exact SQL replay of ops.dedup.minhash_lsh_pairs as a WITH-clause
-    body (ends in relation ``mh_pairs(doc_a, doc_b)``): the same k-byte
-    rolling shingle hashes (Horner base-1000003 mod 2^64 — the
-    doc_simhash / doc_fingerprints technique), the same (a·x+b) mod 2^64
-    permutations (constants from _minhash_params, embedded as literals),
-    the same per-band Horner fold XOR band constant, the oversized-bucket
-    guard, and the ordered-distinct self-join.  HUGEINT carries the mod-
-    2^64 arithmetic; bb folds to two's-complement BIGINT exactly like the
-    numpy int64 view.  ASCII corpus ⇒ ord == utf-8 byte (asserted by the
-    generator's charset)."""
+def _mh_banded_cte(rel: str, tag: str, num_perm: int = 16, bands: int = 4,
+                   k: int = 5) -> str:
+    """Per-relation MinHash banding CTEs (``h{tag}``, ``sig{tag}``,
+    ``banded{tag}(doc_id, bb)``) over ``rel(doc_id, text)`` — the shared
+    SQL replay of ops.dedup._banded_rows used by both the self-join
+    (_minhash_pairs_cte) and the cross-snapshot
+    (docs_incremental_near_dup) oracles.  Same k-byte rolling shingle
+    hashes (Horner base-1000003 mod 2^64), same (a·x+b) mod 2^64
+    permutations (constants from _minhash_params embedded as literals),
+    same per-band Horner fold XOR band constant; HUGEINT carries the
+    mod-2^64 arithmetic and bb folds to two's-complement BIGINT exactly
+    like the numpy int64 view.  ASCII corpus ⇒ ord == utf-8 byte."""
     from zeeklog_ray.ops.dedup import _minhash_params
 
     rpb = num_perm // bands
@@ -4076,15 +4111,31 @@ def _minhash_pairs_cte(num_perm: int = 16, bands: int = 4, k: int = 5,
             f"9223372036854775808::HUGEINT THEN h - {m}::HUGEINT ELSE h END "
             f"AS BIGINT), CAST({const} AS BIGINT)) AS bb FROM "
             f"(SELECT doc_id, list_reduce([{elems}], (acc, c) -> "
-            f"(acc*1000003::HUGEINT + c) % {m}::HUGEINT) AS h FROM sig)")
+            f"(acc*1000003::HUGEINT + c) % {m}::HUGEINT) AS h FROM sig{tag})")
     banded = " UNION ALL ".join(band_selects)
     return (
-        "h AS (SELECT doc_id, list_transform(range(1, length(text)-"
+        f"h{tag} AS (SELECT doc_id, list_transform(range(1, length(text)-"
         f"{k - 2}), i -> list_reduce(list_transform(range(i, i+{k}), "
         "j -> ord(substring(text, j, 1))::HUGEINT), (acc, c) -> "
-        f"(acc*1000003::HUGEINT + c) % {m}::HUGEINT)) AS hs FROM documents), "
-        f"sig AS (SELECT doc_id, [{sig_terms}] AS mh FROM h), "
-        f"banded AS ({banded}), "
+        f"(acc*1000003::HUGEINT + c) % {m}::HUGEINT)) AS hs FROM {rel}), "
+        f"sig{tag} AS (SELECT doc_id, [{sig_terms}] AS mh FROM h{tag}), "
+        f"banded{tag} AS ({banded})")
+
+
+def _minhash_pairs_cte(num_perm: int = 16, bands: int = 4, k: int = 5,
+                       max_bucket: int = 512) -> str:
+    """Bit-exact SQL replay of ops.dedup.minhash_lsh_pairs as a WITH-clause
+    body (ends in relation ``mh_pairs(doc_a, doc_b)``): the same k-byte
+    rolling shingle hashes (Horner base-1000003 mod 2^64 — the
+    doc_simhash / doc_fingerprints technique), the same (a·x+b) mod 2^64
+    permutations (constants from _minhash_params, embedded as literals),
+    the same per-band Horner fold XOR band constant, the oversized-bucket
+    guard, and the ordered-distinct self-join.  HUGEINT carries the mod-
+    2^64 arithmetic; bb folds to two's-complement BIGINT exactly like the
+    numpy int64 view.  ASCII corpus ⇒ ord == utf-8 byte (asserted by the
+    generator's charset)."""
+    return (
+        _mh_banded_cte("documents", "", num_perm, bands, k) + ", "
         f"big AS (SELECT bb FROM banded GROUP BY bb HAVING COUNT(*) > "
         f"{max_bucket}), "
         "bandok AS (SELECT * FROM banded WHERE bb NOT IN "
@@ -4095,6 +4146,54 @@ def _minhash_pairs_cte(num_perm: int = 16, bands: int = 4, k: int = 5,
         "mh_pairs AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, "
         "b.doc_id AS doc_b "
         "FROM bandok a JOIN bandok b ON a.bb = b.bb AND a.doc_id < b.doc_id)")
+
+
+def _incr_near_dup_oracle_sql(threshold_e4: int, num_perm: int = 16,
+                              bands: int = 4, k: int = 5,
+                              max_bucket: int = 512) -> str:
+    """Bit-exact SQL replay of docs_incremental_near_dup: the base/new
+    snapshot CTEs (same modulus rules and ' rev2 rev2' edit as the Ray
+    side), per-snapshot MinHash banding via :func:`_mh_banded_cte`, the
+    over-cap guard as the UNION of both sides' oversized buckets, the
+    new×base cross join (distinct pairs), and the exact integer byte-
+    k-gram Jaccard verify with the same fixed-point filter
+    ``10000·inter >= t_e4·union`` / ``j_e4 = (10000·inter) // union``."""
+    return (
+        "WITH based AS (SELECT doc_id, text FROM documents "
+        "WHERE doc_id % 10 < 7), "
+        "newd AS (SELECT doc_id, text FROM documents "
+        "WHERE doc_id % 10 >= 7 "
+        "UNION ALL SELECT doc_id + 10000000, text || ' rev2 rev2' "
+        "FROM based WHERE doc_id % 13 = 0), "
+        + _mh_banded_cte("based", "B", num_perm, bands, k) + ", "
+        + _mh_banded_cte("newd", "N", num_perm, bands, k) + ", "
+        "big AS (SELECT bb FROM bandedB GROUP BY bb HAVING COUNT(*) > "
+        f"{max_bucket} UNION SELECT bb FROM bandedN GROUP BY bb "
+        f"HAVING COUNT(*) > {max_bucket}), "
+        "cand AS MATERIALIZED (SELECT DISTINCT n.doc_id AS doc_id, "
+        "b.doc_id AS base_id FROM bandedN n JOIN bandedB b "
+        "ON n.bb = b.bb WHERE n.bb NOT IN (SELECT bb FROM big)), "
+        "cdn AS (SELECT DISTINCT doc_id FROM cand), "
+        "cdb AS (SELECT DISTINCT base_id AS doc_id FROM cand), "
+        f"gn AS (SELECT DISTINCT d.doc_id, substring(d.text, s.i, {k}) "
+        "AS gram FROM newd d JOIN cdn USING (doc_id), "
+        f"LATERAL (SELECT unnest(range(1, length(d.text) - {k - 2})) AS i) "
+        f"s WHERE length(d.text) >= {k}), "
+        f"gb AS (SELECT DISTINCT d.doc_id, substring(d.text, s.i, {k}) "
+        "AS gram FROM based d JOIN cdb USING (doc_id), "
+        f"LATERAL (SELECT unnest(range(1, length(d.text) - {k - 2})) AS i) "
+        f"s WHERE length(d.text) >= {k}), "
+        "sn AS (SELECT doc_id, count(*) AS n FROM gn GROUP BY doc_id), "
+        "sb AS (SELECT doc_id, count(*) AS n FROM gb GROUP BY doc_id), "
+        "it AS (SELECT c.doc_id, c.base_id, count(*) AS inter "
+        "FROM cand c JOIN gn ga ON ga.doc_id = c.doc_id "
+        "JOIN gb gx ON gx.doc_id = c.base_id AND gx.gram = ga.gram "
+        "GROUP BY 1, 2) "
+        "SELECT it.doc_id, it.base_id, CAST((10000 * inter) // "
+        "(sn.n + sb.n - inter) AS BIGINT) AS j_e4 "
+        "FROM it JOIN sn ON sn.doc_id = it.doc_id "
+        "JOIN sb ON sb.doc_id = it.base_id "
+        f"WHERE 10000 * inter >= {threshold_e4} * (sn.n + sb.n - inter)")
 
 
 def _ngram_jaccard_oracle_sql(threshold_e4: int, k: int = 5) -> str:
@@ -4595,6 +4694,8 @@ ORACLE_SQL: dict[str, str] = {
         "FROM base WHERE doc_id % 7 = 0) "
         "SELECT doc_id, source, n_chars FROM newd "
         "WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.text = newd.text)"),
+    "docs_incremental_near_dup": _incr_near_dup_oracle_sql(
+        _JACCARD_THRESHOLD_E4),
     "docs_snapshot_diff": (
         "SELECT "
         "CAST(SUM(CASE WHEN doc_id % 10 = 1 THEN 1 ELSE 0 END) AS BIGINT) "
