@@ -682,6 +682,9 @@ def _run_scale_ops(timings: dict, minmax: dict, extras: dict) -> None:
     # partitions; the merge must rewrite ONLY those 3 (~17% of rows at
     # this layout) — the touched-partition economics is the measured
     # thing.  Template built once untimed, restored per run untimed.
+    import numpy as np
+    import pandas as pd
+
     from zeeklog_ray.partitioned import upsert_partitions
 
     utmpl = "/tmp/zeeklog_bench/upsert-template"

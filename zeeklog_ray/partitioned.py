@@ -595,3 +595,206 @@ def upsert_partitions(root: str, changes: "ray.data.Dataset",
             .reset_index(drop=True)
     finally:
         _shutil.rmtree(staging, ignore_errors=True)
+
+
+def append_deltas(root: str, changes: "ray.data.Dataset",
+                  part_col: str) -> pd.DataFrame:
+    """MERGE-ON-READ counterpart of :func:`upsert_partitions`: stage a
+    CDC change batch as delta files under each touched partition's
+    ``_deltas/`` subdirectory — an O(changes) append, NO base rewrite.
+    Reads then either merge on the fly (:func:`read_merged`) or the
+    deltas fold into the base later (:func:`compact_deltas`).  This is
+    the named alternative for when change locality does NOT hold (a
+    batch touching every partition would rewrite the whole copy-on-write
+    store for a trickle of rows).
+
+    Deltas are invisible to plain Parquet readers by construction: the
+    ``_deltas`` prefix is ignored by pyarrow dataset discovery, so
+    ``read_parquet(root)`` keeps returning the unmerged base — callers
+    choose merge-on-read explicitly.
+
+    Each append batch gets the next per-partition sequence number;
+    :func:`read_merged` applies deltas in sequence order, so a later
+    batch's row beats an earlier batch's row at equal ``order_col``.
+    Rows WITHIN one batch must not carry the same key at the same
+    ``order_col`` (their file order inside the batch is block layout,
+    not time).  Single writer per partition assumed — same contract as
+    the compaction journal.
+
+    Returns a per-partition report (dir, seq, files, rows)."""
+    import shutil as _shutil
+    import uuid
+
+    staging = os.path.join(root, f"_delta_staging_{uuid.uuid4().hex[:8]}")
+    changes.write_parquet(staging, partition_cols=[part_col])
+    try:
+        import pyarrow.parquet as pq
+
+        touched = sorted(d for d in os.listdir(staging)
+                         if d.startswith(f"{part_col}="))
+        if not touched:
+            raise ValueError("append_deltas: change batch staged "
+                             "zero partitions")
+        rows = []
+        for d in touched:
+            part_dir = os.path.join(root, d)
+            ddir = os.path.join(part_dir, "_deltas")
+            os.makedirs(ddir, exist_ok=True)
+            seq = 1 + max(
+                (int(f.split("-")[1]) for f in os.listdir(ddir)
+                 if f.startswith("delta-")), default=0)
+            files = sorted(f for f in os.listdir(os.path.join(staging, d))
+                           if f.endswith(".parquet"))
+            n = 0
+            for i, f in enumerate(files):
+                src = os.path.join(staging, d, f)
+                n += pq.read_metadata(src).num_rows
+                dst = os.path.join(ddir, f"delta-{seq:06d}-{i:04d}.parquet")
+                _shutil.move(src, dst)
+                _fsync_file(dst)
+            _fsync_dir(ddir)
+            rows.append({"dir": part_dir, "seq": seq,
+                         "files": len(files), "rows": n})
+        return pd.DataFrame(rows).sort_values("dir").reset_index(drop=True)
+    finally:
+        _shutil.rmtree(staging, ignore_errors=True)
+
+
+def _merged_partition_table(part_dir: str, key: str, order_col: str,
+                            deleted_col: str | None) -> pd.DataFrame:
+    """One partition's merge-on-read view as a DataFrame: base files,
+    then delta files in sequence order, stable-sorted on ``order_col``
+    with keep=last per ``key`` — EXACTLY the :func:`upsert_partition_dir`
+    merge (concat order is sequence order, so equal-``order_col`` ties
+    resolve to the latest delta), tombstones dropped at the end."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base_files = sorted(f for f in os.listdir(part_dir)
+                        if f.endswith(".parquet") and not f.startswith("."))
+    ddir = os.path.join(part_dir, "_deltas")
+    delta_files = (sorted(f for f in os.listdir(ddir)
+                          if f.endswith(".parquet"))
+                   if os.path.isdir(ddir) else [])
+    tabs = [pq.read_table(os.path.join(part_dir, f)).to_pandas()
+            for f in base_files]
+    for t in tabs:
+        t["_tomb"] = False
+    for f in delta_files:
+        t = pq.read_table(os.path.join(ddir, f)).to_pandas()
+        if deleted_col is None:
+            t["_tomb"] = False
+        else:
+            t = t.rename(columns={deleted_col: "_tomb"})
+            t["_tomb"] = t["_tomb"].fillna(False).astype(bool)
+        tabs.append(t)
+    if not tabs:
+        return pd.DataFrame()
+    both = pd.concat(tabs, ignore_index=True)
+    both = both.sort_values(order_col, kind="stable")
+    merged = both.drop_duplicates(subset=[key], keep="last")
+    return merged[~merged["_tomb"]].drop(columns=["_tomb"])
+
+
+def read_merged(root: str, key: str, order_col: str,
+                deleted_col: str | None = None,
+                concurrency: int | None = None) -> "ray.data.Dataset":
+    """Merge-on-read scan of a delta-logged store: one task per
+    partition directory merges its base files with its pending deltas
+    (latest-wins per ``key`` on ``order_col``, tombstones dropped) and
+    emits the merged rows — the partition column re-attached from the
+    directory name, rows never via the driver.  The read-time cost of
+    the O(changes) append: every scan pays the merge until
+    :func:`compact_deltas` folds the log down."""
+    parts = sorted(d for d in os.listdir(root)
+                   if os.path.isdir(os.path.join(root, d)) and "=" in d)
+    if not parts:
+        raise ValueError(f"read_merged: no hive partitions in {root}")
+    col = parts[0].split("=", 1)[0]
+
+    def merge_one(batch: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for d in batch["part"]:
+            m = _merged_partition_table(os.path.join(root, d), key,
+                                        order_col, deleted_col)
+            if len(m):
+                m = m.copy()
+                m[col] = d.split("=", 1)[1]
+                outs.append(m)
+        return (pd.concat(outs, ignore_index=True) if outs
+                else pd.DataFrame())
+
+    return ray.data.from_pandas(pd.DataFrame({"part": parts})) \
+        .repartition(len(parts)) \
+        .map_batches(merge_one, batch_format="pandas", batch_size=None,
+                     concurrency=concurrency)
+
+
+def compact_deltas(root: str, key: str, order_col: str,
+                   deleted_col: str | None = None,
+                   concurrency: int | None = None) -> pd.DataFrame:
+    """Fold every partition's pending delta log into its base — the
+    maintenance pass that pays the merge ONCE so subsequent plain scans
+    are delta-free.  Per partition: merge (same semantics as
+    :func:`read_merged`), write one new base file, commit via the
+    compaction journal with the old base files AND the folded delta
+    files as ``olds`` — the existing roll-forward recovery then covers a
+    crash at any point (and an interrupted fold that left deltas behind
+    is harmless: re-applying an already-folded delta is idempotent —
+    updates re-select the same winning rows, tombstones hit nothing).
+
+    Partitions with no pending deltas are skipped (metadata-only)."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    parts = sorted(d for d in os.listdir(root)
+                   if os.path.isdir(os.path.join(root, d)) and "=" in d)
+    if not parts:
+        raise ValueError(f"compact_deltas: no hive partitions in {root}")
+
+    def fold_one(part: str) -> dict:
+        part_dir = os.path.join(root, part)
+        _recover_compaction(part_dir)
+        ddir = os.path.join(part_dir, "_deltas")
+        delta_files = (sorted(f for f in os.listdir(ddir)
+                              if f.endswith(".parquet"))
+                       if os.path.isdir(ddir) else [])
+        base_files = sorted(
+            f for f in os.listdir(part_dir)
+            if f.endswith(".parquet") and not f.startswith("."))
+        if not delta_files:
+            return {"dir": part_dir, "deltas_folded": 0, "rows": int(
+                sum(pq.read_metadata(os.path.join(part_dir, f)).num_rows
+                    for f in base_files))}
+        merged = _merged_partition_table(part_dir, key, order_col,
+                                         deleted_col)
+        name = f"fold-{uuid.uuid4().hex[:12]}.parquet"
+        tmp_data = os.path.join(part_dir, name + ".tmp")
+        pq.write_table(pa.Table.from_pandas(merged, preserve_index=False),
+                       tmp_data)
+        _fsync_file(tmp_data)  # data durable BEFORE the journal commits it
+        olds = base_files + [os.path.join("_deltas", f)
+                             for f in delta_files]
+        fd, tmp = tempfile.mkstemp(dir=part_dir, suffix=".journal.tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump({"olds": olds, "news": [name]}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(part_dir, "_compaction.journal"))
+        _fsync_dir(part_dir)   # commit point
+        _recover_compaction(part_dir)
+        if os.path.exists(os.path.join(part_dir, "manifest.json")):
+            rebuild_zonemap_manifest(part_dir)
+        return {"dir": part_dir, "deltas_folded": len(delta_files),
+                "rows": int(len(merged))}
+
+    def fold_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame([fold_one(p) for p in batch["part"]])
+
+    reports = ray.data.from_pandas(pd.DataFrame({"part": parts})) \
+        .repartition(len(parts)) \
+        .map_batches(fold_batch, batch_format="pandas", batch_size=None,
+                     concurrency=concurrency)
+    return reports.to_pandas().sort_values("dir").reset_index(drop=True)

@@ -3068,6 +3068,83 @@ def events_upsert_roundtrip(sf_dir: str) -> "ray.data.Dataset":
         count_as="n")
 
 
+def events_mor_roundtrip(sf_dir: str) -> "ray.data.Dataset":
+    """Merge-on-read round trip: seed a day-partitioned store with the
+    full events table (ver=0, flag=0), append TWO delta batches —
+    batch 1 updates ``event_id % 5 == 0`` (ver 1, flag 10); batch 2
+    re-updates ``event_id % 10 == 0`` at the SAME ver (flag 200 — must
+    win by delta sequence, gating the tie-break) and tombstones
+    ``event_id % 17 == 0`` (ver 2) — then scan through the merge-on-read
+    view (partitioned.read_merged) and roll up per day.  ``sum_flag``
+    shifts if sequence order, latest-wins, or tombstone handling is
+    wrong anywhere; pytest (tests/test_deltalog.py) covers base
+    invisibility, fold-down compaction and crash recovery."""
+    import shutil
+
+    import pyarrow.compute as pc
+
+    from zeeklog_ray.partitioned import (
+        append_deltas,
+        read_merged,
+        write_partitioned,
+    )
+
+    out = (f"/tmp/zeeklog_mor/"
+           f"{os.path.basename(os.path.normpath(sf_dir))}-{os.getpid()}")
+    shutil.rmtree(out, ignore_errors=True)
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        day = pc.strftime(pc.floor_temporal(batch["ts"], unit="day"),
+                          format="%Y-%m-%d")
+        n = batch.num_rows
+        z = np.zeros(n, dtype=np.int64)
+        return pa.table({"event_id": batch["event_id"], "day": day,
+                         "ver": pa.array(z), "flag": pa.array(z)})
+
+    base = ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
+    write_partitioned(base.repartition(16), out, ["day"])
+
+    def batch_fn(mod: int, ver: int, flag: int, tomb: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            day = pc.strftime(
+                pc.floor_temporal(batch["ts"], unit="day"),
+                format="%Y-%m-%d").to_numpy(zero_copy_only=False)
+            eid = batch["event_id"].to_numpy()
+            m = eid % mod == 0
+            n = int(m.sum())
+            return pa.table({
+                "event_id": eid[m], "day": day[m],
+                "ver": np.full(n, ver, dtype=np.int64),
+                "flag": np.full(n, flag, dtype=np.int64),
+                "deleted": np.full(n, tomb, dtype=bool)})
+
+        return f
+
+    append_deltas(out, ds.map_batches(batch_fn(5, 1, 10, False),
+                                      batch_format="pyarrow",
+                                      batch_size=None), part_col="day")
+    # batch 2 = seq-tie overrides (%10, same ver) + tombstones (%17)
+    upd = ds.map_batches(batch_fn(10, 1, 200, False),
+                         batch_format="pyarrow", batch_size=None)
+    dels = ds.map_batches(batch_fn(17, 2, 0, True),
+                          batch_format="pyarrow", batch_size=None)
+    append_deltas(out, upd.union(dels), part_col="day")
+
+    merged = read_merged(out, key="event_id", order_col="ver",
+                         deleted_col="deleted")
+
+    def norm(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"day": batch["day"].astype(str),
+                             "event_id": batch["event_id"],
+                             "ver": batch["ver"], "flag": batch["flag"]})
+
+    return grouped_sum(
+        merged.map_batches(norm, batch_format="pandas", batch_size=None),
+        ["day"], sums={"event_id": "sum_id", "ver": "sum_ver",
+                       "flag": "sum_flag"}, count_as="n")
+
+
 def docs_prep_export(sf_dir: str) -> pd.DataFrame:
     """The FULL training-data export chain (zeeklog_ray.prep): quality
     filter → exact dedup → source-mixture resample (src0 ×2.5, src1
@@ -3702,6 +3779,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "user_daily_spikes": user_daily_spikes,
     "events_compact_roundtrip": events_compact_roundtrip,
     "events_upsert_roundtrip": events_upsert_roundtrip,
+    "events_mor_roundtrip": events_mor_roundtrip,
     "orders_fk_violations": orders_fk_violations,
     "events_column_profile": events_column_profile,
     "docs_snapshot_diff": docs_snapshot_diff,
@@ -4652,6 +4730,23 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT day, CAST(COUNT(*) AS BIGINT) AS n, "
         "CAST(SUM(event_id) AS BIGINT) AS sum_id, "
         "CAST(SUM(ver) AS BIGINT) AS sum_ver "
+        "FROM final GROUP BY day"),
+    # the merge-on-read view replayed in SQL: tombstones (%17) drop
+    # keys; among survivors ver=1 iff any delta touched the key, and the
+    # winning flag is batch 2's (200, %10) over batch 1's (10, %5)
+    # because equal-ver ties resolve to the later delta sequence
+    "events_mor_roundtrip": (
+        "WITH base AS (SELECT event_id, "
+        "strftime(date_trunc('day', ts), '%Y-%m-%d') AS day FROM events), "
+        "final AS (SELECT event_id, day, "
+        "CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END AS ver, "
+        "CASE WHEN event_id % 10 = 0 THEN 200 "
+        "WHEN event_id % 5 = 0 THEN 10 ELSE 0 END AS flag "
+        "FROM base WHERE event_id % 17 != 0) "
+        "SELECT day, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(event_id) AS BIGINT) AS sum_id, "
+        "CAST(SUM(ver) AS BIGINT) AS sum_ver, "
+        "CAST(SUM(flag) AS BIGINT) AS sum_flag "
         "FROM final GROUP BY day"),
     "orders_fk_violations": (
         "SELECT CAST(COUNT(*) AS BIGINT) AS n_orders, "
