@@ -159,3 +159,259 @@ def test_leftover_delta_reapplication_is_idempotent(tmp_path):
                    os.path.join(d, "_deltas", "delta-000001-0000.parquet"))
     got = _merged_partition_table(d, "k", "ver", None)
     assert got.set_index("k")["v"].to_dict() == {1: 99, 2: 20}
+
+
+def test_time_travel_snapshots(base_store, ray_session):
+    import ray.data
+
+    from zeeklog_ray.partitioned import append_deltas, read_merged
+
+    root, base = base_store
+    b1 = pd.DataFrame({"k": [0], "day": ["2024-06-01"], "v": [111],
+                       "ver": [1], "deleted": [False]})
+    append_deltas(root, ray.data.from_pandas(b1), part_col="day")
+    b2 = pd.DataFrame({"k": [0, 7], "day": ["2024-06-01", "2024-06-02"],
+                       "v": [222, 0], "ver": [2, 2],
+                       "deleted": [False, True]})
+    append_deltas(root, ray.data.from_pandas(b2), part_col="day")
+
+    def snap(s):
+        got = read_merged(root, key="k", order_col="ver",
+                          deleted_col="deleted", as_of_seq=s).to_pandas()
+        return got.set_index("k")["v"].to_dict(), len(got)
+
+    v0, n0 = snap(0)
+    assert v0[0] == 0 and v0[7] == 14 and n0 == 60   # base snapshot
+    v1, n1 = snap(1)
+    assert v1[0] == 111 and v1[7] == 14 and n1 == 60  # batch 1 only
+    v2, n2 = snap(2)
+    assert v2[0] == 222 and 7 not in v2 and n2 == 59  # current
+    vN, nN = snap(None)
+    assert vN == v2 and nN == n2                      # None = current
+
+
+def test_time_travel_ends_at_compaction(base_store, ray_session):
+    import ray.data
+
+    from zeeklog_ray.partitioned import (
+        append_deltas,
+        compact_deltas,
+        read_merged,
+    )
+
+    root, _ = base_store
+    b1 = pd.DataFrame({"k": [0], "day": ["2024-06-01"], "v": [111],
+                       "ver": [1], "deleted": [False]})
+    append_deltas(root, ray.data.from_pandas(b1), part_col="day")
+    compact_deltas(root, key="k", order_col="ver", deleted_col="deleted")
+    # history folded: the "base" snapshot now already contains batch 1
+    got = read_merged(root, key="k", order_col="ver",
+                      deleted_col="deleted", as_of_seq=0).to_pandas()
+    assert got.set_index("k").loc[0, "v"] == 111
+
+
+def test_vacuum_store_accounting_and_safety(base_store, ray_session, tmp_path):
+    import ray.data
+
+    from zeeklog_ray.partitioned import (
+        append_deltas,
+        read_merged,
+        vacuum_store,
+    )
+
+    root, base = base_store
+    b1 = pd.DataFrame({"k": [0], "day": ["2024-06-01"], "v": [111],
+                       "ver": [1], "deleted": [False]})
+    append_deltas(root, ray.data.from_pandas(b1), part_col="day")
+    before = read_merged(root, key="k", order_col="ver",
+                         deleted_col="deleted").to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+
+    victim = os.path.join(root, "day=2024-06-02")
+    # litter: staging trees + orphan tmps + torn journal + journal tmp
+    sdir = os.path.join(root, "_upsert_staging_x", "day=1970-01-01")
+    os.makedirs(sdir)
+    pq.write_table(pa.table({"k": [1]}), os.path.join(sdir, "a.parquet"))
+    os.makedirs(os.path.join(root, "_delta_staging_y"))
+    pq.write_table(pa.table({"k": [1]}),
+                   os.path.join(victim, "upsert-dead.parquet.tmp"))
+    with open(os.path.join(victim, "_compaction.journal"), "w") as f:
+        f.write('{"olds": ["torn')
+    with open(os.path.join(victim, "x.journal.tmp"), "w") as f:
+        f.write("{}")
+
+    rep = vacuum_store(root)
+    assert rep["staging_dirs"] == 2
+    # both tmps count even though recovery's rollback deleted one of them
+    assert rep["tmp_files"] == 2
+    assert rep["bytes_reclaimed"] > 0
+    assert rep["partitions"] == 3
+    # committed content untouched
+    after = read_merged(root, key="k", order_col="ver",
+                        deleted_col="deleted").to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(before, after)
+    # healthy store → vacuum is a no-op
+    rep2 = vacuum_store(root)
+    assert rep2["staging_dirs"] == rep2["tmp_files"] == 0
+    assert rep2["bytes_reclaimed"] == 0
+
+
+def test_vacuum_rolls_committed_journal_forward_not_reclaimed(tmp_path):
+    """A COMMITTED journal's tmp is a pending commit, not garbage:
+    vacuum must land it (rename into place) and count nothing."""
+    from zeeklog_ray.partitioned import vacuum_store
+
+    root = str(tmp_path / "store")
+    d = os.path.join(root, "day=d")
+    os.makedirs(d)
+    pq.write_table(pa.table({"k": [1], "v": [10]}),
+                   os.path.join(d, "a.parquet"))
+    pq.write_table(pa.table({"k": [1], "v": [99]}),
+                   os.path.join(d, "compact-x.parquet.tmp"))
+    with open(os.path.join(d, "_compaction.journal"), "w") as f:
+        json.dump({"olds": ["a.parquet"], "news": ["compact-x.parquet"]}, f)
+    rep = vacuum_store(root)
+    assert rep["tmp_files"] == 0 and rep["bytes_reclaimed"] == 0
+    assert sorted(os.listdir(d)) == ["compact-x.parquet"]
+    assert pq.read_table(os.path.join(d, "compact-x.parquet"))["v"][0] \
+        .as_py() == 99
+
+
+def test_refresh_group_sums_incremental(base_store, ray_session, tmp_path):
+    import ray.data
+
+    from zeeklog_ray.partitioned import (
+        append_deltas,
+        read_group_sums,
+        refresh_group_sums,
+    )
+
+    root, base = base_store
+    agg = str(tmp_path / "agg")
+    # base rows need a group column: rebuild store WITH one
+    import shutil
+
+    from zeeklog_ray.partitioned import write_partitioned
+
+    shutil.rmtree(root)
+    df = base.assign(g=base["k"] % 2)
+    write_partitioned(ray.data.from_pandas(df).repartition(3),
+                      root, ["day"])
+    full = refresh_group_sums(root, agg, key="k", order_col="ver",
+                              group_cols=["g"], sum_cols=["v"],
+                              deleted_col="deleted")
+    assert len(full) == 3            # one report row per partition
+    files = sorted(os.listdir(agg))
+    assert files == ["day=2024-06-01.parquet", "day=2024-06-02.parquet",
+                     "day=2024-06-03.parquet"]
+
+    def rollup():
+        got = read_group_sums(agg).to_pandas()
+        return got.groupby("g")[["sum_v", "n"]].sum() \
+            .astype("int64").sort_index()
+
+    r0 = rollup()
+    assert r0.loc[0, "sum_v"].item() == sum(i * 2 for i in range(0, 60, 2))
+    assert r0["n"].sum().item() == 60
+
+    # CDC batch touches ONE partition; refresh only it
+    b1 = pd.DataFrame({"k": [0, 3], "day": ["2024-06-01", "2024-06-01"],
+                       "v": [1000, 0], "ver": [1, 1], "g": [0, 1],
+                       "deleted": [False, True]})
+    rep = append_deltas(root, ray.data.from_pandas(b1), part_col="day")
+    untouched = os.path.join(agg, "day=2024-06-02.parquet")
+    mtime_before = os.path.getmtime(untouched)
+    incr = refresh_group_sums(root, agg, key="k", order_col="ver",
+                              group_cols=["g"], sum_cols=["v"],
+                              deleted_col="deleted",
+                              parts=rep["dir"].tolist())
+    assert len(incr) == 1
+    assert os.path.getmtime(untouched) == mtime_before  # never rewritten
+    r1 = rollup()
+    assert r1.loc[0, "sum_v"].item() == r0.loc[0, "sum_v"].item() - 0 + 1000
+    assert r1.loc[1, "sum_v"].item() == r0.loc[1, "sum_v"].item() - 6
+    assert r1["n"].sum().item() == 59  # one tombstone
+
+    # incremental result equals recompute-from-scratch
+    agg2 = str(tmp_path / "agg2")
+    refresh_group_sums(root, agg2, key="k", order_col="ver",
+                       group_cols=["g"], sum_cols=["v"],
+                       deleted_col="deleted")
+    got2 = read_group_sums(agg2).to_pandas().groupby("g")[["sum_v", "n"]] \
+        .sum().astype("int64").sort_index()
+    pd.testing.assert_frame_equal(r1, got2)
+
+    with pytest.raises(ValueError, match="unknown partitions"):
+        refresh_group_sums(root, agg, key="k", order_col="ver",
+                           group_cols=["g"], sum_cols=["v"],
+                           parts=["day=2099-01-01"])
+
+
+def test_torn_append_invisible_and_vacuumed(base_store, ray_session):
+    """Delta files above the committed _delta_seq counter are a torn
+    batch: invisible to read_merged, never folded by compact_deltas,
+    reclaimed by vacuum_store."""
+    import ray.data
+
+    from zeeklog_ray.partitioned import (
+        append_deltas,
+        compact_deltas,
+        read_merged,
+        vacuum_store,
+    )
+
+    root, _ = base_store
+    b1 = pd.DataFrame({"k": [0], "day": ["2024-06-01"], "v": [111],
+                       "ver": [1], "deleted": [False]})
+    append_deltas(root, ray.data.from_pandas(b1), part_col="day")
+    # simulate a torn batch: seq 2 files exist, counter still says 1
+    ddir = os.path.join(root, "day=2024-06-02", "_deltas")
+    os.makedirs(ddir, exist_ok=True)
+    pq.write_table(pa.table({"k": [1], "v": [666], "ver": [9],
+                             "deleted": [False]}),
+                   os.path.join(ddir, "delta-000002-0000.parquet"))
+
+    got = _merged(root)
+    assert got.set_index("k").loc[1, "v"] == 2      # torn row invisible
+    assert got.set_index("k").loc[0, "v"] == 111    # committed row applied
+
+    rep = compact_deltas(root, key="k", order_col="ver",
+                         deleted_col="deleted")
+    assert rep["deltas_folded"].sum() == 1          # only the committed one
+    assert os.path.exists(os.path.join(ddir, "delta-000002-0000.parquet"))
+
+    vrep = vacuum_store(root)
+    assert vrep["torn_delta_files"] == 1
+    assert not os.path.exists(os.path.join(ddir,
+                                           "delta-000002-0000.parquet"))
+    got2 = _merged(root)
+    assert got2.set_index("k").loc[1, "v"] == 2
+
+
+def test_global_seq_survives_fold_and_crash_rebuild(base_store, ray_session):
+    import ray.data
+
+    from zeeklog_ray.partitioned import (
+        _store_delta_seq,
+        append_deltas,
+        compact_deltas,
+    )
+
+    root, _ = base_store
+    b = pd.DataFrame({"k": [0], "day": ["2024-06-01"], "v": [1],
+                      "ver": [1], "deleted": [False]})
+    r1 = append_deltas(root, ray.data.from_pandas(b), part_col="day")
+    b2 = b.assign(day="2024-06-02", ver=2)
+    r2 = append_deltas(root, ray.data.from_pandas(b2), part_col="day")
+    # global: batch 2 touched a DIFFERENT partition but still got seq 2
+    assert (r1["seq"] == 1).all() and (r2["seq"] == 2).all()
+    compact_deltas(root, key="k", order_col="ver", deleted_col="deleted")
+    # counter survives the fold — snapshot ids stay monotonic
+    assert _store_delta_seq(root) == 2
+    r3 = append_deltas(root, ray.data.from_pandas(b2.assign(ver=3)),
+                       part_col="day")
+    assert (r3["seq"] == 3).all()
+    # lost counter file → rebuilt from the walk over remaining deltas
+    os.remove(os.path.join(root, "_delta_seq"))
+    assert _store_delta_seq(root) == 3

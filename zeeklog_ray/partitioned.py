@@ -613,13 +613,18 @@ def append_deltas(root: str, changes: "ray.data.Dataset",
     ``read_parquet(root)`` keeps returning the unmerged base — callers
     choose merge-on-read explicitly.
 
-    Each append batch gets the next per-partition sequence number;
-    :func:`read_merged` applies deltas in sequence order, so a later
-    batch's row beats an earlier batch's row at equal ``order_col``.
-    Rows WITHIN one batch must not carry the same key at the same
-    ``order_col`` (their file order inside the batch is block layout,
-    not time).  Single writer per partition assumed — same contract as
-    the compaction journal.
+    Each append batch gets the next STORE-GLOBAL sequence number (the
+    ``_delta_seq`` counter file at the root, atomically advanced; a
+    missing counter is rebuilt by walking the partitions' delta files)
+    — global, not per-partition, so a batch that touches only some
+    partitions still forms one consistent snapshot and
+    :func:`read_merged`'s ``as_of_seq`` time travel cuts the SAME batch
+    boundary everywhere.  :func:`read_merged` applies deltas in
+    sequence order, so a later batch's row beats an earlier batch's row
+    at equal ``order_col``.  Rows WITHIN one batch must not carry the
+    same key at the same ``order_col`` (their file order inside the
+    batch is block layout, not time).  Single writer per STORE assumed
+    — same contract as the compaction journal.
 
     Returns a per-partition report (dir, seq, files, rows)."""
     import shutil as _shutil
@@ -635,14 +640,12 @@ def append_deltas(root: str, changes: "ray.data.Dataset",
         if not touched:
             raise ValueError("append_deltas: change batch staged "
                              "zero partitions")
+        seq = 1 + _store_delta_seq(root)
         rows = []
         for d in touched:
             part_dir = os.path.join(root, d)
             ddir = os.path.join(part_dir, "_deltas")
             os.makedirs(ddir, exist_ok=True)
-            seq = 1 + max(
-                (int(f.split("-")[1]) for f in os.listdir(ddir)
-                 if f.startswith("delta-")), default=0)
             files = sorted(f for f in os.listdir(os.path.join(staging, d))
                            if f.endswith(".parquet"))
             n = 0
@@ -655,18 +658,74 @@ def append_deltas(root: str, changes: "ray.data.Dataset",
             _fsync_dir(ddir)
             rows.append({"dir": part_dir, "seq": seq,
                          "files": len(files), "rows": n})
+        _advance_store_delta_seq(root, seq)
         return pd.DataFrame(rows).sort_values("dir").reset_index(drop=True)
     finally:
         _shutil.rmtree(staging, ignore_errors=True)
 
 
+def _store_delta_seq(root: str) -> int:
+    """Current store-global delta sequence: the ``_delta_seq`` counter
+    file when present, else rebuilt as the max sequence across every
+    partition's delta files (0 on a fresh store).  The counter survives
+    :func:`compact_deltas` folds, so snapshot ids stay monotonic across
+    the store's whole history even after the log is compacted away."""
+    path = os.path.join(root, "_delta_seq")
+    try:
+        with open(path) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        pass
+    best = 0
+    for d in os.listdir(root):
+        ddir = os.path.join(root, d, "_deltas")
+        if "=" in d and os.path.isdir(ddir):
+            best = max(best, max(
+                (_delta_seq(f) for f in os.listdir(ddir)
+                 if f.startswith("delta-")), default=0))
+    return best
+
+
+def _advance_store_delta_seq(root: str, seq: int) -> None:
+    """Commit the counter AFTER the batch's delta files are durable —
+    the counter advance IS the append's commit point: delta files with
+    a sequence above the counter are a torn batch (crash between file
+    moves and counter advance), which readers and folds ignore and
+    :func:`vacuum_store` reclaims.  The one uncovered window is a crash
+    on the very first append of a legacy store with no counter file —
+    there the rebuild walk cannot tell torn from committed and assumes
+    committed (documented legacy trade)."""
+    path = os.path.join(root, "_delta_seq")
+    fd, tmp = tempfile.mkstemp(dir=root, suffix=".seq.tmp")
+    with os.fdopen(fd, "w") as f:
+        f.write(str(seq))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+    _fsync_dir(root)
+
+
+def _delta_seq(fname: str) -> int:
+    """Batch sequence number encoded in a delta file name
+    (``delta-{seq:06d}-{i:04d}.parquet``)."""
+    return int(fname.split("-")[1])
+
+
 def _merged_partition_table(part_dir: str, key: str, order_col: str,
-                            deleted_col: str | None) -> pd.DataFrame:
+                            deleted_col: str | None,
+                            as_of_seq: int | None = None) -> pd.DataFrame:
     """One partition's merge-on-read view as a DataFrame: base files,
     then delta files in sequence order, stable-sorted on ``order_col``
     with keep=last per ``key`` — EXACTLY the :func:`upsert_partition_dir`
     merge (concat order is sequence order, so equal-``order_col`` ties
-    resolve to the latest delta), tombstones dropped at the end."""
+    resolve to the latest delta), tombstones dropped at the end.
+
+    ``as_of_seq`` is the TIME-TRAVEL knob: only delta batches with
+    sequence number ≤ ``as_of_seq`` apply (0 = base only, None = all) —
+    every append is a retained snapshot until :func:`compact_deltas`
+    folds the log, which collapses history into the base (the standard
+    table-format trade: snapshot retention ends where compaction
+    begins)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -676,6 +735,9 @@ def _merged_partition_table(part_dir: str, key: str, order_col: str,
     delta_files = (sorted(f for f in os.listdir(ddir)
                           if f.endswith(".parquet"))
                    if os.path.isdir(ddir) else [])
+    if as_of_seq is not None:
+        delta_files = [f for f in delta_files
+                       if _delta_seq(f) <= as_of_seq]
     tabs = [pq.read_table(os.path.join(part_dir, f)).to_pandas()
             for f in base_files]
     for t in tabs:
@@ -698,6 +760,7 @@ def _merged_partition_table(part_dir: str, key: str, order_col: str,
 
 def read_merged(root: str, key: str, order_col: str,
                 deleted_col: str | None = None,
+                as_of_seq: int | None = None,
                 concurrency: int | None = None) -> "ray.data.Dataset":
     """Merge-on-read scan of a delta-logged store: one task per
     partition directory merges its base files with its pending deltas
@@ -705,18 +768,29 @@ def read_merged(root: str, key: str, order_col: str,
     emits the merged rows — the partition column re-attached from the
     directory name, rows never via the driver.  The read-time cost of
     the O(changes) append: every scan pays the merge until
-    :func:`compact_deltas` folds the log down."""
+    :func:`compact_deltas` folds the log down.
+
+    ``as_of_seq`` reads the store AS OF a past delta batch (time
+    travel): only batches with sequence ≤ ``as_of_seq`` apply, 0 means
+    the base snapshot, None the current view.  Retention: history lives
+    in the delta log, so :func:`compact_deltas` ends time travel for
+    everything it folds — run it on the cadence your audit window
+    allows, exactly like snapshot expiry in any log-structured table
+    format."""
     parts = sorted(d for d in os.listdir(root)
                    if os.path.isdir(os.path.join(root, d)) and "=" in d)
     if not parts:
         raise ValueError(f"read_merged: no hive partitions in {root}")
     col = parts[0].split("=", 1)[0]
+    committed = _store_delta_seq(root)
+    eff_seq = committed if as_of_seq is None else min(as_of_seq, committed)
 
     def merge_one(batch: pd.DataFrame) -> pd.DataFrame:
         outs = []
         for d in batch["part"]:
             m = _merged_partition_table(os.path.join(root, d), key,
-                                        order_col, deleted_col)
+                                        order_col, deleted_col,
+                                        eff_seq)
             if len(m):
                 m = m.copy()
                 m[col] = d.split("=", 1)[1]
@@ -753,13 +827,17 @@ def compact_deltas(root: str, key: str, order_col: str,
                    if os.path.isdir(os.path.join(root, d)) and "=" in d)
     if not parts:
         raise ValueError(f"compact_deltas: no hive partitions in {root}")
+    committed = _store_delta_seq(root)
 
     def fold_one(part: str) -> dict:
         part_dir = os.path.join(root, part)
         _recover_compaction(part_dir)
         ddir = os.path.join(part_dir, "_deltas")
+        # fold only COMMITTED deltas: a torn append (seq above the
+        # counter) must never be absorbed into the base — vacuum owns it
         delta_files = (sorted(f for f in os.listdir(ddir)
-                              if f.endswith(".parquet"))
+                              if f.endswith(".parquet")
+                              and _delta_seq(f) <= committed)
                        if os.path.isdir(ddir) else [])
         base_files = sorted(
             f for f in os.listdir(part_dir)
@@ -769,7 +847,7 @@ def compact_deltas(root: str, key: str, order_col: str,
                 sum(pq.read_metadata(os.path.join(part_dir, f)).num_rows
                     for f in base_files))}
         merged = _merged_partition_table(part_dir, key, order_col,
-                                         deleted_col)
+                                         deleted_col, committed)
         name = f"fold-{uuid.uuid4().hex[:12]}.parquet"
         tmp_data = os.path.join(part_dir, name + ".tmp")
         pq.write_table(pa.Table.from_pandas(merged, preserve_index=False),
@@ -798,3 +876,184 @@ def compact_deltas(root: str, key: str, order_col: str,
         .map_batches(fold_batch, batch_format="pandas", batch_size=None,
                      concurrency=concurrency)
     return reports.to_pandas().sort_values("dir").reset_index(drop=True)
+
+def vacuum_store(root: str) -> dict:
+    """Garbage-collect crash litter from a partitioned store — the
+    maintenance pass that keeps a long-lived 100-TB table from
+    accumulating orphans the journal protocol cannot reach:
+
+    - **staging directories** (``_upsert_staging_*`` /
+      ``_delta_staging_*``): a driver that died between
+      ``write_parquet`` and the per-partition apply tasks leaves a full
+      staged copy of its change batch behind — invisible to readers
+      (``_``-prefix) but real bytes at CDC scale
+    - **orphan tmps** (``*.parquet.tmp`` / ``*.journal.tmp``) in every
+      partition directory — first any COMMITTED journal is rolled
+      forward via :func:`_recover_compaction` (so vacuum never deletes
+      a tmp the journal still owns), then survivors are pre-commit
+      garbage by the protocol's fsync-ordering argument and are dropped
+
+    Committed data is never touched: vacuum is a no-op on a healthy
+    store (gated by the hash-green ``events_vacuum_roundtrip`` query,
+    which vacuums a deliberately littered store and proves the content
+    identical).  Single-writer contract, same as the journal: run
+    vacuum quiesced, not concurrently with a writer whose tmps are
+    in flight.
+
+    - **torn delta batches**: delta files whose sequence is above the
+      store's committed ``_delta_seq`` counter — an append that died
+      before its commit point; already invisible to
+      :func:`read_merged` / :func:`compact_deltas`, reclaimed here
+      (skipped when the store predates the counter file)
+
+    Returns ``{"staging_dirs", "tmp_files", "torn_delta_files",
+    "bytes_reclaimed", "partitions"}``."""
+    import shutil as _shutil
+
+    seq_path = os.path.join(root, "_delta_seq")
+    committed = None
+    if os.path.exists(seq_path):
+        with open(seq_path) as f:
+            committed = int(f.read().strip())
+    staging_dirs = tmp_files = torn_delta_files = 0
+    bytes_reclaimed = n_parts = 0
+    for d in sorted(os.listdir(root)):
+        p = os.path.join(root, d)
+        if d.startswith(("_upsert_staging_", "_delta_staging_")) \
+                and os.path.isdir(p):
+            bytes_reclaimed += sum(
+                os.path.getsize(os.path.join(dp, f))
+                for dp, _, fs in os.walk(p) for f in fs)
+            _shutil.rmtree(p)
+            staging_dirs += 1
+        elif os.path.isdir(p) and "=" in d:
+            n_parts += 1
+            # snapshot tmps BEFORE recovery: the rollback path of
+            # _recover_compaction deletes pre-commit tmps itself, and
+            # those are reclaimed garbage too — but a COMMITTED
+            # journal's tmps get renamed into place (base name appears),
+            # which is a commit, not a reclaim
+            pre = {f: os.path.getsize(os.path.join(p, f))
+                   for f in os.listdir(p)
+                   if f.endswith((".parquet.tmp", ".journal.tmp"))}
+            _recover_compaction(p)  # committed journals roll forward
+            for f, sz in pre.items():
+                if not os.path.exists(os.path.join(p, f)) and \
+                        not os.path.exists(
+                            os.path.join(p, f[:-len(".tmp")])):
+                    bytes_reclaimed += sz
+                    tmp_files += 1
+            for sub in (p, os.path.join(p, "_deltas")):
+                if not os.path.isdir(sub):
+                    continue
+                for f in os.listdir(sub):
+                    if f.endswith((".parquet.tmp", ".journal.tmp")):
+                        fp = os.path.join(sub, f)
+                        bytes_reclaimed += os.path.getsize(fp)
+                        os.remove(fp)
+                        tmp_files += 1
+            # torn delta batches: files above the committed counter are
+            # an append that died before its commit point (counter
+            # advance) — invisible to readers/folds, reclaimed here
+            ddir = os.path.join(p, "_deltas")
+            if committed is not None and os.path.isdir(ddir):
+                for f in os.listdir(ddir):
+                    if f.startswith("delta-") and f.endswith(".parquet") \
+                            and _delta_seq(f) > committed:
+                        fp = os.path.join(ddir, f)
+                        bytes_reclaimed += os.path.getsize(fp)
+                        os.remove(fp)
+                        torn_delta_files += 1
+    return {"staging_dirs": staging_dirs, "tmp_files": tmp_files,
+            "torn_delta_files": torn_delta_files,
+            "bytes_reclaimed": int(bytes_reclaimed),
+            "partitions": n_parts}
+
+
+def refresh_group_sums(root: str, agg_root: str, key: str, order_col: str,
+                       group_cols: list[str], sum_cols: list[str],
+                       deleted_col: str | None = None,
+                       parts: list[str] | None = None,
+                       as_of_seq: int | None = None,
+                       concurrency: int | None = None) -> pd.DataFrame:
+    """Partition-incremental materialized-aggregate maintenance: keep a
+    per-partition group-sum table (``SUM(sum_cols), COUNT(*) GROUP BY
+    group_cols``) over the merged view of a delta-logged store, stored
+    as ONE Parquet file per partition under ``agg_root``.
+
+    ``parts`` is the incremental handle: pass the touched-partition
+    list from an :func:`append_deltas` / :func:`upsert_partitions`
+    report (the ``dir`` column; base names or full paths both work) and
+    ONLY those partitions recompute — untouched partitions keep their
+    existing aggregate file unread and unwritten, which is the whole
+    point at 100 TB (a CDC batch touching 3 of 3,000 day-partitions
+    costs 3 partition scans, not a table scan).  ``parts=None``
+    rebuilds everything (first run / backfill).
+
+    Per-partition refresh is recompute-idempotent and crash-safe via
+    tmp + ``os.replace``: a died refresh leaves either the old file or
+    the new one, both self-consistent; re-running converges.  Sums are
+    emitted as ``sum_<col>`` int64 plus ``n`` — integer-exact, so the
+    global rollup (a small groupby over partition aggregates) is
+    hash-gated against SQL (``events_ivm_groupsum``).
+
+    Returns the per-partition refresh report (dir, groups, rows)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    all_parts = sorted(d for d in os.listdir(root)
+                       if os.path.isdir(os.path.join(root, d)) and "=" in d)
+    if not all_parts:
+        raise ValueError(f"refresh_group_sums: no hive partitions in {root}")
+    if parts is None:
+        todo = all_parts
+    else:
+        todo = sorted({os.path.basename(os.path.normpath(p)) for p in parts})
+        unknown = [p for p in todo if p not in set(all_parts)]
+        if unknown:
+            raise ValueError(f"refresh_group_sums: unknown partitions "
+                             f"{unknown}")
+    os.makedirs(agg_root, exist_ok=True)
+    part_col = all_parts[0].split("=", 1)[0]
+    committed = _store_delta_seq(root)
+    eff_seq = committed if as_of_seq is None else min(as_of_seq, committed)
+
+    def refresh_one(part: str) -> dict:
+        m = _merged_partition_table(os.path.join(root, part), key,
+                                    order_col, deleted_col, eff_seq)
+        sum_names = [f"sum_{c}" for c in sum_cols]
+        if len(m):
+            g = m.groupby(list(group_cols), as_index=False, sort=True) \
+                .agg(**{sn: (c, "sum") for sn, c in zip(sum_names, sum_cols)},
+                     n=(key, "size"))
+        else:
+            g = pd.DataFrame(columns=list(group_cols) + sum_names + ["n"])
+        for c in sum_names + ["n"]:
+            g[c] = g[c].astype("int64")
+        g.insert(0, part_col, part.split("=", 1)[1])
+        tmp = os.path.join(agg_root, f".{part}.parquet.tmp")
+        pq.write_table(pa.Table.from_pandas(g, preserve_index=False), tmp)
+        _fsync_file(tmp)
+        os.replace(tmp, os.path.join(agg_root, f"{part}.parquet"))
+        return {"dir": os.path.join(root, part), "groups": int(len(g)),
+                "rows": int(g["n"].sum()) if len(g) else 0}
+
+    def refresh_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame([refresh_one(p) for p in batch["part"]])
+
+    reports = ray.data.from_pandas(pd.DataFrame({"part": todo})) \
+        .repartition(len(todo)) \
+        .map_batches(refresh_batch, batch_format="pandas", batch_size=None,
+                     concurrency=concurrency)
+    out = reports.to_pandas().sort_values("dir").reset_index(drop=True)
+    _fsync_dir(agg_root)
+    return out
+
+
+def read_group_sums(agg_root: str) -> "ray.data.Dataset":
+    """The materialized per-partition aggregates as a Dataset (one row
+    per partition × group).  The GLOBAL aggregate is a tiny groupby
+    over these rows — group-cardinality-shaped, never a base-table
+    scan; callers finish with ``relational.grouped_sum`` over the
+    ``sum_*`` / ``n`` columns."""
+    return ray.data.read_parquet(agg_root)

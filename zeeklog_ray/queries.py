@@ -3068,28 +3068,21 @@ def events_upsert_roundtrip(sf_dir: str) -> "ray.data.Dataset":
         count_as="n")
 
 
-def events_mor_roundtrip(sf_dir: str) -> "ray.data.Dataset":
-    """Merge-on-read round trip: seed a day-partitioned store with the
-    full events table (ver=0, flag=0), append TWO delta batches —
-    batch 1 updates ``event_id % 5 == 0`` (ver 1, flag 10); batch 2
-    re-updates ``event_id % 10 == 0`` at the SAME ver (flag 200 — must
-    win by delta sequence, gating the tie-break) and tombstones
-    ``event_id % 17 == 0`` (ver 2) — then scan through the merge-on-read
-    view (partitioned.read_merged) and roll up per day.  ``sum_flag``
-    shifts if sequence order, latest-wins, or tombstone handling is
-    wrong anywhere; pytest (tests/test_deltalog.py) covers base
-    invisibility, fold-down compaction and crash recovery."""
+def _seed_mor_store(sf_dir: str, family: str) -> str:
+    """Build the shared merge-on-read fixture store: the full events
+    table day-partitioned at ver=0/flag=0, plus TWO appended delta
+    batches — batch 1 updates ``event_id % 5 == 0`` (ver 1, flag 10);
+    batch 2 re-updates ``event_id % 10 == 0`` at the SAME ver (flag 200,
+    must win by delta sequence) and tombstones ``event_id % 17 == 0``
+    (ver 2).  Used by events_mor_roundtrip (current view) and
+    events_time_travel (snapshot views)."""
     import shutil
 
     import pyarrow.compute as pc
 
-    from zeeklog_ray.partitioned import (
-        append_deltas,
-        read_merged,
-        write_partitioned,
-    )
+    from zeeklog_ray.partitioned import append_deltas, write_partitioned
 
-    out = (f"/tmp/zeeklog_mor/"
+    out = (f"/tmp/zeeklog_{family}/"
            f"{os.path.basename(os.path.normpath(sf_dir))}-{os.getpid()}")
     shutil.rmtree(out, ignore_errors=True)
     ds = read_table(sf_dir, "events", columns=["event_id", "ts"])
@@ -3130,19 +3123,225 @@ def events_mor_roundtrip(sf_dir: str) -> "ray.data.Dataset":
     dels = ds.map_batches(batch_fn(17, 2, 0, True),
                           batch_format="pyarrow", batch_size=None)
     append_deltas(out, upd.union(dels), part_col="day")
+    return out
 
-    merged = read_merged(out, key="event_id", order_col="ver",
-                         deleted_col="deleted")
+
+def _mor_day_rollup(merged: "ray.data.Dataset",
+                    extra: dict[str, "int"] | None = None
+                    ) -> "ray.data.Dataset":
+    """Per-day (n, sum_id, sum_ver, sum_flag) rollup of a merged MOR
+    view, with optional constant columns (snapshot labels) attached."""
+    extra = extra or {}
 
     def norm(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"day": batch["day"].astype(str),
-                             "event_id": batch["event_id"],
-                             "ver": batch["ver"], "flag": batch["flag"]})
+        out = pd.DataFrame({"day": batch["day"].astype(str),
+                            "event_id": batch["event_id"],
+                            "ver": batch["ver"], "flag": batch["flag"]})
+        for c, v in extra.items():
+            out[c] = np.int64(v)
+        return out
 
     return grouped_sum(
         merged.map_batches(norm, batch_format="pandas", batch_size=None),
-        ["day"], sums={"event_id": "sum_id", "ver": "sum_ver",
-                       "flag": "sum_flag"}, count_as="n")
+        list(extra) + ["day"],
+        sums={"event_id": "sum_id", "ver": "sum_ver", "flag": "sum_flag"},
+        count_as="n")
+
+
+def events_mor_roundtrip(sf_dir: str) -> "ray.data.Dataset":
+    """Merge-on-read round trip: seed the shared MOR fixture store
+    (:func:`_seed_mor_store` — base ver=0/flag=0, batch 1 updates %5,
+    batch 2 seq-tie overrides %10 + tombstones %17), scan through the
+    merge-on-read view (partitioned.read_merged) and roll up per day.
+    ``sum_flag`` shifts if sequence order, latest-wins, or tombstone
+    handling is wrong anywhere; pytest (tests/test_deltalog.py) covers
+    base invisibility, fold-down compaction and crash recovery."""
+    from zeeklog_ray.partitioned import read_merged
+
+    out = _seed_mor_store(sf_dir, "mor")
+    merged = read_merged(out, key="event_id", order_col="ver",
+                         deleted_col="deleted")
+    return _mor_day_rollup(merged)
+
+
+def events_time_travel(sf_dir: str) -> "ray.data.Dataset":
+    """Snapshot time travel over the delta log: the shared MOR fixture
+    store read AS OF every retained snapshot — ``as_of_seq=0`` (base
+    only), ``1`` (batch 1 applied), ``2`` (current view) — each rolled
+    up per day and unioned under a ``snap`` label.  One hash gate covers
+    the whole history: snap 0 must show zero vers/flags, snap 1 must
+    show batch 1 WITHOUT batch 2's seq-tie overrides or tombstones, and
+    snap 2 must equal the current merged view.  Retention contract:
+    compact_deltas folds history into the base, ending time travel for
+    what it folds (pytest: tests/test_deltalog.py)."""
+    from zeeklog_ray.partitioned import read_merged
+
+    out = _seed_mor_store(sf_dir, "timetravel")
+    snaps = [
+        _mor_day_rollup(
+            read_merged(out, key="event_id", order_col="ver",
+                        deleted_col="deleted", as_of_seq=s),
+            extra={"snap": s})
+        for s in (0, 1, 2)]
+    return snaps[0].union(*snaps[1:])
+
+
+def events_vacuum_roundtrip(sf_dir: str) -> "ray.data.Dataset":
+    """Store GC round trip: seed the shared MOR fixture store, LITTER it
+    with every class of crash debris vacuum owns — a leftover upsert
+    staging tree, a leftover delta staging tree, orphan
+    ``*.parquet.tmp`` files in a partition dir and its ``_deltas/``, a
+    torn ``_compaction.journal``, a stray ``*.journal.tmp`` — run
+    :func:`zeeklog_ray.partitioned.vacuum_store`, then scan the merged
+    view and roll up per day.  The hash gate (same oracle as
+    events_mor_roundtrip) proves vacuum removed ONLY garbage: any
+    committed base/delta file it wrongly deletes shifts the sums, and
+    the in-query asserts prove the garbage is actually gone (pytest:
+    tests/test_deltalog.py covers byte accounting and recover-first
+    ordering)."""
+    import pyarrow.parquet as pq_  # noqa: N813 — local, matches file style
+
+    from zeeklog_ray.partitioned import read_merged, vacuum_store
+
+    out = _seed_mor_store(sf_dir, "vacuum")
+    parts = sorted(d for d in os.listdir(out) if d.startswith("day="))
+    victim = os.path.join(out, parts[0])
+    junk = pa.table({"event_id": [1], "day": ["x"], "ver": [0]})
+    for stage in ("_upsert_staging_dead", "_delta_staging_dead"):
+        sdir = os.path.join(out, stage, "day=1970-01-01")
+        os.makedirs(sdir)
+        pq_.write_table(junk, os.path.join(sdir, "part-0.parquet"))
+    pq_.write_table(junk, os.path.join(victim, "upsert-dead.parquet.tmp"))
+    os.makedirs(os.path.join(victim, "_deltas"), exist_ok=True)
+    pq_.write_table(junk, os.path.join(
+        victim, "_deltas", "delta-999999-0000.parquet.tmp"))
+    with open(os.path.join(victim, "_compaction.journal"), "w") as f:
+        f.write('{"olds": ["a.par')  # torn mid-write → pre-commit rollback
+    with open(os.path.join(victim, "tmpabc.journal.tmp"), "w") as f:
+        f.write("{}")
+
+    report = vacuum_store(out)
+    assert report["staging_dirs"] == 2, report
+    assert report["tmp_files"] == 3, report
+    assert report["bytes_reclaimed"] > 0, report
+    leftovers = [os.path.join(dp, f) for dp, _, fs in os.walk(out)
+                 for f in fs
+                 if f.endswith((".tmp", ".journal")) or "staging" in dp]
+    assert not leftovers, leftovers
+
+    merged = read_merged(out, key="event_id", order_col="ver",
+                         deleted_col="deleted")
+    return _mor_day_rollup(merged)
+
+
+def events_ivm_groupsum(sf_dir: str) -> "ray.data.Dataset":
+    """Incremental materialized-view maintenance: a per-event-type
+    (sum_cents, n) aggregate over a day-partitioned MOR store, kept
+    fresh by recomputing ONLY the partitions a CDC batch touched
+    (partitioned.refresh_group_sums).
+
+    Seed: full events table (integer cents, ver 0), full first build of
+    the aggregate.  CDC batch (only EVEN day-of-month events, so odd-day
+    partitions must survive on their *stale aggregate files alone*):
+    updates ``%5`` add 777 cents at ver 1, tombstones ``%17`` (ver 2,
+    precedence over updates), inserts ``%7==3`` re-keyed +1e9 at 555
+    cents.  Refresh passes the touched-partition list from the append
+    report; the in-query assert proves the batch touched a strict
+    subset.  Result: the global rollup read from the aggregate files
+    (group-cardinality rows — the base table is never rescanned), which
+    the oracle replays as a plain GROUP BY over the merged view."""
+    import pyarrow.compute as pc
+
+    from zeeklog_ray.partitioned import (
+        append_deltas,
+        read_group_sums,
+        refresh_group_sums,
+        write_partitioned,
+    )
+    from zeeklog_ray.relational import to_cents
+
+    base_tag = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/zeeklog_ivm/{base_tag}-{os.getpid()}"
+    agg = out + "-agg"
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(agg, ignore_errors=True)
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = to_cents(batch, {"value": "cents"})
+        day = pc.strftime(pc.floor_temporal(batch["ts"], unit="day"),
+                          format="%Y-%m-%d")
+        n = batch.num_rows
+        return pa.table({"event_id": batch["event_id"], "day": day,
+                         "event_type": batch["event_type"],
+                         "cents": batch["cents"],
+                         "ver": pa.array(np.zeros(n, dtype=np.int64))})
+
+    write_partitioned(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
+        .repartition(16), out, ["day"])
+    full = refresh_group_sums(out, agg, key="event_id", order_col="ver",
+                              group_cols=["event_type"],
+                              sum_cols=["cents"], deleted_col="deleted")
+
+    def make_changes(batch: pa.Table) -> pa.Table:
+        batch = to_cents(batch, {"value": "cents"})
+        day = pc.strftime(pc.floor_temporal(batch["ts"], unit="day"),
+                          format="%Y-%m-%d").to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy()
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        cents = batch["cents"].to_numpy()
+        dom = pc.day(batch["ts"]).to_numpy().astype(np.int64)
+        even = dom % 2 == 0
+        is_del = even & (eid % 17 == 0)
+        is_upd = even & (eid % 5 == 0) & ~is_del
+        is_ins = even & (eid % 7 == 3)
+        keys = np.concatenate([eid[is_del], eid[is_upd],
+                               eid[is_ins] + 1_000_000_000])
+        days = np.concatenate([day[is_del], day[is_upd], day[is_ins]])
+        ets = np.concatenate([et[is_del], et[is_upd], et[is_ins]])
+        cts = np.concatenate([
+            np.zeros(int(is_del.sum()), dtype=np.int64),
+            cents[is_upd] + 777,
+            np.full(int(is_ins.sum()), 555, dtype=np.int64)])
+        vers = np.concatenate([
+            np.full(int(is_del.sum()), 2, dtype=np.int64),
+            np.ones(int(is_upd.sum() + is_ins.sum()), dtype=np.int64)])
+        deleted = np.concatenate([
+            np.ones(int(is_del.sum()), dtype=bool),
+            np.zeros(int(is_upd.sum() + is_ins.sum()), dtype=bool)])
+        # explicit types: an all-odd-day block selects ZERO change rows
+        # and empty object arrays would otherwise infer as Arrow null
+        return pa.table({
+            "event_id": pa.array(keys, type=pa.int64()),
+            "day": pa.array(days, type=pa.string()),
+            "event_type": pa.array(ets, type=pa.string()),
+            "cents": pa.array(cts, type=pa.int64()),
+            "ver": pa.array(vers, type=pa.int64()),
+            "deleted": pa.array(deleted, type=pa.bool_())})
+
+    changes = ds.map_batches(make_changes, batch_format="pyarrow",
+                             batch_size=None)
+    rep = append_deltas(out, changes, part_col="day")
+    incr = refresh_group_sums(out, agg, key="event_id", order_col="ver",
+                              group_cols=["event_type"],
+                              sum_cols=["cents"], deleted_col="deleted",
+                              parts=rep["dir"].tolist())
+    # incrementality is real: the CDC batch touched a strict subset
+    assert 0 < len(incr) < len(full), (len(incr), len(full))
+
+    def norm(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": batch["event_type"],
+                             "sum_cents": batch["sum_cents"],
+                             "n": batch["n"]})
+
+    return grouped_sum(
+        read_group_sums(agg).map_batches(norm, batch_format="pandas",
+                                         batch_size=None),
+        ["event_type"], sums={"sum_cents": "sum_cents", "n": "n"})
 
 
 def docs_prep_export(sf_dir: str) -> pd.DataFrame:
@@ -3780,6 +3979,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_compact_roundtrip": events_compact_roundtrip,
     "events_upsert_roundtrip": events_upsert_roundtrip,
     "events_mor_roundtrip": events_mor_roundtrip,
+    "events_time_travel": events_time_travel,
+    "events_vacuum_roundtrip": events_vacuum_roundtrip,
+    "events_ivm_groupsum": events_ivm_groupsum,
     "orders_fk_violations": orders_fk_violations,
     "events_column_profile": events_column_profile,
     "docs_snapshot_diff": docs_snapshot_diff,
@@ -4748,6 +4950,65 @@ ORACLE_SQL: dict[str, str] = {
         "CAST(SUM(ver) AS BIGINT) AS sum_ver, "
         "CAST(SUM(flag) AS BIGINT) AS sum_flag "
         "FROM final GROUP BY day"),
+    # every retained snapshot of the delta log replayed in SQL: snap 0 =
+    # base (all zeros), snap 1 = batch 1 only (%5 → ver 1 / flag 10, no
+    # tombstones yet), snap 2 = the current merged view (same expression
+    # as events_mor_roundtrip)
+    "events_time_travel": (
+        "WITH base AS (SELECT event_id, "
+        "strftime(date_trunc('day', ts), '%Y-%m-%d') AS day FROM events), "
+        "s0 AS (SELECT 0 AS snap, event_id, day, 0 AS ver, 0 AS flag "
+        "FROM base), "
+        "s1 AS (SELECT 1 AS snap, event_id, day, "
+        "CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END AS ver, "
+        "CASE WHEN event_id % 5 = 0 THEN 10 ELSE 0 END AS flag "
+        "FROM base), "
+        "s2 AS (SELECT 2 AS snap, event_id, day, "
+        "CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END AS ver, "
+        "CASE WHEN event_id % 10 = 0 THEN 200 "
+        "WHEN event_id % 5 = 0 THEN 10 ELSE 0 END AS flag "
+        "FROM base WHERE event_id % 17 != 0), "
+        "allsnaps AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1 "
+        "UNION ALL SELECT * FROM s2) "
+        "SELECT snap, day, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(event_id) AS BIGINT) AS sum_id, "
+        "CAST(SUM(ver) AS BIGINT) AS sum_ver, "
+        "CAST(SUM(flag) AS BIGINT) AS sum_flag "
+        "FROM allsnaps GROUP BY snap, day"),
+    # vacuum must remove ONLY garbage: the post-GC merged view equals
+    # the untouched merge-on-read expression
+    "events_vacuum_roundtrip": (
+        "WITH base AS (SELECT event_id, "
+        "strftime(date_trunc('day', ts), '%Y-%m-%d') AS day FROM events), "
+        "final AS (SELECT event_id, day, "
+        "CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END AS ver, "
+        "CASE WHEN event_id % 10 = 0 THEN 200 "
+        "WHEN event_id % 5 = 0 THEN 10 ELSE 0 END AS flag "
+        "FROM base WHERE event_id % 17 != 0) "
+        "SELECT day, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(event_id) AS BIGINT) AS sum_id, "
+        "CAST(SUM(ver) AS BIGINT) AS sum_ver, "
+        "CAST(SUM(flag) AS BIGINT) AS sum_flag "
+        "FROM final GROUP BY day"),
+    # the maintained aggregate must equal a plain GROUP BY over the
+    # merged CDC view: even-day-of-month rows take updates (%5, +777
+    # cents), tombstones (%17, precedence) and inserts (%7==3, re-keyed
+    # +1e9 at 555 cents); odd-day rows pass through — their aggregate
+    # files were never rewritten, so any staleness bug shifts the sums
+    "events_ivm_groupsum": (
+        "WITH base AS (SELECT event_id, event_type, "
+        "CAST(ROUND(value * 100) AS BIGINT) AS cents, "
+        "CAST(strftime(ts, '%d') AS INT) % 2 = 0 AS even_day FROM events), "
+        "final AS ("
+        "SELECT event_id, event_type, "
+        "CASE WHEN even_day AND event_id % 5 = 0 THEN cents + 777 "
+        "ELSE cents END AS cents "
+        "FROM base WHERE NOT (even_day AND event_id % 17 = 0) "
+        "UNION ALL "
+        "SELECT event_id + 1000000000, event_type, 555 FROM base "
+        "WHERE even_day AND event_id % 7 = 3) "
+        "SELECT event_type, CAST(SUM(cents) AS BIGINT) AS sum_cents, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM final GROUP BY event_type"),
     "orders_fk_violations": (
         "SELECT CAST(COUNT(*) AS BIGINT) AS n_orders, "
         "CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) "
