@@ -741,6 +741,79 @@ def _run_scale_ops(timings: dict, minmax: dict, extras: dict) -> None:
     timings[f"scale_upsert_{mtag}"] = min(vals)
     minmax[f"scale_upsert_{mtag}"] = [min(vals), max(vals)]
 
+    # Incremental view maintenance: per-partition group-sums over a
+    # 30-day / 97-group keyed store.  Measured pair: the FULL first
+    # build (all 30 partitions) vs the CDC refresh after a delta batch
+    # touching 3 partitions — the ratio IS the claim (refresh cost is
+    # O(touched partitions), never a table scan).
+    from zeeklog_ray.partitioned import (
+        append_deltas,
+        read_group_sums,
+        refresh_group_sums,
+    )
+
+    itmpl = "/tmp/zeeklog_bench/ivm-template"
+    iwork = "/tmp/zeeklog_bench/ivm-work"
+    if not os.path.exists(os.path.join(itmpl, "_DONE")):
+        shutil.rmtree(itmpl, ignore_errors=True)
+
+        def add_key_day_g(b):
+            ids = b["id"].to_numpy()
+            return pd.DataFrame({
+                "k": ids,
+                "day": pd.Series((ids % 30).astype("int64")).map(
+                    lambda d: f"2024-06-{d + 1:02d}"),
+                "g": (ids % 97).astype("int64"),
+                "v": (ids * 2654435761) % 1_000_000,
+                "ver": np.zeros(len(ids), dtype=np.int64)})
+
+        write_partitioned(
+            ray.data.range(SCALE_EVENT_ROWS, override_num_blocks=64)
+            .map_batches(add_key_day_g, batch_format="pandas",
+                         batch_size=None), itmpl, ["day"])
+        with open(os.path.join(itmpl, "_DONE"), "w") as f:
+            f.write("ok")
+    iids = np.arange(0, SCALE_EVENT_ROWS, 37, dtype=np.int64)
+    iids = iids[np.isin(iids % 30, [5, 12, 23])]       # 3 touched days
+    ichg = pd.DataFrame({
+        "k": iids,
+        "day": pd.Series((iids % 30).astype("int64")).map(
+            lambda d: f"2024-06-{d + 1:02d}"),
+        "g": (iids % 97).astype("int64"),
+        "v": np.int64(1_000_000),
+        "ver": np.int64(1),
+        "deleted": iids % 11 == 0})
+    fvals, ivals = [], []
+    for _ in range(2):
+        shutil.rmtree(iwork, ignore_errors=True)
+        shutil.copytree(itmpl, iwork)               # untimed reset
+        agg = iwork + "-agg"
+        shutil.rmtree(agg, ignore_errors=True)
+        t0 = time.monotonic()
+        full = refresh_group_sums(iwork, agg, key="k", order_col="ver",
+                                  group_cols=["g"], sum_cols=["v"],
+                                  deleted_col="deleted")
+        fvals.append(round(time.monotonic() - t0, 3))
+        assert len(full) == 30 and int(full["rows"].sum()) \
+            == SCALE_EVENT_ROWS
+        rep = append_deltas(iwork, ray.data.from_pandas(ichg),
+                            part_col="day")          # untimed: CDC land
+        t0 = time.monotonic()
+        incr = refresh_group_sums(iwork, agg, key="k", order_col="ver",
+                                  group_cols=["g"], sum_cols=["v"],
+                                  deleted_col="deleted",
+                                  parts=rep["dir"].tolist())
+        ivals.append(round(time.monotonic() - t0, 3))
+        assert len(incr) == 3, incr
+        n_groups = read_group_sums(agg).count()
+        assert n_groups == 30 * 97, n_groups
+    extras["ivm_changes"] = int(len(ichg))
+    extras["ivm_full_over_incremental"] = round(min(fvals) / min(ivals), 2)
+    timings[f"scale_ivm_full_{mtag}"] = min(fvals)
+    timings[f"scale_ivm_incremental_{mtag}"] = min(ivals)
+    minmax[f"scale_ivm_full_{mtag}"] = [min(fvals), max(fvals)]
+    minmax[f"scale_ivm_incremental_{mtag}"] = [min(ivals), max(ivals)]
+
 
 def _sf_tag(sf_dir: str) -> str:
     return os.path.basename(os.path.normpath(sf_dir)).removeprefix("sf")
