@@ -415,3 +415,49 @@ def test_global_seq_survives_fold_and_crash_rebuild(base_store, ray_session):
     # lost counter file → rebuilt from the walk over remaining deltas
     os.remove(os.path.join(root, "_delta_seq"))
     assert _store_delta_seq(root) == 3
+
+
+def test_read_evolved(ray_session, tmp_path):
+    """Schema-on-read: rename, typed default, int widening, hive
+    partition re-attach, null fill, guards."""
+    from zeeklog_ray.partitioned import read_evolved
+
+    root = str(tmp_path / "store")
+    os.makedirs(os.path.join(root, "day=d1"))
+    os.makedirs(os.path.join(root, "day=d2", "_deltas"))
+    # v1 file: old name `val32` (int32), no `tag`
+    pq.write_table(
+        pa.table({"k": pa.array([1, 2], type=pa.int32()),
+                  "val32": pa.array([10, 20], type=pa.int32())}),
+        os.path.join(root, "day=d1", "old.parquet"))
+    # v2 file: current names, already int64, has tag
+    pq.write_table(
+        pa.table({"k": pa.array([3], type=pa.int64()),
+                  "v": pa.array([30], type=pa.int64()),
+                  "tag": ["x"], "extra_dropped": [99]}),
+        os.path.join(root, "day=d2", "new.parquet"))
+    # delta-log / hidden files must be ignored by discovery
+    pq.write_table(pa.table({"k": [9]}),
+                   os.path.join(root, "day=d2", "_deltas", "d.parquet"))
+
+    target = pa.schema([("k", pa.int64()), ("v", pa.int64()),
+                        ("tag", pa.string()), ("day", pa.string()),
+                        ("maybe", pa.float64())])
+    got = read_evolved(root, target, renames={"val32": "v"},
+                       defaults={"tag": "legacy"}).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert list(got.columns) == ["k", "v", "tag", "day", "maybe"]
+    assert got["k"].tolist() == [1, 2, 3]            # widened, no torn/delta
+    assert got["v"].tolist() == [10, 20, 30]         # renamed + widened
+    assert got["tag"].tolist() == ["legacy", "legacy", "x"]
+    assert got["day"].tolist() == ["d1", "d1", "d2"]  # hive re-attach
+    assert got["maybe"].isna().all()                 # absent → nulls
+    assert got["k"].dtype == "int64" and got["v"].dtype == "int64"
+
+    with pytest.raises(ValueError, match="not in target"):
+        read_evolved(root, target, defaults={"ghost": 1})
+    # lossy mismatch raises rather than corrupts: string → int64
+    bad = pa.schema([("tag", pa.int64())])
+    import ray.exceptions
+    with pytest.raises(Exception):
+        read_evolved(root, bad).to_pandas()

@@ -1057,3 +1057,75 @@ def read_group_sums(agg_root: str) -> "ray.data.Dataset":
     scan; callers finish with ``relational.grouped_sum`` over the
     ``sum_*`` / ``n`` columns."""
     return ray.data.read_parquet(agg_root)
+
+def read_evolved(root: str, target: "object", renames: dict | None = None,
+                 defaults: dict | None = None,
+                 concurrency: int | None = None) -> "ray.data.Dataset":
+    """Schema-evolution read: scan a store whose Parquet files were
+    written under DIFFERENT historical schema versions and normalize
+    every file to one ``target`` pyarrow schema — the schema-on-read
+    half of add-column / rename-column / widen-type evolution, without
+    rewriting a byte of old data (the rewrite-free property is the
+    whole point at 100 TB).
+
+    Per file (one task each, files never visit the driver):
+
+    1. ``renames`` (old → new) apply first, so a column that changed
+       name counts as present under its new name
+    2. hive partition segments (``k=v``) on the file's relative path
+       re-attach as string columns when the target schema names them
+    3. columns the file predates fill from ``defaults`` (a typed
+       constant per column; absent → nulls)
+    4. every column casts to the target type (safe cast — widening
+       int32→int64 etc.; a lossy mismatch raises rather than corrupts)
+    5. columns not in the target schema drop; output column order is
+       the target order, so downstream blocks are schema-identical
+
+    Files and directories with ``_``/``.`` prefixes are skipped (same
+    discovery convention as the delta log)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    renames = dict(renames or {})
+    defaults = dict(defaults or {})
+    bad = [c for c in defaults if c not in target.names]
+    if bad:
+        raise ValueError(f"read_evolved: defaults for columns not in "
+                         f"target schema: {bad}")
+    files = []
+    for dp, dns, fns in os.walk(root):
+        dns[:] = [d for d in dns if not d.startswith(("_", "."))]
+        for f in sorted(fns):
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                files.append(os.path.relpath(os.path.join(dp, f), root))
+    if not files:
+        raise ValueError(f"read_evolved: no parquet files under {root}")
+
+    def evolve_one(rel: str) -> "pa.Table":
+        t = pq.read_table(os.path.join(root, rel))
+        t = t.rename_columns([renames.get(c, c) for c in t.column_names])
+        parts = dict(seg.split("=", 1) for seg in rel.split(os.sep)[:-1]
+                     if "=" in seg)
+        cols = []
+        for field in target:
+            if field.name in t.column_names:
+                col = t[field.name]
+            elif field.name in parts:
+                col = pa.array([parts[field.name]] * t.num_rows,
+                               type=pa.string())
+            elif field.name in defaults:
+                col = pa.array([defaults[field.name]] * t.num_rows)
+            else:
+                col = pa.nulls(t.num_rows)
+            cols.append(pc.cast(col, field.type))
+        return pa.table(dict(zip(target.names, cols)))
+
+    def evolve_batch(batch: pd.DataFrame) -> "pa.Table":
+        tabs = [evolve_one(rel) for rel in batch["rel"]]
+        return pa.concat_tables(tabs)
+
+    return ray.data.from_pandas(pd.DataFrame({"rel": files})) \
+        .repartition(len(files)) \
+        .map_batches(evolve_batch, batch_format="pandas", batch_size=None,
+                     concurrency=concurrency)

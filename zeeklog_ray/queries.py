@@ -3344,6 +3344,54 @@ def events_ivm_groupsum(sf_dir: str) -> "ray.data.Dataset":
         ["event_type"], sums={"sum_cents": "sum_cents", "n": "n"})
 
 
+def docs_schema_evolution(sf_dir: str) -> "ray.data.Dataset":
+    """Schema-on-read evolution: a store written under TWO historical
+    schema versions — v1 files (even doc_ids) carry only ``(doc_id
+    int32, body)``, v2 files (odd doc_ids) the current ``(doc_id int64,
+    text, source, n_chars)`` — normalized by
+    :func:`zeeklog_ray.partitioned.read_evolved` to one target schema
+    without rewriting a byte: ``body`` renames to ``text``, v1's
+    missing ``source``/``n_chars`` fill from typed defaults
+    ('legacy'/-1), ``doc_id`` widens int32→int64.  Result is the
+    per-source rollup; the oracle replays rename+default+widen as a
+    CASE over the source table, so a file normalized wrong (default
+    leaking onto v2 rows, widen truncating, rename missed) shifts the
+    hash."""
+    import shutil
+
+    import pyarrow.compute as pc
+
+    from zeeklog_ray.partitioned import read_evolved
+
+    out = (f"/tmp/zeeklog_evolve/"
+           f"{os.path.basename(os.path.normpath(sf_dir))}-{os.getpid()}")
+    shutil.rmtree(out, ignore_errors=True)
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "text", "source", "n_chars"])
+
+    def v1(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(pc.bit_wise_and(batch["doc_id"], 1), 0))
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int32()),
+                         "body": t["text"]})
+
+    def v2(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.equal(pc.bit_wise_and(batch["doc_id"], 1), 1))
+
+    ds.map_batches(v1, batch_format="pyarrow", batch_size=None) \
+        .write_parquet(os.path.join(out, "v1"))
+    ds.map_batches(v2, batch_format="pyarrow", batch_size=None) \
+        .write_parquet(os.path.join(out, "v2"))
+
+    target = pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
+                        ("source", pa.string()), ("n_chars", pa.int64())])
+    evolved = read_evolved(out, target, renames={"body": "text"},
+                           defaults={"source": "legacy", "n_chars": -1})
+    return grouped_sum(evolved.select_columns(["source", "n_chars"]),
+                       ["source"], sums={"n_chars": "sum_chars"},
+                       count_as="n_docs")
+
+
 def docs_prep_export(sf_dir: str) -> pd.DataFrame:
     """The FULL training-data export chain (zeeklog_ray.prep): quality
     filter → exact dedup → source-mixture resample (src0 ×2.5, src1
@@ -3982,6 +4030,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_time_travel": events_time_travel,
     "events_vacuum_roundtrip": events_vacuum_roundtrip,
     "events_ivm_groupsum": events_ivm_groupsum,
+    "docs_schema_evolution": docs_schema_evolution,
     "orders_fk_violations": orders_fk_violations,
     "events_column_profile": events_column_profile,
     "docs_snapshot_diff": docs_snapshot_diff,
@@ -5009,6 +5058,16 @@ ORACLE_SQL: dict[str, str] = {
         "WHERE even_day AND event_id % 7 = 3) "
         "SELECT event_type, CAST(SUM(cents) AS BIGINT) AS sum_cents, "
         "CAST(COUNT(*) AS BIGINT) AS n FROM final GROUP BY event_type"),
+    # rename + typed-default + widen replayed as a CASE: even doc_ids
+    # were written under schema v1 (body only), so they must surface
+    # with source 'legacy' and n_chars -1 after the evolved read
+    "docs_schema_evolution": (
+        "SELECT CASE WHEN doc_id % 2 = 0 THEN 'legacy' ELSE source END "
+        "AS source, "
+        "CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN -1 ELSE n_chars END) "
+        "AS BIGINT) AS sum_chars, "
+        "CAST(COUNT(*) AS BIGINT) AS n_docs "
+        "FROM documents GROUP BY 1"),
     "orders_fk_violations": (
         "SELECT CAST(COUNT(*) AS BIGINT) AS n_orders, "
         "CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) "
