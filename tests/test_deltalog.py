@@ -461,3 +461,62 @@ def test_read_evolved(ray_session, tmp_path):
     import ray.exceptions
     with pytest.raises(Exception):
         read_evolved(root, bad).to_pandas()
+
+
+def test_store_lifecycle_e2e(base_store, ray_session, tmp_path):
+    """The whole table-format family composed: CDC appends → IVM
+    refresh per batch → time-travel audit → fold-down compaction →
+    vacuum → schema-evolved read of the SAME store."""
+    import ray.data
+
+    from zeeklog_ray.partitioned import (
+        append_deltas,
+        compact_deltas,
+        read_evolved,
+        read_group_sums,
+        read_merged,
+        refresh_group_sums,
+        vacuum_store,
+    )
+
+    root, base = base_store
+    agg = str(tmp_path / "agg")
+    refresh_group_sums(root, agg, key="k", order_col="ver",
+                       group_cols=["ver"], sum_cols=["v"],
+                       deleted_col="deleted")
+    totals = []
+    for i in (1, 2, 3):  # three CDC micro-batches
+        day = f"2024-06-{1 + i % 3:02d}"  # k and 30+k share k%3's day
+        b = pd.DataFrame({"k": [i, 30 + i], "day": [day, day],
+                          "v": [1000 * i, 0], "ver": [i, i],
+                          "deleted": [False, True]})
+        rep = append_deltas(root, ray.data.from_pandas(b), part_col="day")
+        refresh_group_sums(root, agg, key="k", order_col="ver",
+                           group_cols=["ver"], sum_cols=["v"],
+                           deleted_col="deleted",
+                           parts=rep["dir"].tolist())
+        g = read_group_sums(agg).to_pandas()
+        totals.append((int(g["sum_v"].sum()), int(g["n"].sum())))
+    # each batch: one update (+1000i - old v) and one tombstone (-v, -1 row)
+    assert totals[0][1] == 59 and totals[2][1] == 57
+    # the maintained aggregate equals the merged view at every step
+    cur = read_merged(root, key="k", order_col="ver",
+                      deleted_col="deleted").to_pandas()
+    assert (int(cur["v"].sum()), len(cur)) == totals[2]
+    # time travel: snapshot 1 has exactly one update applied
+    s1 = read_merged(root, key="k", order_col="ver",
+                     deleted_col="deleted", as_of_seq=1).to_pandas()
+    assert s1.set_index("k").loc[1, "v"] == 1000
+    assert s1.set_index("k").loc[2, "v"] == 4       # batch 2 not yet
+    assert 31 not in s1.set_index("k").index        # batch-1 tombstone
+    # fold + vacuum: plain read now equals the merged view, no litter
+    compact_deltas(root, key="k", order_col="ver", deleted_col="deleted")
+    vacuum_store(root)
+    plain = ray.data.read_parquet(root).to_pandas()
+    assert (int(plain["v"].sum()), len(plain)) == totals[2]
+    # evolved read over the SAME store: add a column with a default
+    target = pa.schema([("k", pa.int64()), ("v", pa.int64()),
+                        ("day", pa.string()), ("lang", pa.string())])
+    ev = read_evolved(root, target, defaults={"lang": "und"}).to_pandas()
+    assert len(ev) == totals[2][1] and (ev["lang"] == "und").all()
+    assert set(ev["day"]) == {"2024-06-01", "2024-06-02", "2024-06-03"}
