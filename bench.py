@@ -230,6 +230,43 @@ def _run_scale_ops(timings: dict, minmax: dict, extras: dict) -> None:
 
     timed2(f"scale_incremental_near_dup_{dtag}", inc_near_dup)
 
+    # the PERSISTED-band-table path: the base band rows are computed once
+    # per corpus version (untimed setup, written to Parquet) and each
+    # incremental run pays only the new side's signatures + the band join
+    # + verify — the true daily-crawl cost at 100 TB
+    from zeeklog_ray.ops.dedup import band_table
+
+    bt_dir = "/tmp/zeeklog_bench/band_table"
+    import shutil as _shutil
+
+    _shutil.rmtree(bt_dir, ignore_errors=True)
+    band_table(ray.data.read_parquet(dc)).write_parquet(bt_dir)
+
+    def inc_near_dup_banded():
+        import pandas as pd
+
+        base = ray.data.read_parquet(dc)
+
+        def as_new(b):
+            fresh = b[b["doc_id"] % 10 == 4].copy()
+            fresh["doc_id"] = fresh["doc_id"] + 50_000_000
+            fresh["text"] = fresh["text"] + " nf" + fresh["doc_id"].astype(str)
+            edited = b[b["doc_id"] % 10 == 9].copy()
+            edited["doc_id"] = edited["doc_id"] + 90_000_000
+            edited["text"] = edited["text"] + " rev2"
+            return pd.concat([fresh, edited], ignore_index=True)
+
+        new = ray.data.read_parquet(dc).map_batches(
+            as_new, batch_format="pandas", batch_size=None)
+        n = incremental_near_dup(
+            new, base, threshold_e4=5000,
+            base_banded=ray.data.read_parquet(bt_dir)).count()
+        extras.setdefault("incremental_near_dup_banded_pairs", n)
+        assert n >= 90_000, n
+
+    timed2(f"scale_incremental_near_dup_{dtag}_banded", inc_near_dup_banded)
+    _shutil.rmtree(bt_dir, ignore_errors=True)
+
     # per-key ROW_NUMBER (full-table window) and latest-wins compaction
     # at the same 5M-event scale — both ride the bucketed-groupby pattern
     from zeeklog_ray.relational import latest_per_key, seq_index_per_key

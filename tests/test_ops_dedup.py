@@ -778,7 +778,8 @@ def test_incremental_near_dup_planted_and_tiers(ray_session):
         ray.data.from_pandas(new).repartition(4),
         ray.data.from_pandas(base).repartition(4),
         num_perm=16, bands=4, threshold_e4=5000,
-        broadcast_candidate_docs=0, num_buckets=8).to_pandas()
+        broadcast_candidate_docs=0, broadcast_text_bytes=0,
+        num_buckets=8).to_pandas()
     key = ["doc_id", "base_id", "j_e4"]
     pd.testing.assert_frame_equal(
         out[key].sort_values(key).reset_index(drop=True),
@@ -791,6 +792,39 @@ def test_incremental_near_dup_planted_and_tiers(ray_session):
     assert set(zip(out["doc_id"], out["base_id"])) <= \
         set(zip(cand["doc_id"], cand["base_id"]))
     assert sorted(cand.columns) == ["base_id", "doc_id"]
+
+
+def test_incremental_near_dup_persisted_band_table(ray_session, tmp_path):
+    """band_table → write_parquet → re-read → base_banded= must agree
+    bit-exactly with the in-run banding path (the 100-TB daily-crawl
+    shape: the base is banded once per corpus version, not per run)."""
+    from zeeklog_ray.ops.dedup import band_table, incremental_near_dup
+
+    rng = np.random.default_rng(12)
+    words = np.array(["alpha", "bravo", "charlie", "delta", "echo",
+                      "foxtrot", "golf", "hotel", "india", "juliet"])
+    base_txt = [" ".join(rng.choice(words, 40)) + f" b{i}"
+                for i in range(200)]
+    base = pd.DataFrame({"doc_id": np.arange(200), "text": base_txt})
+    new = pd.DataFrame({
+        "doc_id": np.arange(1000, 1030),
+        "text": [base_txt[i] + " rev2 tail" for i in range(30)]})
+    base_ds = ray.data.from_pandas(base).repartition(4)
+    new_ds = ray.data.from_pandas(new).repartition(2)
+
+    bt_dir = str(tmp_path / "band_table")
+    band_table(base_ds, num_perm=16, bands=4).write_parquet(bt_dir)
+    out_banded = incremental_near_dup(
+        new_ds, base_ds, num_perm=16, bands=4, threshold_e4=5000,
+        base_banded=ray.data.read_parquet(bt_dir)).to_pandas()
+    out_inrun = incremental_near_dup(
+        new_ds, base_ds, num_perm=16, bands=4,
+        threshold_e4=5000).to_pandas()
+    key = ["doc_id", "base_id", "j_e4"]
+    pd.testing.assert_frame_equal(
+        out_banded[key].sort_values(key).reset_index(drop=True),
+        out_inrun[key].sort_values(key).reset_index(drop=True))
+    assert len(out_banded) >= 25  # planted edits recalled
 
 
 def test_incremental_near_dup_over_cap_guard(ray_session):
