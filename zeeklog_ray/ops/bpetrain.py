@@ -440,12 +440,19 @@ def train_bpe(docs: "ray.data.Dataset", n_merges: int = 50,
                            .select(["pk", "m"]),
                 batch_format="pyarrow", batch_size=None)
             n_rounds += 1
-            dsum = grouped_sum_bucketed(deltas, ["pk"], sums={"m": "m"},
-                                        num_buckets=num_buckets) \
-                .to_pandas()
-            if "pk" in dsum.columns and len(dsum):
-                delta = pd.Series(dsum["m"].to_numpy(np.int64),
-                                  index=dsum["pk"].to_numpy(np.int64))
+            # delta partials fold on the DRIVER, not through a bucketed
+            # shuffle: the full census already lives on the driver (it
+            # is distinct-adjacent-pair sized and batch selection needs
+            # all of it), and each batch's delta rows are a subset of
+            # census keys — ≤ n_blocks × |census| rows total, strictly
+            # smaller than the table the driver already holds.  Dropping
+            # the per-round grouped_sum_bucketed removes one distributed
+            # execution per round (measured: the shuffle, not the apply,
+            # dominated round wall at 800k words / 256 merges).
+            dparts = deltas.to_pandas()
+            if "pk" in dparts.columns and len(dparts):
+                delta = dparts.groupby("pk", sort=False)["m"].sum() \
+                    .astype(np.int64)
                 census = census.add(delta, fill_value=0).astype(np.int64)
                 census = census[census > 0]
 
