@@ -794,6 +794,26 @@ def test_incremental_near_dup_planted_and_tiers(ray_session):
     assert sorted(cand.columns) == ["base_id", "doc_id"]
 
 
+def test_normalized_exact_dedup(ray_session):
+    """Case/punctuation/whitespace variants collapse to one survivor;
+    genuinely distinct content survives; layout-invariant."""
+    from zeeklog_ray.ops.dedup import normalize_text, normalized_exact_dedup
+
+    assert normalize_text(pd.Series(
+        ["Hello,  World!", "hello world", "HELLO-WORLD.", " a  b\tc\n"]
+    )).tolist() == ["hello world"] * 3 + ["a b c"]
+
+    docs = pd.DataFrame({
+        "doc_id": [5, 1, 3, 2, 4, 6],
+        "text": ["Hello,  World!", "hello world", "HELLO-WORLD.",
+                 "spark join", "Spark;Join", "unique doc here"]})
+    for nparts in (1, 3):
+        out = normalized_exact_dedup(
+            ray.data.from_pandas(docs).repartition(nparts)).to_pandas()
+        got = dict(zip(out["doc_id"], out["n_dups"]))
+        assert got == {1: 3, 2: 2, 6: 1}
+
+
 def test_incremental_near_dup_persisted_band_table(ray_session, tmp_path):
     """band_table → write_parquet → re-read → base_banded= must agree
     bit-exactly with the in-run banding path (the 100-TB daily-crawl

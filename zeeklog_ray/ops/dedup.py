@@ -43,6 +43,54 @@ def content_digest128(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
 _GUARD_DRIVER_MERGE_MAX = 5_000_000
 
 
+def normalize_text(texts: pd.Series) -> pd.Series:
+    """Canonical text form shared by :func:`normalized_exact_dedup` and
+    its SQL oracle: lowercase, every run of characters outside [a-z0-9]
+    (punctuation, whitespace, digits-adjacent symbols, non-ASCII) folds
+    to ONE space, leading/trailing space trimmed.  This is the C4/
+    RefinedWeb-style canonicalization tier between raw exact dedup
+    (misses a re-crawl that only re-wrapped whitespace) and MinHash
+    (pays signatures for what is byte-identical after normalization).
+    Replayable in SQL as trim(regexp_replace(lower(text),
+    '[^a-z0-9]+', ' ', 'g')) — both sides lower first, so any codepoint
+    whose lowercase leaves [a-z0-9] is folded identically."""
+    return (texts.str.lower()
+            .str.replace(r"[^a-z0-9]+", " ", regex=True)
+            .str.strip())
+
+
+def normalized_exact_dedup(ds: "ray.data.Dataset", text_col: str = "text",
+                           id_col: str = "doc_id",
+                           num_buckets: int = 2048) -> "ray.data.Dataset":
+    """Exact dedup over the NORMALIZED text: normalize row-locally
+    (:func:`normalize_text`), digest to 128 bits, shuffle only
+    (digest, id) rows bucketed by digest hash, keep the min-id doc per
+    normalized form with its duplicate count.  Returns (doc_id, n_dups).
+
+    Scale shape: identical to the raw exact tier — text never shuffles,
+    one bucketed groupby at distinct-content cardinality; the normalize
+    pass is one vectorized regex per batch.  Reference analog: none
+    (the reference has no content dedup); public C4-style cleaning
+    stage."""
+
+    def digest(batch: pd.DataFrame) -> pd.DataFrame:
+        h1, h2 = content_digest128(normalize_text(batch[text_col]))
+        out = pd.DataFrame({"digest": h1, "digest2": h2,
+                            id_col: batch[id_col]})
+        out["_bucket"] = (out["digest"]
+                          % np.uint64(num_buckets)).astype("int64")
+        return out
+
+    def dedup_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby(["digest", "digest2"], sort=False)
+        return g.agg(**{id_col: (id_col, "min"),
+                        "n_dups": (id_col, "size")}).reset_index(drop=True)
+
+    hashed = ds.map_batches(digest, batch_format="pandas", batch_size=None)
+    return hashed.groupby("_bucket").map_groups(dedup_bucket,
+                                                batch_format="pandas")
+
+
 def _shingle_hashes(texts: pd.Series, k: int) -> tuple[np.ndarray, np.ndarray]:
     """All k-byte shingle hashes per text, vectorized; returns (hashes,
     offsets) where text i owns hashes[offsets[i]:offsets[i+1]]."""

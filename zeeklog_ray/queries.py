@@ -367,6 +367,50 @@ def docs_passage_chunks(sf_dir: str) -> "ray.data.Dataset":
     return passage_chunks(docs, chunk_words=32, stride=24)
 
 
+def docs_normalized_dedup(sf_dir: str) -> "ray.data.Dataset":
+    """Normalization-canonicalized exact dedup
+    (ops/dedup.normalized_exact_dedup): lowercase + non-alphanumeric
+    folding + trim, then 128-bit digest first-wins.  The corpus is
+    already canonical, so the query PLANTS obfuscated re-crawls — one
+    variant per doc (uppercased / punctuation-wrapped / byte-identical
+    by doc_id % 3, id + 10M) — and the dedup must fold every variant
+    back onto its original.  Text never shuffles; one digest-bucketed
+    groupby.  Oracle replays the variants and the exact normalization
+    (trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))."""
+    from zeeklog_ray.ops.dedup import normalized_exact_dedup
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def with_variants(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch.copy()
+        m0 = (v["doc_id"] % 3 == 0).to_numpy()
+        m1 = (v["doc_id"] % 3 == 1).to_numpy()
+        t = v["text"].copy()
+        t[m0] = t[m0].str.upper()
+        t[m1] = t[m1] + "  !!"
+        v["text"] = t
+        v["doc_id"] = v["doc_id"] + 10_000_000
+        return pd.concat([batch, v], ignore_index=True)
+
+    variants = docs.map_batches(with_variants, batch_format="pandas",
+                                batch_size=None)
+    return normalized_exact_dedup(variants)
+
+
+def docs_keyword_search(sf_dir: str) -> "ray.data.Dataset":
+    """Distributed keyword retrieval (ops/retrieval.keyword_search):
+    integer TF-IDF top-20 for a fixed 3-term query.  Shuffle volume is
+    O(matching postings); tf rows complete inside their batch; df and
+    the final k·n_blocks top-k partials fold on the driver.  Scores are
+    integer-exact (idf = (N·10000) // df), so the SQL replay is
+    hash-green, ordering gated by the (score desc, doc_id asc)
+    tie-break."""
+    from zeeklog_ray.ops.retrieval import keyword_search
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return keyword_search(docs, ["spark", "join", "vector"], k=20)
+
+
 def docs_nb_source_clf(sf_dir: str) -> "ray.data.Dataset":
     """Distributed hashed-feature Naive Bayes (ops/classify.py): train a
     source classifier on alternating doc_id blocks (block = doc_id//20,
@@ -4036,6 +4080,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "docs_snapshot_diff": docs_snapshot_diff,
     "docs_incremental_dedup": docs_incremental_dedup,
     "docs_incremental_near_dup": docs_incremental_near_dup,
+    "docs_normalized_dedup": docs_normalized_dedup,
+    "docs_keyword_search": docs_keyword_search,
     "docs_lang_stats": docs_lang_stats,
     "docs_nb_source_clf": docs_nb_source_clf,
     "docs_passage_chunks": docs_passage_chunks,
@@ -4648,6 +4694,35 @@ ORACLE_SQL: dict[str, str] = {
         "CAST(ROW_NUMBER() OVER (PARTITION BY event_type "
         "ORDER BY COUNT(*) DESC, user_id) AS BIGINT) AS rank "
         "FROM events GROUP BY event_type, user_id) WHERE rank <= 5"),
+    # normalization replayed verbatim: lower -> fold non-[a-z0-9] runs
+    # to one space -> trim; planted variants rebuilt in SQL
+    "docs_normalized_dedup": (
+        "WITH variants AS ("
+        "SELECT doc_id, text FROM documents "
+        "UNION ALL "
+        "SELECT doc_id + 10000000, "
+        "CASE WHEN doc_id % 3 = 0 THEN upper(text) "
+        "WHEN doc_id % 3 = 1 THEN text || '  !!' "
+        "ELSE text END FROM documents), "
+        "norm AS (SELECT doc_id, "
+        "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nt "
+        "FROM variants) "
+        "SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, "
+        "CAST(count(*) AS BIGINT) AS n_dups FROM norm GROUP BY nt"),
+    # integer TF-IDF retrieval: idf = (N*10000)//df, whitespace tokens,
+    # top-20 by (score desc, doc_id asc) — the same tie-break as the op
+    "docs_keyword_search": (
+        "WITH w AS (SELECT doc_id, unnest(LIST_FILTER("
+        "STRING_SPLIT_REGEX(text, '\\s+'), x -> x <> '')) AS term "
+        "FROM documents), "
+        "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w "
+        "WHERE term IN ('spark', 'join', 'vector') GROUP BY 1, 2), "
+        "df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1), "
+        "n AS (SELECT COUNT(*) AS nd FROM documents) "
+        "SELECT CAST(tf.doc_id AS BIGINT) AS doc_id, "
+        "CAST(SUM(tf.tf * ((n.nd * 10000) // df.df)) AS BIGINT) AS score "
+        "FROM tf JOIN df USING (term) CROSS JOIN n "
+        "GROUP BY tf.doc_id ORDER BY score DESC, doc_id LIMIT 20"),
     # exact linear PMI in HUGEINT; ties at the k boundary break by
     # (count desc, w1, w2) on both sides
     "docs_bigram_pmi": (
