@@ -354,6 +354,27 @@ def _run_scale_ops(timings: dict, minmax: dict, extras: dict) -> None:
            lambda: tfidf_top_terms(ray.data.read_parquet(dc), k=3,
                                    n_docs=SCALE_DOC_ROWS).count())
 
+    # keyword retrieval at 1M docs: 3 pool words (~0.4% df each) — one
+    # corpus pass, O(matching postings) exchange, driver-folded df/top-k
+    from zeeklog_ray.ops.retrieval import keyword_search
+
+    q_terms = ray.data.read_parquet(dc).take(1)[0]["text"].split()[:3]
+
+    def kw_search():
+        n = keyword_search(ray.data.read_parquet(dc), q_terms,
+                           k=20).count()
+        assert n == 20, n
+
+    timed2(f"scale_keyword_search_{dtag}", kw_search)
+
+    # normalization-canonicalized exact dedup at 1M docs: one extra
+    # vectorized regex pass over the raw exact tier's digest shuffle
+    from zeeklog_ray.ops.dedup import normalized_exact_dedup
+
+    timed2(f"scale_normalized_dedup_{dtag}",
+           lambda: normalized_exact_dedup(
+               ray.data.read_parquet(dc)).count())
+
     # triangle count on a 1M-node / 2M-edge ladder graph (edges (i,i+1),
     # (i,i+2) → exactly n-2 triangles): certifies the degree-orientation
     # wedge path + multi-key closure join at millions of edges

@@ -207,6 +207,7 @@ def test_ngram_jaccard_dedup_pairs_join_tier_parity(ray_session):
         .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     joined = ngram_jaccard_dedup_pairs(
         ray.data.from_pandas(df), broadcast_candidate_docs=0,
+        broadcast_text_bytes=0,
         num_buckets=16, **kw).to_pandas() \
         .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     assert len(broad) > 0                       # planted dups were found

@@ -489,7 +489,8 @@ def ngram_jaccard_dedup_pairs(ds: "ray.data.Dataset",
                               max_bucket: int = 512,
                               broadcast_candidate_docs: int = 100_000,
                               num_buckets: int = 1024,
-                              spill_dir: str | None = None
+                              spill_dir: str | None = None,
+                              broadcast_text_bytes: int = 256 << 20
                               ) -> "ray.data.Dataset":
     """n-gram Jaccard near-duplicate pairs — the production two-phase shape:
     MinHash+LSH candidate generation (:func:`minhash_lsh_pairs`, signatures
@@ -502,11 +503,17 @@ def ngram_jaccard_dedup_pairs(ds: "ray.data.Dataset",
     smaller than the corpus) is broadcast once via ``ray.put`` and the
     matching texts are semi-FILTERED out of the corpus map-side
     (vectorized ``np.isin`` per batch).  The candidate TEXTS are then
-    attached two ways, tiered on the candidate count:
+    attached two ways, tiered on the candidate count OR their measured
+    bytes (worker heap is the binding constraint for a broadcast, so a
+    large candidate POPULATION of short texts still broadcasts when it
+    fits ``broadcast_text_bytes`` — measured in incremental_near_dup,
+    the broadcast beats the two join passes ~1.6× end-to-end when it
+    fits):
 
-    * ``≤ broadcast_candidate_docs``: the candidate texts collect to one
-      ``ray.put`` lookup and the verify map reads it zero-copy — zero
-      shuffles (the common case: near-dup populations are small).
+    * ``≤ broadcast_candidate_docs`` ids or ``≤ broadcast_text_bytes``
+      total text: the candidate texts collect to one ``ray.put`` lookup
+      and the verify map reads it zero-copy — zero shuffles (the common
+      case: near-dup populations are small).
     * above it: the candidate texts STAY a Dataset and attach to the pair
       table with two :func:`zeeklog_ray.relational.bucketed_equi_join`
       passes (pairs ⋈ texts on doc_a, then on doc_b) — shuffle volume is
@@ -541,8 +548,20 @@ def ngram_jaccard_dedup_pairs(ds: "ray.data.Dataset",
         m = np.isin(batch["doc_id"].to_numpy(), wanted, assume_unique=False)
         return batch.loc[m, ["doc_id", text_col]]
 
-    cand_texts = ds.map_batches(keep_cands, batch_format="pandas",
-                                batch_size=None)
+    # candidates-only, never the corpus: pinned once for the byte probe
+    # plus up to two join consumers (spill seam honored)
+    from zeeklog_ray.spill import pin_or_spill
+
+    cand_texts = pin_or_spill(
+        ds.map_batches(keep_cands, batch_format="pandas", batch_size=None),
+        spill_dir, "ngram_cand_texts")
+
+    def sz(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"b": [int(batch[text_col].str.len().sum())]})
+
+    szp = cand_texts.map_batches(sz, batch_format="pandas",
+                                 batch_size=None).to_pandas()
+    cand_bytes = int(szp["b"].sum()) if "b" in szp.columns else 0
 
     def verify_cols(batch: pd.DataFrame, ta: pd.Series,
                     tb: pd.Series) -> pd.DataFrame:
@@ -553,7 +572,8 @@ def ngram_jaccard_dedup_pairs(ds: "ray.data.Dataset",
                        union[keep]).astype(np.int64)
         return out
 
-    if len(cand_ids) <= broadcast_candidate_docs:
+    if (len(cand_ids) <= broadcast_candidate_docs
+            or cand_bytes <= broadcast_text_bytes):
         texts_pd = cand_texts.to_pandas()
         lookup = (dict(zip(texts_pd["doc_id"], texts_pd[text_col]))
                   if "doc_id" in texts_pd.columns else {})
@@ -569,11 +589,6 @@ def ngram_jaccard_dedup_pairs(ds: "ray.data.Dataset",
 
     # ---- partitioned tier: attach both texts with two bucketed joins ----
     from zeeklog_ray.relational import bucketed_equi_join
-
-    # two consumers (doc_a join, doc_b join) — pin the candidate texts so
-    # the corpus semi-filter scan doesn't re-execute per consumer; the
-    # pinned table is candidates-only, never the corpus
-    cand_texts = cand_texts.materialize()
 
     def as_text(role: str):
         def f(batch: pd.DataFrame) -> pd.DataFrame:
