@@ -1577,10 +1577,40 @@ def incremental_dedup(new_docs: "ray.data.Dataset",
                              "d1": d1.view(np.int64)[hit],
                              "d2": d2.view(np.int64)[hit]})
 
-    candidates = new_docs.map_batches(probe, batch_format="pandas",
-                                      batch_size=None)
+    # Candidates are DELTA-shaped (bloom hits: true dups + ~1% FPs), so
+    # pin them and broadcast their d1 set back over the base digest
+    # table BEFORE the verify join — the exchange then carries
+    # O(candidates + colliding base rows), not the whole base (at a
+    # 10^12-doc base the full-digest shuffle would move ~16 TB per daily
+    # run; the filtered one moves delta-sized rows).  Above the
+    # broadcast budget (8 B per candidate d1) fall back to the full
+    # semi-join.
+    candidates = pin_or_spill(
+        new_docs.map_batches(probe, batch_format="pandas",
+                             batch_size=None),
+        spill_dir, "incdedup_candidates")
+    n_cand = candidates.count()
+    verify_base = base_dig
+    if 0 < n_cand <= 32_000_000:        # ≤ 256 MB broadcast of d1 keys
+        def d1_of(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"d1": np.unique(batch["d1"].to_numpy())})
+
+        d1p = candidates.map_batches(d1_of, batch_format="pandas",
+                                     batch_size=None).to_pandas()
+        d1s_ref = _ray.put(np.unique(d1p["d1"].to_numpy())
+                           if "d1" in d1p.columns
+                           else np.array([], dtype=np.int64))
+
+        def base_hits(batch: pd.DataFrame) -> pd.DataFrame:
+            m = np.isin(batch["d1"].to_numpy(), _ray.get(d1s_ref),
+                        assume_unique=False)
+            return batch[m]
+
+        verify_base = base_dig.map_batches(base_hits,
+                                           batch_format="pandas",
+                                           batch_size=None)
     confirmed = bucketed_semi_anti_join(
-        candidates, base_dig, on=["d1", "d2"], anti=False,
+        candidates, verify_base, on=["d1", "d2"], anti=False,
         num_buckets=num_buckets).select_columns([id_col])
     n_conf = confirmed.count()
     if n_conf <= broadcast_ids:
