@@ -375,6 +375,15 @@ def _run_scale_ops(timings: dict, minmax: dict, extras: dict) -> None:
            lambda: normalized_exact_dedup(
                ray.data.read_parquet(dc)).count())
 
+    # SimHash Hamming-radius-3 pairs at 1M docs: 4 band rows/doc shuffle,
+    # popcount verify on the join output (planted exact-dup clusters
+    # surface as hamming-0 pairs)
+    from zeeklog_ray.ops.dedup import simhash_near_dup_pairs
+
+    timed2(f"scale_simhash_pairs_{dtag}",
+           lambda: simhash_near_dup_pairs(ray.data.read_parquet(dc),
+                                          max_hamming=3).count())
+
     # triangle count on a 1M-node / 2M-edge ladder graph (edges (i,i+1),
     # (i,i+2) → exactly n-2 triangles): certifies the degree-orientation
     # wedge path + multi-key closure join at millions of edges

@@ -795,6 +795,52 @@ def test_incremental_near_dup_planted_and_tiers(ray_session):
     assert sorted(cand.columns) == ["base_id", "doc_id"]
 
 
+def test_simhash_near_dup_pairs(ray_session):
+    """Pigeonhole banding guarantees signature-level recall 1.0: every
+    pair within max_hamming MUST be found; hamming values exact; pairs
+    beyond the radius absent; layout invariant; over-cap guard."""
+    from zeeklog_ray.ops.dedup import (_popcount64, simhash_near_dup_pairs,
+                                       simhash_signatures)
+
+    assert _popcount64(np.array([0, 1, 3, (1 << 64) - 1,
+                                 1 << 63], dtype=np.uint64)).tolist() \
+        == [0, 1, 2, 64, 1]
+
+    rng = np.random.default_rng(5)
+    words = np.array(["alpha", "bravo", "charlie", "delta", "echo",
+                      "foxtrot", "golf", "hotel", "india", "juliet"])
+    base = [" ".join(rng.choice(words, 30)) for _ in range(60)]
+    df = pd.DataFrame({
+        "doc_id": list(range(60)) + list(range(100, 110)),
+        "text": base + [base[i] + " x" for i in range(10)]})
+
+    sig = simhash_signatures(ray.data.from_pandas(df)).to_pandas()
+    sigm = dict(zip(sig["doc_id"], sig["simhash"]))
+
+    def ham(a, b):
+        return bin((sigm[a] ^ sigm[b]) & ((1 << 64) - 1)).count("1")
+
+    truth = {(a, b): ham(a, b)
+             for ai, a in enumerate(sorted(sigm))
+             for b in sorted(sigm)[ai + 1:] if ham(a, b) <= 3}
+
+    for nparts in (1, 4):
+        out = simhash_near_dup_pairs(
+            ray.data.from_pandas(df).repartition(nparts),
+            max_hamming=3).to_pandas()
+        got = {(a, b): h for a, b, h in
+               zip(out["doc_a"], out["doc_b"], out["hamming"])}
+        assert got == truth          # exact recall AND exact distances
+    assert len(truth) >= 9           # the planted variants are in range
+
+    # over-cap: 40 identical docs -> every band bucket over the cap
+    same = pd.DataFrame({"doc_id": np.arange(40),
+                         "text": ["same text here"] * 40})
+    out = simhash_near_dup_pairs(ray.data.from_pandas(same),
+                                 max_bucket=10).to_pandas()
+    assert len(out) == 0
+
+
 def test_normalized_exact_dedup(ray_session):
     """Case/punctuation/whitespace variants collapse to one survivor;
     genuinely distinct content survives; layout-invariant."""

@@ -640,6 +640,125 @@ def simhash_signatures(ds: "ray.data.Dataset", text_col: str = "text",
     return ds.map_batches(sig, batch_format="pandas", batch_size=None)
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized population count over uint64 (SWAR) — exact, no lookup
+    tables, matches SQL bit_count on the two's-complement BIGINT view."""
+    x = x.astype(np.uint64, copy=True)
+    x -= (x >> np.uint64(1)) & np.uint64(0x5555555555555555)
+    x = (x & np.uint64(0x3333333333333333)) + \
+        ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)) \
+        .astype(np.int64)
+
+
+def simhash_near_dup_pairs(ds: "ray.data.Dataset", max_hamming: int = 3,
+                           text_col: str = "text", k: int = 5,
+                           max_bucket: int = 512,
+                           spill_dir: str | None = None
+                           ) -> "ray.data.Dataset":
+    """SimHash near-dup pairs: 64-bit signatures
+    (:func:`simhash_signatures`), Hamming-ball blocking by the pigeonhole
+    band split, EXACT popcount verify.  Two signatures within Hamming
+    distance d differ in at most d bit positions, so splitting 64 bits
+    into d+1 disjoint bands guarantees at least one band matches
+    EXACTLY — candidate generation is a self-equi-join on (band_idx,
+    band_value), recall 1.0 at the signature level by construction (no
+    probability knob, unlike MinHash banding).
+
+    Scale shape: only (band_key, doc_id, simhash) rows shuffle — 17 B/row
+    × (max_hamming+1) per doc, never text; the verify popcount runs on
+    the join output with zero extra attach (both signatures ride the
+    band rows).  Oversized band buckets (identical-content clusters) are
+    guarded exactly like :func:`minhash_lsh_pairs` — excluded with a
+    runtime warning; run exact dedup first.
+
+    Returns (doc_a, doc_b, hamming) distinct with doc_a < doc_b and
+    hamming ≤ ``max_hamming``.  Integer-deterministic end to end, so the
+    whole chain (signatures → bands → join → popcount) replays in SQL —
+    queries.docs_simhash_dups.  Reference analog: none; public
+    Charikar-2002 SimHash + Manku-et-al banding shape."""
+    import ray as _ray
+
+    from zeeklog_ray.spill import pin_or_spill
+
+    if not 0 <= max_hamming <= 15:
+        raise ValueError(f"max_hamming must be in [0, 15], got {max_hamming}")
+    bands = max_hamming + 1
+    width = 64 // bands
+
+    sigs = simhash_signatures(ds, text_col, k)
+
+    def band_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        sim = batch["simhash"].to_numpy(np.int64).view(np.uint64)
+        outs = []
+        for b in range(bands):
+            lo = b * width
+            w = width if b < bands - 1 else 64 - lo
+            bv = (sim >> np.uint64(lo)) & np.uint64((1 << w) - 1)
+            # band index folded above the value bits (w ≤ 56 always)
+            bb = bv | (np.uint64(b) << np.uint64(56))
+            outs.append(pd.DataFrame({"bb": bb.astype(np.int64),
+                                      "doc_id": batch["doc_id"],
+                                      "sh": sim.view(np.int64)}))
+        return pd.concat(outs, ignore_index=True)
+
+    banded = pin_or_spill(
+        sigs.map_batches(band_rows, batch_format="pandas",
+                         batch_size=None),
+        spill_dir, "simhash_banded")
+    n_banded = banded.count()
+    big_keys, n_dropped = _over_cap_bucket_keys(banded, n_banded,
+                                                max_bucket)
+    if len(big_keys):
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "simhash_near_dup_pairs: excluding %d oversized band buckets "
+            "(%d rows > max_bucket=%d); members emit NO pairs — run "
+            "exact dedup first", len(big_keys), n_dropped, max_bucket)
+        banded = _drop_buckets(banded, big_keys)
+        n_banded = banded.count()
+    if n_banded == 0:
+        import pyarrow as pa
+
+        return ray.data.from_arrow(pa.table({
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "hamming": pa.array([], pa.int64())}))
+
+    def as_role(role: str, shcol: str):
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.rename(columns={"doc_id": role, "sh": shcol})
+
+        return f
+
+    from zeeklog_ray.relational import (bucketed_distinct,
+                                        sized_join_partitions)
+
+    left = banded.map_batches(as_role("doc_a", "sh_a"),
+                              batch_format="pandas", batch_size=None)
+    right = banded.map_batches(as_role("doc_b", "sh_b"),
+                               batch_format="pandas", batch_size=None)
+    cand = left.join(right, join_type="inner",
+                     num_partitions=sized_join_partitions(n_banded),
+                     on=("bb",), right_on=("bb",),
+                     left_suffix="_l", right_suffix="_r")
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch["doc_a"] < batch["doc_b"]]
+        ham = _popcount64(batch["sh_a"].to_numpy(np.int64).view(np.uint64)
+                          ^ batch["sh_b"].to_numpy(np.int64)
+                          .view(np.uint64))
+        out = batch[["doc_a", "doc_b"]].copy()
+        out["hamming"] = ham
+        return out[out["hamming"] <= max_hamming]
+
+    cand = cand.map_batches(verify, batch_format="pandas",
+                            batch_size=None)
+    return bucketed_distinct(cand, ["doc_a", "doc_b", "hamming"])
+
+
 def first_wins(ds: "ray.data.Dataset", key: str, order_col: str,
                num_buckets: int = 1024) -> "ray.data.Dataset":
     """Exact first-wins dedup on ``key``: keep the row with the smallest

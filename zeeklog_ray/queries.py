@@ -397,6 +397,33 @@ def docs_normalized_dedup(sf_dir: str) -> "ray.data.Dataset":
     return normalized_exact_dedup(variants)
 
 
+def docs_simhash_dups(sf_dir: str) -> "ray.data.Dataset":
+    """SimHash near-dup pairs (ops/dedup.simhash_near_dup_pairs):
+    Hamming-ball blocking by the pigeonhole band split (4×16-bit bands
+    for radius 3 — at least one band matches exactly, recall 1.0 at the
+    signature level), exact popcount verify on the band join output.
+    The corpus is distinct, so the query PLANTS one '+2 words' variant
+    per doc_id % 5 == 0 (id + 10M) — near-identical shingle sets whose
+    signatures land within the radius.  Only 17 B/doc band rows shuffle.
+    Oracle replays the ENTIRE chain in SQL: the doc_simhash HUGEINT
+    signature CTE over the variants, band extraction by HUGEINT
+    division, the self-join, and bit_count(xor) — hash-green, no
+    approximation gap."""
+    from zeeklog_ray.ops.dedup import simhash_near_dup_pairs
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def with_variants(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[batch["doc_id"] % 5 == 0].copy()
+        v["text"] = v["text"] + " zz qq"
+        v["doc_id"] = v["doc_id"] + 10_000_000
+        return pd.concat([batch, v], ignore_index=True)
+
+    variants = docs.map_batches(with_variants, batch_format="pandas",
+                                batch_size=None)
+    return simhash_near_dup_pairs(variants, max_hamming=3)
+
+
 def docs_keyword_search(sf_dir: str) -> "ray.data.Dataset":
     """Distributed keyword retrieval (ops/retrieval.keyword_search):
     integer TF-IDF top-20 for a fixed 3-term query.  Shuffle volume is
@@ -4082,6 +4109,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "docs_incremental_near_dup": docs_incremental_near_dup,
     "docs_normalized_dedup": docs_normalized_dedup,
     "docs_keyword_search": docs_keyword_search,
+    "docs_simhash_dups": docs_simhash_dups,
     "docs_lang_stats": docs_lang_stats,
     "docs_nb_source_clf": docs_nb_source_clf,
     "docs_passage_chunks": docs_passage_chunks,
@@ -4709,6 +4737,39 @@ ORACLE_SQL: dict[str, str] = {
         "FROM variants) "
         "SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, "
         "CAST(count(*) AS BIGINT) AS n_dups FROM norm GROUP BY nt"),
+    # the FULL simhash dedup chain replayed: signatures (the proven
+    # doc_simhash HUGEINT CTE) over the planted variants, 16-bit bands
+    # via HUGEINT division, band self-join, bit_count(xor) verify
+    "docs_simhash_dups": (
+        "WITH variants AS ("
+        "SELECT doc_id, text FROM documents "
+        "UNION ALL "
+        "SELECT doc_id + 10000000, text || ' zz qq' FROM documents "
+        "WHERE doc_id % 5 = 0), "
+        "h AS (SELECT doc_id, list_transform(range(1, length(text)-3), "
+        "i -> list_reduce(list_transform(range(i, i+5), "
+        "j -> ord(substring(text, j, 1))::HUGEINT), "
+        "(acc, c) -> (acc*1000003::HUGEINT + c) % "
+        "18446744073709551616::HUGEINT)) AS hs FROM variants), "
+        "s AS (SELECT doc_id, COALESCE(list_sum(list_transform("
+        "range(0, 64), "
+        "b -> CASE WHEN 2*len(list_filter(hs, "
+        "x -> ((x // (2::HUGEINT ** b)::HUGEINT) % 2) = 1)) > len(hs) "
+        "THEN (2::HUGEINT ** b)::HUGEINT ELSE 0::HUGEINT END)), "
+        "0::HUGEINT) AS m FROM h), "
+        "sb AS (SELECT doc_id, m, "
+        "CAST(CASE WHEN m >= 9223372036854775808::HUGEINT "
+        "THEN m - 18446744073709551616::HUGEINT ELSE m END AS BIGINT) "
+        "AS sh FROM s), "
+        "bands AS (SELECT doc_id, sh, b, "
+        "(m // (65536::HUGEINT ** b)::HUGEINT) % 65536::HUGEINT AS bv "
+        "FROM sb, range(0, 4) t(b)), "
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b, "
+        "a.sh AS sa, c.sh AS sc FROM bands a JOIN bands c "
+        "ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id) "
+        "SELECT doc_a, doc_b, "
+        "CAST(bit_count(xor(sa, sc)) AS BIGINT) AS hamming "
+        "FROM cand WHERE bit_count(xor(sa, sc)) <= 3"),
     # integer TF-IDF retrieval: idf = (N*10000)//df, whitespace tokens,
     # top-20 by (score desc, doc_id asc) — the same tie-break as the op
     "docs_keyword_search": (
