@@ -70,6 +70,45 @@ def test_keyword_search_layout_and_spill_invariance(ray_session, tmp_path):
     pd.testing.assert_frame_equal(spilled, base)
 
 
+def _brute_bm25(df: pd.DataFrame, terms: list[str], k: int) -> pd.DataFrame:
+    split = df["text"].str.split()
+    dls = split.str.len().to_numpy()
+    n = len(df)
+    avgdl = max(1, int(dls.sum()) // n)
+    rows = []
+    for t in terms:
+        tf = split.map(lambda ws, t=t: ws.count(t)).to_numpy()
+        dfreq = int((tf > 0).sum())
+        if dfreq == 0:
+            continue
+        idf = (n * 10_000) // dfreq
+        tf_norm = np.where(
+            tf > 0,
+            (10_000 * 44 * avgdl * tf)
+            // (20 * avgdl * tf + 6 * avgdl + 18 * dls), 0)
+        rows.append(pd.DataFrame({"doc_id": df["doc_id"],
+                                  "s": idf * tf_norm}))
+    tot = (pd.concat(rows).groupby("doc_id")["s"].sum().reset_index()
+           .rename(columns={"s": "score"}))
+    tot = tot[tot["score"] > 0]
+    return (tot.sort_values(["score", "doc_id"], ascending=[False, True])
+            .head(k).reset_index(drop=True))
+
+
+def test_bm25_matches_brute_force(ray_session):
+    df = _corpus()
+    terms = ["zulu", "alpha", "echo"]
+    want = _brute_bm25(df, terms, 6)
+    got = keyword_search(ray.data.from_pandas(df).repartition(4), terms,
+                         k=6, bm25=True).to_pandas()
+    pd.testing.assert_frame_equal(
+        got.astype({"doc_id": "int64", "score": "int64"}),
+        want.astype({"doc_id": "int64", "score": "int64"}))
+    # BM25 length normalization: doc 100 (short, zulu-saturated) must
+    # outrank every 12-word doc that merely contains a term once
+    assert got["doc_id"].iloc[0] == 100
+
+
 def test_keyword_search_tie_break_and_empty(ray_session):
     df = pd.DataFrame({"doc_id": [3, 1, 2],
                        "text": ["golf golf", "golf golf", "hotel"]})

@@ -438,6 +438,21 @@ def docs_keyword_search(sf_dir: str) -> "ray.data.Dataset":
     return keyword_search(docs, ["spark", "join", "vector"], k=20)
 
 
+def docs_bm25_search(sf_dir: str) -> "ray.data.Dataset":
+    """BM25 retrieval (ops/retrieval.keyword_search(bm25=True)): the
+    dl/avgdl-normalized saturation form with k1 = 6/5 and b = 3/4 as
+    exact rationals — tf_norm_e4 = (10000·44·avgdl·tf) //
+    (20·avgdl·tf + 6·avgdl + 18·dl), score = Σ idf·tf_norm_e4, every
+    quantity integer.  Same one-pass match shape as docs_keyword_search;
+    the oracle replays dl, avgdl (floored), idf and the scaled division
+    verbatim, gating both the ranking AND the exact scores."""
+    from zeeklog_ray.ops.retrieval import keyword_search
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return keyword_search(docs, ["spark", "join", "vector"], k=20,
+                          bm25=True)
+
+
 def docs_nb_source_clf(sf_dir: str) -> "ray.data.Dataset":
     """Distributed hashed-feature Naive Bayes (ops/classify.py): train a
     source classifier on alternating doc_id blocks (block = doc_id//20,
@@ -4110,6 +4125,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "docs_normalized_dedup": docs_normalized_dedup,
     "docs_keyword_search": docs_keyword_search,
     "docs_simhash_dups": docs_simhash_dups,
+    "docs_bm25_search": docs_bm25_search,
     "docs_lang_stats": docs_lang_stats,
     "docs_nb_source_clf": docs_nb_source_clf,
     "docs_passage_chunks": docs_passage_chunks,
@@ -4770,6 +4786,27 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT doc_a, doc_b, "
         "CAST(bit_count(xor(sa, sc)) AS BIGINT) AS hamming "
         "FROM cand WHERE bit_count(xor(sa, sc)) <= 3"),
+    # BM25 with exact-rational k1=6/5, b=3/4: dl per doc, avgdl floored,
+    # the scaled-integer saturation division replayed verbatim
+    "docs_bm25_search": (
+        "WITH w AS (SELECT doc_id, "
+        "LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'), x -> x <> '') "
+        "AS words FROM documents), "
+        "dl AS (SELECT doc_id, len(words) AS dl FROM w), "
+        "stats AS (SELECT COUNT(*) AS nd, SUM(dl) // COUNT(*) AS avgdl "
+        "FROM dl), "
+        "u AS (SELECT doc_id, unnest(words) AS term FROM w), "
+        "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM u "
+        "WHERE term IN ('spark', 'join', 'vector') GROUP BY 1, 2), "
+        "df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1) "
+        "SELECT CAST(tf.doc_id AS BIGINT) AS doc_id, "
+        "CAST(SUM(((s.nd * 10000) // df.df) * "
+        "((10000 * 44 * GREATEST(s.avgdl, 1) * tf.tf) // "
+        "(20 * GREATEST(s.avgdl, 1) * tf.tf + 6 * GREATEST(s.avgdl, 1) "
+        "+ 18 * dl.dl))) AS BIGINT) AS score "
+        "FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id "
+        "CROSS JOIN stats s "
+        "GROUP BY tf.doc_id ORDER BY score DESC, doc_id LIMIT 20"),
     # integer TF-IDF retrieval: idf = (N*10000)//df, whitespace tokens,
     # top-20 by (score desc, doc_id asc) — the same tie-break as the op
     "docs_keyword_search": (
