@@ -455,3 +455,37 @@ def test_grouped_approx_distinct_replayable_matches_sql(ray_session):
         .sort_index().to_numpy()
     rel = np.abs(got["approx_n"].to_numpy() / exact - 1)
     assert (rel < 0.05).all(), rel
+
+
+def test_count_min_overcounts_never_under(ray_session):
+    """CM estimates are >= true counts (min over hashed counters), exact
+    at generous width, visibly over at tiny width; block-layout
+    invariant (counters merge by addition)."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    from zeeklog_ray.ops.sketch import count_min_build, count_min_estimate
+
+    rng = np.random.default_rng(3)
+    keys = rng.zipf(1.8, size=20_000).astype(np.int64) % 500
+    df = pd.DataFrame({"user_id": keys})
+    truth = df["user_id"].value_counts()
+    qk = truth.index.to_numpy()[:50]
+
+    for nparts in (1, 4):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        wide = count_min_build(ds, "user_id", width=1 << 14, depth=4)
+        est = count_min_estimate(wide, qk)
+        # generous width: collisions are negligible -> exact
+        assert (est == truth.loc[qk].to_numpy()).all()
+
+    tight = count_min_build(ray.data.from_pandas(df), "user_id",
+                            width=64, depth=4)
+    est_t = count_min_estimate(tight, qk)
+    true_t = truth.loc[qk].to_numpy()
+    assert (est_t >= true_t).all()          # NEVER undercounts
+    assert (est_t > true_t).any()           # width 64 must collide
+    # total mass conservation per row of counters
+    assert (tight.sum(axis=1) == len(df)).all()

@@ -825,3 +825,107 @@ def grouped_heavy_hitters(ds: "ray.data.Dataset", group_col: str, col: str,
     out["rank"] = (out.groupby(group_col, sort=False).cumcount() + 1) \
         .astype("int64")
     return out[out["rank"] <= k].reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch: fixed-size frequency estimation (the counting
+# complement of the HLL distinct sketch and the Misra-Gries heavy-hitter
+# summary above).  depth rows of width counters; h_j(key) =
+# splitmix64(key + j) % width — the engine-wide replayable mixer, so both
+# the counters AND the estimates are integer-deterministic and carry a
+# bit-exact DuckDB oracle (count_min_oracle_sql).  Estimates overcount,
+# never undercount: est(key) = min_j counters[j][h_j(key)] >= true count,
+# with the classic (e/width, 2^-depth) error bound.
+# --------------------------------------------------------------------------
+
+def count_min_build(ds: "ray.data.Dataset", key_col: str,
+                    width: int = 1 << 16, depth: int = 4) -> np.ndarray:
+    """Build a depth×width Count-Min counter array over an INTEGER key
+    column.  Each block computes a dense partial (counters are
+    fixed-size, like the bloom bitmap in incremental_dedup) and the
+    driver streams block partials and adds them — counters are
+    mergeable by addition, so this is one corpus pass with zero
+    shuffle; the object transferred per block is depth·width·8 bytes
+    regardless of corpus size."""
+    from zeeklog_ray.relational import _mix64
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        keys = batch[key_col].to_numpy().astype(np.int64).view(np.uint64)
+        c = np.zeros((depth, width), dtype=np.int64)
+        for j in range(depth):
+            b = (_mix64(keys + np.uint64(j)) % np.uint64(width)) \
+                .astype(np.int64)
+            np.add.at(c[j], b, 1)
+        return pd.DataFrame({"c": [c]})
+
+    counters = np.zeros((depth, width), dtype=np.int64)
+    for blk in ds.map_batches(partial, batch_format="pandas",
+                              batch_size=None) \
+            .iter_batches(batch_format="pandas", batch_size=None):
+        for c in blk["c"]:
+            counters += c
+    return counters
+
+
+def count_min_estimate(counters: np.ndarray,
+                       keys: np.ndarray) -> np.ndarray:
+    """Point-frequency estimates for ``keys`` from a
+    :func:`count_min_build` array: min over depth rows of the hashed
+    counter — vectorized, no per-key Python."""
+    from zeeklog_ray.relational import _mix64
+
+    depth, width = counters.shape
+    ku = np.asarray(keys).astype(np.int64).view(np.uint64)
+    est = np.full(len(ku), np.iinfo(np.int64).max, dtype=np.int64)
+    for j in range(depth):
+        b = (_mix64(ku + np.uint64(j)) % np.uint64(width)).astype(np.int64)
+        est = np.minimum(est, counters[j, b])
+    return est
+
+
+def count_min_oracle_sql(table_sql: str, key_col: str, width: int,
+                         depth: int, k: int) -> str:
+    """DuckDB replay of the CM query shape used by
+    queries.event_user_cm_counts: build the counters in SQL (group by
+    (j, splitmix64-bucket)), pick the exact top-``k`` keys by
+    (count desc, key asc), and estimate each as the min hashed counter —
+    bit-exact against :func:`count_min_build` +
+    :func:`count_min_estimate` because both sides use the same
+    splitmix64 chain (ops.sample.mix64_sql)."""
+    from zeeklog_ray.ops.sample import mix64_sql
+
+    def bucket_chain(prefix: str, src: str, j: int) -> str:
+        steps, final = mix64_sql(key_col, salt=j)
+        return (f"{prefix}0 AS (SELECT {key_col}, {steps[0]} AS z0 "
+                f"FROM {src}), "
+                f"{prefix}1 AS (SELECT {key_col}, {steps[1]} AS z1 "
+                f"FROM {prefix}0), "
+                f"{prefix}1b AS (SELECT {key_col}, {steps[2]} AS z2 "
+                f"FROM {prefix}1), "
+                f"{prefix}2 AS (SELECT {key_col}, ({final}) "
+                f"% {width}::HUGEINT AS bucket FROM {prefix}1b)")
+
+    chains = ", ".join(bucket_chain(f"_cm{j}_", table_sql, j)
+                       for j in range(depth))
+    bucket_union = " UNION ALL ".join(
+        f"SELECT {j} AS j, bucket FROM _cm{j}_2" for j in range(depth))
+    key_union = " UNION ALL ".join(
+        f"SELECT {key_col}, {j} AS j, bucket FROM _cm{j}_2"
+        for j in range(depth))
+    return (
+        f"WITH {chains}, "
+        f"counters AS (SELECT j, bucket, COUNT(*) AS n FROM "
+        f"({bucket_union}) GROUP BY 1, 2), "
+        f"exact AS (SELECT {key_col}, COUNT(*) AS n_exact FROM "
+        f"{table_sql} GROUP BY 1), "
+        f"top AS (SELECT {key_col}, n_exact FROM exact "
+        f"ORDER BY n_exact DESC, {key_col} LIMIT {k}), "
+        f"kb AS (SELECT DISTINCT {key_col}, j, bucket FROM "
+        f"({key_union})), "
+        f"est AS (SELECT kb.{key_col}, MIN(c.n) AS n_cm FROM kb "
+        f"JOIN counters c ON c.j = kb.j AND c.bucket = kb.bucket "
+        f"GROUP BY 1) "
+        f"SELECT CAST(top.{key_col} AS BIGINT) AS {key_col}, "
+        f"CAST(top.n_exact AS BIGINT) AS n_exact, "
+        f"CAST(est.n_cm AS BIGINT) AS n_cm "
+        f"FROM top JOIN est ON top.{key_col} = est.{key_col}")

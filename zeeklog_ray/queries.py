@@ -438,6 +438,39 @@ def docs_keyword_search(sf_dir: str) -> "ray.data.Dataset":
     return keyword_search(docs, ["spark", "join", "vector"], k=20)
 
 
+def event_user_cm_counts(sf_dir: str) -> "ray.data.Dataset":
+    """Count-Min sketch frequency estimation
+    (ops/sketch.count_min_build/estimate): depth-4 × width-1024 counters
+    built in ONE corpus pass with zero shuffle (dense per-block partials
+    sum on the driver — fixed 32 KB per block regardless of corpus
+    size), then the exact top-10 users by event count are estimated
+    from the sketch.  Width 1024 is deliberately small so hash
+    collisions make n_cm a visible OVERcount of n_exact (never under) —
+    both replayed bit-exactly in SQL because the bucket hash is the
+    engine-wide splitmix64 (ops/sketch.count_min_oracle_sql)."""
+    from zeeklog_ray.ops.sketch import count_min_build, count_min_estimate
+    from zeeklog_ray.relational import grouped_sum_bucketed
+
+    ev = read_table(sf_dir, "events", columns=["user_id"])
+    cm = count_min_build(ev, "user_id", width=1024, depth=4)
+
+    counts = grouped_sum_bucketed(ev, ["user_id"], count_as="n_exact")
+
+    def topk_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(["n_exact", "user_id"],
+                                 ascending=[False, True]).head(10)
+
+    top = counts.map_batches(topk_partial, batch_format="pandas",
+                             batch_size=None).to_pandas() \
+        .sort_values(["n_exact", "user_id"],
+                     ascending=[False, True]).head(10) \
+        .reset_index(drop=True)
+    top["n_cm"] = count_min_estimate(cm, top["user_id"].to_numpy())
+    return ray.data.from_pandas(top.astype({"user_id": "int64",
+                                            "n_exact": "int64",
+                                            "n_cm": "int64"}))
+
+
 def docs_bm25_search(sf_dir: str) -> "ray.data.Dataset":
     """BM25 retrieval (ops/retrieval.keyword_search(bm25=True)): the
     dl/avgdl-normalized saturation form with k1 = 6/5 and b = 3/4 as
@@ -4126,6 +4159,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "docs_keyword_search": docs_keyword_search,
     "docs_simhash_dups": docs_simhash_dups,
     "docs_bm25_search": docs_bm25_search,
+    "event_user_cm_counts": event_user_cm_counts,
     "docs_lang_stats": docs_lang_stats,
     "docs_nb_source_clf": docs_nb_source_clf,
     "docs_passage_chunks": docs_passage_chunks,
@@ -5963,6 +5997,16 @@ def _hll_oracle() -> str:
 
 
 ORACLE_SQL["event_type_users_hll"] = _hll_oracle()
+
+
+def _cm_oracle() -> str:
+    from zeeklog_ray.ops.sketch import count_min_oracle_sql
+
+    return count_min_oracle_sql("events", "user_id", width=1024,
+                                depth=4, k=10)
+
+
+ORACLE_SQL["event_user_cm_counts"] = _cm_oracle()
 # per-user daily spike scores over the SPARSE observed-day series —
 # no gap filling, so the ROWS frame replays the op exactly
 ORACLE_SQL["user_daily_spikes"] = (
