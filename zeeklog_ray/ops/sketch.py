@@ -828,25 +828,22 @@ def grouped_heavy_hitters(ds: "ray.data.Dataset", group_col: str, col: str,
 
 
 # --------------------------------------------------------------------------
-# Count-Min sketch: fixed-size frequency estimation (the counting
-# complement of the HLL distinct sketch and the Misra-Gries heavy-hitter
-# summary above).  depth rows of width counters; h_j(key) =
-# splitmix64(key + j) % width — the engine-wide replayable mixer, so both
-# the counters AND the estimates are integer-deterministic and carry a
-# bit-exact DuckDB oracle (count_min_oracle_sql).  Estimates overcount,
-# never undercount: est(key) = min_j counters[j][h_j(key)] >= true count,
-# with the classic (e/width, 2^-depth) error bound.
+# SQL-replayable Count-Min tier: same mergeable counter array as the
+# ``countmin_*`` family above, but the row probes are h_j(key) =
+# splitmix64(key + j) % width — the engine-wide replayable mixer — so for
+# INTEGER keys both the counters AND the min-estimates are
+# integer-deterministic and carry a bit-exact DuckDB oracle
+# (count_min_oracle_sql), the same contract upgrade the replayable HLL
+# got (hll_oracle_sql).  The pandas-hash probes above stay the default
+# for arbitrary dtypes; this tier is what a registry query can gate.
 # --------------------------------------------------------------------------
 
 def count_min_build(ds: "ray.data.Dataset", key_col: str,
                     width: int = 1 << 16, depth: int = 4) -> np.ndarray:
-    """Build a depth×width Count-Min counter array over an INTEGER key
-    column.  Each block computes a dense partial (counters are
-    fixed-size, like the bloom bitmap in incremental_dedup) and the
-    driver streams block partials and adds them — counters are
-    mergeable by addition, so this is one corpus pass with zero
-    shuffle; the object transferred per block is depth·width·8 bytes
-    regardless of corpus size."""
+    """Replayable Count-Min build over an INTEGER key column: dense
+    depth×width per-block partials (fixed depth·width·8 bytes per block
+    regardless of corpus size — the bloom-bitmap exchange pattern),
+    summed on the driver.  One corpus pass, zero shuffle."""
     from zeeklog_ray.relational import _mix64
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -869,9 +866,9 @@ def count_min_build(ds: "ray.data.Dataset", key_col: str,
 
 def count_min_estimate(counters: np.ndarray,
                        keys: np.ndarray) -> np.ndarray:
-    """Point-frequency estimates for ``keys`` from a
+    """Point-frequency estimates for INTEGER ``keys`` from a
     :func:`count_min_build` array: min over depth rows of the hashed
-    counter — vectorized, no per-key Python."""
+    counter — vectorized, never underestimates."""
     from zeeklog_ray.relational import _mix64
 
     depth, width = counters.shape
