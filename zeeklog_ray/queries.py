@@ -176,6 +176,30 @@ def zeek_seq_packing(sf_dir: str) -> "ray.data.Dataset":
     return pack_stats(ds, context_len=2048, num_buckets=64)
 
 
+def zeek_packed_rows(sf_dir: str) -> "ray.data.Dataset":
+    """Loader materialization (loader.pack_token_rows): the pack
+    assignments become REAL (source, pack_id, input_ids[2048]) rows —
+    each source's gap-free token stream cut every 2048 tokens, padding
+    only in the final pack.  Gated by ``pack_hash``, the Horner
+    mod-2^64 hash of each pack's real tokens (padding excluded), which
+    the oracle rebuilds from scratch in SQL: window-function stream
+    offsets → per-token global position → per-pack ordered list →
+    HUGEINT list_reduce.  A hash match certifies every token landed in
+    the right pack at the right slot."""
+    from zeeklog_ray.loader import pack_token_rows
+
+    corpus = corpus_for_sf_dir(sf_dir)
+    ds = ray.data.read_parquet(
+        corpus, columns=["doc_id", "tokens", "n_tok", "source", "date"])
+    packed = pack_token_rows(ds, context_len=2048, num_buckets=64)
+
+    def scalars(t):
+        return t.select(["source", "pack_id", "n_real", "pack_hash"])
+
+    return packed.map_batches(scalars, batch_format="pyarrow",
+                              batch_size=None)
+
+
 _CHUNK_W, _CHUNK_S = 256, 192
 
 
@@ -4120,6 +4144,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "zeek_token_vocab": zeek_token_vocab,
     "zeek_token_chunks": zeek_token_chunks,
     "zeek_seq_packing": zeek_seq_packing,
+    "zeek_packed_rows": zeek_packed_rows,
     "zeek_token_remap": zeek_token_remap,
     "zeek_tsv_ingest": zeek_tsv_ingest,
     # oracle-checked relational/analytics operators
@@ -4431,6 +4456,30 @@ def _zeek_oracle_sql(sf_dir: str) -> dict[str, str]:
             "(SELECT UNNEST(tokens) AS token FROM "
             f"read_parquet('{corpus_glob}')) "
             "GROUP BY token ORDER BY n DESC, token LIMIT 20"),
+        # the loader materialization replayed from scratch: window-
+        # function stream offsets per source (doc_id order == stream
+        # order by the monotonicity contract), per-token global position
+        # via unnest(range), per-pack ordered token list, Horner HUGEINT
+        # list_reduce over the REAL tokens (padding never hashed)
+        "zeek_packed_rows": (
+            "WITH w AS (SELECT source, tokens, COALESCE(SUM(n_tok) "
+            "OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM "
+            f"read_parquet('{corpus_glob}')), "
+            "u AS (SELECT source, off + i - 1 AS gpos, tokens[i] AS tok "
+            "FROM w, unnest(range(1, len(tokens) + 1)) AS r(i)), "
+            "p AS (SELECT source, CAST(gpos // 2048 AS BIGINT) AS "
+            "pack_id, gpos % 2048 AS pos, tok FROM u), "
+            "packs AS (SELECT source, pack_id, COUNT(*) AS n_real, "
+            "list(tok ORDER BY pos) AS toks FROM p GROUP BY 1, 2) "
+            "SELECT source, pack_id, CAST(n_real AS BIGINT) AS n_real, "
+            "CAST(CASE WHEN m >= 9223372036854775808::HUGEINT "
+            "THEN m - 18446744073709551616::HUGEINT ELSE m END "
+            "AS BIGINT) AS pack_hash FROM ("
+            "SELECT source, pack_id, n_real, "
+            "list_reduce(list_transform(toks, x -> x::HUGEINT), "
+            "(acc, c) -> (acc*1000003::HUGEINT + c) % "
+            "18446744073709551616::HUGEINT) AS m FROM packs)"),
         # chunking replay: same chunk-count contract as ops.packing.
         # chunk_tokens, per-chunk Horner hash over the 1-based list_slice,
         # HUGEINT mod 2^64 folded to signed int64 like doc_fingerprints
