@@ -881,6 +881,22 @@ def _run_scale_ops(timings: dict, minmax: dict, extras: dict) -> None:
     minmax[f"scale_ivm_full_{mtag}"] = [min(fvals), max(fvals)]
     minmax[f"scale_ivm_incremental_{mtag}"] = [min(ivals), max(ivals)]
 
+    # loader materialization over the flagship corpus (600k seqs at
+    # sf0.1): doc_id-bucketed token attach + per-pack piece exchange +
+    # vectorized scatter assembly — the trainer-feed last mile
+    from zeeklog_ray.corpus import corpus_for_sf_dir
+    from zeeklog_ray.loader import pack_token_rows
+
+    zc = corpus_for_sf_dir(SF_DIR)
+
+    def packrows():
+        ds = ray.data.read_parquet(
+            zc, columns=["doc_id", "tokens", "n_tok", "source", "date"])
+        n = pack_token_rows(ds, context_len=2048, num_buckets=64).count()
+        extras.setdefault("packed_rows", n)
+
+    timed2("scale_pack_rows_flagship", packrows)
+
 
 def _sf_tag(sf_dir: str) -> str:
     return os.path.basename(os.path.normpath(sf_dir)).removeprefix("sf")
