@@ -92,3 +92,28 @@ def test_iter_token_batches_shapes_and_content(ray_session):
 
     with pytest.raises(NotImplementedError):
         next(iter_token_batches(packed, micro_batch=4, to_torch=True))
+
+
+def test_iter_token_batches_sharding(ray_session):
+    """shard=(i, n): disjoint, exhaustive, deterministic worker slices."""
+    df = _corpus(n_docs=24, seed=2)
+    packed = pack_token_rows(ray.data.from_pandas(df), context_len=CL,
+                             num_buckets=4)
+    all_rows = {tuple(np.asarray(r))
+                for r in packed.to_pandas()["input_ids"]}
+    shards = []
+    for i in range(3):
+        rows = {tuple(row)
+                for m in iter_token_batches(packed, micro_batch=4,
+                                            shard=(i, 3))
+                for row in m}
+        shards.append(rows)
+    assert set().union(*shards) == all_rows          # exhaustive
+    assert sum(len(s) for s in shards) == len(all_rows)  # disjoint
+    # re-derived slice is identical (resume contract)
+    again = {tuple(row)
+             for m in iter_token_batches(packed, micro_batch=4,
+                                         shard=(1, 3)) for row in m}
+    assert again == shards[1]
+    with pytest.raises(ValueError):
+        next(iter_token_batches(packed, micro_batch=4, shard=(3, 3)))

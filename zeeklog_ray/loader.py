@@ -217,14 +217,24 @@ def pack_token_rows(ds: "ray.data.Dataset", *, context_len: int = 2048,
 def iter_token_batches(packed: "ray.data.Dataset", micro_batch: int,
                        *, to_torch: bool = False,
                        local_shuffle_buffer: int | None = None,
-                       seed: int | None = None):
+                       seed: int | None = None,
+                       shard: tuple[int, int] | None = None):
     """Yield dense (micro_batch, context_len) int32 matrices from a
     :func:`pack_token_rows` Dataset — the trainer feed.  Streaming: one
     micro-batch in memory at a time (plus Ray's prefetch); pass
     ``local_shuffle_buffer`` rows for loader-side shuffling.  The final
-    batch may be shorter unless the pack count divides evenly.  With
-    ``to_torch=True`` tensors are returned when torch is importable —
-    this container has none, so the seam raises honestly."""
+    batch may be shorter unless the pack count divides evenly.
+
+    ``shard=(i, n)`` gives data-parallel worker ``i`` of ``n`` its
+    deterministic slice — packs with ``pack_id % n == i`` — a row-local
+    filter, so every worker streams only its shard with no coordination
+    and a restarted worker re-derives the same slice (resume = skip
+    already-consumed batch indices).  Shards are balanced to ±1 pack
+    per (source, shard) because pack_ids are dense per source.
+
+    With ``to_torch=True`` tensors are returned when torch is
+    importable — this container has none, so the seam raises
+    honestly."""
     if to_torch:
         try:
             import torch
@@ -233,6 +243,16 @@ def iter_token_batches(packed: "ray.data.Dataset", micro_batch: int,
                 "to_torch=True needs torch, which is not installed in "
                 "this environment — consume the numpy batches or install "
                 "torch") from e
+    if shard is not None:
+        i, n = shard
+        if not 0 <= i < n:
+            raise ValueError(f"shard index {i} outside [0, {n})")
+
+        def keep_shard(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch[batch["pack_id"] % n == i]
+
+        packed = packed.map_batches(keep_shard, batch_format="pandas",
+                                    batch_size=None)
     for batch in packed.iter_batches(
             batch_size=micro_batch, batch_format="pandas",
             local_shuffle_buffer_size=local_shuffle_buffer,
