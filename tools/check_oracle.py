@@ -52,6 +52,13 @@ def main(sf_dir: str, num_cpus: int = 8, md_path: str | None = None,
     DataContext.get_current().enable_progress_bars = False
 
     con = duckdb.connect()
+    # cap DuckDB's memory and give it a spill dir: its default limit is
+    # 80% of RAM, which collides with Ray's object store in the same
+    # process group — the heaviest replay SQL (zeek_packed_rows at
+    # sf0.1: a 34M-row token explode + per-pack ordered lists) then dies
+    # with a bad-allocation OOM instead of spilling
+    con.sql("SET memory_limit='32GB'")
+    con.sql("SET temp_directory='/tmp/duckdb_oracle_spill'")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 

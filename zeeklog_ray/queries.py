@@ -4461,25 +4461,36 @@ def _zeek_oracle_sql(sf_dir: str) -> dict[str, str]:
         # order by the monotonicity contract), per-token global position
         # via unnest(range), per-pack ordered token list, Horner HUGEINT
         # list_reduce over the REAL tokens (padding never hashed)
+        # Horner as a POWER-TABLE join, not a per-pack list(): list
+        # aggregates cannot spill in DuckDB (the 34M-token sf0.1 replay
+        # OOMs), while Σ tok·B^(n_real−1−pos) mod 2^64 over a 2048-row
+        # recursive power CTE is a plain spillable grouped SUM —
+        # tok·v < 2^95 and the pack sum < 2^107, inside HUGEINT
         "zeek_packed_rows": (
-            "WITH w AS (SELECT source, tokens, COALESCE(SUM(n_tok) "
+            "WITH RECURSIVE pw(k, v) AS ("
+            "SELECT 0, 1::HUGEINT "
+            "UNION ALL SELECT k + 1, (v * 1000003::HUGEINT) % "
+            "18446744073709551616::HUGEINT FROM pw WHERE k < 2047), "
+            "w AS (SELECT source, tokens, COALESCE(SUM(n_tok) "
             "OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN "
             "UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM "
             f"read_parquet('{corpus_glob}')), "
-            "u AS (SELECT source, off + i - 1 AS gpos, tokens[i] AS tok "
+            "u AS (SELECT source, off + i - 1 AS gpos, "
+            "tokens[i]::HUGEINT AS tok "
             "FROM w, unnest(range(1, len(tokens) + 1)) AS r(i)), "
             "p AS (SELECT source, CAST(gpos // 2048 AS BIGINT) AS "
-            "pack_id, gpos % 2048 AS pos, tok FROM u), "
-            "packs AS (SELECT source, pack_id, COUNT(*) AS n_real, "
-            "list(tok ORDER BY pos) AS toks FROM p GROUP BY 1, 2) "
+            "pack_id, CAST(gpos % 2048 AS BIGINT) AS pos, tok FROM u), "
+            "sz AS (SELECT source, pack_id, COUNT(*) AS n_real "
+            "FROM p GROUP BY 1, 2), "
+            "h AS (SELECT p.source, p.pack_id, sz.n_real, "
+            "SUM(p.tok * pw.v) % 18446744073709551616::HUGEINT AS m "
+            "FROM p JOIN sz USING (source, pack_id) "
+            "JOIN pw ON pw.k = sz.n_real - 1 - p.pos "
+            "GROUP BY 1, 2, 3) "
             "SELECT source, pack_id, CAST(n_real AS BIGINT) AS n_real, "
             "CAST(CASE WHEN m >= 9223372036854775808::HUGEINT "
             "THEN m - 18446744073709551616::HUGEINT ELSE m END "
-            "AS BIGINT) AS pack_hash FROM ("
-            "SELECT source, pack_id, n_real, "
-            "list_reduce(list_transform(toks, x -> x::HUGEINT), "
-            "(acc, c) -> (acc*1000003::HUGEINT + c) % "
-            "18446744073709551616::HUGEINT) AS m FROM packs)"),
+            "AS BIGINT) AS pack_hash FROM h"),
         # chunking replay: same chunk-count contract as ops.packing.
         # chunk_tokens, per-chunk Horner hash over the 1-based list_slice,
         # HUGEINT mod 2^64 folded to signed int64 like doc_fingerprints
